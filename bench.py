@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan construction + execution) with a
+`noop` sink so we measure engine work, not driver-side row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from hive_task_spark import registry  # noqa: E402
+from hive_task_spark.plans.session import get_session  # noqa: E402
+
+# Headline set: one per major operator family — batch spine, star join,
+# windows, cube, set ops, dedup, similarity, text. Names must exist in
+# the registry; missing ones are skipped (early rounds).
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner_star",
+    "join_semi_exists",
+    "agg_cube",
+    "agg_count_distinct",
+    "window_topk_per_group",
+    "window_running_total",
+    "setop_intersect",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_quality_scores",
+    "asof_join_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    registry.load_all()
+    spark = get_session(app_name="hive_task_spark_bench", cpus=cpus)
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    # Warm the JVM + parquet footers once (excluded from timings).
+    registry.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

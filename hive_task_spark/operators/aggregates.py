@@ -1,0 +1,229 @@
+"""Aggregation inventory: hash agg, distinct, approx sketches, grouping
+sets/cube/rollup, filtered agg, collect-to-array, HAVING.
+SURVEY.md §2B "Aggregation".
+
+All grouped aggregates here compile to partial (map-side) + final hash
+aggregation — the shuffle carries one row per (partition, group), which
+is what makes them safe at 100 TB. Approx sketches (HLL++, t-digest-ish
+percentile) are the designed scale path for distinct counts/quantiles;
+their values are engine-specific so they carry rows-only checks, with
+exact twins oracle-checked alongside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+
+@register(
+    "agg_stats_suite",
+    oracle="""
+    SELECT
+        l_returnflag,
+        CAST(count(*) AS BIGINT)          AS n_rows,
+        sum(l_quantity)                   AS sum_qty,
+        min(l_extendedprice)              AS min_price,
+        max(l_extendedprice)              AS max_price,
+        avg(l_discount)                   AS avg_disc,
+        stddev_samp(l_quantity)           AS sd_qty,
+        var_samp(l_quantity)              AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/count/avg/min/max/stddev/variance in one grouped pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.stddev_samp("l_quantity").alias("sd_qty"),
+        F.var_samp("l_quantity").alias("var_qty"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        CAST(count(DISTINCT o_custkey) AS BIGINT)    AS n_customers,
+        CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count(distinct) in one aggregate (planner expands them)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register("agg_approx_count_distinct")  # rows-only: HLL++ values are engine-specific
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — THE distinct-count at 100 TB:
+    constant memory per group vs. the exact expansion's shuffle blowup.
+    Returned alongside the exact count so the row is self-validating."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register("agg_approx_quantiles")  # rows-only: quantile sketch is engine-specific
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — sketch-based quantiles (no global sort)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price"),
+    )
+
+
+@register(
+    "agg_median_exact",
+    oracle="""
+    SELECT
+        l_linestatus,
+        median(l_extendedprice)   AS median_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (percentile 0.5, interpolated) — oracle-checked twin
+    of the approx version."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        sum(l_quantity)                       AS sum_qty,
+        CAST(count(*) AS BIGINT)              AS n,
+        CAST(grouping(l_returnflag) AS BIGINT)  AS g_flag,
+        CAST(grouping(l_linestatus) AS BIGINT)  AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping flags (subtotals + grand total)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        o_orderpriority,
+        sum(o_totalprice)                        AS total_price,
+        CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+        CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations in one pass."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum("o_totalprice").alias("total_price"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+    )
+
+
+@register(
+    "agg_filtered_conditional",
+    oracle="""
+    SELECT
+        l_returnflag,
+        sum(l_extendedprice) FILTER (WHERE l_discount > 0.05)  AS hi_disc_revenue,
+        CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+        sum(CASE WHEN l_tax > 0.04 THEN l_tax ELSE 0.0 END)    AS taxed_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER (WHERE ...) / conditional aggregation via F.when."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))).alias(
+            "hi_disc_revenue"
+        ),
+        F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_bulk"),
+        F.sum(
+            F.when(F.col("l_tax") > 0.04, F.col("l_tax")).otherwise(F.lit(0.0))
+        ).alias("taxed_sum"),
+    )
+
+
+@register(
+    "agg_collect_array",
+    oracle="""
+    SELECT
+        n_regionkey,
+        list_sort(list(n_name))                        AS nations,
+        CAST(count(*) AS BIGINT)                       AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + sort_array for deterministic array aggregation."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT
+        o_custkey,
+        CAST(count(*) AS BIGINT)   AS n_orders,
+        sum(o_totalprice)          AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 3 AND sum(o_totalprice) > 150000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = filter over the aggregate output."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("spend"),
+        )
+        .filter((F.col("n_orders") >= 3) & (F.col("spend") > 150000))
+    )

@@ -1,0 +1,260 @@
+"""Join inventory: equi (all outer kinds), semi/anti, cross, theta/range,
+interval overlap. SURVEY.md §2B "Joins".
+
+Scale posture: dimension tables (region/nation/customer/supplier/part)
+go through ``F.broadcast`` — at 100 TB the fact-side never shuffles for
+these joins. Fact-fact joins (lineitem⋈orders) are left to AQE: sort-
+merge with skew-split, or shuffled-hash when one side is small enough
+at runtime. Non-equi joins are broadcast-nested-loop by construction —
+they only appear here with a broadcast-sized side or a bucketed rewrite
+(see range_join_bucketed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+
+@register(
+    "join_inner_star",
+    oracle="""
+    SELECT
+        n.n_name                                     AS nation,
+        CAST(year(o.o_orderdate) AS BIGINT)          AS order_year,
+        sum(l.l_extendedprice * (1 - l.l_discount))  AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop star join: fact ⋈ orders ⋈ customer ⋈ nation.
+
+    customer/nation are broadcast (no shuffle of the fact side for
+    them); lineitem⋈orders shuffles on the orderkey — the only
+    unavoidable shuffle, AQE-managed.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            n.n_name.alias("nation"),
+            F.year(o.o_orderdate).cast("long").alias("order_year"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT
+        c.c_custkey,
+        c.c_name,
+        o.o_orderkey,
+        o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 100000
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a pushed non-key condition in the ON clause
+    (semantics differ from a post-join filter — kept rows get nulls)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 100000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cust_nations AS (
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    ),
+    supp_nations AS (
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    )
+    SELECT
+        c.nationkey  AS cust_nationkey,
+        s.nationkey  AS supp_nationkey
+    FROM cust_nations c
+    FULL OUTER JOIN supp_nations s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (nations having customers vs having suppliers)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return c.join(s, c["nationkey"] == s["nationkey"], "full").select(
+        c["nationkey"].alias("cust_nationkey"),
+        s["nationkey"].alias("supp_nationkey"),
+    )
+
+
+@register(
+    "join_semi_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (no row duplication, right side pruned)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_anti_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (customers with no orders)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross_small",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name
+    FROM region r
+    CROSS JOIN nation n
+    """,
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (small×small only — the brute-force
+    similarity baseline uses the same physical op, see similarity.py)."""
+    r = load(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    n = load(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    return r.crossJoin(n)
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT
+        s.s_suppkey,
+        s.s_name,
+        c.c_custkey
+    FROM supplier s
+    JOIN customer c
+      ON c.c_acctbal > s.s_acctbal * 2 AND s.s_nationkey = c.c_nationkey
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi part on nationkey + non-equi balance predicate.
+    The equi conjunct keeps this a hash join (not nested-loop) — Spark
+    plans the inequality as a post-join filter on the hash match."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    return s.join(
+        F.broadcast(c),
+        (c.c_acctbal > s.s_acctbal * 2) & (s.s_nationkey == c.c_nationkey),
+    ).select("s_suppkey", "s_name", "c_custkey")
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    SELECT
+        a.o_orderkey   AS order_a,
+        b.o_orderkey   AS order_b
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.o_orderdate <= b.o_orderdate + INTERVAL 30 DAY
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: per-customer orders whose ±30-day
+    windows overlap. Equi conjunct (custkey) keeps it hash-based."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.o_orderdate") <= F.col("b.o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            & (F.col("b.o_orderdate") <= F.col("a.o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+        )
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH lhs AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et
+        FROM events
+    ),
+    rhs AS (
+        SELECT DISTINCT
+               CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et
+        FROM events
+    )
+    SELECT l.event_id, r.et AS matched_type
+    FROM lhs l
+    JOIN rhs r ON l.et IS NOT DISTINCT FROM r.et
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=>): NULL keys match each other."""
+    e = load(spark, sf_dir, "events")
+    et = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    lhs = e.select("event_id", et.alias("et"))
+    rhs = e.select(et.alias("et")).distinct()
+    return lhs.join(F.broadcast(rhs), lhs["et"].eqNullSafe(rhs["et"])).select(
+        lhs["event_id"], rhs["et"].alias("matched_type")
+    )

@@ -1,0 +1,218 @@
+"""Core relational spine: scan → project → filter → aggregate → sort.
+
+SURVEY.md §2B "Projection / filter / predicates" + the flagship pricing
+summary (§7 Step 1). Declarative DataFrame plans throughout — Catalyst
+pushes the filters and the column pruning into the parquet scan, and the
+aggregate runs partial (map-side) + final automatically, which is the
+scale posture: at 100 TB the scan reads only the referenced columns and
+row-groups, and the shuffle carries only grouped partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        sum(l_quantity)                                          AS sum_qty,
+        sum(l_extendedprice)                                     AS sum_base_price,
+        sum(l_extendedprice * (1 - l_discount))                  AS sum_disc_price,
+        sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))    AS sum_charge,
+        avg(l_quantity)                                          AS avg_qty,
+        avg(l_extendedprice)                                     AS avg_price,
+        avg(l_discount)                                          AS avg_disc,
+        count(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary over lineitem.
+
+    Exercises the whole batch spine. The filter and the 3-column read
+    schema reach the parquet scan (verify: PushedFilters/ReadSchema in
+    .explain); aggregation is hash-based with map-side combine.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "projection_computed_columns",
+    oracle="""
+    SELECT
+        o_orderkey,
+        o_totalprice,
+        o_totalprice * 1.1                          AS price_with_fee,
+        upper(o_orderstatus)                        AS status_uc,
+        CAST(year(o_orderdate) AS BIGINT)           AS order_year
+    FROM orders
+    """,
+)
+def projection_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection, aliasing, computed columns (select/withColumn)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_totalprice") * 1.1).alias("price_with_fee"),
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND NOT (l_discount < 0.02 OR l_tax > 0.07)
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT, BETWEEN, IN — all pushed to the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & ~((F.col("l_discount") < 0.02) | (F.col("l_tax") > 0.07))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@register(
+    "filter_like_regex",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%gold%'
+       OR regexp_matches(p_type, '^(STANDARD|SMALL).*BRASS$')
+    """,
+)
+def filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE and regex predicates."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%gold%")
+        | F.col("p_type").rlike("^(STANDARD|SMALL).*BRASS$")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@register(
+    "null_semantics",
+    oracle="""
+    SELECT
+        e.event_id,
+        e.value,
+        CAST(json_extract_string(e.props, '$.k') AS BIGINT)      AS k,
+        (e.value IS NULL)                                        AS value_is_null,
+        coalesce(e.value, -1.0)                                  AS value_or_default
+    FROM events e
+    WHERE CAST(json_extract_string(e.props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL, coalesce; null-safe comparison exercised in joins."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select(
+            "event_id",
+            "value",
+            k.alias("k"),
+            F.col("value").isNull().alias("value_is_null"),
+            F.coalesce(F.col("value"), F.lit(-1.0)).alias("value_or_default"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+
+
+@register(
+    "case_when_bucketing",
+    oracle="""
+    SELECT
+        CASE
+            WHEN o_totalprice < 50000  THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large'
+        END                                     AS price_band,
+        o_orderpriority,
+        count(*)                                AS n_orders,
+        sum(o_totalprice)                       AS total_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN → F.when chains feeding a grouped aggregate."""
+    o = load(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(band.alias("price_band"), F.col("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "distinct_dropduplicates",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders
+    """,
+)
+def distinct_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projection (hash aggregate without agg exprs)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "global_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def global_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy + limit planned as TakeOrderedAndProject —
+    no full sort materializes at any scale; each partition keeps k."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )

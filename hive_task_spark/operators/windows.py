@@ -1,0 +1,214 @@
+"""Window-function inventory: ranking, analytic (lag/lead/first/last),
+frame aggregates (running/sliding), top-k per group.
+SURVEY.md §2B "Window functions".
+
+Scale posture: every window partitions by a key (one shuffle, then
+per-partition sort) — no global-order windows, which would serialize
+onto one task at 100 TB. Top-k-per-group is the window+filter rewrite;
+Catalyst 4.x further prunes it with a rank-limit pushdown. Every
+orderBy inside a window spec carries a unique tie-breaker column so
+results are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+
+@register(
+    "window_ranking",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        o_totalprice,
+        CAST(row_number()   OVER w AS BIGINT) AS rn,
+        CAST(rank()         OVER w AS BIGINT) AS rnk,
+        CAST(dense_rank()   OVER w AS BIGINT) AS drnk,
+        CAST(ntile(4)       OVER w AS BIGINT) AS quartile,
+        percent_rank()      OVER w            AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank/ntile/percent_rank over one spec."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        o_orderdate,
+        lag(o_totalprice)  OVER w                          AS prev_price,
+        lead(o_totalprice) OVER w                          AS next_price,
+        first_value(o_totalprice) OVER w                   AS first_price,
+        CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+                                                           AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value + date arithmetic between adjacent rows."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        sum(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS running_spend,
+        avg(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        ) AS moving_avg_3
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregates: running total + 3-row moving average."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("o_totalprice")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_spend"),
+        F.avg("o_totalprice").over(w.rowsBetween(-2, 0)).alias("moving_avg_3"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT
+        l_suppkey,
+        l_orderkey,
+        l_linenumber,
+        l_quantity,
+        sum(l_quantity) OVER (
+            PARTITION BY l_suppkey ORDER BY l_quantity
+            RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+        ) AS qty_in_band
+    FROM lineitem
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window, ties aggregate together)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_quantity").rangeBetween(-5, 0)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.sum("l_quantity").over(w).alias("qty_in_band"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT
+            c_nationkey, c_custkey, c_acctbal,
+            row_number() OVER (
+                PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+            ) AS rn
+        FROM customer
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation — the scale-safe top-k-per-group
+    (rank-limit pushdown keeps per-partition heaps, no global sort)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_cume_dist_share",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_orderkey,
+        l_linenumber,
+        cume_dist() OVER (
+            PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        )                                                       AS cd,
+        l_extendedprice / sum(l_extendedprice) OVER (PARTITION BY l_returnflag)
+                                                                AS price_share
+    FROM lineitem
+    """,
+)
+def window_cume_dist_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + share-of-group (unordered full-partition frame)."""
+    li = load(spark, sf_dir, "lineitem")
+    w_ord = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.cume_dist().over(w_ord).alias("cd"),
+        (F.col("l_extendedprice") / F.sum("l_extendedprice").over(w_all)).alias(
+            "price_share"
+        ),
+    )

@@ -1,0 +1,89 @@
+"""Session factory — the engine's "physical design" lives in conf.
+
+The reference's entire bring-up path (make-scheduler → start-scheduler →
+start-workers, /root/reference/src/scheduler.lisp:52-140) maps to this
+one factory: Spark's driver + cluster manager ARE the scheduler, pool,
+transport and supervision (SURVEY.md §3.1). Our job is only to pick the
+right configuration posture.
+
+100 TB posture notes (local[N] here, but every knob scales):
+  * AQE on — runtime partition coalescing, skew-join splitting, and
+    join-strategy switching replace any hand-scheduling.
+  * Arrow on — every Python-side kernel (pandas UDFs) moves columnar
+    batches, never rows.
+  * UTC session timezone — deterministic timestamp semantics (and
+    agreement with the DuckDB oracle, which is UTC-naive).
+  * shuffle.partitions defaults to cores locally; on a real cluster the
+    AQE coalescer makes the static number mostly irrelevant — set the
+    initial number high (e.g. 2000+) and let AQE shrink it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Worker sizing — the analog of the reference's CPU-count probe
+    (/root/reference/src/scheduler.lisp:16-22), delegated to the OS."""
+    try:
+        return max(2, int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 4))
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def get_session(
+    app_name: str = "hive_task_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Equivalent of the reference's ``make-scheduler`` + ``start-scheduler``
+    (/root/reference/src/scheduler.lisp:52-103): idempotent bring-up of
+    the execution substrate, sized to the machine.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Pin runtime-mutable conf on a session we did not create.
+
+    The driver hands our queries an externally-built session; correctness
+    must not depend on how it was constructed. Only runtime-settable keys
+    belong here (timezone, Arrow, AQE).
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
+        # read as long and convert in tables.load (data is µs-aligned,
+        # verified across all SFs, so the conversion is lossless).
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on some builds — keep going
+    return spark
