@@ -1,1 +1,183 @@
-"""(stub — filled in as the inventory is built)"""
+"""Array function family incl. higher-order functions.
+SURVEY.md §2B "Scalar functions / Array".
+
+Arrays come from two real columns: `embeddings.embedding`
+(array<float>) and tokenized `documents.text`. Higher-order transform/
+filter/aggregate stay JVM-side (no UDF) — this is the pattern every
+vector/token kernel in the LLM ops reuses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+
+@register(
+    "array_basic_suite",
+    oracle="""
+    SELECT
+        vec_id,
+        CAST(len(embedding) AS BIGINT)                                    AS dim,
+        CAST(embedding[1] AS DOUBLE)                                      AS first_elem,
+        list_transform(embedding[1:5], x -> CAST(x AS DOUBLE))            AS head5,
+        list_sort(list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 3)))
+                                                                          AS sorted_head3
+    FROM embeddings
+    """,
+)
+def array_basic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element access/slice/sort_array over a real vector column."""
+    e = load(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.col("embedding").getItem(0).cast("double").alias("first_elem"),
+        F.slice(emb_d, 1, 5).alias("head5"),
+        F.sort_array(
+            F.transform(F.slice(emb_d, 1, 3), lambda x: F.round(x, 3))
+        ).alias("sorted_head3"),
+    )
+
+
+@register(
+    "array_higher_order",
+    oracle="""
+    SELECT
+        vec_id,
+        CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+                                                                      AS vec_sum,
+        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)      AS n_positive,
+        CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+                                                                      AS vec_max,
+        list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE) * 2.0, 4))
+                                                                      AS doubled_head
+    FROM embeddings
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform/filter/aggregate (fold) — JVM lambdas, zero Python."""
+    e = load(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0))
+        .cast("long")
+        .alias("n_positive"),
+        F.array_max(emb_d).alias("vec_max"),
+        F.transform(F.slice(emb_d, 1, 3), lambda x: F.round(x * 2.0, 4)).alias(
+            "doubled_head"
+        ),
+    )
+
+
+@register(
+    "array_explode_tokens",
+    oracle="""
+    SELECT
+        token,
+        CAST(count(*) AS BIGINT)           AS n
+    FROM (
+        SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def array_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode over split — token frequency (generator → re-aggregation)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "array_posexplode",
+    oracle="""
+    SELECT
+        vec_id,
+        CAST(UNNEST(range(1, len(embedding[1:8]) + 1)) - 1 AS INT)  AS pos,
+        CAST(UNNEST(embedding[1:8]) AS DOUBLE)                      AS val
+    FROM embeddings
+    WHERE vec_id < 10
+    """,
+)
+def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — position-preserving unnest (zipped in the oracle)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    emb_d = F.transform(
+        F.slice(F.col("embedding"), 1, 8), lambda x: x.cast("double")
+    )
+    return e.select("vec_id", F.posexplode(emb_d).alias("pos", "val"))
+
+
+@register(
+    "array_set_algebra",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    )
+    SELECT
+        a.doc_id                                            AS doc_a,
+        b.doc_id                                            AS doc_b,
+        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common
+    FROM tok a JOIN tok b ON a.doc_id + 1 = b.doc_id
+    """,
+)
+def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_distinct + array_intersect between adjacent documents."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = tok.alias("a")
+    b = tok.alias("b")
+    return a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        .cast("long")
+        .alias("n_common"),
+    )
+
+
+@register(
+    "array_zip_flatten",
+    oracle="""
+    SELECT
+        vec_id,
+        list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4))  AS a3,
+        flatten([embedding[1:2], embedding[3:4]])                         AS flat4_f,
+        list_transform(
+            list_zip(embedding[1:3], embedding[2:4]),
+            p -> round(CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE), 4))   AS pair_sums
+    FROM embeddings
+    WHERE vec_id < 20
+    """,
+)
+def array_zip_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip_with + flatten (nested array construction / pairing)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    emb = F.col("embedding")
+    emb_d = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.transform(F.slice(emb_d, 1, 3), lambda x: F.round(x, 4)).alias("a3"),
+        F.flatten(F.array(F.slice(emb, 1, 2), F.slice(emb, 3, 2))).alias("flat4_f"),
+        F.zip_with(
+            F.slice(emb_d, 1, 3),
+            F.slice(emb_d, 2, 3),
+            lambda x, y: F.round(x + y, 4),
+        ).alias("pair_sums"),
+    )

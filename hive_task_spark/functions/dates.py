@@ -1,1 +1,108 @@
-"""(stub — filled in as the inventory is built)"""
+"""Date/time function family — SURVEY.md §2B "Scalar functions / Date".
+
+Cross-engine notes (all pinned by the oracle tests):
+  * DuckDB year()/month()/day() return BIGINT — Spark side casts.
+  * Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday (+1).
+  * Date outputs are cast to TIMESTAMP on both sides (stable arrow type).
+  * Epoch seconds: Spark unix_timestamp → BIGINT; DuckDB epoch() → cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+
+@register(
+    "date_parts_suite",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(year(o_orderdate) AS BIGINT)                      AS y,
+        CAST(month(o_orderdate) AS BIGINT)                     AS m,
+        CAST(day(o_orderdate) AS BIGINT)                       AS d,
+        CAST(quarter(o_orderdate) AS BIGINT)                   AS q,
+        CAST(dayofweek(o_orderdate) + 1 AS BIGINT)             AS dow,
+        CAST(dayofyear(o_orderdate) AS BIGINT)                 AS doy,
+        CAST(week(o_orderdate) AS BIGINT)                      AS woy
+    FROM orders
+    """,
+)
+def date_parts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/quarter/dayofweek/dayofyear/weekofyear."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.weekofyear("o_orderdate").cast("long").alias("woy"),
+    )
+
+
+@register(
+    "date_arithmetic_suite",
+    oracle="""
+    SELECT
+        o_orderkey,
+        date_trunc('month', o_orderdate)                                 AS month_start,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)   AS due_date,
+        CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS TIMESTAMP)    AS week_before,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)           AS month_end,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                                                                         AS days_since_epoch_start,
+        CAST(epoch(o_orderdate) AS BIGINT)                               AS epoch_s
+    FROM orders
+    """,
+)
+def date_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc/date_add/date_sub/last_day/datediff/unix_timestamp."""
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(od, 30).cast("timestamp").alias("due_date"),
+        F.date_sub(od, 7).cast("timestamp").alias("week_before"),
+        F.last_day(od).cast("timestamp").alias("month_end"),
+        F.datediff(od, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("epoch_s"),
+    )
+
+
+@register(
+    "date_construction_suite",
+    oracle="""
+    SELECT
+        CAST(make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1)
+             AS TIMESTAMP)                                           AS first_of_month,
+        CAST(strptime('2024-03-15', '%Y-%m-%d') AS TIMESTAMP)        AS parsed_date,
+        strftime(o_orderdate, '%Y-%m')                               AS ym_label,
+        CAST(count(*) AS BIGINT)                                     AS n
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def date_construction_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_date / to_date parsing / date_format rendering."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1))
+            .cast("timestamp")
+            .alias("first_of_month"),
+            F.to_date(F.lit("2024-03-15"), "yyyy-MM-dd")
+            .cast("timestamp")
+            .alias("parsed_date"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

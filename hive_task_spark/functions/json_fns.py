@@ -1,1 +1,111 @@
-"""(stub — filled in as the inventory is built)"""
+"""JSON function family over events.props (a JSON string column).
+SURVEY.md §2B "Scalar functions / JSON".
+
+get_json_object / from_json / json_tuple / to_json / schema_of_json.
+At 100 TB, from_json with an explicit schema beats get_json_object
+when extracting several fields (one parse instead of N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType(), True)])
+
+
+@register(
+    "json_extract_scalar",
+    oracle="""
+    SELECT
+        event_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT)   AS k,
+        json_extract_string(props, '$.missing')             AS missing_field
+    FROM events
+    """,
+)
+def json_extract_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object: path extraction, absent path → NULL."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )
+
+
+@register(
+    "json_from_json_struct",
+    oracle="""
+    SELECT
+        event_id,
+        CAST(json_extract(props, '$.k') AS BIGINT)         AS parsed_k,
+        (json_extract(props, '$.k') IS NOT NULL)           AS has_k
+    FROM events
+    """,
+)
+def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with explicit schema → typed struct access (one parse)."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", PROPS_SCHEMA)
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("parsed_k"),
+        parsed.getField("k").isNotNull().alias("has_k"),
+    )
+
+
+@register(
+    "json_tuple_multi",
+    oracle="""
+    SELECT
+        event_id,
+        json_extract_string(props, '$.k')   AS k_str
+    FROM events
+    WHERE event_id < 100
+    """,
+)
+def json_tuple_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple — multi-field extraction in one generator pass."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    return e.select("event_id", F.json_tuple("props", "k").alias("k_str"))
+
+
+@register(
+    "json_to_json_roundtrip",
+    oracle="""
+    SELECT
+        event_id,
+        to_json(struct_pack(et := event_type,
+                            k := CAST(json_extract_string(props, '$.k') AS BIGINT)))
+                                              AS payload
+    FROM events
+    WHERE event_id < 100
+    """,
+)
+def json_to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json(struct(...)) — serialize back out (sink-side pattern)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    return e.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("et"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            )
+        ).alias("payload"),
+    )
+
+
+@register("json_schema_inference")  # rows-only: schema_of_json output format is engine-specific
+def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema_of_json — runtime schema discovery for semi-structured data."""
+    e = load(spark, sf_dir, "events")
+    sample = e.select("props").first()["props"]
+    return e.limit(1).select(
+        F.schema_of_json(F.lit(sample)).alias("inferred_schema")
+    )

@@ -1,1 +1,128 @@
-"""(stub — filled in as the inventory is built)"""
+"""Map function family — SURVEY.md §2B "Scalar functions / Map".
+
+Raw MapType columns are avoided at the comparison edge (arrow map
+hashing is engine-fragile); queries project keys/values/lookups to
+scalar or array columns instead — same discipline a production job
+uses when sinking to parquet for downstream non-Spark readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+
+@register(
+    "map_create_lookup",
+    oracle="""
+    SELECT
+        event_id,
+        element_at(map(['type', 'k'],
+                       [event_type, json_extract_string(props, '$.k')]), 'type')[1]
+                                                         AS type_via_map,
+        CAST(element_at(map(['type', 'k'],
+                       [event_type, json_extract_string(props, '$.k')]), 'k')[1]
+             AS BIGINT)                                  AS k_via_map,
+        CAST(cardinality(map(['type', 'k'],
+                       [event_type, json_extract_string(props, '$.k')])) AS BIGINT)
+                                                         AS map_size
+    FROM events
+    """,
+)
+def map_create_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_map + element_at + size (construct, look up, measure)."""
+    e = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("k"),
+        F.get_json_object("props", "$.k"),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_via_map"),
+        F.element_at(m, "k").cast("long").alias("k_via_map"),
+        F.size(m).cast("long").alias("map_size"),
+    )
+
+
+@register(
+    "map_keys_values_entries",
+    oracle="""
+    SELECT
+        event_id,
+        list_sort(map_keys(map(['et', 'uid'],
+                               [event_type, CAST(user_id AS VARCHAR)])))   AS mkeys,
+        map_values(map(['et'], [event_type]))                              AS mvals
+    FROM events
+    WHERE event_id < 50
+    """,
+)
+def map_keys_values_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_keys / map_values projected to sorted arrays."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    m2 = F.create_map(
+        F.lit("et"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.sort_array(F.map_keys(m2)).alias("mkeys"),
+        F.map_values(F.create_map(F.lit("et"), F.col("event_type"))).alias("mvals"),
+    )
+
+
+@register(
+    "map_explode_entries",
+    oracle="""
+    SELECT
+        event_id,
+        u.key                                 AS mkey,
+        u.value                               AS mval
+    FROM (
+        SELECT event_id,
+               UNNEST(map_entries(map(['et', 'val'],
+                                  [event_type, CAST(value AS VARCHAR)]))) AS u
+        FROM events
+        WHERE event_id < 25
+    )
+    """,
+)
+def map_explode_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(map) → one row per entry."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 25)
+    m = F.create_map(
+        F.lit("et"), F.col("event_type"), F.lit("val"), F.col("value").cast("string")
+    )
+    return e.select("event_id", F.explode(m).alias("mkey", "mval"))
+
+
+@register(
+    "map_from_entries_roundtrip",
+    oracle="""
+    SELECT
+        user_id,
+        CAST(element_at(map_from_entries(list_transform(
+                 list_sort(list(DISTINCT event_type)),
+                 t -> {'k': t, 'v': 1})), 'purchase')[1] AS BIGINT)  AS has_purchase
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def map_from_entries_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_from_entries over an aggregated entry array, then lookup."""
+    e = load(spark, sf_dir, "events")
+    entries = F.transform(
+        F.sort_array(F.collect_set("event_type")),
+        lambda t: F.struct(t.alias("k"), F.lit(1).alias("v")),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.element_at(F.map_from_entries(entries), "purchase")
+            .cast("long")
+            .alias("has_purchase")
+        )
+    )

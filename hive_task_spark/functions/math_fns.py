@@ -1,1 +1,84 @@
-"""(stub — filled in as the inventory is built)"""
+"""Math function family — SURVEY.md §2B "Scalar functions / Math".
+
+round() is the classic cross-engine trap (Spark HALF_UP decimal vs C
+round on the scaled binary) — exercised only on well-behaved inputs;
+pmod has no DuckDB twin and is emulated as ((a % b) + b) % b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+
+@register(
+    "math_suite",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        round(l_extendedprice)                               AS price_rounded,
+        floor(l_extendedprice)                               AS price_floor,
+        ceil(l_extendedprice)                                AS price_ceil,
+        abs(l_discount - 0.05)                               AS disc_dev,
+        pow(l_quantity, 2.0)                                 AS qty_sq,
+        sqrt(l_extendedprice)                                AS price_sqrt,
+        exp(l_discount)                                      AS disc_exp,
+        ln(l_extendedprice + 1.0)                            AS price_ln,
+        log10(l_extendedprice + 1.0)                         AS price_log10,
+        ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7           AS key_pmod7,
+        sign(l_discount - 0.05)                              AS disc_sign,
+        greatest(l_quantity, l_discount * 100)               AS g,
+        least(l_quantity, l_discount * 100)                  AS l
+    FROM lineitem
+    """,
+)
+def math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/floor/ceil/abs/pow/sqrt/exp/log/pmod/sign/greatest/least."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 0).alias("price_rounded"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.pow("l_quantity", F.lit(2.0)).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.exp("l_discount").alias("disc_exp"),
+        F.log(F.col("l_extendedprice") + 1.0).alias("price_ln"),
+        F.log10(F.col("l_extendedprice") + 1.0).alias("price_log10"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_pmod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("l"),
+    )
+
+
+@register(
+    "math_conditional_null",
+    oracle="""
+    SELECT
+        s_suppkey,
+        coalesce(nullif(s_acctbal, 0.0), -999.0)            AS bal_or_flag,
+        CASE WHEN s_acctbal < 0 THEN 'debt' ELSE 'credit' END AS bal_class,
+        ifnull(nullif(s_name, ''), 'unknown')               AS name_or_unknown
+    FROM supplier
+    """,
+)
+def math_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif/nvl/when — the conditional-null family."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_acctbal"), F.lit(0.0)), F.lit(-999.0)).alias(
+            "bal_or_flag"
+        ),
+        F.when(F.col("s_acctbal") < 0, "debt").otherwise("credit").alias("bal_class"),
+        F.nvl(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_or_unknown"
+        ),
+    )

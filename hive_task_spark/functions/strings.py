@@ -1,1 +1,105 @@
-"""(stub — filled in as the inventory is built)"""
+"""String function family — SURVEY.md §2B "Scalar functions / String".
+
+All JVM-side built-ins (whole-stage codegen) — no Python in the path.
+Oracle notes: DuckDB `length`/`strpos` return BIGINT (cast Spark side);
+DuckDB lacks `initcap`, emulated per-word in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+
+@register(
+    "str_basic_suite",
+    oracle="""
+    SELECT
+        p_partkey,
+        upper(p_brand)                                   AS brand_uc,
+        lower(p_type)                                    AS type_lc,
+        concat(p_brand, ':', p_type)                     AS brand_type,
+        concat_ws('|', p_brand, p_type, p_name)          AS joined,
+        substring(p_name, 1, 10)                         AS name_prefix,
+        CAST(length(p_name) AS BIGINT)                   AS name_len,
+        trim(concat(' ', p_name, ' '))                   AS trimmed,
+        lpad(CAST(p_size AS VARCHAR), 5, '0')            AS size_padded,
+        translate(p_brand, '#', '_')                     AS brand_subst,
+        reverse(p_brand)                                 AS brand_rev
+    FROM part
+    """,
+)
+def str_basic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat/concat_ws/substring/upper/lower/trim/lpad/length/translate."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.lower("p_type").alias("type_lc"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.concat_ws("|", "p_brand", "p_type", "p_name").alias("joined"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_padded"),
+        F.translate("p_brand", "#", "_").alias("brand_subst"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+@register(
+    "str_regex_suite",
+    oracle="""
+    SELECT
+        p_partkey,
+        regexp_extract(p_type, '^([A-Z]+)', 1)                  AS type_head,
+        regexp_replace(p_name, '[aeiou]', '*', 'g')             AS devoweled,
+        CAST(strpos(p_name, 'a') AS BIGINT)                     AS first_a,
+        CAST(regexp_matches(p_type, 'BRASS|COPPER') AS BOOLEAN) AS is_metal,
+        split_part(p_type, ' ', 1)                              AS type_word1
+    FROM part
+    """,
+)
+def str_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract/replace, instr, rlike, split_part.
+
+    Note Spark regexp_replace is global by default; DuckDB needs the
+    'g' flag — a classic cross-engine semantics trap, pinned here.
+    """
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.col("p_type").rlike("BRASS|COPPER").alias("is_metal"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_word1"),
+    )
+
+
+@register(
+    "str_initcap_casefold",
+    oracle="""
+    SELECT
+        doc_id,
+        array_to_string(
+            list_transform(
+                string_split(substring(text, 1, 40), ' '),
+                w -> CASE WHEN length(w) = 0 THEN w
+                          ELSE upper(substring(w, 1, 1)) || lower(substring(w, 2)) END
+            ), ' ')                                             AS title_case,
+        CAST(length(replace(text, ' ', '')) AS BIGINT)          AS n_nonspace
+    FROM documents
+    """,
+)
+def str_initcap_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """initcap (DuckDB lacks it — oracle emulates per-word) + replace."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.initcap(F.substring("text", 1, 40)).alias("title_case"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias("n_nonspace"),
+    )
