@@ -1,1 +1,210 @@
-"""(stub — filled in as the inventory is built)"""
+"""As-of joins — SURVEY.md §2B joins (the ⚠ row: no native Spark
+primitive; DuckDB has ASOF JOIN).
+
+Two Spark-first implementations of identical semantics:
+
+* **union + window** (`asof_join_orders`, `asof_join_events_orders`):
+  tag probe/build rows, union, one window over (key, time, side) with
+  ``last(build_struct, ignorenulls)``. ONE shuffle on the key — at
+  100 TB this is strictly better than any pairwise join formulation
+  because the shuffle carries each row once and the window is a single
+  sort per partition. Tie/direction rules are encoded in the
+  secondary sort key (build-before-probe = inclusive; probe-before-
+  build = strict).
+* **applyInPandas + pandas.merge_asof** (`asof_join_merge_asof`):
+  the grouped-map UDF surface — Arrow-batched per-key pandas kernels.
+  Same oracle as the union-window variant, proving the two agree.
+
+Determinism: among build rows tied on time, the max build key wins
+(backward) — pinned on both engines via explicit sort keys.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+_ASOF_PREV_ORACLE = """
+    SELECT o_orderkey, o_custkey, prev_orderkey, prev_totalprice, days_since_prev
+    FROM (
+        SELECT
+            p.o_orderkey,
+            p.o_custkey,
+            b.o_orderkey                                              AS prev_orderkey,
+            b.o_totalprice                                            AS prev_totalprice,
+            CAST(date_diff('day', b.o_orderdate, p.o_orderdate) AS BIGINT)
+                                                                      AS days_since_prev,
+            row_number() OVER (
+                PARTITION BY p.o_orderkey
+                ORDER BY b.o_orderdate DESC, b.o_orderkey DESC)       AS rn
+        FROM orders p
+        LEFT JOIN orders b
+          ON b.o_custkey = p.o_custkey AND b.o_orderdate < p.o_orderdate
+    )
+    WHERE rn = 1
+"""
+
+
+@register("asof_join_orders", oracle=_ASOF_PREV_ORACLE)
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-strict as-of self join: each order matched to the same
+    customer's most recent strictly-earlier order.
+
+    Union-window rewrite: probe rows sort before build rows at equal
+    time (strict <); ``last(ignorenulls)`` over the preceding frame
+    picks the as-of match. Build columns travel in one struct so all
+    matched attributes come from the same build row.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    probe = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),  # probe first at equal t => strict
+        F.col("o_orderkey").alias("probe_key"),
+        F.lit(None)
+        .cast("struct<t:timestamp,okey:bigint,price:double>")
+        .alias("b"),
+    )
+    build = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("probe_key"),
+        F.struct(
+            F.col("o_orderdate").alias("t"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("b"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("side"), F.col("b.okey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    u = probe.unionByName(build)
+    picked = F.last("b", ignorenulls=True).over(w)
+    return (
+        u.withColumn("m", picked)
+        .filter(F.col("side") == 0)
+        .select(
+            F.col("probe_key").alias("o_orderkey"),
+            F.col("k").alias("o_custkey"),
+            F.col("m.okey").alias("prev_orderkey"),
+            F.col("m.price").alias("prev_totalprice"),
+            F.datediff(F.col("t"), F.col("m.t")).cast("long").alias("days_since_prev"),
+        )
+    )
+
+
+@register(
+    "asof_join_events_orders",
+    oracle="""
+    SELECT event_id, user_id, last_orderkey, last_totalprice
+    FROM (
+        SELECT
+            e.event_id,
+            e.user_id,
+            o.o_orderkey   AS last_orderkey,
+            o.o_totalprice AS last_totalprice,
+            row_number() OVER (
+                PARTITION BY e.event_id
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    WHERE rn = 1
+    """,
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of: each event matched to the user's most
+    recent order at-or-before the event time (build rows sort before
+    probe rows at equal time => inclusive). Users with no orders keep
+    a null match — the LEFT semantics of as-of."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    probe = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),  # build first at equal t => inclusive
+        F.col("event_id").alias("probe_key"),
+        F.lit(None).cast("struct<okey:bigint,price:double>").alias("b"),
+    )
+    build = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("probe_key"),
+        F.struct(
+            F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("price")
+        ).alias("b"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("side"), F.col("b.okey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = probe.unionByName(build)
+    picked = F.last("b", ignorenulls=True).over(w)
+    return (
+        u.withColumn("m", picked)
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("probe_key").alias("event_id"),
+            F.col("k").alias("user_id"),
+            F.col("m.okey").alias("last_orderkey"),
+            F.col("m.price").alias("last_totalprice"),
+        )
+    )
+
+
+_MERGE_ASOF_SCHEMA = (
+    "o_orderkey long, o_custkey long, prev_orderkey long, "
+    "prev_totalprice double, days_since_prev long"
+)
+
+
+def _merge_asof_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-customer backward-strict merge_asof (runs on executors,
+    Arrow-batched). Right side sorted (date, orderkey) so merge_asof's
+    last-wins tie rule == the oracle's max-orderkey rule."""
+    left = pdf.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+    right = left.rename(
+        columns={"o_orderkey": "prev_orderkey", "o_totalprice": "prev_totalprice"}
+    )[["o_orderdate", "prev_orderkey", "prev_totalprice"]]
+    right["prev_date"] = right["o_orderdate"]  # matched date as payload
+    m = pd.merge_asof(
+        left,
+        right,
+        on="o_orderdate",
+        direction="backward",
+        allow_exact_matches=False,
+    )
+    m["days_since_prev"] = (m["o_orderdate"] - m["prev_date"]).dt.days
+    out = m[
+        ["o_orderkey", "o_custkey", "prev_orderkey", "prev_totalprice", "days_since_prev"]
+    ].copy()
+    out["prev_orderkey"] = out["prev_orderkey"].astype("Int64")
+    out["days_since_prev"] = out["days_since_prev"].astype("Int64")
+    return out
+
+
+@register("asof_join_merge_asof", oracle=_ASOF_PREV_ORACLE)
+def asof_join_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics as ``asof_join_orders``, implemented on the
+    grouped-map UDF surface: ``groupBy(key).applyInPandas`` running
+    ``pandas.merge_asof`` per customer. Differentially tested against
+    the same DuckDB oracle — the two implementations must agree."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return o.groupBy("o_custkey").applyInPandas(_merge_asof_group, _MERGE_ASOF_SCHEMA)

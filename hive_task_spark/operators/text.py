@@ -1,1 +1,268 @@
-"""(stub — filled in as the inventory is built)"""
+"""Text analysis operators over `documents` — SURVEY.md §2B LLM ops.
+
+Four families: quality scoring (length/stopword/type-token ratios),
+language-ID (marker-word n-gram heuristic with deterministic argmax),
+token counting (whitespace + BPE-ish regex), document fingerprinting
+(polynomial rolling hash over md5-derived word hashes).
+
+Everything is a pure JVM expression (split / filter / aggregate higher-
+order functions + regexp) — no Python UDFs, so at 100 TB every query
+here is a single map stage over the documents scan (plus one shuffle
+for the grouped stats). Cross-engine: word hashes derive from md5 hex
+(identical in Spark and DuckDB); ratios guard /0 with greatest(n,1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+# Tiny public stopword/marker lists (heuristic language ID).
+_MARKERS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+    "es": ["el", "la", "los", "de", "que", "es", "y"],
+    "fr": ["le", "la", "les", "et", "est", "que", "des"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr"]  # deterministic argmax tie-break
+
+_STOPWORDS = _MARKERS["en"]
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_ROLL_P = 2147483647  # acc < 2^31, acc*131 + h < 2^39 — no int64 overflow
+
+
+def _spark_list(words: list[str]) -> str:
+    return "array(" + ",".join(f"'{w}'" for w in words) + ")"
+
+
+def _duck_list(words: list[str]) -> str:
+    return "[" + ",".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT
+        doc_id,
+        lang,
+        CAST(len(w) AS BIGINT)                                    AS n_words,
+        CAST(len(list_distinct(w)) AS BIGINT)                     AS n_distinct_words,
+        n_chars / greatest(len(w), 1)                             AS avg_word_len,
+        CAST(len(list_filter(w, x -> list_contains({_duck_list(_STOPWORDS)}, x)))
+             AS DOUBLE) / greatest(len(w), 1)                     AS stopword_ratio,
+        CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1) AS type_token_ratio,
+        round(
+          0.4 * least(len(w) / 100.0, 1.0)
+        + 0.3 * (CAST(len(list_filter(w, x -> list_contains({_duck_list(_STOPWORDS)}, x)))
+                 AS DOUBLE) / greatest(len(w), 1))
+        + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1)),
+          6)                                                      AS quality_score
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics + composite score.
+
+    Score = 0.4*length_saturation + 0.3*stopword_ratio + 0.3*TTR —
+    the classic cheap pre-filter shape for training-data curation.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", "n_chars", F.split("text", " ").alias("w"))
+    n_words = F.greatest(F.size("w"), F.lit(1))
+    stop_hits = F.expr(
+        f"size(filter(w, x -> array_contains({_spark_list(_STOPWORDS)}, x)))"
+    )
+    ttr = F.size(F.array_distinct("w")).cast("double") / n_words
+    stop_ratio = stop_hits.cast("double") / n_words
+    return t.select(
+        "doc_id",
+        "lang",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct_words"),
+        (F.col("n_chars") / n_words).alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        F.round(
+            F.lit(0.4) * F.least(F.size("w") / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.3) * stop_ratio
+            + F.lit(0.3) * ttr,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def _lang_scores_spark():
+    """Marker-hit count per candidate language (Spark columns)."""
+    return {
+        lang: F.expr(
+            f"size(filter(w, x -> array_contains({_spark_list(words)}, x)))"
+        )
+        for lang, words in _MARKERS.items()
+    }
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang,
+          {", ".join(
+            f"len(list_filter(w, x -> list_contains({_duck_list(ws)}, x))) AS s_{lg}"
+            for lg, ws in _MARKERS.items())}
+        FROM t
+    )
+    SELECT
+        doc_id,
+        lang                                     AS labeled_lang,
+        CASE
+          {" ".join(
+            f"WHEN s_{lg} >= greatest(s_en, s_de, s_es, s_fr) AND s_{lg} > 0 THEN '{lg}'"
+            for lg in _LANG_ORDER)}
+          ELSE 'unknown'
+        END                                      AS predicted_lang,
+        CAST(greatest(s_en, s_de, s_es, s_fr) AS BIGINT) AS marker_hits
+    FROM s
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language marker-word hit counts,
+    deterministic argmax (fixed language order breaks ties), 'unknown'
+    when no marker hits. The mechanism, not the synthetic labels, is
+    what the oracle verifies."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    scores = _lang_scores_spark()
+    best = F.greatest(*[scores[lg] for lg in _LANG_ORDER])
+    pred = F.lit("unknown")
+    for lg in reversed(_LANG_ORDER):
+        pred = F.when((scores[lg] >= best) & (scores[lg] > 0), F.lit(lg)).otherwise(
+            pred
+        )
+    return t.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.cast("long").alias("marker_hits"),
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT
+        doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT)                 AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS bpe_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)  AS distinct_ws_tokens,
+        CAST(n_chars AS DOUBLE)
+          / greatest(len(regexp_extract_all(text, '{_TOKEN_RE}')), 1) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split vs BPE-ish regex pre-tokenizer
+    (letter runs | digit runs | punctuation singletons)."""
+    d = load(spark, sf_dir, "documents")
+    bpe = F.regexp_count("text", F.lit(_TOKEN_RE))
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("distinct_ws_tokens"),
+        (
+            F.col("n_chars").cast("double") / F.greatest(bpe, F.lit(1))
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              x -> CAST('0x' || substr(md5(x), 1, 7) AS BIGINT)) AS hs
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                    (acc, h) -> (acc * 131 + h) % {_ROLL_P})  AS rolling_hash,
+        CAST(list_min(hs) AS BIGINT)                          AS min_word_hash,
+        CAST(list_max(hs) AS BIGINT)                          AS max_word_hash
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: order-sensitive polynomial rolling hash
+    (base 131 mod 2^31-1) over md5-derived word hashes, plus min/max
+    word hash (the 1-permutation MinHash degenerate case). Pure map
+    stage — no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"""
+            aggregate(
+              transform(split(text, ' '),
+                        x -> CAST(conv(substr(md5(x), 1, 7), 16, 10) AS BIGINT)),
+              0L, (acc, h) -> pmod(acc * 131 + h, {_ROLL_P}))
+            """
+        ).alias("rolling_hash"),
+        F.expr(
+            "CAST(array_min(transform(split(text, ' '), "
+            "x -> CAST(conv(substr(md5(x), 1, 7), 16, 10) AS BIGINT))) AS BIGINT)"
+        ).alias("min_word_hash"),
+        F.expr(
+            "CAST(array_max(transform(split(text, ' '), "
+            "x -> CAST(conv(substr(md5(x), 1, 7), 16, 10) AS BIGINT))) AS BIGINT)"
+        ).alias("max_word_hash"),
+    )
+
+
+@register(
+    "text_stats_by_lang_source",
+    oracle="""
+    SELECT
+        lang,
+        source,
+        CAST(count(*) AS BIGINT)                              AS n_docs,
+        avg(n_chars)                                          AS avg_chars,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT)     AS total_words,
+        CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT)
+                                                              AS n_chars_consistent
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, source): counts, sizes, short-doc count,
+    and an n_chars==length(text) consistency check — partial aggregation
+    makes the shuffle carry one row per group."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_words"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+        .cast("long")
+        .alias("n_short"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_chars_consistent"),
+    )
