@@ -1,0 +1,186 @@
+"""UDF / UDAF / UDTF surface — SURVEY.md §2B UDF table.
+
+The reference executes opaque user closures one message at a time
+(/root/reference/src/worker-threads.lisp:69-74, `funcall`/`apply`);
+this module is its vectorized Spark counterpart: every Python kernel
+runs over Arrow columnar batches (pandas_udf / mapInPandas), never
+row-at-a-time. Each surface gets one oracle-checked query so the
+whole Python⇄JVM data path (types, nulls, batching) is value-checked.
+
+(The grouped-map surface, applyInPandas, is oracle-checked in
+operators/asof.py::asof_join_merge_asof; the stateful surface in
+streaming/stream_queries.py::stream_stateful_running.)
+
+100 TB posture: these kernels exist for logic the JVM can't express
+(model scoring, tokenizers, codecs). Anything expressible with
+built-ins stays JVM-side — compare functions/strings.py etc., which
+compute similar things with zero Python in the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+
+def _net_price_udf():
+    # pandas_udf resolves types against the active session — build
+    # lazily inside the query, not at module import.
+    @pandas_udf("double")
+    def _net_price(
+        extended: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        """Scalar Series→Series kernel (Arrow-batched)."""
+        return extended * (1.0 - discount) * (1.0 + tax)
+
+    return _net_price
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT
+        l_returnflag,
+        sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS net_revenue,
+        CAST(count(*) AS BIGINT)                              AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF in an aggregation pipeline: the kernel computes
+    per-row net price in Python (Arrow batches), the JVM aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    net_price = _net_price_udf()
+    return (
+        li.withColumn(
+            "net", net_price(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("net").alias("net_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _weighted_avg_udf():
+    @pandas_udf("double")
+    def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+        """Grouped-aggregate kernel: whole group's columns in, scalar out."""
+        denom = qty.sum()
+        return float((price * qty).sum() / denom) if denom else float("nan")
+
+    return _weighted_avg_price
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT
+        l_linestatus,
+        sum(l_extendedprice * l_quantity) / sum(l_quantity) AS wavg_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (custom UDAF): quantity-weighted average
+    price per line status. Spark feeds each group's columns as whole
+    Series — partial aggregation is NOT available for Python UDAFs, so
+    at scale prefer the algebraic sum/sum rewrite (the oracle's form);
+    this surface is for genuinely non-algebraic aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    weighted_avg = _weighted_avg_udf()
+    return li.groupBy("l_linestatus").agg(
+        weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "wavg_price"
+        )
+    )
+
+
+def _order_margin_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: arbitrary per-batch transform incl. filtering
+    (rows out ≠ rows in — the thing a scalar UDF can't do)."""
+    for pdf in it:
+        out = pdf[pdf["o_totalprice"] > 100_000.0].copy()
+        out["price_band"] = (out["o_totalprice"] // 50_000.0) * 50_000.0
+        yield out[["o_orderkey", "o_custkey", "price_band"]]
+
+
+@register(
+    "udf_mapinpandas",
+    oracle="""
+    SELECT
+        o_orderkey,
+        o_custkey,
+        floor(o_totalprice / 50000.0) * 50000.0 AS price_band
+    FROM orders
+    WHERE o_totalprice > 100000.0
+    """,
+)
+def udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas: streaming Arrow-batch transform with row filtering
+    (pandas `//` is floor-div — matches SQL floor())."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return o.mapInPandas(
+        _order_margin_batches, "o_orderkey long, o_custkey long, price_band double"
+    )
+
+
+def _make_expander():
+    """Python UDTF (table function): one input row → N output rows.
+    Built lazily so environments without @udtf (Spark < 3.5) degrade
+    at registration time, not import time."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class _WordExpand:
+        def eval(self, name: str):
+            for i, w in enumerate(name.split(" ")):
+                yield w, i
+
+    return _WordExpand
+
+
+@register(
+    "udf_python_udtf",
+    oracle="""
+    SELECT
+        p_partkey,
+        unnest(string_split(p_name, ' '))                              AS word,
+        CAST(unnest(range(0, len(string_split(p_name, ' ')))) AS INT)  AS pos
+    FROM part
+    WHERE p_partkey <= 50
+    """,
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: expands each part name into
+    (word, position) rows. The oracle is the engine-native equivalent
+    (unnest) — also what the scale path should use; the UDTF surface is
+    for generators SQL can't express."""
+    try:
+        expand = _make_expander()
+    except ImportError:  # Spark < 3.5 — explode-based equivalent
+        p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+        return p.select(
+            "p_partkey",
+            F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+        ).select("p_partkey", "word", F.col("pos").cast("int").alias("pos"))
+    spark.udtf.register("ht_word_expand", expand)
+    load(spark, sf_dir, "part").createOrReplaceTempView("ht_part_v")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, t.word, t.pos
+        FROM ht_part_v p, LATERAL ht_word_expand(p.p_name) t
+        WHERE p.p_partkey <= 50
+        """
+    )

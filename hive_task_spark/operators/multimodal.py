@@ -1,1 +1,214 @@
-"""(stub — filled in as the inventory is built)"""
+"""Multimodal columns — SURVEY.md §2B LLM ops.
+
+Image/audio/video payloads are opaque ``binary`` columns plus typed
+metadata (struct/map), exactly how a 100 TB multimodal lakehouse
+stores them: parquet keeps blobs inline (or as object-store pointers),
+metadata columns drive pruning, and Python touches bytes only inside
+Arrow-batched ``mapInPandas`` kernels.
+
+The container has no image/audio codecs, so the decode step is a
+deterministic fake (`_fake_decode`) with the real path stubbed behind
+``NotImplementedError`` — the Spark-side plumbing (binary schema,
+metadata derivation, mapInPandas batch shape, frame explode) is real
+and oracle-checked: the fake features are pure functions of the bytes
+that DuckDB can recompute.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+#: flip to route _decode_batch to a real codec (not available here).
+USE_REAL_DECODER = False
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fabricate a multimodal asset table from `documents`: the utf-8
+    bytes of `text` stand in for an encoded payload; typed metadata
+    (modality, width, height, sample_rate) derives deterministically
+    from doc_id so both engines can rebuild it."""
+    d = load(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.lit(["image", "audio", "video"]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            modality.alias("modality"),
+            (64 + F.col("doc_id") % 448).cast("int").alias("width"),
+            (64 + (F.col("doc_id") * 7) % 448).cast("int").alias("height"),
+            (8000 + (F.col("doc_id") % 5) * 8000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_metadata_profile",
+    oracle="""
+    SELECT
+        ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        CAST(count(*) AS BIGINT)                      AS n_assets,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        avg(64 + doc_id % 448)                        AS avg_width,
+        CAST(max(8000 + (doc_id % 5) * 8000) AS INT)  AS max_sample_rate
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def multimodal_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality storage profile over the typed metadata — the
+    pruning/statistics layer of a multimodal table (no byte access:
+    at 100 TB this query never reads the blob column — column pruning
+    keeps it out of the scan entirely)."""
+    a = _assets(spark, sf_dir)
+    return a.groupBy(F.col("meta.modality").alias("modality")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+        F.avg("meta.width").alias("avg_width"),
+        F.max("meta.sample_rate").alias("max_sample_rate"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for a codec: (n_bytes, checksum32).
+
+    checksum32 = byte sum folded mod 2^31-1 — recomputable in SQL."""
+    return len(payload), sum(payload) % 2147483647
+
+
+def _decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batches in, decoded features out.
+    This is the real 100 TB plumbing — swap `_fake_decode` for a codec
+    and the plan does not change."""
+    if USE_REAL_DECODER:
+        raise NotImplementedError(
+            "real image/audio decoding requires codec libraries not "
+            "present in this environment (PIL/torchaudio/ffmpeg)"
+        )
+    for pdf in it:
+        feats = pdf["payload"].map(_fake_decode)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "n_bytes": feats.map(lambda t: t[0]),
+                "checksum32": feats.map(lambda t: t[1]),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT
+        doc_id,
+        ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        CAST(octet_length(encode(text)) AS BIGINT)               AS n_bytes,
+        CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c)))
+             % 2147483647 AS BIGINT)                             AS checksum32
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via ``mapInPandas`` over binary payloads.
+    The fake decoder's features (length + byte-sum checksum) are
+    recomputed bit-by-bit in the oracle, so the whole Python batch path
+    — schema, Arrow transfer, kernel — is value-checked."""
+    a = _assets(spark, sf_dir)
+    narrow = a.select("doc_id", F.col("meta.modality").alias("modality"), "payload")
+    return narrow.mapInPandas(
+        _decode_batch,
+        "doc_id long, modality string, n_bytes long, checksum32 long",
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, octet_length(encode(text)) // 64 AS n_frames
+        FROM documents
+        WHERE doc_id % 3 + 1 = 3  -- video modality
+    )
+    SELECT
+        doc_id,
+        CAST(unnest(range(0, n_frames, 8)) AS BIGINT) AS frame_idx,
+        CAST(unnest(range(0, n_frames, 8)) * 64 AS BIGINT) AS byte_offset
+    FROM v
+    WHERE n_frames > 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for 'video' assets: 64-byte pseudo-frames, every
+    8th sampled — explode(sequence) generates the sample plan without
+    touching payload bytes (the fetch would be a later mapInPandas)."""
+    a = _assets(spark, sf_dir)
+    v = a.filter(F.col("meta.modality") == "video").select(
+        "doc_id", (F.length("payload") / 64).cast("long").alias("n_frames")
+    )
+    return (
+        v.filter(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(8))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            (F.col("frame_idx") * 64).cast("long").alias("byte_offset"),
+        )
+    )
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+    SELECT
+        doc_id,
+        64 + doc_id % 448                                   AS width,
+        64 + (doc_id * 7) % 448                             AS height,
+        CAST(floor(least(256.0 / (64 + doc_id % 448),
+                         256.0 / (64 + (doc_id * 7) % 448)) *
+                   (64 + doc_id % 448)) AS INT)             AS out_width,
+        CAST(floor(least(256.0 / (64 + doc_id % 448),
+                         256.0 / (64 + (doc_id * 7) % 448)) *
+                   (64 + (doc_id * 7) % 448)) AS INT)       AS out_height
+    FROM documents
+    WHERE doc_id % 3 + 1 = 1  -- image modality
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for 'image' assets: aspect-preserving fit into
+    256×256 computed from metadata only. The pixel transform itself
+    would run in `_decode_batch`-style kernels; the geometry (what a
+    preprocessing pipeline shuffles on and batches by) is the plan."""
+    a = _assets(spark, sf_dir)
+    img = a.filter(F.col("meta.modality") == "image").select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    scale = F.least(
+        F.lit(256.0) / F.col("width"), F.lit(256.0) / F.col("height")
+    )
+    # floor (not cast) on both engines: DuckDB CAST(double AS INT)
+    # rounds while Spark truncates — floor over identical IEEE doubles
+    # is the only portable integerization.
+    return img.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.floor(scale * F.col("width")).cast("int").alias("out_width"),
+        F.floor(scale * F.col("height")).cast("int").alias("out_height"),
+    )

@@ -59,6 +59,7 @@ def load_all() -> None:
         maps,
         math_fns,
         strings,
+        udfs,
     )
     from hive_task_spark.operators import (  # noqa: F401
         aggregates,

@@ -1,1 +1,155 @@
-"""(stub — filled in as the inventory is built)"""
+"""Sources & sinks — SURVEY.md §2B: CSV/JSON scan with explicit
+schemas, partitioned parquet write + partition-pruned read-back, and
+catalog tables (saveAsTable / spark.table).
+
+Each query is a write→read round-trip whose final result is oracle-
+checked against the ORIGINAL table — proving the format round-trips
+losslessly, not just that the write succeeded.
+
+100 TB posture: always pass an explicit schema to text formats
+(schema inference is a full extra scan); always partitionBy a
+low-cardinality column users filter on, so partition pruning turns
+full scans into directory listings (`PartitionFilters` in .explain);
+CSV/JSON are exchange formats only — parquet is the storage format.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_scratch")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+_CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → CSV (header) → CSV scan with explicit schema.
+
+    The read-back result must equal the source table exactly — the
+    oracle never sees the CSV, so any quoting/typing loss fails the
+    value-hash."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = _scratch("nation_csv")
+    n.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(_NATION_SCHEMA).option("header", "true").csv(path)
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → JSON-lines → JSON scan with explicit schema (doubles
+    round-trip via shortest-repr literals)."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    path = _scratch("customer_json")
+    c.write.mode("overwrite").json(path)
+    return spark.read.schema(_CUSTOMER_SCHEMA).json(path)
+
+
+@register(
+    "source_parquet_partitioned",
+    oracle="""
+    SELECT
+        CAST(year(o_orderdate) AS INT)  AS o_year,
+        CAST(count(*) AS BIGINT)        AS n_orders,
+        sum(o_totalprice)               AS total_price
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+    GROUP BY 1
+    """,
+)
+def source_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write + pruned read-back.
+
+    Writes orders partitioned by year, reads back with a year filter —
+    the filter is satisfied by directory pruning (PartitionFilters in
+    the scan node), the 100 TB pattern for time-partitioned facts."""
+    o = load(spark, sf_dir, "orders")
+    path = _scratch("orders_by_year")
+    (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_year").between(1996, 1997))
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "source_catalog_table",
+    oracle="""
+    SELECT
+        r.r_name                 AS region_name,
+        CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def source_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """saveAsTable → spark.table round-trip (catalog-backed external
+    table with an explicit path, so it works with both the in-memory
+    catalog and a Hive metastore; `enableHiveSupport()` swaps the
+    catalog implementation, not this code)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    (
+        n.write.mode("overwrite")
+        .option("path", _scratch("nation_tbl"))
+        .saveAsTable("htspark_nation")
+    )
+    (
+        r.write.mode("overwrite")
+        .option("path", _scratch("region_tbl"))
+        .saveAsTable("htspark_region")
+    )
+    nt = spark.table("htspark_nation")
+    rt = spark.table("htspark_region")
+    return (
+        nt.join(F.broadcast(rt), nt["n_regionkey"] == rt["r_regionkey"])
+        .groupBy(rt["r_name"].alias("region_name"))
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )

@@ -1,1 +1,277 @@
-"""(stub — filled in as the inventory is built)"""
+"""Structured Streaming operators over `events` — SURVEY.md §2B
+streaming block.
+
+Verification strategy (SURVEY.md §5.2.3): every stream runs with
+``Trigger.AvailableNow`` over the static events parquet into a memory
+sink, and the materialized result is oracle-checked against the
+equivalent BATCH SQL — exact batch-replay equivalence, stronger than
+rows-only. The one genuinely stateful custom operator
+(`stream_stateful_running`) is rows-only (state emission cadence is
+engine-specific).
+
+100 TB posture: file source → Kafka source is a one-line swap; the
+shuffle per micro-batch is keyed the same as batch; watermark bounds
+state size (without it, windowed state grows unboundedly); complete
+mode is for small dashboards only — production uses append+watermark,
+demonstrated (and oracle-checked) in `stream_tumbling_append`.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_task_spark.plans.session import apply_runtime_conf
+from hive_task_spark.registry import register
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_scratch")
+
+# ts is LongType at scan time (nanosAsLong) — converted right after.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file source; explicit schema
+    is mandatory for streaming scans — also the 100 TB posture)."""
+    apply_runtime_conf(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(
+    spark: SparkSession, sdf: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Execute to completion (AvailableNow) into a memory sink; return
+    the materialized batch DataFrame. Fresh checkpoint per run so the
+    file source re-reads the input."""
+    cp = os.path.join(_SCRATCH, f"cp_{name}")
+    shutil.rmtree(cp, ignore_errors=True)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT
+        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+        CAST(count(*) AS BIGINT)                      AS n_events,
+        sum(value)                                    AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (complete mode ≡ batch)."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    out = agg.select(
+        F.unix_timestamp("w.start").cast("long").alias("window_start_s"),
+        "n_events",
+        "total_value",
+    )
+    return _run_to_table(spark, out, "stream_tumbling_window", "complete")
+
+
+@register(
+    "stream_tumbling_append",
+    oracle="""
+    SELECT
+        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+        CAST(count(*) AS BIGINT)                      AS n_events,
+        sum(value)                                    AS total_value
+    FROM events
+    GROUP BY 1
+    HAVING window_start_s + 3600
+           <= (SELECT epoch(max(ts) - INTERVAL 1 HOUR) FROM events)
+    """,
+)
+def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows in APPEND mode with a 1-hour watermark — the
+    production shape: only windows whose end precedes the final
+    watermark (max event time - delay) are emitted; trailing windows
+    stay in state. The oracle encodes exactly that late-data rule."""
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    out = agg.select(
+        F.unix_timestamp("w.start").cast("long").alias("window_start_s"),
+        "n_events",
+        "total_value",
+    )
+    return _run_to_table(spark, out, "stream_tumbling_append", "append")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT
+        CAST(epoch(date_trunc('hour', ts) - k * INTERVAL 1 HOUR) AS BIGINT)
+                                                      AS window_start_s,
+        CAST(count(*) AS BIGINT)                      AS n_events,
+        sum(value)                                    AS total_value
+    FROM events, unnest([0, 1]) AS t(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows every 1 hour: each event lands in the two
+    hourly-aligned windows covering it (the oracle materializes that
+    membership explicitly)."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "2 hours", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    out = agg.select(
+        F.unix_timestamp("w.start").cast("long").alias("window_start_s"),
+        "n_events",
+        "total_value",
+    )
+    return _run_to_table(spark, out, "stream_sliding_window", "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    y AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+        FROM x
+    )
+    SELECT
+        user_id,
+        CAST(epoch_us(min(ts)) AS BIGINT)                  AS session_start_us,
+        CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT)     AS session_end_us,
+        CAST(count(*) AS BIGINT)                           AS n_events,
+        sum(value)                                         AS total_value
+    FROM y
+    GROUP BY user_id, sess
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute gap). Session end = last
+    event + gap, merge while next_ts < current_end (strict) — the
+    oracle's gaps-and-islands formulation pins identical semantics."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    out = agg.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.unix_micros("w.end").alias("session_end_us"),
+        "n_events",
+        "total_value",
+    )
+    return _run_to_table(spark, out, "stream_session_window", "complete")
+
+
+@register("stream_dedup_watermark", oracle="SELECT DISTINCT event_id FROM events")
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id with a watermark bounding state.
+    Append mode emits each id on first sight, so replay ≡ DISTINCT.
+    Only the key is emitted: which duplicate wins is arrival-order-
+    dependent, the key set is not."""
+    s = _events_stream(spark, sf_dir)
+    deduped = s.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]).select(
+        "event_id"
+    )
+    return _run_to_table(spark, deduped, "stream_dedup_watermark", "append")
+
+
+@register(
+    "stream_static_join_agg",
+    oracle="""
+    SELECT
+        c.c_mktsegment           AS mktsegment,
+        CAST(count(*) AS BIGINT) AS n_events,
+        sum(e.value)             AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: streaming events enriched with the static
+    customer dimension (broadcast per micro-batch), then aggregated."""
+    from hive_task_spark.tables import load
+
+    s = _events_stream(spark, sf_dir)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = s.join(F.broadcast(c), s["user_id"] == c["c_custkey"])
+    agg = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    return _run_to_table(spark, agg, "stream_static_join_agg", "complete")
+
+
+_STATE_SCHEMA = "n long, total double"
+_STATEFUL_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def _running_per_user(key, pdf_iter, state):
+    """Custom stateful kernel: cumulative count/sum per user, persisted
+    in GroupState across micro-batches (Arrow-batched)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+@register("stream_stateful_running")  # rows-only: emission cadence is engine-specific
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState: per-user running totals with explicit
+    GroupState — the arbitrary-stateful-operator surface
+    (the Spark-native analog of a per-key accumulator service)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _running_per_user,
+        _STATEFUL_OUT_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_table(spark, out, "stream_stateful_running", "update")
