@@ -227,3 +227,41 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_orders") >= 3) & (F.col("spend") > 150000))
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT
+        c_mktsegment,
+        o_orderpriority,
+        CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS INT)
+                                     AS gid,
+        CAST(count(*) AS BIGINT)     AS n_orders,
+        sum(o_totalprice)            AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority),
+                            (c_mktsegment, o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form cube/rollup specialize)
+    with grouping() flags distinguishing real NULLs from subtotal rows.
+    Spark expands the sets into a single shuffle (Expand node) — one
+    pass over the fact regardless of set count."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ht_orders_gs")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("ht_customer_gs")
+    return spark.sql(
+        """
+        SELECT
+            c_mktsegment,
+            o_orderpriority,
+            CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS INT)
+                                         AS gid,
+            count(*)                     AS n_orders,
+            sum(o_totalprice)            AS total_price
+        FROM ht_orders_gs o JOIN ht_customer_gs c ON o.o_custkey = c.c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority),
+                                (c_mktsegment, o_orderpriority), ())
+        """
+    )

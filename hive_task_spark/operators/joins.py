@@ -258,3 +258,55 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lhs.join(F.broadcast(rhs), lhs["et"].eqNullSafe(rhs["et"])).select(
         lhs["event_id"], rhs["et"].alias("matched_type")
     )
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT
+        o.o_orderkey,
+        CAST(count(*) AS BIGINT) AS n_near_shipments
+    FROM orders o
+    JOIN lineitem l
+      ON abs(date_diff('day', o.o_orderdate, l.l_shipdate)) <= 7
+    WHERE o.o_orderkey <= 100
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi conjunct) via the bucketing rewrite —
+    SURVEY.md §4.2: bucket both sides on floor(epoch_week), explode the
+    probe side to adjacent buckets, equi-join on bucket, then apply the
+    exact range predicate. Semantically identical to the nested-loop
+    formulation (the oracle runs that one); physically a hash join.
+
+    |t1-t2| <= W with bucket width W means bucket ids differ by at most
+    1, so probes explode to exactly 3 buckets — candidate volume is
+    O(rows * density), not O(n^2). At 100 TB this is the difference
+    between a broadcast-nested-loop that never finishes and a shuffle
+    join on a well-distributed integer key.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    li = load(spark, sf_dir, "lineitem")
+    week = lambda c: F.floor(F.unix_timestamp(c) / (7 * 86400))  # noqa: E731
+    build = li.select(
+        F.col("l_shipdate").alias("t_l"), week(F.col("l_shipdate")).alias("bucket")
+    )
+    probe = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("t_o"),
+        F.explode(
+            F.array(
+                week(F.col("o_orderdate")) - 1,
+                week(F.col("o_orderdate")),
+                week(F.col("o_orderdate")) + 1,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        F.broadcast(probe)
+        .join(build, "bucket")
+        .filter(F.abs(F.datediff(F.col("t_o"), F.col("t_l"))) <= 7)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_near_shipments"))
+    )

@@ -23,11 +23,19 @@ TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 
 # Random hyperplanes for sign-LSH (seed fixed; embedded in the plan).
+# Multi-table: L independent tables of k planes each. One k-bit table
+# has recall p_match^k per neighbor; L tables + Hamming<=1 multi-probe
+# push miss probability to (1 - p_probe)^L — the classic E2LSH recipe.
 _DIM = 64
-_N_PLANES = 8
+_N_TABLES = 8
+_N_PLANES = 4  # bits per table
 _rng = random.Random(7)
 _PLANES = [
-    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(_DIM)] for _ in range(_N_PLANES)
+    [
+        [round(_rng.gauss(0.0, 1.0), 6) for _ in range(_DIM)]
+        for _ in range(_N_PLANES)
+    ]
+    for _ in range(_N_TABLES)
 ]
 
 
@@ -116,60 +124,86 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_ann_lsh")  # rows-only: bucketed recall path, validated vs brute force in tests
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane sign-LSH: 8-bit bucket → candidates
-    share a bucket → exact cosine within bucket → top-k.
+    """ANN via multi-table random-hyperplane sign-LSH: 8 tables × 4-bit
+    buckets → candidates share (table, bucket) with a query → exact
+    cosine over candidates only → top-k. Queries multi-probe all
+    buckets at Hamming<=1 in every table.
 
-    The 100 TB path: the crossJoin becomes an equi-join on bucket id
-    (shuffle on a 1-byte key). Recall vs brute force is checked in
-    tests (multi-probe: query probes all buckets at Hamming<=1 from
-    its own to recover boundary neighbors).
+    The 100 TB path: the crossJoin becomes an equi-join on a composite
+    (table_id, bucket) key — shuffle volume O(corpus × L), candidate
+    volume O(corpus × bucket-density), never O(n²). Recall vs exact
+    brute force is asserted in tests/test_properties.py.
     """
     e = load(spark, sf_dir, "embeddings")
     planes_lit = (
         "array("
         + ",".join(
-            "array(" + ",".join(f"{x}D" for x in plane) + ")" for plane in _PLANES
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x}D" for x in plane) + ")"
+                for plane in table
+            )
+            + ")"
+            for table in _PLANES
         )
         + ")"
     )
     vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
         "nrm", _norm(F.col("vec"))
     )
-    with_bucket = vecs.withColumn(
-        "bucket",
+    # per-table bucket ids: sign bit per plane, packed little-endian
+    with_buckets = vecs.withColumn(
+        "buckets",
         F.expr(
             f"""
-            aggregate(
-              transform(sequence(0, {_N_PLANES - 1}), i ->
-                CASE WHEN aggregate(
-                       zip_with(vec, element_at({planes_lit}, i + 1), (x, p) -> x * p),
-                       0D, (s, x) -> s + x) > 0
-                     THEN CAST(pow(2, i) AS INT) ELSE 0 END),
-              0, (acc, x) -> acc + x)
+            transform(sequence(0, {_N_TABLES - 1}), t ->
+              aggregate(
+                transform(sequence(0, {_N_PLANES - 1}), i ->
+                  CASE WHEN aggregate(
+                         zip_with(vec,
+                                  element_at(element_at({planes_lit}, t + 1), i + 1),
+                                  (x, p) -> x * p),
+                         0D, (s, x) -> s + x) > 0
+                       THEN CAST(pow(2, i) AS INT) ELSE 0 END),
+                0, (acc, x) -> acc + x))
             """
         ),
     )
-    # multi-probe: each query also probes buckets at Hamming distance 1
-    probes = F.expr(
-        f"""
-        array_union(
-          array(bucket),
-          transform(sequence(0, {_N_PLANES - 1}),
-                    i -> bucket ^ shiftleft(1, i)))
-        """
+    corpus = with_buckets.select(
+        "vec_id",
+        "vec",
+        "nrm",
+        F.posexplode("buckets").alias("table_id", "bucket"),
     )
+    # queries probe their own bucket + all Hamming-1 neighbors, per table
     q = (
-        with_bucket.filter(F.col("vec_id") < N_QUERIES)
+        with_buckets.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qvec"),
             F.col("nrm").alias("qnrm"),
-            F.explode(probes).alias("bucket"),
+            F.posexplode("buckets").alias("table_id", "bucket0"),
+        )
+        .select(
+            "query_id",
+            "qvec",
+            "qnrm",
+            "table_id",
+            F.explode(
+                F.expr(
+                    f"""
+                    array_union(
+                      array(bucket0),
+                      transform(sequence(0, {_N_PLANES - 1}),
+                                i -> bucket0 ^ shiftleft(1, i)))
+                    """
+                )
+            ).alias("bucket"),
         )
     )
     cand = (
         F.broadcast(q)
-        .join(with_bucket, "bucket")
+        .join(corpus, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",

@@ -275,3 +275,43 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout.NoTimeout,
     )
     return _run_to_table(spark, out, "stream_stateful_running", "update")
+
+
+@register(
+    "stream_foreachbatch_sink",
+    oracle="""
+    SELECT
+        event_type,
+        CAST(count(*) AS BIGINT) AS n_events,
+        sum(value)               AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands as parquet (the
+    arbitrary-sink escape hatch — idempotent by (batch_id) at scale;
+    here batches append into one dataset which is then read back and
+    aggregated, oracle-checked against the source). This is how
+    streams feed non-streaming stores (JDBC, Delta-less parquet,
+    external services)."""
+    out_dir = os.path.join(_SCRATCH, "stream_fb_parquet")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    s = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    cp = os.path.join(_SCRATCH, "cp_stream_fb")
+    shutil.rmtree(cp, ignore_errors=True)
+    q = (
+        s.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
