@@ -37,21 +37,29 @@ _B = [_rng.randrange(0, _MERSENNE_P) for _ in range(_N_HASHES)]
 JACCARD_THRESHOLD = 0.85
 
 
-def _shingles_col(text_col: str = "text"):
-    """3-word shingles (distinct) as an array column; short docs fall
-    back to the whole text as a single shingle. Pure JVM expression."""
-    return F.expr(
-        f"""
-        array_distinct(
-          CASE WHEN size(split({text_col}, ' ')) >= 3
-               THEN transform(
-                      sequence(0, size(split({text_col}, ' ')) - 3),
-                      i -> concat_ws(' ', split({text_col}, ' ')[i],
-                                          split({text_col}, ' ')[i+1],
-                                          split({text_col}, ' ')[i+2]))
-               ELSE array({text_col})
-          END)
-        """
+def _shingled(d: DataFrame) -> DataFrame:
+    """(doc_id, shingles): 3-word shingles (distinct) as an array
+    column; short docs fall back to the whole text as one shingle.
+
+    Two projections on purpose: `ws` is materialized first so the
+    shingle lambda references an attribute, not `split(text)` — the
+    higher-order lambda is interpreted, and CollapseProject would
+    otherwise inline the split into every one of its 5 references
+    (O(words²) per doc; measured ~2× on the whole LSH pipeline)."""
+    w = d.select("doc_id", "text", F.split("text", " ").alias("ws"))
+    return w.select(
+        "doc_id",
+        F.expr(
+            """
+            array_distinct(
+              CASE WHEN size(ws) >= 3
+                   THEN transform(
+                          sequence(0, size(ws) - 3),
+                          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+                   ELSE array(text)
+              END)
+            """
+        ).alias("shingles"),
     )
 
 
@@ -88,7 +96,7 @@ _ORACLE_JACCARD_PAIRS = f"""
 def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     """Exact shingle-Jaccard pairs via explode + equi-join (no O(n²))."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles_col()).alias("shingle"))
+    sh = _shingled(d).select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -194,7 +202,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part), then 64 affine permutations as map-side partial-min
     # aggregates. Whole-stage codegen end-to-end; the shuffle carries 64
     # longs per doc regardless of document size — the 100 TB shape.
-    hashed = d.select("doc_id", F.explode(_shingles_col()).alias("s")).select(
+    hashed = _shingled(d).select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id",
         F.expr("CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)").alias("h"),
     )
@@ -241,9 +249,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verification of candidates only
-    tok = d.select("doc_id", _shingles_col().alias("shingles")).withColumn(
-        "n", F.size("shingles")
-    )
+    tok = _shingled(d).withColumn("n", F.size("shingles"))
     ta = tok.alias("ta")
     tb = tok.alias("tb")
     verified = (
