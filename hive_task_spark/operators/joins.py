@@ -310,3 +310,25 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n_near_shipments"))
     )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT
+        o.o_orderkey,
+        c.c_custkey,
+        c.c_name
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: customers kept even with no orders (null order
+    side). Planner-wise a mirrored left-outer; the broadcast hint goes
+    on the preserved (right) side only if it is the small one."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return o.join(c, o["o_custkey"] == c["c_custkey"], "right").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )

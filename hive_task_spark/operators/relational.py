@@ -216,3 +216,37 @@ def global_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(25)
     )
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT
+        o_orderkey,
+        nullif(o_orderstatus, 'O') AS status_or_null,
+        o_totalprice
+    FROM orders
+    ORDER BY status_or_null ASC NULLS FIRST, o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort with explicit null placement + limit.
+    NULLS FIRST means null-status rows fill the limited prefix — the
+    survivor set (what the hash checks) depends on the null rule.
+    Global top-k compiles to TakeOrderedAndProject: per-partition
+    heaps, driver merges k rows — no global sort at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_first(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(50)
+    )
