@@ -25,6 +25,9 @@ from hive_task_spark.plans.session import get_session  # noqa: E402
 # the registry; missing ones are skipped (early rounds).
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
     "join_inner_star",
     "join_semi_exists",
     "agg_cube",

@@ -72,6 +72,7 @@ def load_all() -> None:
         similarity,
         text,
         windows,
+        workloads,
     )
     from hive_task_spark.sources import readers  # noqa: F401
     from hive_task_spark.streaming import stream_queries  # noqa: F401
