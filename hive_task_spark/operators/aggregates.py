@@ -265,3 +265,38 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (c_mktsegment, o_orderpriority), ())
         """
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT
+        c.c_mktsegment,
+        sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN o.o_totalprice END)
+            AS "1-URGENT",
+        sum(CASE WHEN o.o_orderpriority = '2-HIGH' THEN o.o_totalprice END)
+            AS "2-HIGH",
+        sum(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN o.o_totalprice END)
+            AS "3-MEDIUM",
+        sum(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED' THEN o.o_totalprice END)
+            AS "4-NOT SPECIFIED",
+        sum(CASE WHEN o.o_orderpriority = '5-LOW' THEN o.o_totalprice END)
+            AS "5-LOW"
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order value per segment × priority. The
+    explicit value list matters at scale — without it Spark runs an
+    extra distinct pass to discover the columns. Compiles to one
+    conditional-aggregation pass (the oracle's CASE form)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", pri)
+        .agg(F.sum("o_totalprice"))
+    )

@@ -332,3 +332,57 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o["o_custkey"] == c["c_custkey"], "right").select(
         "o_orderkey", "c_custkey", "c_name"
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH dim AS (
+        SELECT l_returnflag AS flag, avg(l_extendedprice) AS avg_price
+        FROM lineitem GROUP BY 1
+    )
+    SELECT
+        l.l_returnflag,
+        CAST(count(*) AS BIGINT)                  AS n_items,
+        sum(abs(l.l_extendedprice - d.avg_price)) AS total_abs_dev
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting rewrite for skewed shuffle joins — SURVEY.md §4.2 /
+    SCALE.md. l_returnflag has 3 values, the worst-case skew key: a
+    plain shuffle join lands ~1/3 of the fact in each of 3 tasks.
+    Rewrite: fact side gets salt = pmod(hash(rowid), N); the small side
+    explodes to all N salts; equi-join on (key, salt) spreads every hot
+    key over N tasks. Results identical to the unsalted join (the
+    oracle runs that form). In production prefer AQE skew splitting
+    when it fires; salting is the deterministic fallback."""
+    n_salts = 8
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts)).alias(
+            "salt"
+        ),
+    )
+    dim = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.avg("l_extendedprice").alias("avg_price"))
+        .select(
+            "flag",
+            "avg_price",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
+        )
+    )
+    return (
+        li.join(dim, (li["l_returnflag"] == dim["flag"]) & (li["salt"] == dim["salt"]))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.abs(F.col("l_extendedprice") - F.col("avg_price"))).alias(
+                "total_abs_dev"
+            ),
+        )
+    )

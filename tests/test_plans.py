@@ -1,0 +1,82 @@
+"""Physical-plan assertions — the 100 TB posture, enforced by tests
+(SCALE.md). Correctness tests prove the answers; these prove the plans
+stay the ones we designed: filters reach scans, dimensions broadcast,
+aggregation is partial+final, no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_task_spark import registry
+
+registry.load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    je = df._jdf.queryExecution()
+    return je.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_star_join_all_broadcast(spark, sf_dir):
+    """Every dimension join in the star queries must be broadcast-hash;
+    a SortMergeJoin would shuffle the fact table per dimension."""
+    for name in ("join_inner_star", "q3_shipping_priority",
+                 "q5_local_supplier_volume", "q10_returned_items"):
+        plan = _plan(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, f"{name}: dim join degraded to SMJ"
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join found"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """Selective predicates must appear in PushedFilters of the scan."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark, sf_dir):
+    """q1 projects 7 of 11 lineitem columns; the scan must not read
+    the rest (ReadSchema pruned)."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read_schema  # unused column stays unread
+    assert "l_quantity" in read_schema
+
+
+def test_partial_aggregation(spark, sf_dir):
+    """Grouped aggregates must be partial+final (two HashAggregate
+    levels) so the shuffle carries one row per (partition, group)."""
+    plan = _plan(spark, sf_dir, "agg_stats_suite")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_global_topk_avoids_global_sort(spark, sf_dir):
+    """orderBy+limit must compile to TakeOrderedAndProject, never a
+    full global Sort+CollectLimit."""
+    plan = _plan(spark, sf_dir, "global_sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """Nothing in the inventory may plan a CartesianProduct; the only
+    intentional cross join (join_cross_small) must broadcast."""
+    for name in sorted(registry.QUERIES):
+        if name.startswith("stream_") or name.startswith("source_"):
+            continue  # streaming plans materialize lazily; sources write
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+@pytest.mark.parametrize(
+    "name", ["window_ranking", "window_running_total", "window_topk_per_group"]
+)
+def test_windows_always_partitioned(spark, sf_dir, name):
+    """Window specs must partition — an empty partition spec would
+    funnel the table through one task."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Window" in plan
+    # Spark renders unpartitioned windows with an empty partition list
+    assert "windowspecdefinition()" not in plan.lower().replace(" ", "")
