@@ -323,3 +323,50 @@ def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.45)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r"))
     )
+
+
+@register(
+    "similarity_label_centroids",
+    oracle="""
+    WITH e AS (
+        SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT label, pos, avg(CAST(x AS DOUBLE)) AS mu
+        FROM e GROUP BY label, pos
+    )
+    SELECT
+        label,
+        CAST(count(*) AS BIGINT)             AS dim,
+        round(sqrt(sum(mu * mu)), 6)         AS centroid_norm_r,
+        round(sum(mu) / count(*), 6)         AS centroid_mean_r
+    FROM per_dim
+    GROUP BY label
+    """,
+)
+def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (elementwise mean across rows) —
+    the distributed vector reduction under k-means/classification.
+
+    posexplode → groupBy (label, dimension) → avg: the shuffle carries
+    (label, pos, partial-sum) — map-side combine makes the cost
+    O(labels × dim), independent of corpus size. Summarized to norm /
+    mean per centroid (rounded at the edge) for a stable oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select("label", F.posexplode(_vec_d()).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("mu"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("dim"),
+            F.round(F.sqrt(F.sum(F.col("mu") * F.col("mu"))), 6).alias(
+                "centroid_norm_r"
+            ),
+            F.round(F.sum("mu") / F.count(F.lit(1)), 6).alias("centroid_mean_r"),
+        )
+    )
