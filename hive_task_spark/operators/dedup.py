@@ -181,6 +181,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(spark, sf_dir, 0.5)
 
 
+def _shingle_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows via posexplode(words) + window lead —
+    the whole-stage-codegen formulation of 3-word shingling (the
+    in-row HOF lambda in `_shingled` is interpreted per element and
+    ~6× slower at sf0.1). One shuffle on doc_id whose partitioning is
+    REUSED by every downstream groupBy(doc_id) — net zero extra
+    exchanges. Short docs (<3 words) emit the raw text as their single
+    shingle, matching `_shingled`."""
+    from pyspark.sql import Window
+
+    words = d.select(
+        "doc_id", "text", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    lead1 = F.lead("w", 1).over(win)
+    lead2 = F.lead("w", 2).over(win)
+    sh = words.select(
+        "doc_id",
+        F.when(lead2.isNotNull(), F.concat_ws(" ", F.col("w"), lead1, lead2))
+        .when((F.col("pos") == 0) & lead2.isNull(), F.col("text"))
+        .alias("shingle"),
+    )
+    return sh.filter(F.col("shingle").isNotNull())
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=_ORACLE_JACCARD_PAIRS.format(thr=str(JACCARD_THRESHOLD)),
@@ -202,9 +227,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part), then 64 affine permutations as map-side partial-min
     # aggregates. Whole-stage codegen end-to-end; the shuffle carries 64
     # longs per doc regardless of document size — the 100 TB shape.
-    hashed = _shingled(d).select("doc_id", F.explode("shingles").alias("s")).select(
+    # duplicate shingles are harmless here: min() is idempotent, so the
+    # distinct pass is skipped on the signature path.
+    hashed = _shingle_rows(d).select(
         "doc_id",
-        F.expr("CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)").alias("h"),
+        F.expr("CAST(conv(substr(md5(shingle), 1, 7), 16, 10) AS BIGINT)").alias("h"),
     )
     mins = hashed.groupBy("doc_id").agg(
         *[
@@ -248,8 +275,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact-Jaccard verification of candidates only
-    tok = _shingled(d).withColumn("n", F.size("shingles"))
+    # exact-Jaccard verification of candidates only (collect_set =
+    # distinct shingle sets, built on the same doc_id partitioning)
+    tok = (
+        _shingle_rows(d)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"))
+        .withColumn("n", F.size("shingles"))
+    )
     ta = tok.alias("ta")
     tb = tok.alias("tb")
     verified = (
