@@ -400,3 +400,73 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 6)
     )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_ORACLE_JACCARD_PAIRS.format(thr="0.5")}),
+    e(a, b) AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, t) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a
+    )
+    SELECT s AS doc_id, CAST(min(t) AS BIGINT) AS component
+    FROM reach
+    GROUP BY s
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: connected components over the 3-gram
+    Jaccard>=0.5 pair graph — component id = min doc_id reachable, the
+    canonical "keeper" rule for dedup groups.
+
+    Iterative min-label propagation on DataFrames: each round every
+    node takes min(own label, neighbors' labels); converges in
+    O(graph diameter) rounds. localCheckpoint() per round truncates
+    the lineage (else plans grow exponentially) — the standard shape
+    for iterative algorithms on Spark without GraphX. The oracle is a
+    recursive-CTE transitive closure. At 100 TB use the large-star/
+    small-star variant (fewer rounds on skewed degree distributions);
+    the per-round dataflow is identical."""
+    pairs = _jaccard_pairs(spark, sf_dir, 0.5).select("doc_a", "doc_b")
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    labels = d.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    for _ in range(20):  # >= graph diameter on any plausible corpus
+        neigh = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neigh_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("component").cast("long").alias("component"))

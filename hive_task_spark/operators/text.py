@@ -266,3 +266,87 @@ def text_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_chars_consistent"),
     )
+
+
+@register(
+    "text_redact_patterns",
+    oracle="""
+    SELECT
+        doc_id,
+        CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)     AS n_digit_runs,
+        CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS BIGINT)  AS n_long_tokens,
+        md5(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                           '[a-z]{8,}', '<TOK>', 'g'))              AS redacted_md5
+    FROM documents
+    """,
+)
+def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction (the PII-scrub shape for training corpora):
+    count and mask digit runs and long tokens; the md5 of the redacted
+    text proves byte-identical scrubbing across engines. Pure map
+    stage — at 100 TB this runs at scan speed."""
+    d = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>"), "[a-z]{8,}", "<TOK>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("n_digit_runs"),
+        F.regexp_count("text", F.lit("[a-z]{8,}")).cast("long").alias("n_long_tokens"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM t, unnest(range(1, len(w))) AS r(i)
+        WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1)
+    SELECT
+        bg.doc_id,
+        CAST(count(*) AS BIGINT)              AS n_bigrams,
+        round(avg(ln(c2.n2 / c1.n1)), 6)      AS avg_logprob_r
+    FROM bg
+    JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+    JOIN c1 ON bg.w1 = c1.w1
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model scoring: per-doc average bigram
+    log-probability ln(C(w1,w2)/C(w1)) under the corpus MLE — the
+    cheap fluency/quality signal used in data curation (low score ⇒
+    unnatural token sequences).
+
+    One pass builds bigrams (window lead over exploded words), the
+    count tables are small (vocab²-bounded) and broadcast back — at
+    100 TB the model fits in a broadcast while the fact side streams."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bg = words.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w", 1).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("n2") / F.col("n1"))), 6).alias(
+                "avg_logprob_r"
+            ),
+        )
+    )
