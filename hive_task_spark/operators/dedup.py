@@ -37,32 +37,6 @@ _B = [_rng.randrange(0, _MERSENNE_P) for _ in range(_N_HASHES)]
 JACCARD_THRESHOLD = 0.85
 
 
-def _shingled(d: DataFrame) -> DataFrame:
-    """(doc_id, shingles): 3-word shingles (distinct) as an array
-    column; short docs fall back to the whole text as one shingle.
-
-    Two projections on purpose: `ws` is materialized first so the
-    shingle lambda references an attribute, not `split(text)` — the
-    higher-order lambda is interpreted, and CollapseProject would
-    otherwise inline the split into every one of its 5 references
-    (O(words²) per doc; measured ~2× on the whole LSH pipeline)."""
-    w = d.select("doc_id", "text", F.split("text", " ").alias("ws"))
-    return w.select(
-        "doc_id",
-        F.expr(
-            """
-            array_distinct(
-              CASE WHEN size(ws) >= 3
-                   THEN transform(
-                          sequence(0, size(ws) - 3),
-                          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
-                   ELSE array(text)
-              END)
-            """
-        ).alias("shingles"),
-    )
-
-
 _ORACLE_SHINGLES = """
         SELECT doc_id,
                unnest(list_distinct(
@@ -96,7 +70,7 @@ _ORACLE_JACCARD_PAIRS = f"""
 def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     """Exact shingle-Jaccard pairs via explode + equi-join (no O(n²))."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingled(d).select("doc_id", F.explode("shingles").alias("shingle"))
+    sh = _shingle_rows(d).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -183,12 +157,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingle_rows(d: DataFrame) -> DataFrame:
     """(doc_id, shingle) rows via posexplode(words) + window lead —
-    the whole-stage-codegen formulation of 3-word shingling (the
-    in-row HOF lambda in `_shingled` is interpreted per element and
+    the whole-stage-codegen formulation of 3-word shingling (an in-row
+    higher-order-function lambda is interpreted per element and was
     ~6× slower at sf0.1). One shuffle on doc_id whose partitioning is
     REUSED by every downstream groupBy(doc_id) — net zero extra
     exchanges. Short docs (<3 words) emit the raw text as their single
-    shingle, matching `_shingled`."""
+    shingle (the oracle's ELSE branch)."""
     from pyspark.sql import Window
 
     words = d.select(

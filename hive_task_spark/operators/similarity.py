@@ -370,3 +370,119 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("mu") / F.count(F.lit(1)), 6).alias("centroid_mean_r"),
         )
     )
+
+
+_IVF_K = 16       # coarse centroids
+_IVF_NPROBE = 6   # centroids probed per query
+_IVF_ITERS = 5    # Lloyd iterations
+
+
+@register("similarity_ann_ivf")  # rows-only: recall asserted vs brute force in tests
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization — the other
+    standard scale path next to LSH (`similarity_ann_lsh`).
+
+    Build: k-means-lite (seeded with the K lowest vec_ids, 5 Lloyd
+    rounds, all DataFrame ops: assign = broadcast-join + argmin over
+    centroid array; update = posexplode + groupBy(cluster, dim) avg —
+    the same vector reduction as `similarity_label_centroids`).
+    Search: each query probes its `nprobe` nearest centroid lists,
+    exact cosine within the probed lists, window top-k.
+
+    At 100 TB: the corpus shuffles ONCE on cluster id (the inverted
+    file); centroids stay broadcast; each query touches nprobe/K of
+    the corpus. Deterministic seeding keeps results reproducible —
+    recall vs brute force is asserted in tests/test_properties.py."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    # --- build: k-means-lite on unit vectors (cosine == dot on unit) ---
+    unit = vecs.select(
+        "vec_id", F.expr("transform(vec, x -> x / nrm)").alias("uvec")
+    ).localCheckpoint()
+    centroids = (
+        unit.orderBy("vec_id").limit(_IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("uvec").alias("cvec"))
+        .localCheckpoint()
+    )
+    for _ in range(_IVF_ITERS):
+        assigned = (
+            unit.crossJoin(F.broadcast(centroids))
+            .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("dot").desc(), F.col("cid")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "uvec", "cid")
+        )
+        centroids = (
+            assigned.select("cid", F.posexplode("uvec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mu"))
+                ).alias("pm")
+            )
+            .select("cid", F.expr("transform(pm, p -> p.mu)").alias("cvec"))
+            .localCheckpoint()
+        )
+    # --- inverted file: final assignment ---
+    inv = (
+        unit.crossJoin(F.broadcast(centroids))
+        .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "uvec", "cid")
+    )
+    # --- search: queries probe their nprobe nearest centroids ---
+    q_probes = (
+        unit.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("uvec").alias("qvec"),
+            "cid",
+        )
+    )
+    cand = (
+        F.broadcast(q_probes)
+        .join(inv, "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qvec"), F.col("uvec")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine_r"))
+    )

