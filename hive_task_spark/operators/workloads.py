@@ -154,3 +154,45 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "sql_hiveql_interface",
+    oracle="""
+    WITH ev AS (
+        SELECT e.event_type,
+               unnest(string_split(e.props, ',')) AS kv
+        FROM events e
+        WHERE e.event_id < 500
+    )
+    SELECT
+        event_type,
+        trim(string_split(kv, ':')[1]) AS prop_key,
+        CAST(count(*) AS BIGINT)       AS n
+    FROM ev
+    GROUP BY 1, 2
+    """,
+)
+def sql_hiveql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL-dialect SQL surface (the north star names HiveQL
+    compatibility explicitly): LATERAL VIEW explode + DISTRIBUTE BY /
+    SORT BY run unmodified on Spark SQL. Splits raw JSON prop text
+    into key tokens per event type — the query text is the operator
+    here; DISTRIBUTE/SORT BY shape partitioning without changing
+    results (the value-hash is order-insensitive)."""
+    from hive_task_spark.tables import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("ht_events_hql")
+    return spark.sql(
+        """
+        SELECT event_type, prop_key, count(*) AS n
+        FROM (
+            SELECT e.event_type, trim(split(kv, ':')[0]) AS prop_key
+            FROM ht_events_hql e
+            LATERAL VIEW explode(split(e.props, ',')) t AS kv
+            WHERE e.event_id < 500
+            DISTRIBUTE BY event_type SORT BY event_type
+        )
+        GROUP BY event_type, prop_key
+        """
+    )
