@@ -70,6 +70,7 @@ def load_all() -> None:
         relational,
         setops,
         similarity,
+        subqueries,
         text,
         windows,
         workloads,
