@@ -1,0 +1,293 @@
+"""Training-corpus quality filters over `documents` — the doc-level
+heuristic filter stage of an LLM data pipeline (Gopher/C4-style rules,
+repetition detection, TF-IDF salience, edit-distance near-neighbors).
+
+All but the pairwise query are pure JVM expressions (split + higher-
+order functions + window aggregates) — map stages plus one keyed
+shuffle, so at 100 TB they run at scan speed. The pairwise edit-
+distance query bounds its quadratic core by sampling + blocking
+(the same blocked-join discipline as the LSH dedup family in
+operators/dedup.py).
+
+Reference parity note: the reference (/root/reference, an STM task
+library in Lisp) has no text layer; these operators are target-layer
+mandates (SURVEY.md §2B "LLM-data-pipeline ops", north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+_STOP = ["the", "a", "of", "and", "to", "in", "is"]
+_STOP_SPARK = "array(" + ",".join(f"'{w}'" for w in _STOP) + ")"
+_STOP_DUCK = "[" + ",".join(f"'{w}'" for w in _STOP) + "]"
+
+
+@register(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w,
+               length(replace(text, ' ', '')) AS alpha_chars
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(alpha_chars AS DOUBLE) / greatest(len(w), 1) AS mean_word_len,
+               CAST(len(list_filter(w, x -> len(x) = 1)) AS DOUBLE)
+                 / greatest(len(w), 1) AS short_word_frac,
+               CAST(len(list_filter({_STOP_DUCK},
+                        s -> list_contains(w, s))) AS BIGINT) AS stop_kinds
+        FROM t
+    )
+    SELECT doc_id, lang, n_words, mean_word_len, short_word_frac, stop_kinds,
+           (n_words BETWEEN 10 AND 100000) AS pass_length,
+           (mean_word_len BETWEEN 2.0 AND 12.0) AS pass_word_len,
+           (short_word_frac < 0.2) AS pass_short_frac,
+           (stop_kinds >= 1) AS pass_stopwords,
+           ((n_words BETWEEN 10 AND 100000)
+            AND (mean_word_len BETWEEN 2.0 AND 12.0)
+            AND short_word_frac < 0.2
+            AND stop_kinds >= 1) AS keep
+    FROM m
+    """,
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document filter (Rae et al. 2021's rule shapes):
+    word-count bounds, mean-word-length window, single-character-word
+    fraction, distinct-stopword floor — each exposed as a pass flag
+    plus the conjunctive keep decision. Pure map stage."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("w"),
+        F.length(F.regexp_replace("text", " ", "")).alias("alpha_chars"),
+    )
+    n_words = F.size("w").cast("long")
+    denom = F.greatest(F.size("w"), F.lit(1))
+    mean_len = F.col("alpha_chars").cast("double") / denom
+    short_frac = (
+        F.expr("size(filter(w, x -> length(x) = 1))").cast("double") / denom
+    )
+    stop_kinds = F.expr(
+        f"size(filter({_STOP_SPARK}, s -> array_contains(w, s)))"
+    ).cast("long")
+    m = t.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        short_frac.alias("short_word_frac"),
+        stop_kinds.alias("stop_kinds"),
+    )
+    pass_length = F.col("n_words").between(10, 100000)
+    pass_word_len = F.col("mean_word_len").between(2.0, 12.0)
+    pass_short = F.col("short_word_frac") < 0.2
+    pass_stop = F.col("stop_kinds") >= 1
+    return m.select(
+        "*",
+        pass_length.alias("pass_length"),
+        pass_word_len.alias("pass_word_len"),
+        pass_short.alias("pass_short_frac"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_length & pass_word_len & pass_short & pass_stop).alias("keep"),
+    )
+
+
+@register(
+    "text_repetition_entropy",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wc AS (
+        SELECT doc_id, u.word, count(*) AS c
+        FROM t, unnest(w) AS u(word)
+        GROUP BY doc_id, u.word
+    ),
+    wp AS (
+        SELECT doc_id, c,
+               CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id) AS p
+        FROM wc
+    ),
+    uni AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac,
+               round(-sum(p * ln(p)), 6) AS word_entropy_r
+        FROM wp
+        GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+        FROM t, unnest(range(1, len(w))) AS r(i)
+        WHERE len(w) >= 2
+    ),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    bi AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+        FROM bc GROUP BY doc_id
+    )
+    SELECT uni.doc_id, uni.n_words, uni.top_word_frac, uni.word_entropy_r,
+           bi.top_bigram_frac,
+           (uni.top_word_frac < 0.20 AND bi.top_bigram_frac < 0.12) AS pass_repetition
+    FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+    """,
+)
+def text_repetition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/diversity signals (the Gopher repetition-filter
+    shape): most-frequent-word share, most-frequent-bigram share, and
+    word-distribution Shannon entropy per document. Two keyed shuffles
+    ((doc,word) and (doc,bigram) counts, both with map-side partial
+    aggregation); no Python."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    wc = (
+        t.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(tot)
+    uni = (
+        wc.select("doc_id", "c", (p * F.log(p)).alias("plogp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"),
+            F.round(-F.sum("plogp"), 6).alias("word_entropy_r"),
+        )
+    )
+    words = t.select("doc_id", F.posexplode("w").alias("pos", "word"))
+    lead_w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = words.select(
+        "doc_id",
+        F.concat_ws(" ", "word", F.lead("word", 1).over(lead_w)).alias("b"),
+        F.lead("word", 1).over(lead_w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    bi = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    return uni.join(bi, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "top_word_frac",
+        "word_entropy_r",
+        "top_bigram_frac",
+        ((F.col("top_word_frac") < 0.20) & (F.col("top_bigram_frac") < 0.12)).alias(
+            "pass_repetition"
+        ),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tf AS (
+        SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
+        FROM t, unnest(w) AS u(term)
+        GROUP BY doc_id, u.term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                 AS tfidf_r,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+                            DESC, tf.term) AS rnk
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf_r, CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF salience: smooth-idf weighting (sklearn's formula,
+    ln((N+1)/(df+1))+1), top-3 terms per document with deterministic
+    term tie-break. The document-frequency table is vocabulary-sized
+    and broadcast back — at 100 TB the fact side never reshuffles for
+    the idf join, only for the (doc,term) count."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # scalar subquery; a literal beats a cross join here
+    tfidf = F.col("tf") * (
+        F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    win = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(tfidf, 6).alias("tfidf_r"),
+            F.row_number().over(win).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "text_levenshtein_neighbors",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang, substr(text, 1, 24) AS prefix
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    pairs AS (
+        SELECT a.doc_id, b.doc_id AS other_id,
+               CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist,
+               row_number() OVER (
+                   PARTITION BY a.doc_id
+                   ORDER BY levenshtein(a.prefix, b.prefix), b.doc_id) AS rnk
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    )
+    SELECT doc_id, other_id, dist FROM pairs WHERE rnk = 1
+    """,
+)
+def text_levenshtein_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance nearest neighbor per sampled document, blocked by
+    language: the fuzzy-dedup shape for short strings (titles, URLs).
+    The quadratic core is bounded twice — a deterministic 1-in-10
+    sample and per-language blocking — mirroring how a 100 TB run
+    would block on a cheap key (lang, length bucket, LSH band) before
+    any pairwise metric. Levenshtein runs JVM-side on both engines."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    s = d.select("doc_id", "lang", F.substring("text", 1, 24).alias("prefix"))
+    a = s.select(
+        F.col("doc_id"), F.col("lang"), F.col("prefix").alias("pa")
+    )
+    b = s.select(
+        F.col("doc_id").alias("other_id"),
+        F.col("lang").alias("lang_b"),
+        F.col("prefix").alias("pb"),
+    )
+    pairs = a.join(
+        b, (a["lang"] == b["lang_b"]) & (a["doc_id"] != b["other_id"])
+    ).select(
+        "doc_id",
+        "other_id",
+        F.levenshtein("pa", "pb").cast("long").alias("dist"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("dist", "other_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
