@@ -376,3 +376,274 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT c.l_partkey, c.unit_cost, s.s_name, s.s_acctbal,
+               n.n_name AS nation
+        FROM cost c
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_name, e.s_name, e.s_acctbal, e.nation, e.unit_cost
+    FROM part p
+    JOIN eu e ON e.l_partkey = p.p_partkey
+    WHERE p.p_type = 'SMALL' AND p.p_size <= 25
+      AND e.unit_cost = (SELECT min(e2.unit_cost) FROM eu e2
+                         WHERE e2.l_partkey = p.p_partkey)
+    ORDER BY e.s_acctbal DESC, e.nation, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest regional supplier per part (adapted:
+    no partsupp in the fixture, so unit cost = min observed
+    l_extendedprice/l_quantity per (part, supplier)). The correlated
+    min subquery decorrelates into a min() window over the partkey —
+    one shuffle, no self-join. The equality filter is exact: both
+    sides select the min of the identical double set, no re-
+    arithmetic. Supplier/nation/region all broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 25)
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eu = (
+        cost.join(F.broadcast(s), cost["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "unit_cost", "s_name", "s_acctbal",
+                F.col("n_name").alias("nation"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    best = eu.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "nation", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+        SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS part_value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM val
+    WHERE part_value > (SELECT 0.002 * sum(part_value) FROM val)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's stock value (adapted: value = sum of extendedprice *
+    quantity over that nation's shipments — no partsupp). The scalar
+    threshold subquery is the same aggregate re-reduced to one row and
+    broadcast: the per-part table is computed once, the global sum is
+    a one-row cross join, no second scan of the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
+        )
+    )
+    thresh = val.agg((0.002 * F.sum("part_value")).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can serve each qualifying
+    part profile (adapted: the supplier blacklist is negative account
+    balance — no comment column). The NOT IN becomes a left-anti join
+    against the tiny blacklist (safe: s_suppkey is non-null, so NOT
+    IN ≡ anti join); part filters broadcast; the count(distinct) is
+    a two-phase aggregate Spark plans automatically."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS sp_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    pt AS (SELECT l_partkey, sum(sp_qty) AS part_qty FROM sp GROUP BY l_partkey)
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT sp.l_suppkey
+        FROM sp
+        JOIN pt ON pt.l_partkey = sp.l_partkey
+        WHERE sp.l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'red%')
+          AND sp.sp_qty > 0.3 * pt.part_qty
+    )
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an outsized share of a
+    product line's volume (adapted: "excess stock" = shipped >30% of
+    a red part's 1996 volume — no partsupp availqty). Two nested INs
+    decorrelate into two semi joins over ONE shared grouped
+    aggregate: sp is computed once, its re-aggregation to part grain
+    is a rollup of the same shuffle output, and the red-part filter
+    is a broadcast semi join before the expensive share filter."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    red = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("sp_qty"))
+    sp = sp.join(F.broadcast(red), sp["l_partkey"] == red["p_partkey"], "left_semi")
+    pt = sp.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("sp_qty").alias("part_qty")
+    )
+    excess = (
+        sp.join(pt, sp["l_partkey"] == pt["pt_partkey"])
+        .filter(F.col("sp_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(excess, s["s_suppkey"] == excess["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_3'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    orders (adapted: "late" = shipped >60 days after order date). The
+    two correlated EXISTS decorrelate into per-order supplier
+    statistics instead of two fact-table self-joins: with l1 known
+    late, EXISTS(other supplier) ≡ n_suppliers ≥ 2 and NOT EXISTS
+    (other LATE supplier) ≡ n_late_suppliers = 1 — two keyed
+    aggregates on the same orderkey grain, a 100 TB-safe plan where
+    the self-join form would shuffle the fact table three times."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    late = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+    ).select("l_orderkey", "l_suppkey")
+    n_supp = li.groupBy(F.col("l_orderkey").alias("k1")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    n_late = late.groupBy(F.col("l_orderkey").alias("k2")).agg(
+        F.countDistinct("l_suppkey").alias("n_late_suppliers")
+    )
+    return (
+        late.join(n_supp, late["l_orderkey"] == F.col("k1"))
+        .join(n_late, late["l_orderkey"] == F.col("k2"))
+        .filter((F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
