@@ -1,0 +1,194 @@
+"""Corpus-assembly pipeline operators — the selection/mixing stages
+that sit between raw filtered documents and a training run: batch
+sessionization of event streams, deterministic content-addressed
+sampling, token-budget selection, and per-source mixture rebalancing.
+
+Each is pure DataFrame algebra (windows + aggregates), fully oracle-
+checked. Determinism is the design constraint: sampling and mixing
+decide by md5 of a stable key, never by rand(), so a 100 TB rerun
+selects the identical corpus — the property that makes a data recipe
+reproducible and its ablations comparable.
+
+Reference parity note: the reference (/root/reference, a Lisp STM
+task-scheduling library) has no data-pipeline layer; these are
+target-layer mandates (SURVEY.md §2B "LLM-data-pipeline ops").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+
+@register(
+    "pipeline_sessionize_events",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM e
+    )
+    SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS sess_value
+    FROM s GROUP BY user_id, sess_no
+    """,
+)
+def pipeline_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions at >30-minute gaps (lag + gap flag + running sum — the
+    classic island-numbering rewrite), then aggregate per session.
+    One shuffle on user_id serves both windows and the final groupBy
+    (same partitioning, Exchange reuse); at 100 TB this is the batch
+    twin of the streaming session_window query and costs one pass."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_sess"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        flagged.select(
+            "user_id",
+            "value",
+            F.sum("new_sess").over(run).cast("long").alias("sess_no"),
+        )
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sess_value"),
+        )
+    )
+
+
+@register(
+    "pipeline_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars_seen
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+    """,
+)
+def pipeline_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~3/16 corpus sample keyed on md5(doc_id): no
+    rand(), so the sample is identical across reruns, engines, and
+    partitionings — the reproducible-subset primitive for ablations
+    and dev splits. Pure map stage: no shuffle, the predicate runs at
+    scan speed, and any downstream operator composes with it."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.filter(bucket.isin("0", "1", "2")).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars_seen"),
+    )
+
+
+@register(
+    "pipeline_token_budget",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               n_chars
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r WHERE cum_tokens <= 20000
+    """,
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: rank documents by a priority key
+    (n_chars desc, doc_id tiebreak) and keep the prefix whose
+    cumulative token count fits a 20k budget — the "fill the training
+    mix up to N tokens" operator. The unpartitioned running sum is a
+    single-partition window, fine at document-metadata cardinality;
+    at 100 TB the same cutoff is found with a two-pass plan (grouped
+    partial sums → threshold key → broadcast filter) documented in
+    SCALE.md, with identical selection semantics."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+    w = (
+        Window.orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.select(
+            "doc_id",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= 20000)
+    )
+
+
+@register(
+    "pipeline_mixture_rebalance",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT min(n) AS min_n FROM c),
+    r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS pick_order
+    FROM r CROSS JOIN m
+    WHERE r.rn <= m.min_n
+    """,
+)
+def pipeline_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample every source to the size of the
+    smallest source (uniform source mixing), choosing survivors by
+    md5 order so the draw is reproducible. One shuffle on source for
+    the ranking window; the per-source quota is a one-row broadcast.
+    Generalizes to arbitrary target weights by replacing min(n) with
+    a weights dimension joined on source — same plan shape."""
+    d = load(spark, sf_dir, "documents")
+    quota = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").alias("min_n"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("min_n"))
+        .select("doc_id", "source", F.col("rn").cast("long").alias("pick_order"))
+    )

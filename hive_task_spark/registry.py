@@ -67,6 +67,7 @@ def load_all() -> None:
         dedup,
         joins,
         multimodal,
+        pipeline,
         quality,
         relational,
         setops,

@@ -153,3 +153,30 @@ def source_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(rt["r_name"].alias("region_name"))
         .agg(F.count(F.lit(1)).alias("n_nations"))
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           sum(c_acctbal)           AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → ORC → ORC scan → aggregate (SURVEY §2B "Parquet/ORC
+    write"). ORC is the other columnar format a Hive-metastore shop
+    runs on; Spark's native vectorized ORC reader gives the same
+    pushdown/pruning behavior as parquet. The oracle aggregates the
+    original parquet — value-identical iff the round-trip is
+    lossless (longs, doubles, strings all are)."""
+    c = load(spark, sf_dir, "customer")
+    path = _scratch("customer_orc")
+    c.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("c_acctbal").alias("total_bal"),
+    )
