@@ -218,17 +218,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_N_HASHES)
         ]
     )
+    # Band signature = xxhash64 of the band's 4 mins: an 8-byte join
+    # key instead of a concat string. A (vanishingly rare) xxhash64
+    # band collision only adds a false CANDIDATE, which exact
+    # verification below discards — correctness unaffected.
     bands = mins.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ",",
+                    F.xxhash64(
                         *[
-                            F.col(f"m{b * _ROWS_PER_BAND + r}").cast("string")
+                            F.col(f"m{b * _ROWS_PER_BAND + r}")
                             for r in range(_ROWS_PER_BAND)
-                        ],
+                        ]
                     )
                     for b in range(_N_BANDS)
                 ]
@@ -250,7 +253,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verification of candidates only (collect_set =
-    # distinct shingle sets, built on the same doc_id partitioning)
+    # distinct shingle sets, built on the same doc_id partitioning).
+    # Deliberately NOT semi-filtered to candidate docs: that filter
+    # would put `candidates` (and the whole signature pipeline above
+    # it) into the DAG twice — measured 1.8× slower than one extra
+    # collect_set pass. At 100 TB the same reasoning favors
+    # materializing the candidate-pair table once and verifying
+    # against it, not re-deriving it per branch.
     tok = (
         _shingle_rows(d)
         .groupBy("doc_id")
