@@ -80,3 +80,25 @@ def test_windows_always_partitioned(spark, sf_dir, name):
     assert "Window" in plan
     # Spark renders unpartitioned windows with an empty partition list
     assert "windowspecdefinition()" not in plan.lower().replace(" ", "")
+
+
+def test_tpch_dim_joins_broadcast(spark, sf_dir):
+    """The TPC-H shapes added for full Q1-Q22 coverage keep every
+    dimension join broadcast (q21's two SortMergeJoins are the
+    deliberate exception: both sides are fact-table aggregates that
+    could never broadcast at scale, so SMJ is the right plan)."""
+    for name in ("q8_market_share", "q9_product_profit",
+                 "q12_late_shipments", "q2_min_cost_supplier",
+                 "q16_supplier_count", "q20_excess_suppliers"):
+        plan = _plan(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, f"{name}: dim join degraded to SMJ"
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join found"
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Sessionization must reuse one user_id exchange for the gap
+    window, the island-numbering window, and the final groupBy —
+    exactly one hash-partitioning exchange in the whole plan."""
+    plan = _plan(spark, sf_dir, "pipeline_sessionize_events")
+    # formatted mode prints each operator twice (tree + details)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
