@@ -192,3 +192,63 @@ def pipeline_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("min_n"))
         .select("doc_id", "source", F.col("rn").cast("long").alias("pick_order"))
     )
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 CASE WHEN len(w) >= 3
+                      THEN [array_to_string(w[i:i+2], ' ')
+                            FOR i IN range(1, len(w) - 1)]
+                      ELSE [array_to_string(w, ' ')]
+                 END)) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    eval_sh AS (
+        SELECT DISTINCT s.shingle
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+        WHERE d.source = 'src0'
+    ),
+    hits AS (
+        SELECT s.doc_id, count(*) AS n_shared
+        FROM sh s
+        JOIN documents d ON s.doc_id = d.doc_id
+        JOIN eval_sh e ON s.shingle = e.shingle
+        WHERE d.source <> 'src0'
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+           (n_shared >= 3) AS contaminated
+    FROM hits
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥3
+    distinct 3-gram shingles with the held-out set (source = src0
+    plays the benchmark corpus). Shingle-explode + equi-join — the
+    same O(n) join discipline as the dedup family; the eval shingle
+    set is the small side and broadcasts, so at 100 TB the training
+    corpus streams through one scan, no pair join, no shuffle of the
+    corpus itself beyond the per-doc count."""
+    from hive_task_spark.operators.dedup import _shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    sh = _shingle_rows(d).distinct()
+    src = d.select("doc_id", "source")
+    eval_sh = (
+        sh.join(src.filter(F.col("source") == "src0"), "doc_id", "left_semi")
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = sh.join(src.filter(F.col("source") != "src0"), "doc_id", "left_semi")
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .select(
+            "doc_id", "n_shared", (F.col("n_shared") >= 3).alias("contaminated")
+        )
+    )

@@ -504,3 +504,50 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("cosine_r"))
     )
+
+
+@register(
+    "similarity_quantize_int8",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, vec,
+               127.0 / greatest(list_max(list_transform(vec, x -> abs(x))),
+                                1e-30) AS scale
+        FROM v
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           list_transform(vec, x -> CAST(round(x * scale) AS INT)) AS qvec
+    FROM s
+    """,
+)
+def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (per-vector absmax scale,
+    the faiss/GGML SQ8 recipe): 4× memory reduction for the ANN index
+    side, computed entirely in JVM higher-order expressions. The
+    scale is materialized in its own projection BEFORE the transform
+    lambda references it (interpreted HOF lambdas re-evaluate every
+    reference — the CollapseProject trap). Cross-engine exactness:
+    both engines do the identical double-precision multiply then
+    round-half-away-from-zero, so the int codes match bit-for-bit."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _vec_d().alias("vec"))
+    s = v.select(
+        "vec_id",
+        "vec",
+        (
+            127.0
+            / F.greatest(
+                F.array_max(F.transform(F.col("vec"), F.abs)), F.lit(1e-30)
+            )
+        ).alias("scale"),
+    )
+    return s.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.expr("transform(vec, x -> CAST(round(x * scale) AS INT))").alias("qvec"),
+    )
