@@ -1,0 +1,190 @@
+"""Product/time-series analytics over `events` — resampling with
+gap-fill + last-observation-carried-forward, funnel conversion, and
+cohort retention. The query shapes a warehouse user runs daily; each
+is pure DataFrame algebra with an exact DuckDB oracle.
+
+Determinism note: all time keys are integer epoch-day / year-month
+values (no DATE columns cross the comparison boundary), and per-day
+values are averages (no cross-engine arg-max tie-breaking).
+
+Reference parity note: the reference (/root/reference, a Lisp STM
+task-scheduling library) has no analytics layer; these are
+target-layer operators (SURVEY.md §2B, north-star batch OLAP).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+
+@register(
+    "analytics_resample_locf",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               avg(value) AS day_val
+        FROM events
+        GROUP BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+    ),
+    span AS (
+        SELECT user_id, min(day_idx) AS d0, max(day_idx) AS d1
+        FROM daily GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(range(d0, d1 + 1)) AS day_idx FROM span
+    ),
+    j AS (
+        SELECT s.user_id, s.day_idx, d.day_val
+        FROM spine s
+        LEFT JOIN daily d ON s.user_id = d.user_id AND s.day_idx = d.day_idx
+    )
+    SELECT user_id, CAST(day_idx AS BIGINT) AS day_idx,
+           (day_val IS NOT NULL) AS observed,
+           last_value(day_val IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day_idx
+               ROWS UNBOUNDED PRECEDING) AS filled_val
+    FROM j
+    """,
+)
+def analytics_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream onto a dense daily grid
+    (sequence-explode spine between the user's first and last day),
+    left-join observed daily averages, and gap-fill by
+    last-observation-carried-forward (`last(ignorenulls)` over an
+    unbounded-preceding frame). One shuffle keys everything: daily
+    agg, spine join, and LOCF window all partition on user_id. At
+    100 TB the spine explode is generated, not stored — rows appear
+    only at the executor, never in the shuffle upstream."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.avg("value").alias("day_val"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_idx"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day_idx"], "left")
+    w = Window.partitionBy("user_id").orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "user_id",
+        F.col("day_idx").cast("long").alias("day_idx"),
+        F.col("day_val").isNotNull().alias("observed"),
+        F.last("day_val", ignorenulls=True).over(w).alias("filled_val"),
+    )
+
+
+@register(
+    "analytics_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+        GROUP BY e.user_id
+    )
+    SELECT
+        CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+        CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+        CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel
+    """,
+)
+def analytics_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: users who viewed, then clicked at or
+    after their first view, then purchased at or after that first
+    qualifying click. Each stage is a per-user min-timestamp
+    aggregate semi-constrained by the previous stage — three keyed
+    aggregates over one pre-projected (user, type, ts) relation, NOT
+    a per-user sort: at 100 TB the event order never materializes,
+    only per-user stage timestamps (one row per user per stage)."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@register(
+    "analytics_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(floor(epoch(min(ts)) / 86400) AS BIGINT) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS act_day
+        FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(a.act_day - f.cohort_day AS BIGINT) AS days_since,
+           CAST(count(*) AS BIGINT)                 AS active_users
+    FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_day, a.act_day - f.cohort_day
+    """,
+)
+def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active day,
+    counted on each subsequent day they return (day grain because the
+    fixture's events span one month; the month-grain query is the
+    same shape with year*12+month keys). Keys are integer epoch-day
+    arithmetic — no date types cross the engine boundary. Two
+    aggregates share the user_id shuffle; the one-row-per-user cohort
+    side broadcasts into the activity join wherever users ≪ events."""
+    e = load(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    first_seen = e.groupBy("user_id").agg(F.min("ts").alias("t0")).select(
+        "user_id",
+        F.floor(F.col("t0").cast("double") / 86400).cast("long").alias("cohort_day"),
+    )
+    activity = e.select("user_id", day.alias("act_day")).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("act_day") - F.col("cohort_day")).cast("long").alias("days_since"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )

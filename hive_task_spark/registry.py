@@ -63,6 +63,7 @@ def load_all() -> None:
     )
     from hive_task_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         asof,
         dedup,
         joins,
