@@ -300,3 +300,62 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderpriority", pri)
         .agg(F.sum("o_totalprice"))
     )
+
+
+@register(
+    "agg_unpivot_stack",
+    oracle="""
+    WITH wide AS (
+        SELECT c.c_nationkey,
+               CAST(sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_finished,
+               CAST(sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pending
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey
+    )
+    SELECT c_nationkey, status, n FROM (
+        SELECT c_nationkey, 'O' AS status, n_open     AS n FROM wide
+        UNION ALL
+        SELECT c_nationkey, 'F' AS status, n_finished AS n FROM wide
+        UNION ALL
+        SELECT c_nationkey, 'P' AS status, n_pending  AS n FROM wide
+    )
+    WHERE n > 0
+    """,
+)
+def agg_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long, the inverse of agg_pivot) via `stack` —
+    per-nation order-status counts melted back to (nation, status, n)
+    rows. `stack` is a single generator projection: no shuffle, no
+    union of N scans (the UNION ALL oracle re-reads the wide relation
+    3×; the Spark plan reads it once — the point of the operator)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    wide = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            .cast("long")
+            .alias("n_open"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("n_finished"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+            .cast("long")
+            .alias("n_pending"),
+        )
+    )
+    return (
+        wide.select(
+            "c_nationkey",
+            F.expr(
+                "stack(3, 'O', n_open, 'F', n_finished, 'P', n_pending)"
+                " AS (status, n)"
+            ),
+        )
+        .filter(F.col("n") > 0)
+    )

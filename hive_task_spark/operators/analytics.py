@@ -188,3 +188,135 @@ def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
     )
+
+
+@register(
+    "analytics_copurchase_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= 2
+    """,
+)
+def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in
+    ≥2 orders (the support-counting core of frequent-itemset mining).
+    The self-join is per-basket — quadratic only in basket size
+    (bounded by lines-per-order, ~7), linear in order count, keyed on
+    the already-partitioned orderkey. At 100 TB the same plan holds;
+    for huge baskets the standard cap is a per-basket top-N by item
+    frequency before pairing."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "analytics_pagerank_lite",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges
+        )
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+    r1 AS (
+        SELECT nodes.node,
+               0.15 / nn.n
+                 + 0.85 * coalesce(sum((1.0 / nn.n) / deg.d), 0.0) AS rank
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN edges ON edges.dst = nodes.node
+        LEFT JOIN deg   ON deg.src = edges.src
+        GROUP BY nodes.node, nn.n
+    ),
+    r2 AS (
+        SELECT nodes.node,
+               0.15 / nn.n
+                 + 0.85 * coalesce(sum(r1.rank / deg.d), 0.0) AS rank
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN edges ON edges.dst = nodes.node
+        LEFT JOIN r1    ON r1.node = edges.src
+        LEFT JOIN deg   ON deg.src = edges.src
+        GROUP BY nodes.node, nn.n
+    )
+    SELECT node, round(rank, 8) AS rank_r FROM r2
+    """,
+)
+def analytics_pagerank_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (two unrolled iterations, damping 0.85, no dangling
+    redistribution) over the customer→supplier purchase graph — the
+    iterative-algorithm-as-DataFrame pattern. Each iteration is one
+    keyed join + aggregate on edge destination; the rank vector is
+    node-cardinality (≪ edges) so at 100 TB iterations shuffle the
+    edge list by dst once each, and the loop unrolls to a fixed plan
+    (no driver-side convergence collect needed for fixed k). Node ids
+    are prefixed strings so the customer and supplier key spaces
+    can't collide."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+
+    def iterate(rank_df):
+        """One PR step: rank(v) = 0.15/n + 0.85 * Σ rank(u)/deg(u)."""
+        contrib = (
+            edges.join(rank_df, edges["src"] == rank_df["node"], "left")
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("d")).alias("w"))
+        )
+        return (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .groupBy("node", "n")
+            .agg(
+                (
+                    0.15 / F.first("n")
+                    + 0.85 * F.coalesce(F.sum("w"), F.lit(0.0))
+                ).alias("rank")
+            )
+            .select("node", "rank")
+        )
+
+    r0 = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    r2 = iterate(iterate(r0))
+    return r2.select("node", F.round("rank", 8).alias("rank_r"))
