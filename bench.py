@@ -40,6 +40,13 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "text_quality_scores",
     "asof_join_orders",
+    "q9_product_profit",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "pipeline_sessionize_events",
+    "pipeline_decontaminate",
+    "analytics_resample_locf",
+    "analytics_copurchase_pairs",
 ]
 
 
