@@ -141,3 +141,95 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
         for r in registry.QUERIES["similarity_ann_ivf"](spark, sf_dir).collect()
     }
     assert len(bf & ivf) / len(bf) >= 0.7
+
+
+def test_sessionize_partitions_events(spark, sf_dir):
+    """Sessions partition each user's events: per-user session event
+    counts sum to the user's total event count, and session values sum
+    to the user's total value (within float tolerance)."""
+    e = load(spark, sf_dir, "events")
+    sess = registry.QUERIES["pipeline_sessionize_events"](spark, sf_dir)
+    got = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in sess.groupBy("user_id")
+        .agg(F.sum("n_events").alias("n"), F.sum("sess_value").alias("v"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
+def test_mixture_rebalance_uniform(spark, sf_dir):
+    """After rebalancing, every source contributes exactly min-source
+    rows — the definition of the uniform mix."""
+    d = load(spark, sf_dir, "documents")
+    min_n = (
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n")).collect()[0][0]
+    )
+    per_source = (
+        registry.QUERIES["pipeline_mixture_rebalance"](spark, sf_dir)
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert per_source and all(r["n"] == min_n for r in per_source)
+
+
+def test_token_budget_is_maximal_prefix(spark, sf_dir):
+    """The selection fits the budget and is maximal: max cumulative
+    tokens ≤ budget, and no selected doc could be dropped to admit a
+    doc with more tokens (prefix property of the running sum)."""
+    sel = registry.QUERIES["pipeline_token_budget"](spark, sf_dir)
+    rows = sel.orderBy("cum_tokens").collect()
+    assert rows, "budget selection must be non-empty"
+    assert rows[-1]["cum_tokens"] <= 20000
+    # running sum is consistent: cum[i] - cum[i-1] == n_tokens[i]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cum_tokens"] - prev["cum_tokens"] == cur["n_tokens"]
+
+
+def test_hash_sample_deterministic_subset(spark, sf_dir):
+    """The hash sample is a deterministic subset: two runs agree
+    exactly, and every sampled doc exists in the corpus."""
+    a = {r["doc_id"] for r in registry.QUERIES["pipeline_hash_sample"](spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in registry.QUERIES["pipeline_hash_sample"](spark, sf_dir).collect()}
+    assert a == b
+    all_ids = {r["doc_id"] for r in load(spark, sf_dir, "documents").select("doc_id").collect()}
+    assert a <= all_ids and 0 < len(a) < len(all_ids)
+
+
+def test_funnel_stages_monotone(spark, sf_dir):
+    """Funnel stage counts can only shrink: view ≥ view+click ≥ full."""
+    r = registry.QUERIES["analytics_funnel"](spark, sf_dir).collect()[0]
+    assert r["n_view"] >= r["n_view_click"] >= r["n_full_funnel"] >= 0
+
+
+def test_pagerank_mass_bounds(spark, sf_dir):
+    """Ranks are positive and total mass ≤ 1 (dangling mass is
+    dropped, not redistributed, so the sum stays strictly below 1)."""
+    rows = registry.QUERIES["analytics_pagerank_lite"](spark, sf_dir).collect()
+    assert rows and all(r["rank_r"] > 0 for r in rows)
+    assert sum(r["rank_r"] for r in rows) <= 1.0 + 1e-6
+
+
+def test_resample_spine_dense(spark, sf_dir):
+    """Each user's resampled grid is dense: row count == last day −
+    first day + 1, with no missing day_idx."""
+    grid = registry.QUERIES["analytics_resample_locf"](spark, sf_dir)
+    stats = (
+        grid.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("day_idx") - F.min("day_idx") + 1).alias("span"),
+            F.countDistinct("day_idx").alias("nd"),
+        )
+        .collect()
+    )
+    assert stats and all(r["n"] == r["span"] == r["nd"] for r in stats)
