@@ -625,20 +625,30 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    late = li.join(
-        o,
-        (li["l_orderkey"] == o["o_orderkey"])
-        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
-    ).select("l_orderkey", "l_suppkey")
-    n_supp = li.groupBy(F.col("l_orderkey").alias("k1")).agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers")
+    # One fact-orders join carries a late flag; BOTH per-order
+    # statistics come from the same relation in one grouped aggregate
+    # (two distinct-aggs share one Expand), so the fact table is
+    # joined and shuffled once — not once per statistic. n_suppliers
+    # over status-F orders equals the oracle's unrestricted EXISTS
+    # because l1's order is itself status F.
+    j = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
     )
-    n_late = late.groupBy(F.col("l_orderkey").alias("k2")).agg(
-        F.countDistinct("l_suppkey").alias("n_late_suppliers")
+    stats = j.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_suppliers"
+        ),
     )
     return (
-        late.join(n_supp, late["l_orderkey"] == F.col("k1"))
-        .join(n_late, late["l_orderkey"] == F.col("k2"))
+        j.filter("is_late")
+        .join(stats, F.col("l_orderkey") == F.col("k"))
         .filter((F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
