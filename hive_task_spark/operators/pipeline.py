@@ -228,24 +228,35 @@ def pipeline_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing ≥3
     distinct 3-gram shingles with the held-out set (source = src0
-    plays the benchmark corpus). Shingle-explode + equi-join — the
-    same O(n) join discipline as the dedup family; the eval shingle
-    set is the small side and broadcasts, so at 100 TB the training
-    corpus streams through one scan, no pair join, no shuffle of the
-    corpus itself beyond the per-doc count."""
+    plays the benchmark corpus).
+
+    Single-pass shape: the corpus is shingled ONCE, then one
+    groupBy(shingle) computes both signals — did the shingle occur in
+    the eval set (max flag) and which train docs contain it
+    (collect_set, which also dedupes per-doc repeats). An eval-vs-
+    train branch pair over a shared shingle relation would re-execute
+    the whole shingling subtree per branch (filter pushdown defeats
+    exchange reuse — see the MinHash note in dedup.py); this form
+    shuffles the corpus by shingle exactly once. At 100 TB, stop-
+    shingle skew (one shingle in millions of docs) is the known
+    hazard — cap set size with slice() or pre-filter by document
+    frequency, same as the LSH band-bucket discipline."""
     from hive_task_spark.operators.dedup import _shingle_rows
 
     d = load(spark, sf_dir, "documents")
-    sh = _shingle_rows(d).distinct()
-    src = d.select("doc_id", "source")
-    eval_sh = (
-        sh.join(src.filter(F.col("source") == "src0"), "doc_id", "left_semi")
-        .select("shingle")
-        .distinct()
+    src = d.select(F.col("doc_id").alias("src_doc"), "source")
+    rows = _shingle_rows(d).join(
+        F.broadcast(src), F.col("doc_id") == F.col("src_doc")
     )
-    train_sh = sh.join(src.filter(F.col("source") != "src0"), "doc_id", "left_semi")
+    per_shingle = rows.groupBy("shingle").agg(
+        F.max(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("in_eval"),
+        F.collect_set(
+            F.when(F.col("source") != "src0", F.col("doc_id"))
+        ).alias("train_docs"),
+    )
     return (
-        train_sh.join(F.broadcast(eval_sh), "shingle")
+        per_shingle.filter(F.col("in_eval") == 1)
+        .select(F.explode("train_docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .select(
