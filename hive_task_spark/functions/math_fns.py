@@ -82,3 +82,39 @@ def math_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_or_unknown"
         ),
     )
+
+
+@register(
+    "math_try_cast_safety",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_num,
+           TRY_CAST(event_type AS DOUBLE)                         AS bad_num,
+           TRY_CAST(substr(event_type, 1, 1) AS BIGINT)           AS bad_int,
+           CASE WHEN value = 0.0 THEN NULL ELSE round(1.0 / value, 9) END
+                                                                  AS safe_inv_r
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def math_try_cast_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe casting surface: `try_cast` returns NULL instead of
+    failing the job on malformed input (the difference between one
+    bad record killing a 100 TB job and one NULL in the output), and
+    guarded division instead of runtime DivideByZero. Spark under
+    ANSI mode and DuckDB agree on TRY_CAST semantics; the non-numeric
+    casts exercise the failure path on every row."""
+    from hive_task_spark.tables import load as _load
+
+    e = _load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.expr(
+            "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+        ).alias("k_num"),
+        F.expr("try_cast(event_type AS DOUBLE)").alias("bad_num"),
+        F.expr("try_cast(substr(event_type, 1, 1) AS BIGINT)").alias("bad_int"),
+        F.when(F.col("value") == 0.0, F.lit(None))
+        .otherwise(F.round(F.lit(1.0) / F.col("value"), 9))
+        .alias("safe_inv_r"),
+    )

@@ -180,3 +180,62 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("c_acctbal").alias("total_bal"),
     )
+
+
+@register(
+    "source_json_permissive_corrupt",
+    oracle="""
+    SELECT
+        CAST(sum(CASE WHEN n_nationkey % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_good,
+        CAST(sum(CASE WHEN n_nationkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_corrupt,
+        CAST(sum(CASE WHEN n_nationkey % 7 <> 0 THEN n_regionkey END) AS BIGINT)
+            AS sum_region_good
+    FROM nation
+    """,
+)
+def source_json_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance: a JSON-lines file where every 7th
+    nation row is deliberately truncated mid-object is read back in
+    PERMISSIVE mode with a `_corrupt` capture column — bad records
+    become rows, not job failures (at 100 TB one bad record must
+    never kill the job; FAILFAST is opt-in). The oracle derives the
+    same good/corrupt split from the corruption rule itself, proving
+    the reader classified every line correctly."""
+    n = load(spark, sf_dir, "nation")
+    lines = n.select(
+        F.when(
+            F.col("n_nationkey") % 7 == 0,
+            F.concat(F.lit('{"n_nationkey": '), F.col("n_nationkey").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("n_nationkey", "n_name", "n_regionkey")))
+        .alias("value")
+    )
+    path = _scratch("nation_corrupt_json")
+    lines.write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("n_regionkey")))
+        .cast("long")
+        .alias("sum_region_good"),
+    )
