@@ -118,3 +118,35 @@ def math_try_cast_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.lit(1.0) / F.col("value"), 9))
         .alias("safe_inv_r"),
     )
+
+
+@register(
+    "math_bitwise_suite",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey & 1023) AS BIGINT) AS and_low,
+           CAST(bit_or(l_suppkey & 255)    AS BIGINT) AS or_supp,
+           CAST(bit_xor(l_partkey)         AS BIGINT) AS xor_part,
+           CAST(sum((l_orderkey << 2) >> 3) AS BIGINT) AS shifted_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def math_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar ops (&, |, shifts) and bitwise aggregates
+    (bit_and/bit_or/bit_xor) — the bit-packing toolkit used for flag
+    columns and bloom-style fingerprints. All JVM-side integer ops,
+    partial+final aggregated like any hash agg."""
+    from hive_task_spark.tables import load as _load
+
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(F.col("l_orderkey").bitwiseAND(1023))
+        .cast("long")
+        .alias("and_low"),
+        F.bit_or(F.col("l_suppkey").bitwiseAND(255)).cast("long").alias("or_supp"),
+        F.bit_xor("l_partkey").cast("long").alias("xor_part"),
+        F.sum(F.shiftright(F.shiftleft("l_orderkey", 2), 3))
+        .cast("long")
+        .alias("shifted_sum"),
+    )

@@ -103,3 +103,39 @@ def str_initcap_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.initcap(F.substring("text", 1, 40)).alias("title_case"),
         F.length(F.regexp_replace("text", " ", "")).cast("long").alias("n_nonspace"),
     )
+
+
+@register(
+    "str_extract_all_map",
+    oracle="""
+    SELECT event_id,
+           regexp_extract_all(props, '[0-9]+')                     AS digit_runs,
+           CAST(len(regexp_extract_all(props, '[a-z]+')) AS BIGINT) AS n_word_runs,
+           map_extract(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)},
+                       'type')[1]                                   AS type_back
+    FROM events
+    WHERE event_id < 1000
+    """,
+)
+def str_extract_all_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all (all matches, not just the first) plus a
+    build-then-probe map round-trip (str_to_map's shape with typed
+    construction). Pure row-local expressions — scan-speed at any
+    scale."""
+    from hive_task_spark.tables import load as _load
+
+    e = _load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        F.expr("regexp_extract_all(props, '([0-9]+)', 1)").alias("digit_runs"),
+        F.expr("size(regexp_extract_all(props, '([a-z]+)', 1))")
+        .cast("long")
+        .alias("n_word_runs"),
+        F.element_at(
+            F.create_map(
+                F.lit("type"), F.col("event_type"),
+                F.lit("uid"), F.col("user_id").cast("string"),
+            ),
+            "type",
+        ).alias("type_back"),
+    )
