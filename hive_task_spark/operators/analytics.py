@@ -208,25 +208,22 @@ def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥2 orders (the support-counting core of frequent-itemset mining).
 
     Single-pass shape: collect each basket once (collect_set also
-    dedupes repeated parts), generate the sorted in-basket pairs with
-    an in-row HOF (quadratic only in basket size, ~7 here), explode,
-    count. One fact shuffle (by orderkey) + one pair-key shuffle —
-    the items-self-join form shuffles the fact table three times and
-    measured 12% slower at sf0.1. For huge baskets the standard cap
-    is a per-basket top-N by item frequency before pairing."""
+    dedupes repeated parts), pair via DOUBLE explode + a<b filter,
+    count. Generating n² candidates in whole-stage-codegen
+    GenerateExec and filtering beats both the interpreted triangular
+    HOF (-30%) and the items-self-join (3 fact shuffles vs 1 here) at
+    sf0.1; quadratic only in basket size (~7). For huge baskets the
+    standard cap is a per-basket top-N by item frequency before
+    pairing."""
     li = load(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+        F.collect_set("l_partkey").alias("ps")
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) ->"
-                " transform(slice(ps, i + 2, size(ps)),"
-                " y -> struct(x AS part_a, y AS part_b))))"
-            )
-        ).alias("pr")
-    ).select("pr.part_a", "pr.part_b")
+    pairs = (
+        baskets.select(F.explode("ps").alias("part_a"), "ps")
+        .select("part_a", F.explode("ps").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+    )
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
