@@ -321,3 +321,55 @@ def analytics_pagerank_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r2 = iterate(iterate(r0))
     return r2.select("node", F.round("rank", 8).alias("rank_r"))
+
+
+@register(
+    "analytics_skyline_2d",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def analytics_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier): parts not dominated on (cheaper,
+    bigger) — the multi-criteria shortlist operator (skyline-on-Spark
+    is literally a paper topic, EDBT 2023 in PAPERS.md; the oracle is
+    the O(n²) NOT-EXISTS definition).
+
+    Spark-first rewrite is the 2D sort-based algorithm, not a pair
+    join: reduce to one best-size row per distinct price, take the
+    running max of best sizes over strictly-cheaper prices, and a
+    point is dominated iff that prefix max reaches its size or a
+    same-price point strictly beats it. Two keyed aggregates + one
+    ordered window over the distinct-price relation — O(n log n).
+    At 100 TB: range-partition by price and prefix-merge per-partition
+    maxima (the paper's local-skyline/merge shape); dominance
+    transitivity makes the two-phase result exact."""
+    p = load(spark, sf_dir, "part")
+    per_price = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    marked = per_price.select(
+        "p_retailprice",
+        "best_size",
+        F.max("best_size").over(w).alias("strict_prefix_max"),
+    )
+    return (
+        p.join(F.broadcast(marked), "p_retailprice")
+        .filter(
+            (
+                F.col("strict_prefix_max").isNull()
+                | (F.col("strict_prefix_max") < F.col("p_size"))
+            )
+            & (F.col("best_size") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
