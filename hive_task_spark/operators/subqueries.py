@@ -457,13 +457,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, part_value
     FROM val
-    WHERE part_value > (SELECT 0.002 * sum(part_value) FROM val)
+    WHERE part_value > (SELECT 3.0 * avg(part_value) FROM val)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts representing a significant share of one
     nation's stock value (adapted: value = sum of extendedprice *
-    quantity over that nation's shipments — no partsupp). The scalar
+    quantity over that nation's shipments — no partsupp; threshold =
+    3x the average part value, scale-free where TPC-H's fixed share
+    fraction empties out as part count grows). The scalar
     threshold subquery is the same aggregate re-reduced to one row and
     broadcast: the per-part table is computed once, the global sum is
     a one-row cross join, no second scan of the fact table."""
@@ -478,7 +480,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
         )
     )
-    thresh = val.agg((0.002 * F.sum("part_value")).alias("threshold"))
+    thresh = val.agg((3.0 * F.avg("part_value")).alias("threshold"))
     return (
         val.crossJoin(F.broadcast(thresh))
         .filter(F.col("part_value") > F.col("threshold"))
