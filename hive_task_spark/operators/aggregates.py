@@ -359,3 +359,30 @@ def agg_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") > 0)
     )
+
+
+@register(
+    "agg_percentile_grouped",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.95) AS p95
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75/p95) per group —
+    the distribution-profile aggregate. Exact percentile sorts group
+    values; at 100 TB per-group sort memory is the constraint and the
+    designed path is percentile_approx (mergeable KLL-style sketch,
+    agg_approx_quantiles) — this exact twin is the oracle anchor."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )

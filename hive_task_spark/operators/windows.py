@@ -212,3 +212,44 @@ def window_cume_dist_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_share"
         ),
     )
+
+
+@register(
+    "window_nth_first_value",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           last_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_nth_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value / whole-partition last_value — the
+    positional window family beyond lag/lead. The deterministic
+    (o_orderdate, o_orderkey) ordering makes nth_value stable across
+    engines; the last_value frame must be explicitly unbounded-
+    following (the default frame would return the current row)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_full = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+            F.last("o_totalprice").over(w_full).alias("last_price"),
+        )
+    )
