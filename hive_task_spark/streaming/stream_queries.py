@@ -362,3 +362,65 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES")),
     ).select("view_id", "purchase_id", "user_id")
     return _run_to_table(spark, j, "stream_stream_join", "append")
+
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@register(
+    "stream_quality_filter",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_words,
+               length(replace(text, ' ', ''))
+                 / greatest(len(string_split(text, ' ')), 1) AS mean_word_len
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_words) AS BIGINT) AS kept_tokens
+    FROM t
+    WHERE n_words BETWEEN 10 AND 100000
+      AND mean_word_len BETWEEN 2.0 AND 12.0
+    GROUP BY lang
+    """,
+)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus quality-filter stage run as a STREAM: documents
+    arrive as files, pass the Gopher-style length/word-shape rules as
+    a stateless map, and per-language keep-statistics aggregate in
+    complete mode. Composition proof that the LLM-pipeline operators
+    are streaming-compatible — on a cluster this is the
+    continuously-ingesting variant of the batch filter with the file
+    source swapped for Kafka; the filter itself needs no state, so
+    only the final count aggregate holds any."""
+    apply_runtime_conf(spark)
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_len = F.length(F.regexp_replace("text", " ", "")) / F.greatest(
+        n_words, F.lit(1)
+    )
+    kept = raw.select(
+        "doc_id", "lang", n_words.alias("n_words"), mean_len.alias("mwl")
+    ).filter(
+        F.col("n_words").between(10, 100000) & F.col("mwl").between(2.0, 12.0)
+    )
+    agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_words").cast("long").alias("kept_tokens"),
+    )
+    return _run_to_table(spark, agg, "stream_quality_filter", "complete")
