@@ -181,3 +181,38 @@ def array_zip_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, y: F.round(x + y, 4),
         ).alias("pair_sums"),
     )
+
+
+@register(
+    "array_explode_outer",
+    oracle="""
+    WITH t AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                    WHEN n_nationkey % 3 = 1 THEN []
+                    ELSE [n_regionkey, n_regionkey + 100] END AS xs
+        FROM nation
+    )
+    SELECT t.n_nationkey, CAST(u.x AS INT) AS x
+    FROM t LEFT JOIN (
+        SELECT n_nationkey, unnest(xs) AS x FROM t
+    ) u USING (n_nationkey)
+    """,
+)
+def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: NULL and empty arrays keep their parent row
+    (emitting a NULL element) instead of silently dropping it — the
+    semantics difference that loses rows in joins-after-explode when
+    plain explode is used. DuckDB has no outer unnest, so the oracle
+    reconstructs it with a LEFT JOIN against the inner unnest."""
+    n = load(spark, sf_dir, "nation")
+    t = n.select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 3 == 0, F.lit(None).cast("array<int>"))
+        .when(F.col("n_nationkey") % 3 == 1, F.array().cast("array<int>"))
+        .otherwise(
+            F.array(F.col("n_regionkey"), F.col("n_regionkey") + 100)
+        )
+        .alias("xs"),
+    )
+    return t.select("n_nationkey", F.explode_outer("xs").alias("x"))

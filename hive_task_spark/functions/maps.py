@@ -126,3 +126,41 @@ def map_from_entries_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("has_purchase")
         )
     )
+
+
+@register(
+    "map_higher_order",
+    oracle="""
+    SELECT n_nationkey,
+           [{'key': 'region', 'value': n_regionkey * 2},
+            {'key': 'self',   'value': n_nationkey * 2}] AS doubled_entries,
+           CASE WHEN n_regionkey >= 2
+                THEN [{'key': 'region', 'value': n_regionkey}]
+                ELSE [] END AS filtered_entries
+    FROM nation
+    """,
+)
+def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values and map_filter,
+    emitted as sorted entry arrays (maps have no cross-engine order;
+    DuckDB lacks map HOFs entirely, so the oracle constructs the
+    expected entries directly — the comparison IS the semantics
+    check). Row-local JVM expressions, scan-speed."""
+    n = load(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("region"), F.col("n_regionkey"),
+        F.lit("self"), F.col("n_nationkey"),
+    )
+    doubled = F.sort_array(
+        F.map_entries(F.transform_values(m, lambda k, v: v * 2))
+    )
+    filtered = F.sort_array(
+        F.map_entries(
+            F.map_filter(m, lambda k, v: (k == "region") & (v >= 2))
+        )
+    )
+    return n.select(
+        "n_nationkey",
+        doubled.alias("doubled_entries"),
+        filtered.alias("filtered_entries"),
+    )
