@@ -386,3 +386,36 @@ def agg_percentile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
         F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
     )
+
+
+@register(
+    "agg_corr_regression",
+    oracle="""
+    SELECT l_returnflag,
+           corr(l_quantity, l_extendedprice)      AS qty_price_corr,
+           covar_pop(l_quantity, l_extendedprice) AS qty_price_covar,
+           regr_slope(l_extendedprice, l_quantity)     AS price_per_qty,
+           regr_intercept(l_extendedprice, l_quantity) AS price_at_zero,
+           regr_r2(l_extendedprice, l_quantity)        AS fit_r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics aggregates: Pearson correlation,
+    population covariance, and the regr_* least-squares family
+    (slope/intercept/R²/count) — the in-engine linear-fit toolkit.
+    All are algebraic aggregates (sums of x, y, xy, x², y²), so they
+    partial-aggregate map-side like any sum; no second pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+        F.regr_slope("l_extendedprice", "l_quantity").alias("price_per_qty"),
+        F.regr_intercept("l_extendedprice", "l_quantity").alias("price_at_zero"),
+        F.regr_r2("l_extendedprice", "l_quantity").alias("fit_r2"),
+        F.regr_count("l_extendedprice", "l_quantity")
+        .cast("long")
+        .alias("n_pairs"),
+    )
