@@ -373,3 +373,37 @@ def analytics_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+@register(
+    "analytics_outlier_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, event_type, value,
+               avg(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sigma
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_id, event_type,
+           round((value - mu) / sigma, 6) AS zscore_r,
+           (abs((value - mu) / sigma) > 3.0) AS is_outlier
+    FROM s
+    """,
+)
+def analytics_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection by per-group z-score: each event scored
+    against its type's mean/stddev (whole-partition window — the
+    two-pass mean/std fused into one shuffle), flagged beyond 3σ.
+    At 100 TB the window form holds if group cardinality ≪ rows;
+    for degenerate grouping use a groupBy stats table + broadcast
+    join — identical semantics, same single fact scan."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(z, 6).alias("zscore_r"),
+        (F.abs(z) > 3.0).alias("is_outlier"),
+    )

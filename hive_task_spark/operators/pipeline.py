@@ -263,3 +263,67 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_shared", (F.col("n_shared") >= 3).alias("contaminated")
         )
     )
+
+
+@register(
+    "pipeline_mixture_weighted",
+    oracle="""
+    WITH w AS (
+        SELECT source,
+               CASE WHEN source = 'src0' THEN 3.0
+                    WHEN source = 'src1' THEN 2.0
+                    ELSE 1.0 END AS weight
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    quota AS (
+        SELECT c.source,
+               CAST(least(c.n, ceil(100.0 * w.weight)) AS BIGINT) AS q
+        FROM c JOIN w ON c.source = w.source
+    ),
+    r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS pick_order
+    FROM r JOIN quota ON r.source = quota.source
+    WHERE r.rn <= quota.q
+    """,
+)
+def pipeline_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling: per-source quotas proportional to an
+    explicit weights table (src0 3×, src1 2×, rest 1× of a 100-doc
+    base unit), drawn in deterministic md5 order and capped at source
+    size. The weights side is a true dimension (broadcast join) —
+    swap the inline CASE for a real weights table and the plan is
+    unchanged. This is the generalized form of
+    pipeline_mixture_rebalance's uniform quota."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(F.col("source") == "src0", 3.0)
+            .when(F.col("source") == "src1", 2.0)
+            .otherwise(1.0)
+            .alias("weight"),
+        )
+    )
+    c = d.groupBy("source").agg(F.count("*").alias("n"))
+    quota = c.join(w, "source").select(
+        "source",
+        F.least(F.col("n"), F.ceil(100.0 * F.col("weight"))).cast("long").alias("q"),
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(rw).alias("rn"))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("q"))
+        .select("doc_id", "source", F.col("rn").cast("long").alias("pick_order"))
+    )
