@@ -15,16 +15,44 @@ from pyspark.sql import functions as F
 from hive_task_spark.registry import register
 from hive_task_spark.tables import load
 
+# ---------------------------------------------------------------------------
+# Edge discipline: NEVER emit ArrayType/MapType at a query edge — the
+# driver's canonicalizer (pandas sort_values + value hash) cannot hash
+# list cells.  Double arrays are serialized as '|'-joined fixed-scale
+# decimal strings (round -> DECIMAL -> string is bit-identical across
+# Spark and DuckDB; JSON float formatting is NOT).  String/int arrays
+# are '|'-joined directly.
+# ---------------------------------------------------------------------------
+
+
+def _djoin(arr, nd: int = 4):
+    """array<double> column -> '|'-joined string with `nd` fixed decimals."""
+    return F.array_join(
+        F.transform(
+            arr, lambda x: F.round(x, nd).cast(f"decimal(24,{nd})").cast("string")
+        ),
+        "|",
+    )
+
+
+def _djoin_sql(expr: str, nd: int = 4) -> str:
+    """DuckDB twin of _djoin for a list-of-double SQL expression."""
+    return (
+        f"array_to_string(list_transform({expr}, x -> "
+        f"CAST(CAST(round(CAST(x AS DOUBLE), {nd}) AS DECIMAL(24,{nd})) AS VARCHAR)"
+        f"), '|')"
+    )
+
 
 @register(
     "array_basic_suite",
-    oracle="""
+    oracle=f"""
     SELECT
         vec_id,
         CAST(len(embedding) AS BIGINT)                                    AS dim,
         CAST(embedding[1] AS DOUBLE)                                      AS first_elem,
-        list_transform(embedding[1:5], x -> CAST(x AS DOUBLE))            AS head5,
-        list_sort(list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 3)))
+        {_djoin_sql('embedding[1:5]')}                                    AS head5,
+        {_djoin_sql('list_sort(list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 3)))', 3)}
                                                                           AS sorted_head3
     FROM embeddings
     """,
@@ -37,16 +65,19 @@ def array_basic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.col("embedding").getItem(0).cast("double").alias("first_elem"),
-        F.slice(emb_d, 1, 5).alias("head5"),
-        F.sort_array(
-            F.transform(F.slice(emb_d, 1, 3), lambda x: F.round(x, 3))
+        _djoin(F.slice(emb_d, 1, 5)).alias("head5"),
+        _djoin(
+            F.sort_array(
+                F.transform(F.slice(emb_d, 1, 3), lambda x: F.round(x, 3))
+            ),
+            3,
         ).alias("sorted_head3"),
     )
 
 
 @register(
     "array_higher_order",
-    oracle="""
+    oracle=f"""
     SELECT
         vec_id,
         CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE)
@@ -54,7 +85,7 @@ def array_basic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)      AS n_positive,
         CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE)
                                                                       AS vec_max,
-        list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE) * 2.0, 4))
+        {_djoin_sql('list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0)')}
                                                                       AS doubled_head
     FROM embeddings
     """,
@@ -70,7 +101,7 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_positive"),
         F.array_max(emb_d).alias("vec_max"),
-        F.transform(F.slice(emb_d, 1, 3), lambda x: F.round(x * 2.0, 4)).alias(
+        _djoin(F.transform(F.slice(emb_d, 1, 3), lambda x: x * 2.0)).alias(
             "doubled_head"
         ),
     )
@@ -154,14 +185,14 @@ def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_zip_flatten",
-    oracle="""
+    oracle=f"""
     SELECT
         vec_id,
-        list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4))  AS a3,
-        flatten([embedding[1:2], embedding[3:4]])                         AS flat4_f,
-        list_transform(
+        {_djoin_sql('embedding[1:3]')}                                    AS a3,
+        {_djoin_sql('flatten([embedding[1:2], embedding[3:4]])')}         AS flat4_f,
+        {_djoin_sql('''list_transform(
             list_zip(embedding[1:3], embedding[2:4]),
-            p -> round(CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE), 4))   AS pair_sums
+            p -> CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE))''')}        AS pair_sums
     FROM embeddings
     WHERE vec_id < 20
     """,
@@ -173,12 +204,19 @@ def array_zip_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_d = F.transform(emb, lambda x: x.cast("double"))
     return e.select(
         "vec_id",
-        F.transform(F.slice(emb_d, 1, 3), lambda x: F.round(x, 4)).alias("a3"),
-        F.flatten(F.array(F.slice(emb, 1, 2), F.slice(emb, 3, 2))).alias("flat4_f"),
-        F.zip_with(
-            F.slice(emb_d, 1, 3),
-            F.slice(emb_d, 2, 3),
-            lambda x, y: F.round(x + y, 4),
+        _djoin(F.slice(emb_d, 1, 3)).alias("a3"),
+        _djoin(
+            F.transform(
+                F.flatten(F.array(F.slice(emb, 1, 2), F.slice(emb, 3, 2))),
+                lambda x: x.cast("double"),
+            )
+        ).alias("flat4_f"),
+        _djoin(
+            F.zip_with(
+                F.slice(emb_d, 1, 3),
+                F.slice(emb_d, 2, 3),
+                lambda x, y: x + y,
+            )
         ).alias("pair_sums"),
     )
 

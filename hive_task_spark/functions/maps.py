@@ -54,23 +54,26 @@ def map_create_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         event_id,
-        list_sort(map_keys(map(['et', 'uid'],
-                               [event_type, CAST(user_id AS VARCHAR)])))   AS mkeys,
-        map_values(map(['et'], [event_type]))                              AS mvals
+        array_to_string(list_sort(map_keys(map(['et', 'uid'],
+                               [event_type, CAST(user_id AS VARCHAR)]))), '|') AS mkeys,
+        array_to_string(map_values(map(['et'], [event_type])), '|')            AS mvals
     FROM events
     WHERE event_id < 50
     """,
 )
 def map_keys_values_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """map_keys / map_values projected to sorted arrays."""
+    """map_keys / map_values projected to sorted '|'-joined strings
+    (array edges crash order-insensitive hashers — see arrays._djoin)."""
     e = load(spark, sf_dir, "events").filter(F.col("event_id") < 50)
     m2 = F.create_map(
         F.lit("et"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
     )
     return e.select(
         "event_id",
-        F.sort_array(F.map_keys(m2)).alias("mkeys"),
-        F.map_values(F.create_map(F.lit("et"), F.col("event_type"))).alias("mvals"),
+        F.array_join(F.sort_array(F.map_keys(m2)), "|").alias("mkeys"),
+        F.array_join(
+            F.map_values(F.create_map(F.lit("et"), F.col("event_type"))), "|"
+        ).alias("mvals"),
     )
 
 
@@ -132,35 +135,42 @@ def map_from_entries_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_higher_order",
     oracle="""
     SELECT n_nationkey,
-           [{'key': 'region', 'value': n_regionkey * 2},
-            {'key': 'self',   'value': n_nationkey * 2}] AS doubled_entries,
+           'region=' || CAST(n_regionkey * 2 AS VARCHAR)
+               || '|self=' || CAST(n_nationkey * 2 AS VARCHAR) AS doubled_entries,
            CASE WHEN n_regionkey >= 2
-                THEN [{'key': 'region', 'value': n_regionkey}]
-                ELSE [] END AS filtered_entries
+                THEN 'region=' || CAST(n_regionkey AS VARCHAR)
+                ELSE '' END                                    AS filtered_entries
     FROM nation
     """,
 )
 def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map higher-order functions: transform_values and map_filter,
-    emitted as sorted entry arrays (maps have no cross-engine order;
-    DuckDB lacks map HOFs entirely, so the oracle constructs the
-    expected entries directly — the comparison IS the semantics
-    check). Row-local JVM expressions, scan-speed."""
+    emitted as sorted 'k=v' entry strings (maps have no cross-engine
+    order and complex edges crash order-insensitive hashers; DuckDB
+    lacks map HOFs entirely, so the oracle constructs the expected
+    strings directly — the comparison IS the semantics check).
+    Row-local JVM expressions, scan-speed."""
     n = load(spark, sf_dir, "nation")
     m = F.create_map(
         F.lit("region"), F.col("n_regionkey"),
         F.lit("self"), F.col("n_nationkey"),
     )
-    doubled = F.sort_array(
-        F.map_entries(F.transform_values(m, lambda k, v: v * 2))
-    )
-    filtered = F.sort_array(
-        F.map_entries(
-            F.map_filter(m, lambda k, v: (k == "region") & (v >= 2))
+
+    def entries_str(mcol):
+        return F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries(mcol)),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+            ),
+            "|",
         )
-    )
+
     return n.select(
         "n_nationkey",
-        doubled.alias("doubled_entries"),
-        filtered.alias("filtered_entries"),
+        entries_str(F.transform_values(m, lambda k, v: v * 2)).alias(
+            "doubled_entries"
+        ),
+        entries_str(
+            F.map_filter(m, lambda k, v: (k == "region") & (v >= 2))
+        ).alias("filtered_entries"),
     )

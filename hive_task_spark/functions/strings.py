@@ -109,7 +109,7 @@ def str_initcap_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_extract_all_map",
     oracle="""
     SELECT event_id,
-           regexp_extract_all(props, '[0-9]+')                     AS digit_runs,
+           array_to_string(regexp_extract_all(props, '[0-9]+'), '|') AS digit_runs,
            CAST(len(regexp_extract_all(props, '[a-z]+')) AS BIGINT) AS n_word_runs,
            map_extract(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)},
                        'type')[1]                                   AS type_back
@@ -127,7 +127,9 @@ def str_extract_all_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     return e.select(
         "event_id",
-        F.expr("regexp_extract_all(props, '([0-9]+)', 1)").alias("digit_runs"),
+        F.expr("array_join(regexp_extract_all(props, '([0-9]+)', 1), '|')").alias(
+            "digit_runs"
+        ),
         F.expr("size(regexp_extract_all(props, '([a-z]+)', 1))")
         .cast("long")
         .alias("n_word_runs"),

@@ -87,7 +87,7 @@ def _weighted_avg_udf():
     oracle="""
     SELECT
         l_linestatus,
-        sum(l_extendedprice * l_quantity) / sum(l_quantity) AS wavg_price
+        round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
     FROM lineitem
     GROUP BY l_linestatus
     """,
@@ -101,9 +101,9 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     weighted_avg = _weighted_avg_udf()
     return li.groupBy("l_linestatus").agg(
-        weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")).alias(
-            "wavg_price"
-        )
+        F.round(
+            weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("wavg_price")
     )
 
 

@@ -189,17 +189,18 @@ def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         n_regionkey,
-        list_sort(list(n_name))                        AS nations,
+        array_to_string(list_sort(list(n_name)), '|')  AS nations,
         CAST(count(*) AS BIGINT)                       AS n
     FROM nation
     GROUP BY n_regionkey
     """,
 )
 def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list + sort_array for deterministic array aggregation."""
+    """collect_list + sort_array for deterministic array aggregation,
+    serialized to a '|'-joined string at the edge (no ARRAY edges)."""
     n = load(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -392,11 +393,11 @@ def agg_percentile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_regression",
     oracle="""
     SELECT l_returnflag,
-           corr(l_quantity, l_extendedprice)      AS qty_price_corr,
-           covar_pop(l_quantity, l_extendedprice) AS qty_price_covar,
-           regr_slope(l_extendedprice, l_quantity)     AS price_per_qty,
-           regr_intercept(l_extendedprice, l_quantity) AS price_at_zero,
-           regr_r2(l_extendedprice, l_quantity)        AS fit_r2,
+           round(corr(l_quantity, l_extendedprice), 6)      AS qty_price_corr,
+           round(covar_pop(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS price_per_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS price_at_zero,
+           round(regr_r2(l_extendedprice, l_quantity), 9)        AS fit_r2,
            CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
     FROM lineitem
     GROUP BY l_returnflag
@@ -410,11 +411,17 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregate map-side like any sum; no second pass."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-        F.covar_pop("l_quantity", "l_extendedprice").alias("qty_price_covar"),
-        F.regr_slope("l_extendedprice", "l_quantity").alias("price_per_qty"),
-        F.regr_intercept("l_extendedprice", "l_quantity").alias("price_at_zero"),
-        F.regr_r2("l_extendedprice", "l_quantity").alias("fit_r2"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "price_per_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias(
+            "price_at_zero"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 9).alias("fit_r2"),
         F.regr_count("l_extendedprice", "l_quantity")
         .cast("long")
         .alias("n_pairs"),

@@ -250,8 +250,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         same_label,
         CAST(count(*) AS BIGINT)  AS n_pairs,
-        avg(cosine)               AS avg_cosine,
-        max(cosine)               AS max_cosine
+        round(avg(cosine), 9)     AS avg_cosine,
+        round(max(cosine), 9)     AS max_cosine
     FROM pairs
     GROUP BY same_label
     """,
@@ -276,8 +276,8 @@ def similarity_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("same_label")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.avg("cosine").alias("avg_cosine"),
-            F.max("cosine").alias("max_cosine"),
+            F.round(F.avg("cosine"), 9).alias("avg_cosine"),
+            F.round(F.max("cosine"), 9).alias("max_cosine"),
         )
     )
 
@@ -521,7 +521,9 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            round(scale, 6) AS scale_r,
-           list_transform(vec, x -> CAST(round(x * scale) AS INT)) AS qvec
+           array_to_string(
+               list_transform(vec, x -> CAST(CAST(round(x * scale) AS INT) AS VARCHAR)),
+               '|') AS qvec
     FROM s
     """,
 )
@@ -549,5 +551,8 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "vec_id",
         F.round("scale", 6).alias("scale_r"),
-        F.expr("transform(vec, x -> CAST(round(x * scale) AS INT))").alias("qvec"),
+        F.expr(
+            "array_join(transform(vec, x -> "
+            "CAST(CAST(round(x * scale) AS INT) AS STRING)), '|')"
+        ).alias("qvec"),
     )

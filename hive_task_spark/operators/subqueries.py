@@ -32,7 +32,7 @@ def _rev():
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT sum(l_extendedprice * l_discount) AS revenue
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -51,7 +51,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1997-01-01")
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
 
 
 @register(
@@ -94,7 +98,7 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_nation_volume",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
@@ -144,17 +148,17 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             _rev().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").alias("revenue"))
+        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
     )
 
 
 @register(
     "q14_promo_share",
     oracle="""
-    SELECT 100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
                             THEN l.l_extendedprice * (1 - l.l_discount)
                             ELSE 0.0 END)
-                / sum(l.l_extendedprice * (1 - l.l_discount)) AS promo_revenue_pct
+                / sum(l.l_extendedprice * (1 - l.l_discount)), 9) AS promo_revenue_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
@@ -173,10 +177,11 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .agg(
-            (
+            F.round(
                 100.0
                 * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
-                / F.sum(rev)
+                / F.sum(rev),
+                9,
             ).alias("promo_revenue_pct")
         )
     )
@@ -186,7 +191,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     oracle="""
     WITH rev AS (
-        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -208,7 +213,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     s = load(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_revenue"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(_rev()), 4).alias("total_revenue")
+    )
     return (
         s.join(rev, s["s_suppkey"] == rev["l_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
@@ -220,7 +227,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT sum(l.l_extendedprice) / 7.0 AS avg_yearly
+    SELECT round(sum(l.l_extendedprice) / 7.0, 3) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#13'
@@ -245,7 +252,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(thresh, li["l_partkey"] == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 3).alias("avg_yearly"))
     )
 
 
@@ -300,7 +307,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
@@ -336,7 +343,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 50)
         )
     )
-    return j.filter(cond).agg(F.sum(_rev()).alias("revenue"))
+    return j.filter(cond).agg(F.round(F.sum(_rev()), 4).alias("revenue"))
 
 
 @register(
@@ -344,7 +351,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_nationkey,
            CAST(count(*) AS BIGINT) AS numcust,
-           sum(c.c_acctbal)         AS totacctbal
+           round(sum(c.c_acctbal), 2) AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (
@@ -373,7 +380,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").cast("long").alias("numcust"),
-            F.sum("c_acctbal").alias("totacctbal"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 
@@ -448,7 +455,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_stock",
     oracle="""
     WITH val AS (
-        SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS part_value
+        SELECT l.l_partkey, round(sum(l.l_extendedprice * l.l_quantity), 2) AS part_value
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
@@ -477,7 +484,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2
+            ).alias("part_value")
         )
     )
     thresh = val.agg((3.0 * F.avg("part_value")).alias("threshold"))

@@ -95,14 +95,14 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         o_custkey,
         o_orderkey,
-        sum(o_totalprice) OVER (
+        round(sum(o_totalprice) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS running_spend,
-        avg(o_totalprice) OVER (
+        ), 2) AS running_spend,
+        round(avg(o_totalprice) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-        ) AS moving_avg_3
+        ), 4) AS moving_avg_3
     FROM orders
     """,
 )
@@ -113,10 +113,15 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum("o_totalprice")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("running_spend"),
-        F.avg("o_totalprice").over(w.rowsBetween(-2, 0)).alias("moving_avg_3"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg_3"
+        ),
     )
 
 

@@ -29,7 +29,7 @@ def _revenue():
     oracle="""
     SELECT
         l.l_orderkey,
-        sum(l.l_extendedprice * (1 - l.l_discount))  AS revenue,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
         CAST(epoch(o.o_orderdate) AS BIGINT)         AS orderdate_s,
         o.o_orderpriority
     FROM customer c
@@ -39,7 +39,7 @@ def _revenue():
       AND o.o_orderdate < TIMESTAMP '1995-03-15'
       AND l.l_shipdate  > TIMESTAMP '1995-03-15'
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, orderdate_s
+    ORDER BY revenue DESC, orderdate_s, l.l_orderkey
     LIMIT 10
     """,
 )
@@ -56,14 +56,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
             F.unix_timestamp("o_orderdate").cast("long").alias("orderdate_s"),
             "o_orderpriority",
         )
-        .orderBy(F.col("revenue").desc(), F.col("orderdate_s"))
+        .orderBy(F.col("revenue").desc(), F.col("orderdate_s"), F.col("l_orderkey"))
         .limit(10)
     )
 
@@ -73,7 +73,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         n.n_name                                    AS nation,
-        sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -110,7 +110,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
     )
 
 
@@ -120,7 +120,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         c.c_custkey,
         c.c_name,
-        sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
         c.c_acctbal,
         n.n_name                                    AS nation
     FROM customer c
@@ -149,7 +149,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -202,8 +202,8 @@ def sql_hiveql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END)
-             / sum(volume) AS mkt_share
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END)
+             / sum(volume), 9) AS mkt_share
     FROM (
         SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
                l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -259,16 +259,20 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
-    share = F.sum(
-        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
-    ) / F.sum("volume")
+    share = F.round(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
+        )
+        / F.sum("volume"),
+        9,
+    )
     return joined.groupBy("o_year").agg(share.alias("mkt_share"))
 
 
 @register(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, sum(amount) AS sum_profit
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
                CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
@@ -310,7 +314,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").alias("sum_profit"))
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
     )
 
 

@@ -1,8 +1,17 @@
 """Differential comparison: Spark result vs DuckDB oracle result.
 
-Mirrors the driver's check (row-count + schema + order-insensitive
-values) but with an explicit float tolerance so we catch real logic
-bugs locally without tripping on summation-order noise.
+Two modes:
+
+* ``strict`` (the default, driver-faithful): columns sorted by name,
+  rows sorted via pandas ``sort_values`` over all columns (which raises
+  ``TypeError: unhashable type`` on ARRAY/MAP cells — exactly like the
+  driver's canonicalizer, so complex-typed edges fail HERE, not at the
+  driver), then **exact** value equality — no float tolerance, no
+  list→tuple coercion.  A query that needs tolerance is a query whose
+  edge isn't deterministic enough; fix the edge (round on both sides).
+
+* ``tolerant`` (opt-in via ``rtol``): the round-1 comparator, kept only
+  for explicitly-annotated noisy aggregates.
 """
 
 from __future__ import annotations
@@ -12,20 +21,49 @@ import math
 import numpy as np
 import pandas as pd
 
+# Queries whose oracle comparison is allowed float tolerance (must be a
+# deliberate, documented exception — anything here is invisible to the
+# driver's exact hash, so keep it empty unless truly unavoidable).
+TOLERANT_QUERIES: dict[str, float] = {}
+
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     # sort columns by name (driver does the same), stabilize dtypes
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).dt.tz_localize(None)
         elif s.dtype == object:
-            # lists/arrays → tuples so they sort & compare
-            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            nn = s.dropna()
+            if len(nn) and isinstance(nn.iloc[0], (_dt.date, _dt.datetime)):
+                # DuckDB returns DATE as datetime.date objects; Spark as
+                # datetime64 — unify so strict equality is type-stable.
+                df[c] = pd.to_datetime(s).dt.tz_localize(None)
+            elif len(nn) and isinstance(nn.iloc[0], _Dec):
+                df[c] = s.map(lambda v: float(v) if v is not None else None)
         elif pd.api.types.is_extension_array_dtype(s):
             df[c] = s.astype(object).where(~s.isna(), None)
     return df
+
+
+def _canon_strict(df: pd.DataFrame, name: str) -> pd.DataFrame:
+    """Driver-faithful canonicalization: pandas sort_values over every
+    column.  Raises (like the driver) if any cell is unhashable."""
+    df = _normalize(df)
+    if df.empty:
+        return df.reset_index(drop=True)
+    try:
+        return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    except TypeError as e:  # unhashable list/ndarray cell
+        raise AssertionError(
+            f"{name}: complex-typed edge column crashes driver canonicalizer: {e}"
+        ) from e
 
 
 def _sort_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -41,11 +79,51 @@ def _sort_rows(df: pd.DataFrame) -> pd.DataFrame:
     return df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
 
 
-def assert_frames_match(
+def _is_null(v) -> bool:
+    return v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT
+
+
+def assert_frames_match_strict(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str
+) -> None:
+    """Exact, driver-faithful comparison — no tolerance of any kind."""
+    a = _canon_strict(spark_pdf, name)
+    b = _canon_strict(oracle_pdf, name)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: column mismatch spark={list(a.columns)} oracle={list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{name}: row count spark={len(a)} oracle={len(b)}"
+    for c in a.columns:
+        av = a[c].to_numpy(dtype=object)
+        bv = b[c].to_numpy(dtype=object)
+        for i in range(len(av)):
+            x, y = av[i], bv[i]
+            if _is_null(x) and _is_null(y):
+                continue
+            if _is_null(x) != _is_null(y) or x != y:
+                raise AssertionError(
+                    f"{name}: column {c} differs (strict) at row {i}: "
+                    f"spark={x!r} oracle={y!r}"
+                )
+
+
+def assert_frames_match_tolerant(
     spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str, rtol: float = 1e-6
 ) -> None:
-    a = _sort_rows(_normalize(spark_pdf))
-    b = _sort_rows(_normalize(oracle_pdf))
+    """Round-1 comparator: float tolerance + list→tuple coercion.
+    Only for queries in TOLERANT_QUERIES."""
+
+    def _coerce(df: pd.DataFrame) -> pd.DataFrame:
+        df = _normalize(df)
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+                )
+        return df
+
+    a = _sort_rows(_coerce(spark_pdf))
+    b = _sort_rows(_coerce(oracle_pdf))
     assert list(a.columns) == list(b.columns), (
         f"{name}: column mismatch spark={list(a.columns)} oracle={list(b.columns)}"
     )
@@ -71,3 +149,16 @@ def assert_frames_match(
                     f"{name}: column {c} differs at row {i}: "
                     f"spark={av.iloc[i]!r} oracle={bv.iloc[i]!r}"
                 )
+
+
+def assert_frames_match(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str, rtol: float = 1e-6
+) -> None:
+    """Dispatch: strict (driver-faithful) unless the query is explicitly
+    annotated tolerant in TOLERANT_QUERIES."""
+    if name in TOLERANT_QUERIES:
+        assert_frames_match_tolerant(
+            spark_pdf, oracle_pdf, name, rtol=TOLERANT_QUERIES[name]
+        )
+    else:
+        assert_frames_match_strict(spark_pdf, oracle_pdf, name)
