@@ -101,11 +101,33 @@ def json_to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("json_schema_inference")  # rows-only: schema_of_json output format is engine-specific
+@register(
+    "json_schema_inference",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT)    AS k_parsed,
+           json_extract(props, '$.k') IS NOT NULL        AS has_k
+    FROM events
+    """,
+)
 def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """schema_of_json — runtime schema discovery for semi-structured data."""
+    """schema_of_json — runtime schema discovery for semi-structured
+    data. The schema STRING itself is engine-specific, so the check is
+    behavioral: parse every row with the schema inferred from one
+    sample via from_json and emit the typed field, which must equal
+    the oracle's direct json_extract. One driver-side sample row is
+    the standard inference pattern (not a data collect)."""
     e = load(spark, sf_dir, "events")
     sample = e.select("props").first()["props"]
-    return e.limit(1).select(
-        F.schema_of_json(F.lit(sample)).alias("inferred_schema")
+    schema_str = (
+        spark.range(1)
+        .select(F.schema_of_json(F.lit(sample)).alias("s"))
+        .first()["s"]
+    )
+    return e.select(
+        "event_id", F.from_json("props", schema_str).alias("j")
+    ).select(
+        "event_id",
+        F.col("j.k").cast("long").alias("k_parsed"),
+        F.col("j.k").isNotNull().alias("has_k"),
     )

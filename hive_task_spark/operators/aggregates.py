@@ -69,25 +69,72 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct")  # rows-only: HLL++ values are engine-specific
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE                                      AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — THE distinct-count at 100 TB:
     constant memory per group vs. the exact expansion's shuffle blowup.
-    Returned alongside the exact count so the row is self-validating."""
+    The HLL value itself is engine-specific, so the edge emits the
+    exact count plus a deterministic error-bound check (approx within
+    5% of exact at rsd=0.01 — generous), which the oracle asserts TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_ok"),
+        )
     )
 
 
-@register("agg_approx_quantiles")  # rows-only: quantile sketch is engine-specific
+@register(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE                     AS p50_ok,
+           TRUE                     AS p95_ok
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx — sketch-based quantiles (no global sort)."""
+    """percentile_approx — sketch-based quantiles (no global sort).
+    The sketch value is engine-specific; the edge emits deterministic
+    sandwich bounds instead: the approx p50/p95 must land inside the
+    exact interpolated [p40,p60] / [p90,p99] windows, which the
+    oracle asserts TRUE (plus the group count, an exact anchor)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price"),
+    g = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
+        F.percentile("l_extendedprice", F.lit(0.4)).alias("e40"),
+        F.percentile("l_extendedprice", F.lit(0.6)).alias("e60"),
+        F.percentile("l_extendedprice", F.lit(0.90)).alias("e90"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("e99"),
+    )
+    return g.select(
+        "l_linestatus",
+        "n",
+        (F.col("a50").between(F.col("e40"), F.col("e60"))).alias("p50_ok"),
+        (F.col("a95").between(F.col("e90"), F.col("e99"))).alias("p95_ok"),
     )
 
 

@@ -36,6 +36,14 @@ _B = [_rng.randrange(0, _MERSENNE_P) for _ in range(_N_HASHES)]
 
 JACCARD_THRESHOLD = 0.85
 
+# Document-frequency cap: shingles appearing in more than DF_CAP docs
+# are dropped from the PAIR-GENERATING posting lists (not from the
+# Jaccard denominators). A stop-word-like shingle shared by 1M docs
+# would otherwise emit 10¹² candidate pairs (Σ df² blowup) — the
+# standard dedup-pipeline mitigation. On the fixture max df = 25, so
+# the cap is semantics-neutral here while bounding the worst case.
+DF_CAP = 1000
+
 
 _ORACLE_SHINGLES = """
         SELECT doc_id,
@@ -50,9 +58,11 @@ _ORACLE_SHINGLES = """
 _ORACLE_JACCARD_PAIRS = f"""
     WITH sh AS ({_ORACLE_SHINGLES}),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {DF_CAP}),
+    shk AS (SELECT sh.* FROM sh JOIN kept USING (shingle)),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT
@@ -68,12 +78,23 @@ _ORACLE_JACCARD_PAIRS = f"""
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
-    """Exact shingle-Jaccard pairs via explode + equi-join (no O(n²))."""
+    """Exact shingle-Jaccard pairs via explode + equi-join (no O(n²)),
+    with hot shingles (df > DF_CAP) excluded from the posting-list join
+    — bounding candidate count at Σ min(df, cap)² instead of Σ df²."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingle_rows(d).distinct()
+    # materialize-once: four consumers (sizes, df-cap, both join sides)
+    # would otherwise re-run the shingling window per reference.
+    sh = _shingle_rows(d).distinct().localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    kept = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("shingle")
+    )
+    shk = sh.join(kept, "shingle", "left_semi")
+    a = shk.alias("a")
+    b = shk.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -197,26 +218,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the band join replaces the infeasible all-pairs join.
     """
     d = load(spark, sf_dir, "documents")
-    # ONE pass total: explode shingles, hash each ONCE (md5 is the
-    # expensive part), then a single grouped aggregate computes BOTH
-    # the 64-permutation signature (map-side partial mins; the shuffle
-    # carries 64 longs per doc regardless of document size) AND the
-    # distinct shingle set needed for verification. The result is
-    # localCheckpoint-ed because three downstream branches (bands,
-    # verify-left, verify-right) reference it — without
-    # materialization each branch re-executes the whole shingle+agg
-    # subtree (only identical Exchanges are reused, and the shingle
-    # window sits above the exchange): measured 2.7s vs 1.8s at sf0.1.
-    # At 100 TB the materialization is the production design too
-    # (stage the signature table once, reliably — parquet/checkpoint —
-    # rather than re-deriving it per consumer); localCheckpoint is the
-    # single-job analog.
-    hashed = _shingle_rows(d).select(
+    # Corpus-wide work = ONE scan feeding the signature aggregate.
+    # The signature is only a CANDIDATE GENERATOR (verification below
+    # is exact), so it may use any deterministic per-shingle hash —
+    # here in-row xxhash64 over word triples from the split array,
+    # which avoids the posexplode+window shingle formulation entirely
+    # (no shuffle before the aggregate; the exact string shingles are
+    # only materialized for the tiny candidate set). min() is
+    # duplicate-insensitive, so no distinct — the raw hash stream goes
+    # straight into map-side partial mins and the shuffle carries 64
+    # longs per doc regardless of document size (no collect_set
+    # payload proportional to document length). pmod into the 28-bit
+    # universe keeps a*h+b below 2^59 (no int64 overflow under ANSI).
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    hashed = words.select(
         "doc_id",
-        "shingle",
-        F.expr("CAST(conv(substr(md5(shingle), 1, 7), 16, 10) AS BIGINT)").alias("h"),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 3 THEN "
+                "  transform(sequence(0, size(w) - 3), "
+                "            i -> pmod(xxhash64(w[i], w[i+1], w[i+2]), 268435456)) "
+                "ELSE array(pmod(xxhash64(array_join(w, ' ')), 268435456)) END"
+            )
+        ).alias("h"),
     )
-    sig = hashed.groupBy("doc_id").agg(
+    mins = hashed.groupBy("doc_id").agg(
         *[
             F.min(
                 F.pmod(
@@ -225,10 +251,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias(f"m{i}")
             for i in range(_N_HASHES)
-        ],
-        F.collect_set("shingle").alias("shingles"),
-    ).localCheckpoint()
-    mins = sig
+        ]
+    )  # band self-join: identical exchanges below are reused (ReusedExchange)
     # Band signature = xxhash64 of the band's 4 mins: an 8-byte join
     # key instead of a concat string. A (vanishingly rare) xxhash64
     # band collision only adds a false CANDIDATE, which exact
@@ -262,31 +286,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
         )
         .distinct()
+        .localCheckpoint()  # referenced three times below; tiny relation
     )
-    # exact-Jaccard verification of candidates only, reading the
-    # shingle sets from the SAME checkpointed relation as the bands
-    # (no second shingling pass, no per-branch recompute).
-    tok = sig.select("doc_id", "shingles", F.size("shingles").alias("n"))
-    ta = tok.alias("ta")
-    tb = tok.alias("tb")
+    # exact-Jaccard verification of candidates only, at (doc_id,
+    # shingle) grain (the decontaminate pattern, operators/
+    # pipeline.py) — never a set-valued shuffle column. Candidate
+    # pairs are a vanishing fraction of the corpus, so the docs they
+    # touch are re-shingled AFTER a broadcast semi-join restriction:
+    # every verification shuffle runs on the small restricted
+    # relation, and the corpus-wide stage stays signature-only.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d_cand = d.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    shc = _shingle_rows(d_cand).distinct()
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shc.alias("sa")
+    sb = shc.alias("sb")
+    common = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+            "left_semi",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
     verified = (
-        candidates.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
-        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
+        common.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect(F.col("ta.shingles"), F.col("tb.shingles")))
-            .cast("long")
-            .alias("n_common"),
-            F.col("ta.n").alias("na"),
-            F.col("tb.n").alias("nb"),
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.col("n_common")
+                / (F.col("za.n") + F.col("zb.n") - F.col("n_common"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
     )
     return verified
 
