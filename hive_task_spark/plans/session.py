@@ -58,6 +58,10 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # FAIR mode so the scheduler shim's pool tag (scheduler.put_work
+        # sets spark.scheduler.pool) actually shares the cluster across
+        # concurrent submissions; under default FIFO the tag is inert.
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -106,7 +106,11 @@ def put_work(scheduler: Scheduler, work: Work) -> None:
             from pyspark.sql import SparkSession
 
             active = SparkSession.getActiveSession()
-            if active is not None:  # share the cluster fairly across work
+            if active is not None:
+                # Share the cluster fairly across work items. Effective
+                # when the hosting session runs spark.scheduler.mode=FAIR
+                # (plans.session.get_session sets it); under FIFO the
+                # pool tag is advisory and submissions run in order.
                 active.sparkContext.setLocalProperty(
                     "spark.scheduler.pool", scheduler.fair_pool
                 )
@@ -119,6 +123,57 @@ def put_work(scheduler: Scheduler, work: Work) -> None:
                 scheduler.crashes.append(exc)
 
     scheduler._executor.submit(_run)
+
+
+@dataclass
+class Timer:
+    """One-shot timer parity (/root/reference/src/timers.lisp:3-10):
+    stores name, callback, duration and the relative/absolute flag so
+    the timer can be (re)started when needed."""
+
+    name: str
+    function: Callable
+    duration: float
+    absolute: bool = False
+    _handle: threading.Timer | None = field(default=None, repr=False)
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+
+def make_timer(
+    name: str, function: Callable, time_s: float, absolute: bool = False
+) -> Timer:
+    """Construct (don't start) a one-shot timer
+    (/root/reference/src/timers.lisp:12-19). ``time_s`` is seconds from
+    now, or an absolute POSIX timestamp when ``absolute`` is true —
+    the ``sb-ext:schedule-timer`` :absolute-p semantics."""
+    return Timer(name=name, function=function, duration=time_s, absolute=absolute)
+
+
+def start_timer(timer: Timer) -> None:
+    """Schedule the timer (/root/reference/src/timers.lisp:21-27).
+    Re-starting an already-scheduled timer re-schedules it (cancels the
+    pending firing first), matching ``sb-ext:schedule-timer`` on an
+    already-scheduled timer."""
+    import time as _time
+
+    delay = (
+        max(0.0, timer.duration - _time.time()) if timer.absolute else timer.duration
+    )
+    with timer._lock:
+        if timer._handle is not None:
+            timer._handle.cancel()
+        timer._handle = threading.Timer(delay, timer.function)
+        timer._handle.daemon = True
+        timer._handle.start()
+
+
+def stop_timer(timer: Timer) -> None:
+    """Unschedule without firing (/root/reference/src/timers.lisp:29-34);
+    idempotent, safe on a never-started timer."""
+    with timer._lock:
+        if timer._handle is not None:
+            timer._handle.cancel()
+            timer._handle = None
 
 
 #: default instance, the `*scheduler*` special variable (packages.lisp:75)

@@ -102,3 +102,12 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_sessionize_events")
     # formatted mode prints each operator twice (tree + details)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_funnel_one_row_sides_broadcast(spark, sf_dir):
+    """analytics_funnel chains two crossJoins of single-row aggregates;
+    both must plan as BroadcastNestedLoopJoin via explicit hints (AQE-
+    independent), never a CartesianProduct or shuffled NL join."""
+    plan = _plan(spark, sf_dir, "analytics_funnel")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -74,3 +74,72 @@ def test_put_work_requires_running():
         raise AssertionError("expected RuntimeError")
     except RuntimeError:
         pass
+
+
+def test_timer_relative_fires():
+    """make_timer/start_timer: relative one-shot fires once
+    (/root/reference/src/timers.lisp:12-27 semantics)."""
+    import threading
+
+    from hive_task_spark.scheduler import make_timer, start_timer
+
+    fired = threading.Event()
+    t = make_timer("t-rel", fired.set, 0.05)
+    start_timer(t)
+    assert fired.wait(timeout=2.0)
+
+
+def test_timer_absolute_fires():
+    """absolute? -> time is a POSIX timestamp, not a delay."""
+    import threading
+    import time
+
+    from hive_task_spark.scheduler import make_timer, start_timer
+
+    fired = threading.Event()
+    t = make_timer("t-abs", fired.set, time.time() + 0.05, absolute=True)
+    start_timer(t)
+    assert fired.wait(timeout=2.0)
+
+
+def test_timer_stop_unschedules():
+    """stop_timer cancels a pending firing; idempotent on unstarted
+    timers (/root/reference/src/timers.lisp:29-34)."""
+    import threading
+    import time
+
+    from hive_task_spark.scheduler import make_timer, start_timer, stop_timer
+
+    fired = threading.Event()
+    t = make_timer("t-stop", fired.set, 0.3)
+    start_timer(t)
+    stop_timer(t)
+    time.sleep(0.5)
+    assert not fired.is_set()
+    stop_timer(t)  # idempotent
+
+    never = make_timer("t-never", fired.set, 0.1)
+    stop_timer(never)  # safe on never-started
+
+
+def test_timer_restart_reschedules():
+    """Re-starting a scheduled timer replaces the pending firing."""
+    import threading
+
+    from hive_task_spark.scheduler import make_timer, start_timer
+
+    count = {"n": 0}
+    done = threading.Event()
+
+    def bump():
+        count["n"] += 1
+        done.set()
+
+    t = make_timer("t-re", bump, 0.2)
+    start_timer(t)
+    start_timer(t)  # reschedule before first firing
+    assert done.wait(timeout=2.0)
+    import time
+
+    time.sleep(0.3)
+    assert count["n"] == 1
