@@ -327,3 +327,198 @@ def pipeline_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("q"))
         .select("doc_id", "source", F.col("rn").cast("long").alias("pick_order"))
     )
+
+
+@register(
+    "pipeline_chunk_sliding",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS words,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+        WHERE doc_id < 500
+    ),
+    c AS (
+        SELECT doc_id, words, n,
+               unnest(range(0, CAST(1 + greatest(ceil((n - 50) / 40.0), 0) AS BIGINT)))
+                   AS chunk_idx
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT)                                    AS chunk_idx,
+           array_to_string(words[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ')
+                                                                        AS chunk_text,
+           CAST(len(words[chunk_idx * 40 + 1 : chunk_idx * 40 + 50]) AS BIGINT)
+                                                                        AS n_tokens
+    FROM c
+    """,
+)
+def pipeline_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token windows, stride 40 —
+    10-token overlap), the context-length prep stage of every training
+    pipeline. Pure row-local explode over an in-row sequence: chunk
+    count and slices are computed from the split array with zero
+    shuffles — scan-speed at any corpus size, and chunk rows stream
+    straight to the sink without materializing per-doc state."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    w = d.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    n_chunks = (
+        F.lit(1)
+        + F.greatest(
+            F.ceil((F.col("n") - 50) / F.lit(40.0)), F.lit(0).cast("long")
+        )
+    ).cast("long")
+    c = w.select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    sl = F.slice(
+        F.col("words"), (F.col("chunk_idx") * 40 + 1).cast("int"), 50
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: deterministic single-pass contiguous fill of
+    512-token packs per source (pack_id = exclusive-cumsum div budget)
+    — the streaming analog of first-fit packing that needs no per-bin
+    state. One windowed cumsum partitioned by source: at 100 TB the
+    window parallelizes across sources (and within a giant source the
+    same recipe applies per date-shard); no global window, no driver
+    state. Docs stay in stable doc_id order so a rerun packs
+    identically."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(win))
+    return c.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(512.0))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+@register(
+    "pipeline_length_buckets",
+    oracle="""
+    SELECT
+        CAST(floor(len(string_split(text, ' ')) / 32) * 32 AS BIGINT) AS bucket_lo,
+        CAST(count(*) AS BIGINT)                                      AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT)             AS sum_tokens,
+        CAST(max(len(string_split(text, ' '))) AS BIGINT)             AS max_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching prep: histogram of documents by
+    32-token length buckets with per-bucket token mass — the stats a
+    dynamic-batching loader needs to size batches without padding
+    waste. Map-side bucket assignment + partial+final aggregate; the
+    shuffle carries one row per bucket per partition."""
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        d.select((F.floor(n / 32) * 32).cast("long").alias("bucket_lo"), n.alias("nt"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("sum_tokens"),
+            F.max("nt").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "pipeline_dedup_keep_best",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS norm_hash,
+               CAST(length(text) AS BIGINT) AS len,
+               row_number() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+                   ORDER BY length(text) DESC, doc_id
+               ) AS rk,
+               count(*) OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+               ) AS n_copies
+        FROM documents
+    )
+    SELECT norm_hash,
+           doc_id              AS keeper_doc_id,
+           len                 AS keeper_len,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM g WHERE rk = 1
+    """,
+)
+def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keep-best: within each normalized-content duplicate
+    group, keep the highest-quality copy (longest raw text, doc_id
+    tiebreak) — the standard "keep the least-mangled variant" rule.
+    One window over the normalized hash: ranking and group size come
+    from the same single shuffle, and the hash is computed once
+    map-side (32-byte shuffle key, never the document body twice)."""
+    d = load(spark, sf_dir, "documents")
+    norm_hash = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " "))
+    g = d.select(
+        "doc_id", norm_hash.alias("norm_hash"), F.length("text").cast("long").alias("len")
+    )
+    win = Window.partitionBy("norm_hash")
+    rk = F.row_number().over(win.orderBy(F.col("len").desc(), "doc_id"))
+    return (
+        g.withColumn("rk", rk)
+        .withColumn("n_copies", F.count(F.lit(1)).over(win))
+        .filter(F.col("rk") == 1)
+        .select(
+            "norm_hash",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("len").alias("keeper_len"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+    )
