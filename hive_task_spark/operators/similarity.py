@@ -122,7 +122,67 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ann_lsh")  # rows-only: bucketed recall path, validated vs brute force in tests
+_PLANES_SQL = (
+    "CAST(["
+    + ",".join(
+        "["
+        + ",".join(
+            "[" + ",".join(str(x) for x in plane) + "]" for plane in table
+        )
+        + "]"
+        for table in _PLANES
+    )
+    + "] AS DOUBLE[][][])"
+)
+
+_ORACLE_ANN_LSH = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    b AS (
+        SELECT vec_id, vec, nrm,
+               list_transform({_PLANES_SQL}, tbl ->
+                 list_sum(list_transform(range(1, {_N_PLANES} + 1), i ->
+                   CASE WHEN list_sum(list_transform(list_zip(vec, tbl[i]),
+                                                     p -> p[1] * p[2])) > 0
+                        THEN CAST(pow(2, i - 1) AS INT) ELSE 0 END))) AS buckets
+        FROM n
+    ),
+    corpus AS (
+        SELECT vec_id, vec, nrm, t.i AS table_id,
+               CAST(buckets[t.i + 1] AS INT) AS bucket
+        FROM b, range({_N_TABLES}) t(i)
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm, t.i AS table_id,
+               CAST(unnest(list_distinct(list_prepend(buckets[t.i + 1],
+                 list_transform(range(0, {_N_PLANES}), j ->
+                   xor(buckets[t.i + 1], (1 << j)))))) AS INT) AS bucket
+        FROM b, range({_N_TABLES}) t(i)
+        WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(p.qvec, c.vec), z -> z[1] * z[2]))
+                   / (p.qnrm * c.nrm) AS cosine
+        FROM probes p JOIN corpus c USING (table_id, bucket)
+        WHERE p.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           round(cosine, 6) AS cosine_r
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM cand)
+    WHERE rnk <= {TOP_K}
+"""
+
+
+@register("similarity_ann_lsh", oracle=_ORACLE_ANN_LSH)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane sign-LSH: 8 tables × 4-bit
     buckets → candidates share (table, bucket) with a query → exact
@@ -132,7 +192,11 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB path: the crossJoin becomes an equi-join on a composite
     (table_id, bucket) key — shuffle volume O(corpus × L), candidate
     volume O(corpus × bucket-density), never O(n²). Recall vs exact
-    brute force is asserted in tests/test_properties.py.
+    brute force is asserted in tests/test_properties.py; the oracle is
+    a full DuckDB twin of the deterministic LSH pipeline (fixed seed-7
+    planes embedded in both plans, sequential-sum dot products), so the
+    approximate path is hash-checked cross-engine, not just
+    recall-bounded.
     """
     e = load(spark, sf_dir, "embeddings")
     planes_lit = (
