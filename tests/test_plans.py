@@ -111,3 +111,23 @@ def test_funnel_one_row_sides_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "analytics_funnel")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_pure_map(spark, sf_dir):
+    """pipeline_chunk_sliding must compile to a shuffle-free map plan:
+    no Exchange, no Window, no aggregate — chunk rows stream from the
+    scan to the sink."""
+    plan = _plan(spark, sf_dir, "pipeline_chunk_sliding")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_pack_and_keep_best_single_shuffle(spark, sf_dir):
+    """pipeline_pack_sequences: one per-source window. keep-best: rank
+    and group size share one norm_hash window partitioning — at most
+    one hash-partitioning exchange each (formatted mode double-prints
+    operators: tree + details)."""
+    for name in ("pipeline_pack_sequences", "pipeline_dedup_keep_best"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") <= 2, name
