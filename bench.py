@@ -5,9 +5,10 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed end-to-end (plan construction + execution) with a
 `noop` sink so we measure engine work, not driver-side row transfer.
-Each query runs twice and reports the best of the two — steady-state
-engine throughput, excluding one-off JIT/footer/shuffle-file warmup
-noise (±15% run-to-run otherwise; methodology recorded in BASELINE.md).
+Each query runs three times and reports the best — steady-state engine
+throughput, excluding one-off JIT/footer/shuffle-file warmup noise and
+external machine-load spikes (single runs wobble ±20% on a loaded box;
+methodology recorded in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -66,7 +67,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = registry.QUERIES[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
