@@ -106,3 +106,41 @@ def date_construction_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "date_calendar_arithmetic",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)      AS plus_3m,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+        round(CAST(date_diff('day',
+                   TIMESTAMP '1995-01-01', o_orderdate) AS DOUBLE) / 30.4375, 6)
+                                                               AS months_since_r,
+        CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)  AS q_start,
+        CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)     AS w_start
+    FROM orders
+    WHERE o_orderkey < 5000
+    """,
+)
+def date_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic: add_months, last_day, fractional month
+    distance, quarter/week truncation. months_between has engine-
+    specific day-fraction semantics (Spark uses 31-day months), so the
+    cross-engine edge uses day-count / mean-month-length rounded to
+    6dp — identical arithmetic on both sides; add_months and last_day
+    ARE exact cross-engine (calendar-aware on both)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3m"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.round(
+            F.datediff("o_orderdate", F.lit("1995-01-01").cast("date"))
+            / F.lit(30.4375),
+            6,
+        ).alias("months_since_r"),
+        F.date_trunc("quarter", "o_orderdate").alias("q_start"),
+        F.date_trunc("week", "o_orderdate").alias("w_start"),
+    )

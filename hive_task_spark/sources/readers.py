@@ -239,3 +239,56 @@ def source_json_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("sum_region_good"),
     )
+
+
+@register(
+    "source_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT)     AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_spend
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both tables written bucketBy(8)
+    + sortBy on the join key, so the SortMergeJoin reads bucket files
+    pre-partitioned AND pre-sorted — no Exchange and no Sort under
+    the join (plan-asserted in tests/test_plans.py). This is THE
+    scale pattern for a fact-fact join both of whose sides are too big
+    to broadcast: at 100 TB, bucketing both tables once at write time
+    removes the shuffle from every subsequent join on that key. The
+    merge hint forces the comparison against the broadcast-free plan;
+    the result is oracle-checked against the unbucketed originals."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    for tbl in ("ht_orders_b", "ht_customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        o.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", _scratch("orders_bucketed"))
+        .saveAsTable("ht_orders_b")
+    )
+    (
+        c.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", _scratch("customer_bucketed"))
+        .saveAsTable("ht_customer_b")
+    )
+    ob = spark.table("ht_orders_b")
+    cb = spark.table("ht_customer_b")
+    return (
+        ob.hint("merge")
+        .join(cb, ob["o_custkey"] == cb["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )

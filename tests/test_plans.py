@@ -131,3 +131,14 @@ def test_pack_and_keep_best_single_shuffle(spark, sf_dir):
     for name in ("pipeline_pack_sequences", "pipeline_dedup_keep_best"):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("Exchange hashpartitioning") <= 2, name
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """source_bucketed_join: both scans must read bucketed files
+    (Bucketed: true) and the forced SortMergeJoin must have no
+    hash-partitioning exchange under it — the write-time bucketing
+    replaced the join shuffle."""
+    plan = _plan(spark, sf_dir, "source_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") >= 2
+    assert "Exchange hashpartitioning" not in plan
