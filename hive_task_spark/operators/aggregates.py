@@ -473,3 +473,41 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pairs"),
     )
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT)      AS n,
+               avg(l_quantity)               AS m1,
+               avg(l_quantity * l_quantity)  AS m2r,
+               avg(l_quantity * l_quantity * l_quantity) AS m3r,
+               avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+                 / pow(m2r - m1 * m1, 1.5), 6)                   AS skew_r,
+           round((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1)
+                 / pow(m2r - m1 * m1, 2.0) - 3.0, 6)             AS kurt_r
+    FROM m
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregates: population skewness (m3/m2^1.5) and
+    excess kurtosis (m4/m2² − 3) — Spark's skewness/kurtosis
+    definitions. The oracle derives them from raw power-moment
+    averages (engines disagree on SAMPLE-moment corrections, not on
+    the moments themselves); rounded to 6dp at the edge because the
+    one-pass central-moment update and the raw-moment formula differ
+    in the last ulps. Algebraic aggregates → map-side partial, one
+    row per group through the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.skewness("l_quantity"), 6).alias("skew_r"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_r"),
+    )
