@@ -208,3 +208,78 @@ def asof_join_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     return o.groupBy("o_custkey").applyInPandas(_merge_asof_group, _MERGE_ASOF_SCHEMA)
+
+
+@register(
+    "asof_join_forward_tolerance",
+    oracle="""
+    SELECT event_id, user_id, next_purchase_id, secs_to_purchase
+    FROM (
+        SELECT
+            v.event_id,
+            v.user_id,
+            b.event_id                                        AS next_purchase_id,
+            CAST(date_diff('second', v.ts, b.ts) AS BIGINT)   AS secs_to_purchase,
+            row_number() OVER (
+                PARTITION BY v.event_id
+                ORDER BY b.ts ASC, b.event_id ASC)            AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+          ON b.user_id = v.user_id
+         AND b.ts > v.ts
+         AND b.ts <= v.ts + INTERVAL 7 DAY
+    )
+    WHERE rn = 1
+    """,
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each view event matched to
+    the same user's NEXT purchase within 7 days (pandas merge_asof
+    direction='forward', tolerance=7d semantics).
+
+    Union-window rewrite mirrors the backward variant: build rows sort
+    BEFORE probe rows at equal time (strict >), ``first(build_struct,
+    ignorenulls)`` over [current, unbounded following] picks the
+    earliest later build (event_id tiebreak), and the tolerance is a
+    post-filter on the matched timestamp. ONE shuffle on user_id —
+    same 100 TB posture as the backward form."""
+    e = load(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side"),
+        F.lit(None).cast("struct<bid:bigint,bts:timestamp>").alias("b"),
+    )
+    build = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("side"),
+        F.struct(
+            F.col("event_id").alias("bid"), F.col("ts").alias("bts")
+        ).alias("b"),
+    )
+    u = probe.unionByName(build)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", F.col("b.bid").asc_nulls_last())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = (
+        u.withColumn("nxt", F.first("b", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(
+                F.col("nxt.bts") <= F.col("ts") + F.expr("INTERVAL 7 DAYS"),
+                F.col("nxt"),
+            ).alias("m"),
+            "ts",
+        )
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.col("m.bid").alias("next_purchase_id"),
+        (F.unix_timestamp("m.bts") - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("secs_to_purchase"),
+    )
