@@ -397,3 +397,90 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_count")
         .agg(F.count("*").cast("long").alias("custdist"))
     )
+
+
+_SQL_LATERAL_TOPK = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2) t
+"""
+
+
+@register("sql_lateral_topk", oracle=_SQL_LATERAL_TOPK)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    top-2 orders per customer written the declarative way. Catalyst
+    decorrelates the lateral into a ranked window join (the same plan
+    the hand-written window_topk_per_group builds); the IDENTICAL SQL
+    text runs on DuckDB as the oracle. Proves the SQL surface accepts
+    lateral correlation, not just the DataFrame rewrites."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_LATERAL_TOPK)
+
+
+_SQL_CORRELATED_EXISTS = """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    )
+"""
+
+
+@register("sql_correlated_exists", oracle=_SQL_CORRELATED_EXISTS)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a nested uncorrelated scalar subquery,
+    executed as RAW SQL — Catalyst decorrelates to a semi-join against
+    the scalar-filtered orders (one fact scan, broadcast scalar),
+    which is exactly the manual rewrite in q22/q4. Identical text is
+    the DuckDB oracle. The declarative path and the DataFrame rewrite
+    path are both first-class."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_CORRELATED_EXISTS)
+
+
+_SQL_RECURSIVE_CHAIN = """
+    WITH RECURSIVE edges AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               lead(o_orderkey)   OVER w AS next_key,
+               lead(o_totalprice) OVER w AS next_price,
+               row_number()       OVER w AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    chain AS (
+        SELECT o_custkey AS ck, o_orderkey AS ok, CAST(1 AS BIGINT) AS depth,
+               round(o_totalprice, 2) AS cum
+        FROM edges WHERE rn = 1
+        UNION ALL
+        SELECT c.ck, e.next_key, c.depth + 1, round(c.cum + e.next_price, 2)
+        FROM chain c JOIN edges e ON e.o_orderkey = c.ok
+        WHERE e.next_key IS NOT NULL
+    )
+    SELECT ck AS c_custkey,
+           CAST(max(depth) AS BIGINT) AS n_orders,
+           round(max(cum), 2)         AS total_spend
+    FROM chain
+    GROUP BY ck
+"""
+
+
+@register("sql_recursive_cte", oracle=_SQL_RECURSIVE_CHAIN)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each customer's
+    order chain from the first order, accumulating depth and running
+    spend — the linked-list traversal shape (org charts, BOM
+    explosions) that plain joins can't express. The chain edges are a
+    one-pass window CTE; each recursion step is a keyed equi-join, so
+    the iteration count is the longest chain, not the row count.
+    Identical SQL text is the DuckDB oracle; per-step round keeps the
+    running sum exact-decimal on both engines."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_RECURSIVE_CHAIN)
