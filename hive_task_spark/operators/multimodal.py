@@ -212,3 +212,69 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(scale * F.col("width")).cast("int").alias("out_width"),
         F.floor(scale * F.col("height")).cast("int").alias("out_height"),
     )
+
+
+def _audio_window_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel with 1:N row shape: each audio payload emits
+    one row PER 32-byte analysis window (rows out != rows in — the
+    batch shape a scalar UDF cannot produce). Swap the uint8 view for
+    a real PCM decode and the plan is unchanged."""
+    import numpy as np
+
+    if USE_REAL_DECODER:
+        raise NotImplementedError(
+            "real audio decoding requires torchaudio/ffmpeg, absent here"
+        )
+    for pdf in it:
+        rows: dict[str, list] = {
+            "doc_id": [], "win_idx": [], "mean_amp": [], "peak_amp": []
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            for w in range(len(arr) // 32):
+                win = arr[w * 32 : (w + 1) * 32]
+                rows["doc_id"].append(doc_id)
+                rows["win_idx"].append(w)
+                rows["mean_amp"].append(float(win.mean()))
+                rows["peak_amp"].append(int(win.max()))
+        yield pd.DataFrame(rows).astype(
+            {"doc_id": "int64", "win_idx": "int64",
+             "mean_amp": "float64", "peak_amp": "int64"}
+        )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), c -> unicode(c)) AS s
+        FROM documents
+        WHERE doc_id % 3 + 1 = 2  -- audio modality
+    ),
+    w AS (
+        SELECT doc_id, s, unnest(range(0, len(s) // 32)) AS win_idx
+        FROM a WHERE len(s) >= 32
+    )
+    SELECT doc_id,
+           CAST(win_idx AS BIGINT)                                    AS win_idx,
+           CAST(list_avg(s[win_idx * 32 + 1 : win_idx * 32 + 32]) AS DOUBLE)
+                                                                      AS mean_amp,
+           CAST(list_max(s[win_idx * 32 + 1 : win_idx * 32 + 32]) AS BIGINT)
+                                                                      AS peak_amp
+    FROM w
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction: 32-byte pseudo-PCM analysis
+    windows per 'audio' asset, mean + peak amplitude per window, via a
+    1:N ``mapInPandas`` kernel (one input asset → many window rows).
+    The modality filter prunes BEFORE the Python stage so the kernel
+    only receives audio blobs; window means are exact dyadic doubles
+    (sum of ints / 32), bit-identical to the oracle's list_avg."""
+    a = _assets(spark, sf_dir)
+    audio = a.filter(F.col("meta.modality") == "audio").select("doc_id", "payload")
+    return audio.mapInPandas(
+        _audio_window_batches,
+        "doc_id long, win_idx long, mean_amp double, peak_amp long",
+    )
