@@ -511,3 +511,33 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 6).alias("skew_r"),
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt_r"),
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name)          AS names_csv,
+           string_agg(DISTINCT n_name[1:1], '' ORDER BY n_name[1:1]) AS initials
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg WITHIN GROUP (ORDER BY ...) — ordered string
+    aggregation (Spark 4 / ANSI listagg == DuckDB string_agg with
+    ORDER BY). The WITHIN GROUP ordering makes the concatenation
+    deterministic under any partitioning — the property that makes
+    string aggregation usable at all in a distributed engine."""
+    n = load(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("ht_nation_la")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names_csv,
+               listagg(DISTINCT substr(n_name, 1, 1), '')
+                   WITHIN GROUP (ORDER BY substr(n_name, 1, 1))    AS initials
+        FROM ht_nation_la
+        GROUP BY n_regionkey
+        """
+    )
