@@ -81,9 +81,10 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
-        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
-        # read as long and convert in tables.load (data is µs-aligned,
-        # verified across all SFs, so the conversion is lossless).
+        # Legacy support: if events.parquet ever ships TIMESTAMP(NANOS)
+        # again (it did in rounds 1-2), read it as a BIGINT of nanos and
+        # let tables.normalize_events_ts convert. Harmless for the
+        # current TIMESTAMP_MICROS encoding (conf only affects NANOS).
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
         try:

@@ -29,32 +29,27 @@ from pyspark.sql import types as T
 
 from hive_task_spark.plans.session import apply_runtime_conf
 from hive_task_spark.registry import register
+from hive_task_spark.tables import normalize_events_ts
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_scratch")
 
-# ts is LongType at scan time (nanosAsLong) — converted right after.
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file source; explicit schema
-    is mandatory for streaming scans — also the 100 TB posture)."""
+    is mandatory for streaming scans — also the 100 TB posture).
+
+    The schema is probed from the batch footer rather than hardcoded:
+    the testdata's ts encoding has changed between rounds (NANOS-as-long
+    vs TIMESTAMP_MICROS NTZ), and a hardcoded LongType read of a MICROS
+    column is SILENTLY 1000× off, not a crash. `normalize_events_ts`
+    branches on the real dtype either way."""
     apply_runtime_conf(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def _run_to_table(
