@@ -50,40 +50,49 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every module that registers queries (idempotent).
 
-    ORDER MATTERS: external audits sample queries in registration
-    order, so the flagship families register first — TPC-H workloads
-    and subqueries, joins, dedup, pipeline, as-of (exactly 50
-    oracle-backed queries), then the remaining operator families,
-    then scalar-function suites, sources, and streaming.
+    ORDER MATTERS: external audits sample the FIRST 50 queries in
+    registration order, and the window rotates every round so each
+    family eventually gets audit signal (CLAUDE.md).
+
+    Round-3 window (exactly 50, all with zero prior audit signal):
+    relational(9) + windows(7) + setops(6) + asof(4) + sources(7) +
+    streaming(10) + similarity(7). Rounds 1-2 confirmed TPC-H
+    workloads/subqueries, joins, dedup, most of pipeline/aggregates,
+    and the scalar-function suites; round 4 should rotate in text,
+    quality, multimodal, analytics, and the function suites that were
+    red in round 1 (arrays/maps/json/math/strings) for re-confirmation.
     """
     # Imports are inside the function so `import hive_task_spark` stays
     # cheap and circular-import-free; modules self-register on import.
     from hive_task_spark.operators import (  # noqa: F401
+        relational,
+        windows,
+        setops,
+        asof,
+    )
+    from hive_task_spark.sources import readers  # noqa: F401
+    from hive_task_spark.streaming import stream_queries  # noqa: F401
+    from hive_task_spark.operators import (  # noqa: F401
+        similarity,
+        # ---- end of the 50-query audit window ----
+        text,
+        quality,
+        multimodal,
+        analytics,
+        pipeline,
+        aggregates,
         workloads,
         subqueries,
         joins,
         dedup,
-        pipeline,
-        asof,
-        aggregates,
-        windows,
-        relational,
-        setops,
-        analytics,
-        similarity,
-        text,
-        quality,
-        multimodal,
     )
     from hive_task_spark.functions import (  # noqa: F401
         arrays,
-        dates,
-        hashes,
-        json_fns,
         maps,
+        json_fns,
         math_fns,
         strings,
+        dates,
+        hashes,
         udfs,
     )
-    from hive_task_spark.sources import readers  # noqa: F401
-    from hive_task_spark.streaming import stream_queries  # noqa: F401
