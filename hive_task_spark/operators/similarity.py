@@ -455,42 +455,45 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_K = 16       # coarse centroids
-_IVF_NPROBE = 6   # centroids probed per query
+_IVF_NPROBE = 8   # centroids probed per query (tuned for >=0.7 recall
+                  # even on corpora the frozen codebook wasn't trained on)
 _IVF_ITERS = 5    # Lloyd iterations
 
 
-@register("similarity_ann_ivf")  # rows-only: recall asserted vs brute force in tests
-def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via IVF (inverted-file) coarse quantization — the other
-    standard scale path next to LSH (`similarity_ann_lsh`).
+def train_ivf_codebook(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _IVF_K,
+    iters: int = _IVF_ITERS,
+) -> list[list[float]]:
+    """k-means-lite coarse-quantizer training — the offline "train"
+    half of IVF, kept as a plain helper (exercised in tests, not a
+    registered query: iterative Lloyd rounds are genuinely
+    non-SQL-expressible, and freezing the result is what production
+    ANN systems do anyway — codebooks are trained once on a sample).
 
-    Build: k-means-lite (seeded with the K lowest vec_ids, 5 Lloyd
-    rounds, all DataFrame ops: assign = broadcast-join + argmin over
-    centroid array; update = posexplode + groupBy(cluster, dim) avg —
-    the same vector reduction as `similarity_label_centroids`).
-    Search: each query probes its `nprobe` nearest centroid lists,
-    exact cosine within the probed lists, window top-k.
-
-    At 100 TB: the corpus shuffles ONCE on cluster id (the inverted
-    file); centroids stay broadcast; each query touches nprobe/K of
-    the corpus. Deterministic seeding keeps results reproducible —
-    recall vs brute force is asserted in tests/test_properties.py."""
+    All DataFrame ops: assign = broadcast-join + argmax dot; update =
+    posexplode + groupBy(cluster, dim) avg (the same vector reduction
+    as `similarity_label_centroids`). Seeded with the k lowest vec_ids;
+    returns the codebook rounded to 6 dp, ordered by centroid id —
+    exactly the procedure that produced `_IVF_CODEBOOK`.
+    """
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
         "nrm", _norm(F.col("vec"))
     )
-    # --- build: k-means-lite on unit vectors (cosine == dot on unit) ---
     unit = vecs.select(
         "vec_id", F.expr("transform(vec, x -> x / nrm)").alias("uvec")
     ).localCheckpoint()
     centroids = (
-        unit.orderBy("vec_id").limit(_IVF_K)
+        unit.orderBy("vec_id")
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("uvec").alias("cvec"))
         .localCheckpoint()
     )
-    for _ in range(_IVF_ITERS):
+    for _ in range(iters):
         assigned = (
             unit.crossJoin(F.broadcast(centroids))
             .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
@@ -510,47 +513,154 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("mu"))
             .groupBy("cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "mu"))
-                ).alias("pm")
-            )
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
             .select("cid", F.expr("transform(pm, p -> p.mu)").alias("cvec"))
             .localCheckpoint()
         )
-    # --- inverted file: final assignment ---
-    inv = (
-        unit.crossJoin(F.broadcast(centroids))
-        .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "uvec", "cid")
+    rows = sorted(centroids.collect(), key=lambda r: r.cid)
+    return [[round(float(x), 6) for x in r.cvec] for r in rows]
+
+
+# Frozen coarse codebook: train_ivf_codebook(spark, sf0.01) output
+# (16 x 64 doubles, 6 dp). Freezing makes the query a pure
+# deterministic pipeline both engines run bit-identically — and
+# mirrors real ANN practice (train once on a sample, broadcast).
+_IVF_CODEBOOK = [
+    [0.023174, 0.005131, 0.056974, -0.087489, 0.02882, -0.005635, -0.032939, 0.003213, 0.04035, -0.04305, -0.03267, -0.011914, -0.053267, -0.016332, -0.014347, -0.01907, 0.056782, 0.04766, 0.058319, 0.03216, -0.088615, 0.020391, 0.016184, 0.000684, -0.010425, 0.052449, 0.114113, 0.002242, -0.003752, 0.098983, -0.005662, 0.050152, -0.021294, -0.042836, -0.00109, -0.06174, 0.001854, 0.022341, 0.024427, -0.000853, 0.010512, 0.019915, -0.021164, 0.048851, -0.025621, 0.05193, 0.022838, -0.090267, -0.00309, -0.028041, 0.015969, 0.006644, 0.014072, -0.047921, 0.057003, -0.005886, -0.014694, 0.0146, -0.062316, -0.043435, -0.022462, 0.023635, 0.046776, -0.058311],
+    [-0.041528, 0.041699, -0.006688, -0.029005, -0.028226, -0.001433, -0.073379, -0.011353, -0.013119, -0.008979, -0.082948, 0.091163, 0.081041, -0.038064, 0.049017, -0.001174, -0.023864, -0.009172, 0.038329, -0.024069, -0.001489, 0.044115, 0.033919, -0.044414, 0.046039, 0.047075, -0.020713, -0.067535, 0.011722, 0.046628, 0.007209, -0.004418, -0.039385, -0.02075, -0.021308, 0.077486, -0.056354, -0.014672, 0.011555, -0.116768, 0.009764, -0.057663, 0.05151, 0.024814, 0.016482, 0.002594, -0.059531, 0.009608, -0.061479, -0.102946, -0.028486, -0.003081, -0.007575, 0.002984, -0.022432, 0.051496, 0.049857, -0.030425, -0.01393, 0.008522, -0.038677, 0.003317, -0.034403, -0.03684],
+    [0.011581, -0.008945, -0.005474, 0.051919, 0.021134, -0.02993, 0.028489, -0.058909, -0.013042, -0.102772, 0.013433, 0.024192, -0.04665, 0.063906, 0.012806, 0.051485, -0.012092, 0.06043, -0.056682, -0.041355, 0.020288, 0.03862, 0.065147, -0.014682, -0.001928, -0.069563, -0.009778, -0.043635, 0.062461, 0.011826, -0.012572, -0.054388, -0.005364, 0.004363, -2.4e-05, 0.009377, 0.024097, 0.064116, 0.027384, 0.045599, 0.032035, -0.005691, 0.042004, 0.002298, 0.015617, -0.009899, -0.001048, -0.005439, 0.072135, 0.016084, 0.048953, -0.017597, -0.018664, -0.073286, 0.035625, 0.067524, 0.029606, -0.063843, -0.003391, 0.044479, 0.032552, 0.040339, -0.01213, -0.014352],
+    [-0.015682, 0.091829, 0.025137, 0.005886, 0.025793, -0.013291, 0.03926, -0.017671, -0.022523, -0.000981, 0.02672, 0.037233, 0.037629, 0.118604, 0.046692, 0.004519, -0.029023, -0.006312, -0.018551, 0.033738, -0.022488, 0.006982, 0.004456, 0.01724, -0.006358, 0.039866, -0.001839, -0.027784, -0.062293, -0.05135, -0.023861, -0.007244, 0.028121, 0.016962, -0.037669, -0.000519, 0.002349, 0.000488, -0.026754, -0.009932, -0.050051, -0.048042, -0.088789, -0.05168, 0.008281, -0.013075, -0.011129, -0.05048, 0.108374, -0.086538, -0.01095, -0.044444, -0.011885, 0.069455, -0.007865, -0.020365, 0.021822, -0.040953, 0.01428, -0.082536, 0.065996, -0.006857, -0.003874, -0.060735],
+    [-0.032884, -0.030794, 0.071039, -0.005276, -0.032123, -0.121882, 0.08898, 0.059861, -0.01898, 0.036304, 0.054987, -0.032895, 0.012539, -0.057916, -0.015303, -0.007867, 0.034751, 0.025679, -0.018458, 0.060359, -0.044267, 0.008483, -0.034864, -0.007784, -0.05332, -0.020116, 0.030536, -0.017254, 0.027829, -0.022704, 0.008587, 0.032695, 0.066721, -0.004765, -0.010881, -0.014831, 0.022306, -0.040493, -0.056215, 0.039884, 0.01816, -0.032916, -0.079858, 0.046665, -0.023421, 0.032506, -0.051636, 0.084178, -0.063851, -0.021525, 0.050943, 0.037425, 0.040667, 0.015277, 0.092077, -0.035306, 0.035786, -0.044856, 0.021626, -0.021761, -0.031119, -0.003374, 0.006073, -0.045943],
+    [-0.00469, -0.038555, 0.050184, -0.000109, 0.085212, -0.039253, -0.038485, 0.105952, -0.033768, 0.0514, -0.022146, 0.021589, 0.027447, 0.055296, -0.02612, 0.001791, 0.022221, -0.069101, -0.065962, 0.033802, -0.009139, -0.00992, 0.026354, 0.008432, 0.032003, -0.001635, -0.064255, 0.005859, 0.002367, 0.042615, 0.059371, -0.029499, 0.017775, -0.000605, -0.010821, 0.04004, 0.033104, 0.080247, -0.013435, 0.008113, -0.050935, 0.010508, -0.036848, 0.034174, -0.078278, -0.0634, 0.001037, -0.015808, -0.012592, 0.008619, 0.062438, 0.035204, -0.007785, 0.041044, -0.042373, -0.065553, 0.006673, -0.063846, -0.032882, 0.013329, 0.003824, 0.007281, -0.026475, 0.045775],
+    [0.022959, -0.044246, 0.014498, -0.047606, 0.027617, 0.066877, -0.031652, -0.042353, -0.014602, 0.002969, 0.079848, -0.017253, 0.007498, 0.037982, -0.058981, 0.061269, -0.000393, 0.10502, -0.059828, -0.007561, 0.000697, 0.013924, -0.014265, -0.068799, -0.060793, -0.054715, 0.013262, 0.026248, 0.03633, -0.027125, 0.001426, -0.000644, -0.031968, -0.073921, -0.009859, 0.054169, 0.028934, -0.038139, 0.003504, -0.038941, 0.038365, -0.068307, 0.011847, -0.044247, 0.049954, 0.035817, 0.038819, 0.046135, 0.044153, 0.027632, -0.003056, 0.016109, 0.076181, -0.058804, -0.018111, 0.064359, -0.039359, 0.042707, 0.004045, -0.045128, 0.043334, -0.013037, 0.016568, 0.037954],
+    [0.117257, 0.009983, -0.017948, 0.053256, -0.039844, 0.018395, 0.003577, 0.095024, -0.032068, 0.014589, 0.041878, 0.044458, -0.02785, -0.06613, -0.018599, -0.002519, -0.019714, 0.005599, -0.00656, 0.024215, -0.028216, 0.012964, -0.003557, 0.010573, -0.00877, -0.036658, -0.054953, 0.074658, -0.011942, 0.03623, 0.080541, 0.038849, -0.039652, 0.003398, -0.004887, 0.036151, -0.067138, -0.045147, 0.040383, -0.025498, -0.011441, -0.040159, 0.003042, -0.029865, -0.020379, 0.038111, -0.007223, 0.103662, -0.04236, 0.007024, 0.043941, -0.006796, -0.008458, 0.010581, -0.013293, 0.011775, -0.001993, 0.000413, -0.105991, -0.010911, 0.014083, -0.007266, -0.008787, -0.115607],
+    [-0.061005, -0.072212, -0.040841, 0.044791, 0.024643, 0.06615, -0.008972, 0.035119, 0.012284, 0.061092, -0.077439, 0.084657, -0.039341, 0.014745, 0.025607, 0.07806, 0.037478, -0.031196, 0.041522, 0.009957, 0.046512, -0.039553, -0.010591, -0.040404, -0.059742, 0.05586, 0.002957, 0.027212, 0.006036, -0.104003, -0.038413, -0.032199, 0.002012, -0.005836, 0.053854, 0.003673, -0.004977, 0.012527, 0.04817, -0.002191, -0.016849, -0.032465, -0.047069, 0.012305, -0.023117, -0.033071, 0.008652, -0.031734, -0.038664, -0.01827, 0.021017, -0.00317, -0.063203, 0.041079, 0.024842, -0.022582, -0.014109, 0.061176, 0.069253, -0.046525, -0.037897, 0.01782, -0.029351, -0.033852],
+    [0.045046, -0.011736, -0.045402, 0.014248, 0.019435, -0.010644, -0.063438, 0.038802, -0.04001, -0.004804, 0.01896, -0.061796, -0.025113, 0.009489, -0.022325, -0.023865, -0.03994, 0.057973, -0.002292, -0.021001, 0.022246, -0.047775, 0.055879, 0.072492, -0.027472, -0.005432, -0.062974, 0.037317, -0.028011, -0.032868, -0.028342, -0.040099, -0.054074, 0.033368, 0.088481, 0.00331, -0.157906, 0.023633, 0.044805, 0.040211, -0.054137, 0.026528, 0.114549, 0.037956, 0.020281, 0.031817, -0.00793, -0.041092, -0.026606, -0.04497, 0.009941, 0.027691, -0.030461, 0.073451, 0.025505, 0.044424, 0.00889, -0.039491, -0.00189, 0.011108, -0.021506, -0.009358, 0.009172, 0.007569],
+    [0.028921, -0.015334, -0.08211, -0.003027, -0.034325, 0.024691, -0.014715, 0.045108, 0.03464, -0.024064, -0.001283, -0.085015, -0.006875, -0.027405, 0.013556, -0.046683, -0.03611, -0.005017, 0.021604, -0.031877, -0.00033, 0.000768, -0.016153, 0.005595, 0.047994, 0.105544, -0.023191, 0.032387, -0.035291, 0.061681, -0.096473, 0.036752, 0.06508, -0.065742, -0.02133, -0.00578, 0.030269, 0.006939, -0.033983, 0.05182, -0.023763, -0.063219, -0.015435, 0.020402, -0.018319, 0.01445, 0.005263, -0.012529, 0.02993, 0.086243, 0.062102, -0.038953, 0.03692, -0.010537, -0.032416, -0.041331, 0.099952, 0.009036, 0.024595, -0.016888, 0.042542, -0.034733, -0.035134, -0.008735],
+    [0.009366, -0.006368, -0.053194, 0.008131, 0.041054, 0.030378, -0.056836, -0.063612, 0.018231, -0.008846, 0.02853, 0.002082, 0.004399, 0.068118, 0.000772, -0.02814, 0.048609, 0.02336, 0.001197, -0.011721, -0.066959, -0.071258, 0.020982, -0.044503, 0.040627, -0.032433, 0.032547, 0.079677, -0.034399, -0.023609, 0.019056, 0.005792, 0.050251, -0.066016, -0.009338, -0.016639, -0.009718, -0.018654, -0.04882, -0.002236, 0.035294, 0.081863, 0.037245, -0.007815, 0.005768, -0.037709, -0.009626, 0.003583, 0.029059, 0.003744, -0.064154, -0.037293, 0.060712, 0.045004, 0.046851, -0.011461, -0.031901, 0.076736, 0.012953, 0.001554, 0.013985, 0.05521, 0.084406, 0.096846],
+    [0.004826, -0.06173, 0.040759, -0.012453, 0.04653, 0.087666, -0.042209, -0.035777, 0.06698, 0.020009, 0.042824, 0.033142, 0.012002, 0.002955, 0.059293, -0.022392, 0.022996, -0.098692, -0.044427, -0.04568, 0.00926, 0.053812, 0.007725, -0.02982, 0.01356, 0.067403, 0.016845, 0.024827, -0.041414, -0.025856, 0.068346, -0.017408, 0.014733, 0.005564, 0.034097, -0.029019, -0.006846, -0.038852, 0.028351, 0.049882, 0.012333, 0.009296, -0.020296, 0.018794, 0.013727, 0.047971, -0.017153, 0.05516, -0.045861, -0.023008, -0.038924, 0.007661, 0.089707, -0.026164, 0.005598, 0.016531, -0.060457, -0.044957, 0.066067, -0.012528, 0.036356, 0.073963, -0.027185, -0.067942],
+    [-0.004685, 0.04584, 0.033338, -0.003309, 0.039847, 0.045133, -0.078302, 0.009677, 0.004115, -0.0711, 0.068981, -0.010771, -0.012154, -0.075188, -0.038748, 0.018679, 0.011786, 0.025683, 0.027435, -0.054427, 0.074337, 0.036419, -0.02859, -0.007752, 0.021313, -0.023087, 0.04831, 0.030886, 0.053006, -0.005767, -0.019618, 0.000513, 0.006732, 0.062621, -0.001482, -0.00355, 0.022004, 0.090432, 0.005014, -0.029613, -0.01646, -0.017211, -0.009104, -0.080262, -0.069151, -0.02167, 0.031721, -0.005399, -0.032579, -0.065012, -0.018603, -0.014062, -0.06411, -0.041181, -0.026983, -0.022993, -0.032793, 0.037015, -0.022752, 0.03703, -0.00735, 0.004576, -0.025786, 0.05624],
+    [-0.02573, 0.031056, 0.040051, -0.038968, -0.053356, 0.021724, -0.014021, 0.001851, -0.005634, 0.115428, -0.033227, -0.055964, 0.032771, 0.003304, 0.025917, 0.077611, -0.002486, -0.019741, 0.037706, 0.022407, 0.025092, -0.039963, -0.055065, 0.059211, -0.025772, 0.045, -0.018101, 0.011125, 0.000406, -0.008016, -0.004403, -0.019187, 0.059623, 0.080609, 0.063497, -0.031725, 0.046319, -0.107046, -0.053176, 0.004675, 0.030244, 0.03534, 0.090671, 0.03622, -0.052651, -0.044044, 0.002719, 0.017682, 0.030743, 0.004296, -0.010828, 0.026897, 0.038016, -0.024108, 0.038248, 0.020658, -0.009197, 0.033026, -0.064, 0.02666, -0.066895, -0.071492, 0.02115, 0.005917],
+    [-0.053808, 0.013495, -0.033773, -0.021253, -0.029144, -0.051534, 0.026192, -0.079855, -0.035923, -0.07814, -0.029459, -0.032969, -0.062451, -0.025102, -0.030169, -0.057119, -0.03658, 0.009749, 0.042459, 0.041557, -0.006544, -0.00948, 0.030498, -0.022337, 0.020377, 0.016301, -0.038827, -0.054839, -0.009044, -0.008738, 0.075122, -0.090266, 0.016023, -0.016582, -0.010124, -0.073328, -0.026337, -0.044574, -0.025421, -0.009036, 0.026104, 0.037494, 0.030377, -0.073592, 0.031175, 0.035744, 0.038118, 0.010134, -0.013976, 0.073659, -0.008907, -0.02301, -0.019953, -0.086581, -0.058799, -0.086742, 0.040327, -0.007796, 0.026768, 0.017118, -0.04261, 0.0064, 0.031435, -0.017714],
+]
+
+_CODEBOOK_SQL = (
+    "CAST(["
+    + ",".join("[" + ",".join(str(x) for x in c) + "]" for c in _IVF_CODEBOOK)
+    + "] AS DOUBLE[][])"
+)
+
+_ORACLE_ANN_IVF = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    u AS (
+        SELECT vec_id, list_transform(vec, x -> x / nrm) AS uvec FROM n
+    ),
+    c AS (
+        SELECT generate_subscripts(cb, 1) - 1 AS cid, unnest(cb) AS cvec
+        FROM (SELECT {_CODEBOOK_SQL} AS cb)
+    ),
+    inv AS (
+        SELECT vec_id, uvec, cid FROM (
+            SELECT u.vec_id, u.uvec, c.cid,
+                   row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(u.uvec, c.cvec),
+                                               p -> p[1] * p[2])) DESC,
+                       c.cid) AS rn
+            FROM u CROSS JOIN c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qvec, cid FROM (
+            SELECT u.vec_id AS query_id, u.uvec AS qvec, c.cid,
+                   row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(u.uvec, c.cvec),
+                                               p -> p[1] * p[2])) DESC,
+                       c.cid) AS rn
+            FROM u CROSS JOIN c
+            WHERE u.vec_id < {N_QUERIES}
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, i.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(p.qvec, i.uvec),
+                                       z -> z[1] * z[2])) AS cosine
+        FROM probes p JOIN inv i USING (cid)
+        WHERE p.query_id <> i.vec_id
     )
-    # --- search: queries probe their nprobe nearest centroids ---
-    q_probes = (
-        unit.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
-            ),
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           round(cosine, 6) AS cosine_r
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM cand)
+    WHERE rnk <= {TOP_K}
+"""
+
+
+@register("similarity_ann_ivf", oracle=_ORACLE_ANN_IVF)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization with a frozen
+    trained codebook — the other standard scale path next to
+    `similarity_ann_lsh`.
+
+    The codebook is k-means output (`train_ivf_codebook`: seeded Lloyd,
+    trained once on a sample, frozen into the plan as literals). Index:
+    every corpus vector joins its argmax-dot centroid list — at 100 TB
+    the corpus shuffles ONCE on cluster id while the 16-row codebook
+    stays a plan literal. Search: each query probes its `_IVF_NPROBE`
+    nearest lists, exact cosine over probed candidates only (~nprobe/K
+    of the corpus), window top-k. Deterministic end-to-end, so the
+    oracle is a full DuckDB twin (same frozen codebook, same
+    sequential-sum dots); recall vs brute force is asserted in
+    tests/test_properties.py."""
+    from pyspark.sql import Window
+
+    cb_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x}D" for x in c) + ")" for c in _IVF_CODEBOOK
         )
-        .filter(F.col("rn") <= _IVF_NPROBE)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("uvec").alias("qvec"),
-            "cid",
+        + ")"
+    )
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    unit = vecs.select(
+        "vec_id", F.expr("transform(vec, x -> x / nrm)").alias("uvec")
+    )
+    centroids = F.broadcast(
+        e.sparkSession.range(1).select(
+            F.posexplode(F.expr(cb_lit)).alias("cid", "cvec")
         )
+    )
+    def _nearest(df, id_col, keep_n):
+        return (
+            df.crossJoin(centroids)
+            .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("dot").desc(), F.col("cid")
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= keep_n)
+        )
+
+    inv = _nearest(unit, "vec_id", 1).select("vec_id", "uvec", "cid")
+    probes = _nearest(unit.filter(F.col("vec_id") < N_QUERIES), "vec_id", _IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"), F.col("uvec").alias("qvec"), "cid"
     )
     cand = (
-        F.broadcast(q_probes)
+        F.broadcast(probes)
         .join(inv, "cid")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
@@ -558,7 +668,6 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             _dot(F.col("qvec"), F.col("uvec")).alias("cosine"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
