@@ -51,6 +51,11 @@ HEADLINE = [
     "pipeline_decontaminate",
     "analytics_resample_locf",
     "analytics_copurchase_pairs",
+    # Python-kernel + stateful paths (round 3): longitudinal signal for
+    # Arrow-batched mapInPandas and Structured Streaming replay, not
+    # just batch SQL.
+    "stream_tumbling_append",
+    "multimodal_decode_features",
 ]
 
 
