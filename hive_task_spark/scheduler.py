@@ -125,6 +125,37 @@ def put_work(scheduler: Scheduler, work: Work) -> None:
     scheduler._executor.submit(_run)
 
 
+class PoolShrinkingError(ValueError):
+    """Raised when a resize would shrink below the live worker count —
+    the reference's `pool-shrinking-error` (thread-pools.lisp:147-150).
+    Its `change-new-size` interactive restart becomes the obvious
+    Python shape: catch, pick another size, call again."""
+
+
+def resize_scheduler(scheduler: Scheduler, new_size: int) -> None:
+    """Dynamic pool resize — `resize-pool` analog
+    (/root/reference/src/thread-pools.lisp:143-156): growing updates
+    the pool size (and, if running, swaps in a larger executor; the
+    old one drains its in-flight work in the background, so no
+    submitted work is lost — the supervision-tick grow path); shrinking
+    below the current size signals `PoolShrinkingError` exactly like
+    the reference. On a real cluster this knob is
+    `spark.dynamicAllocation.*` (SCALE.md) — this facade resizes the
+    driver-side submission pool only."""
+    if new_size < scheduler.pool_size:
+        raise PoolShrinkingError(
+            f"cannot shrink pool from {scheduler.pool_size} to {new_size}"
+        )
+    with scheduler._lock:
+        scheduler.pool_size = new_size
+        if scheduler._executor is not None:
+            old = scheduler._executor
+            scheduler._executor = ThreadPoolExecutor(
+                max_workers=new_size, thread_name_prefix="ht-worker"
+            )
+            old.shutdown(wait=False)
+
+
 @dataclass
 class Timer:
     """One-shot timer parity (/root/reference/src/timers.lisp:3-10):

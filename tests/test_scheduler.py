@@ -143,3 +143,40 @@ def test_timer_restart_reschedules():
 
     time.sleep(0.3)
     assert count["n"] == 1
+
+
+def test_resize_scheduler_grow_and_shrink_error():
+    """resize-pool parity (thread-pools.lisp:143-156): grow succeeds
+    live (work submitted before AND after all completes); shrink below
+    current size raises PoolShrinkingError."""
+    import time
+
+    import pytest
+
+    from hive_task_spark.scheduler import (
+        PoolShrinkingError,
+        make_scheduler,
+        make_work,
+        put_work,
+        resize_scheduler,
+        start_scheduler,
+        stop_scheduler,
+    )
+
+    s = make_scheduler(pool_size=2)
+    start_scheduler(s)
+    try:
+        done = []
+        put_work(s, make_work(lambda: done.append("a")))
+        resize_scheduler(s, 4)
+        assert s.pool_size == 4 and s.running
+        put_work(s, make_work(lambda: done.append("b")))
+        deadline = time.time() + 5
+        while len(done) < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        assert sorted(done) == ["a", "b"]
+        with pytest.raises(PoolShrinkingError):
+            resize_scheduler(s, 1)
+        assert s.pool_size == 4
+    finally:
+        stop_scheduler(s)
