@@ -407,3 +407,159 @@ def analytics_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("zscore_r"),
         (F.abs(z) > 3.0).alias("is_outlier"),
     )
+
+
+@register(
+    "analytics_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    )
+    SELECT from_type, to_type,
+           CAST(count(*) AS BIGINT) AS n_trans,
+           round(count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY from_type), 6) AS p_trans
+    FROM seq
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: lead(event_type) within each user's time-ordered stream
+    forms (from → to) bigrams; counts normalize per source state into
+    transition probabilities (rounded at the edge).
+
+    Scale shape: ONE shuffle on user_id produces the sequence pairs
+    (the lead window), then a small groupBy on the 5×5 type matrix
+    with map-side partial aggregation; the probability normalizer is
+    a window over the tiny transition table, not the fact table.
+    Deterministic tiebreak (ts, event_id) makes the bigram stream —
+    and therefore the matrix — engine-independent."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    wnorm = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(F.col("n_trans") / F.sum("n_trans").over(wnorm), 6).alias(
+            "p_trans"
+        ),
+    )
+
+
+@register(
+    "analytics_triangle_count",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v AS node FROM edges)
+        GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS s,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS t
+        FROM edges e
+        JOIN deg du ON e.u = du.node
+        JOIN deg dv ON e.v = dv.node
+    )
+    SELECT
+        CAST((SELECT count(*) FROM deg) AS BIGINT)   AS n_nodes,
+        CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+        CAST((SELECT count(*)
+              FROM oriented o1
+              JOIN oriented o2 ON o2.s = o1.t
+              JOIN oriented o3 ON o3.s = o1.s AND o3.t = o2.t)
+             AS BIGINT) AS n_triangles
+    """,
+)
+def analytics_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the co-purchase graph (part pairs sharing ≥2
+    orders) via DEGREE ORIENTATION — the standard distributed
+    algorithm (Suri & Vassilvitskii's MR triangle counting): orient
+    every edge from its lower-(degree, id) endpoint to the higher
+    one, making the graph acyclic with out-degrees bounded by
+    O(sqrt(edges)); a triangle then appears exactly once as oriented
+    wedge a→b→c closed by oriented edge a→c.
+
+    Scale shape: the wedge join keys on the shared middle node and
+    the closing join on the (s, t) edge identity — both plain equi-
+    joins whose size is Σ out-deg², the quantity degree orientation
+    minimizes (a hub of degree 1M contributes its sqrt-bounded
+    out-neighborhood, not 10¹² wedges). No collect, no iteration;
+    the three one-row counts cross-join via broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+        .localCheckpoint()  # edges feed deg + oriented + 2 self-joins
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("un"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("vn"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, F.col("u") == F.col("un"))
+        .join(dv, F.col("v") == F.col("vn"))
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .localCheckpoint()  # reused by all three triangle-join legs
+    )
+    o1 = oriented.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
+    o2 = oriented.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
+    o3 = oriented.select(F.col("s").alias("s3"), F.col("t").alias("t3"))
+    tri = (
+        o1.join(o2, F.col("t1") == F.col("s2"))
+        .join(o3, (F.col("s3") == F.col("s1")) & (F.col("t3") == F.col("t2")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(
+            F.broadcast(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        )
+        .crossJoin(F.broadcast(tri))
+    )
