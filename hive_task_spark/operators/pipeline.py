@@ -522,3 +522,98 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_copies").cast("long").alias("n_copies"),
         )
     )
+
+
+@register(
+    "pipeline_stratified_split",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+                    THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY lang), 6) AS frac_of_lang
+    FROM t
+    GROUP BY lang, split
+    """,
+)
+def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (12:2:2 by the first hex
+    nibble of md5(doc_id)) reported per language stratum: doc and
+    token counts plus each split's share of its language. No rand()
+    anywhere — membership is content-addressed, so reruns, engines,
+    and repartitionings all cut the identical corpus, and adding new
+    docs never reassigns existing ones (the stability property
+    cross-validation pipelines need). Scan-speed map + one small
+    groupBy; the share normalizer windows over the tiny
+    (lang × split) table, not the corpus."""
+    d = load(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*"0123456789ab"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    t = d.select(
+        "lang",
+        split.alias("split"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    g = t.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "frac_of_lang"
+        ),
+    )
+
+
+@register(
+    "pipeline_domain_cap",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 30
+    """,
+)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota enforcement: keep at most 30 documents per
+    source, chosen by md5(doc_id) order — the anti-domination stage
+    that stops one crawl domain from flooding the mixture. Hash-order
+    selection (not "first N seen") is rerun-stable and unbiased by
+    ingest order. One shuffle on source + a rank window; at 100 TB
+    the same plan holds because quota state is per-partition (no
+    global coordination), and a skewed mega-domain is exactly the
+    partition AQE splits."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 30)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )

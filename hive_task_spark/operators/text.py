@@ -350,3 +350,53 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 CASE WHEN len(w) >= 3
+                      THEN [array_to_string(w[i:i+2], ' ')
+                            FOR i IN range(1, len(w) - 1)]
+                      ELSE [array_to_string(w, ' ')]
+                 END)) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    n AS (SELECT count(*) AS total FROM documents)
+    SELECT shingle,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 1.0 / any_value(n.total), 6) AS df_frac
+    FROM sh, n
+    GROUP BY shingle
+    HAVING count(*) * 1.0 / any_value(n.total) >= 0.10
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: 3-gram shingles occurring in ≥10% of all
+    documents (navigation chrome, license headers, cookie banners in a
+    real crawl). Reuses the corpus shingling kernel (dedup._shingle_rows,
+    whole-stage-codegen lead-window formulation), dedupes to document
+    frequency, and emits shingles above the df threshold with their
+    corpus share. The df table this produces is exactly the stop-
+    shingle list the MinHash/decontamination stages cap with (DF_CAP) —
+    at 100 TB it is the skew-control artifact, computed by one
+    map-side-combined groupBy(shingle)."""
+    from hive_task_spark.operators.dedup import _shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    total = d.agg(F.count(F.lit(1)).alias("total"))
+    df_counts = (
+        _shingle_rows(d)
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return (
+        df_counts.crossJoin(F.broadcast(total))
+        .withColumn("df_frac", F.round(F.col("n_docs") / F.col("total"), 6))
+        .filter(F.col("n_docs") / F.col("total") >= 0.10)
+        .select("shingle", "n_docs", "df_frac")
+    )
