@@ -729,3 +729,220 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(round(x * scale) AS INT) AS STRING)), '|')"
         ).alias("qvec"),
     )
+
+
+_ORACLE_KMEANS_ASSIGN = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    u AS (
+        SELECT vec_id, list_transform(vec, x -> x / nrm) AS uvec FROM n
+    ),
+    c AS (
+        SELECT generate_subscripts(cb, 1) - 1 AS cid, unnest(cb) AS cvec
+        FROM (SELECT {{cb}} AS cb)
+    ),
+    scored AS (
+        SELECT u.vec_id, c.cid,
+               list_sum(list_transform(list_zip(u.uvec, c.cvec),
+                                       p -> p[1] * p[2])) AS dot
+        FROM u CROSS JOIN c
+    ),
+    a AS (
+        SELECT vec_id, cid, dot FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    lab AS (
+        SELECT a.cid, e.label, count(*) AS nl
+        FROM a JOIN embeddings e USING (vec_id)
+        GROUP BY a.cid, e.label
+    ),
+    top AS (
+        SELECT cid, CAST(label AS BIGINT) AS top_label,
+               CAST(nl AS BIGINT) AS top_label_n
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY cid ORDER BY nl DESC, label) AS rn
+              FROM lab)
+        WHERE rn = 1
+    ),
+    stats AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+               round(avg(dot), 6) AS avg_cos_r
+        FROM a GROUP BY cid
+    )
+    SELECT CAST(s.cid AS BIGINT) AS cid, s.n_vecs, s.avg_cos_r,
+           t.top_label, t.top_label_n
+    FROM stats s JOIN top t USING (cid)
+""".format(cb="__CB__").replace("__CB__", _CODEBOOK_SQL)
+
+
+@register("similarity_kmeans_assign", oracle=_ORACLE_KMEANS_ASSIGN)
+def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster assignment with the frozen trained codebook
+    (`_IVF_CODEBOOK`) — the inference half of semantic clustering:
+    every unit vector joins its argmax-cosine centroid, then per-
+    cluster diagnostics come out of one small aggregate: member
+    count, mean cosine-to-centroid (cohesion), and the dominant
+    ground-truth label with its support (purity numerator).
+
+    Scale shape: the 16-row codebook is a broadcast literal; the
+    corpus is scored in a single map stage (16 dots/row, no shuffle)
+    and shuffles ONCE on cluster id for the stats — the centroid-
+    assign pattern `train_ivf_codebook` iterates, run once. The
+    label-majority window runs over ≤ K×|labels| rows."""
+    from pyspark.sql import Window
+
+    cb_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x}D" for x in c) + ")" for c in _IVF_CODEBOOK
+        )
+        + ")"
+    )
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    unit = vecs.select(
+        "vec_id", "label", F.expr("transform(vec, x -> x / nrm)").alias("uvec")
+    )
+    centroids = F.broadcast(
+        e.sparkSession.range(1).select(
+            F.posexplode(F.expr(cb_lit)).alias("cid", "cvec")
+        )
+    )
+    assigned = (
+        unit.crossJoin(centroids)
+        .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cid", "dot")
+        .localCheckpoint()  # feeds both the stats and the majority-label aggs
+    )
+    stats = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("dot"), 6).alias("avg_cos_r"),
+    )
+    lab = assigned.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    top = (
+        lab.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(F.col("nl").desc(), "label")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cid",
+            F.col("label").cast("long").alias("top_label"),
+            F.col("nl").cast("long").alias("top_label_n"),
+        )
+    )
+    return stats.join(top, "cid").select(
+        F.col("cid").cast("long").alias("cid"),
+        "n_vecs",
+        "avg_cos_r",
+        "top_label",
+        "top_label_n",
+    )
+
+
+# Frozen Rademacher (+/-1) projection matrix for Johnson-Lindenstrauss
+# dimensionality reduction: k=8 rows over the 64-dim input, seeded
+# independently of the LSH planes. Scaling by 1/sqrt(k) makes the
+# projection norm an unbiased estimator of the input norm.
+_JL_K = 8
+_jl_rng = random.Random(11)
+_JL_SIGNS = [
+    [float(_jl_rng.choice((1, -1))) for _ in range(_DIM)] for _ in range(_JL_K)
+]
+_JL_SCALE = repr(1.0 / 8.0 ** 0.5)
+
+from hive_task_spark.functions import arrays as _arrays
+
+_JL_SIGNS_SQL = (
+    "CAST(["
+    + ",".join("[" + ",".join(str(x) for x in r) + "]" for r in _JL_SIGNS)
+    + "] AS DOUBLE[][])"
+)
+
+_ORACLE_DIM_REDUCTION = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    p AS (
+        SELECT vec_id, nrm,
+               [{",".join(
+                   f"list_sum(list_transform(list_zip(vec, m.sm[{j}]),"
+                   f" z -> z[1] * z[2])) * {_JL_SCALE}"
+                   for j in range(1, _JL_K + 1)
+               )}] AS proj
+        FROM n, (SELECT {_JL_SIGNS_SQL} AS sm) m
+    )
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(proj, x -> x * x))) / nrm, 6)
+               AS norm_ratio_r,
+           {{proj_s}} AS proj_s
+    FROM p
+""".format(proj_s=_arrays._djoin_sql("proj", 4))
+
+
+@register("similarity_dim_reduction", oracle=_ORACLE_DIM_REDUCTION)
+def similarity_dim_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    64-dim embedding onto 8 frozen Rademacher (+/-1) directions scaled
+    by 1/sqrt(k), emitting the reduced vector (serialized edge) and
+    the norm-preservation ratio ||Pv||/||v|| that JL bounds around 1 —
+    the cheap pre-filter representation for coarse candidate
+    generation before exact rerank (and the distance-preservation
+    check that validates it).
+
+    Scale shape: pure map stage — the 8x64 sign matrix lives in the
+    plan as a literal (no join, no shuffle, no Python); each row costs
+    8 fused zip_with/aggregate dot products in whole-stage codegen.
+    At 100 TB this runs at scan speed and cuts downstream ANN shuffle
+    payload 8x, the same payload discipline as the LSH band keys."""
+    from hive_task_spark.functions.arrays import _djoin
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    scale = F.lit(float(_JL_SCALE))
+    sign_lits = [
+        F.expr("array(" + ",".join(f"{x}D" for x in row) + ")")
+        for row in _JL_SIGNS
+    ]
+    proj = F.array(*[(_dot(F.col("vec"), s) * scale) for s in sign_lits])
+    p = vecs.select("vec_id", "nrm", proj.alias("proj"))
+    return p.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate("proj", F.lit(0.0), lambda a, x: a + x * x)
+            )
+            / F.col("nrm"),
+            6,
+        ).alias("norm_ratio_r"),
+        _djoin(F.col("proj"), 4).alias("proj_s"),
+    )
