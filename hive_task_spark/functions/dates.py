@@ -144,3 +144,56 @@ def date_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("quarter", "o_orderdate").alias("q_start"),
         F.date_trunc("week", "o_orderdate").alias("w_start"),
     )
+
+
+@register(
+    "date_order_gaps",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym
+        FROM orders
+    ),
+    d AS (
+        SELECT o_custkey, ym,
+               ym - lag(ym) OVER (PARTITION BY o_custkey ORDER BY ym) - 1 AS gap
+        FROM a
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(max(ym) - min(ym) + 1 AS BIGINT)            AS n_months,
+           CAST(count(*) AS BIGINT)                         AS n_active,
+           CAST(max(ym) - min(ym) + 1 - count(*) AS BIGINT) AS n_gap,
+           CAST(coalesce(max(gap), 0) AS BIGINT)            AS max_gap
+    FROM d
+    GROUP BY o_custkey
+    """,
+)
+def date_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-gap profiling per customer: collapse order dates to a
+    month index (year*12+month — pure integer arithmetic, no DATE
+    values cross the comparison edge), then from the distinct active
+    months derive span, activity count, total missing months, and the
+    longest consecutive gap (lag-window difference). The dense-spine
+    alternative (sequence + explode, see analytics_resample_locf)
+    materializes every month; this form ships only observed months
+    through the single user-keyed shuffle — the right trade when
+    activity is sparse, which is exactly when gap analysis matters."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    a = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("ym")
+    d = a.withColumn("gap", F.col("ym") - F.lag("ym").over(w) - 1)
+    return d.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        (F.max("ym") - F.min("ym") + 1).cast("long").alias("n_months"),
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        (F.max("ym") - F.min("ym") + 1 - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_gap"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap"),
+    )

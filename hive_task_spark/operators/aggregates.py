@@ -541,3 +541,78 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_regionkey
         """
     )
+
+
+@register(
+    "agg_histogram_bins",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 5000.0) AS BIGINT)          AS bin_id,
+           round(floor(o_totalprice / 5000.0) * 5000.0, 2)       AS bin_lo,
+           round((floor(o_totalprice / 5000.0) + 1) * 5000.0, 2) AS bin_hi,
+           CAST(count(*) AS BIGINT)                              AS n_orders,
+           round(avg(o_totalprice), 2)                           AS avg_price_r
+    FROM orders
+    GROUP BY floor(o_totalprice / 5000.0)
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width 5000 over o_totalprice): bin id by
+    floor division — the single-pass distributed histogram (contrast
+    with approx_quantiles' sketch path). floor() on BOTH engines
+    before any cast (DuckDB CAST(double AS INT) rounds; Spark
+    truncates), bin edges recomputed from the id so no float state
+    crosses the edge unrounded. Map-side combine makes the shuffle
+    O(bins), independent of fact size."""
+    o = load(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / 5000.0)
+    return (
+        o.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price_r"),
+        )
+        .select(
+            F.col("bin_id").cast("long").alias("bin_id"),
+            F.round(F.col("bin_id") * 5000.0, 2).alias("bin_lo"),
+            F.round((F.col("bin_id") + 1) * 5000.0, 2).alias("bin_hi"),
+            "n_orders",
+            "avg_price_r",
+        )
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+        SELECT p_type, p_brand, count(*) AS n
+        FROM part GROUP BY p_type, p_brand
+    )
+    SELECT p_type, p_brand AS mode_brand, CAST(n AS BIGINT) AS n_mode
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY p_type ORDER BY n DESC, p_brand) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode per group (most frequent p_brand within each p_type)
+    with a total-order tie-break (count desc, then brand) — engines
+    disagree on native mode()'s tie choice, so the portable form is
+    count-then-argmax: one groupBy on the composite key, then a rank
+    window over the small (type × brand) count table. The fact table
+    shuffles once; the window never sees it."""
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part")
+    c = p.groupBy("p_type", "p_brand").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("p_type").orderBy(F.col("n").desc(), "p_brand")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_type",
+            F.col("p_brand").alias("mode_brand"),
+            F.col("n").cast("long").alias("n_mode"),
+        )
+    )
