@@ -283,3 +283,98 @@ def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("secs_to_purchase"),
     )
+
+
+@register(
+    "asof_join_nearest",
+    oracle="""
+    WITH pairs AS (
+        SELECT p.o_orderkey, p.o_custkey,
+               b.o_orderkey   AS near_orderkey,
+               b.o_totalprice AS near_totalprice,
+               abs(datediff('day', b.o_orderdate, p.o_orderdate)) AS dist_days,
+               CASE WHEN b.o_orderdate < p.o_orderdate THEN 0 ELSE 1 END AS fwd
+        FROM orders p
+        JOIN orders b ON p.o_custkey = b.o_custkey
+                     AND p.o_orderdate <> b.o_orderdate
+    )
+    SELECT o_orderkey, o_custkey, near_orderkey, near_totalprice,
+           CAST(dist_days AS BIGINT) AS dist_days
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY o_orderkey
+              ORDER BY dist_days, fwd, near_orderkey) AS rn
+          FROM pairs)
+    WHERE rn = 1
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each order matched to the same
+    customer's closest order on a strictly different day, in either
+    time direction (ties: backward wins, then smallest orderkey) —
+    the "nearest" mode of pandas merge_asof, done at scale.
+
+    Union-window rewrite like `asof_join_orders`, run in both
+    directions over ONE user-keyed exchange: the backward candidate is
+    last(build) over the preceding frame (okey DESC within a date so
+    `last` lands on the smallest key), the forward candidate is
+    first(build) over the following frame; a final projection picks
+    the closer side. The oracle states the same semantics as an
+    all-pairs self-join + rank — correct but quadratic per customer,
+    exactly what this plan avoids (each row carries two O(1) window
+    structs, never a candidate set)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    probe = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.col("o_orderkey").alias("probe_key"),
+        F.lit(None)
+        .cast("struct<t:timestamp,okey:bigint,price:double>")
+        .alias("b"),
+    )
+    build = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("probe_key"),
+        F.struct(
+            F.col("o_orderdate").alias("t"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("b"),
+    )
+    wb = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", F.col("b.okey").desc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Forward window sorts builds BEFORE probes at equal t (side desc),
+    # so the strictly-following frame skips same-day builds (incl. the
+    # probe's own build row — no self-match).
+    wf = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("side").desc(), F.col("b.okey").asc_nulls_last())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    u = probe.unionByName(build)
+    picked = (
+        u.withColumn("pb", F.last("b", ignorenulls=True).over(wb))
+        .withColumn("pf", F.first("b", ignorenulls=True).over(wf))
+        .filter(F.col("side") == 0)
+    )
+    dist_b = F.datediff(F.col("t"), F.col("pb.t"))
+    dist_f = F.datediff(F.col("pf.t"), F.col("t"))
+    use_b = F.col("pb").isNotNull() & (
+        F.col("pf").isNull() | (dist_b <= dist_f)
+    )
+    m = F.when(use_b, F.col("pb")).otherwise(F.col("pf"))
+    dist = F.when(use_b, dist_b).otherwise(dist_f)
+    return picked.filter(m.isNotNull()).select(
+        F.col("probe_key").alias("o_orderkey"),
+        F.col("k").alias("o_custkey"),
+        m["okey"].alias("near_orderkey"),
+        m["price"].alias("near_totalprice"),
+        dist.cast("long").alias("dist_days"),
+    )

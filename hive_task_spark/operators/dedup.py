@@ -504,3 +504,46 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("component").cast("long").alias("component"))
+
+
+@register(
+    "dedup_prefix_hash",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               md5(array_to_string(string_split(text, ' ')[1:20], ' '))
+                   AS prefix_hash
+        FROM documents
+    )
+    SELECT prefix_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM p
+    GROUP BY prefix_hash
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_prefix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix deduplication: documents sharing their first 20 tokens
+    are near-certain template copies (truncation variants, pagination
+    duplicates — the RefinedWeb/CCNet-style cheap tier between exact
+    hash and MinHash). Hash only the bounded prefix, groupBy the
+    8-byte digest, keep the smallest doc_id per collision group.
+    Scan-speed map + one O(groups) shuffle with map-side combine; the
+    prefix bound means cost is independent of document length, which
+    is the point at 100 TB (exact dedup hashes every byte)."""
+    d = load(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 20), " ")).alias(
+            "prefix_hash"
+        ),
+    )
+    return (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

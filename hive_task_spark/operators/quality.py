@@ -291,3 +291,49 @@ def text_levenshtein_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .drop("rnk")
     )
+
+
+@register(
+    "quality_percentile_filter",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_distinct(string_split(text, ' '))) * 1.0 /
+                   greatest(len(string_split(text, ' ')), 1) AS ttr
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang, ttr,
+               percent_rank() OVER (
+                   PARTITION BY lang ORDER BY ttr, doc_id) AS pr
+        FROM t
+    )
+    SELECT doc_id, lang, round(ttr, 6) AS ttr_r, round(pr, 6) AS pr_r
+    FROM r WHERE pr >= 0.10
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE quality filtering: drop each language's bottom decile
+    by type-token ratio instead of a global absolute threshold — the
+    per-stratum percentile cut real curation uses, because an
+    absolute bar calibrated on English guts low-resource languages.
+    percent_rank over (lang) with a doc_id tiebreak is exact and
+    rerun-stable (integers in, same double out on every engine —
+    unlike approximate quantiles). One shuffle on lang; at 100 TB a
+    skewed mega-language partition splits under AQE, or swap the
+    window for a two-pass groupBy-quantile + broadcast threshold with
+    identical semantics."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    ttr = F.size(F.array_distinct(w)).cast("double") / F.greatest(
+        F.size(w), F.lit(1)
+    )
+    t = d.select("doc_id", "lang", ttr.alias("ttr"))
+    win = Window.partitionBy("lang").orderBy("ttr", "doc_id")
+    r = t.withColumn("pr", F.percent_rank().over(win))
+    return r.filter(F.col("pr") >= 0.10).select(
+        "doc_id",
+        "lang",
+        F.round("ttr", 6).alias("ttr_r"),
+        F.round("pr", 6).alias("pr_r"),
+    )

@@ -400,3 +400,53 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") / F.col("total") >= 0.10)
         .select("shingle", "n_docs", "df_frac")
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH freq AS (
+        SELECT w, count(*) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rk
+        FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(f) AS BIGINT)   AS n_tokens,
+           round(regr_slope(ln(f), ln(rk)), 4)     AS zipf_slope_r,
+           round(regr_r2(ln(f), ln(rk)), 4)        AS zipf_r2_r
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: explode →
+    count → frequency rank → least-squares slope of log-frequency on
+    log-rank (a healthy natural-language corpus sits near -1; template
+    spam and boilerplate flatten it — a cheap corpus-health monitor).
+    The explode+count is the one fact-scale stage (map-side combined);
+    ranking and the regr_* aggregate run on the vocabulary table,
+    orders of magnitude smaller. The global rank window is safe at
+    vocab cardinality; for web-scale vocabularies the same rank comes
+    from a two-pass split-point computation (SCALE.md token-budget
+    note). Slope/R² rounded to 4 (transcendental edge discipline)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("f").desc(), "w"))
+    )
+    lf, lr = F.log(F.col("f")), F.log(F.col("rk"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope_r"),
+        F.round(F.regr_r2(lf, lr), 4).alias("zipf_r2_r"),
+    )

@@ -258,3 +258,50 @@ def window_nth_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("o_totalprice").over(w_full).alias("last_price"),
         )
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_so_far
+    FROM flagged
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — not natively supported
+    by either engine's window frames — via the first-occurrence
+    rewrite: flag each (user, event_type)'s first row (rank window on
+    the composite key), then a running sum of flags in event order
+    gives the distinct-types-seen-so-far counter. Two windows, ONE
+    shuffle: both partition by user_id (the second just sub-sorts),
+    so the fact table exchanges once. The same rewrite is how
+    sessionized "unique items seen" counters run at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w1) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w2).cast("long").alias("n_distinct_so_far"),
+    )
