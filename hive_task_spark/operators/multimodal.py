@@ -278,3 +278,73 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         _audio_window_batches,
         "doc_id long, win_idx long, mean_amp double, peak_amp long",
     )
+
+
+@register(
+    "multimodal_shard_manifest",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+                   AS modality,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    c AS (
+        SELECT modality, n_bytes,
+               sum(n_bytes) OVER (
+                   PARTITION BY modality
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM a
+    )
+    SELECT modality,
+           CAST(floor((cum - n_bytes) / 65536.0) AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT)                         AS n_assets,
+           CAST(sum(n_bytes) AS BIGINT)                     AS shard_bytes
+    FROM c
+    GROUP BY modality, floor((cum - n_bytes) / 65536.0)
+    """,
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webdataset-style shard packing manifest: within each modality,
+    assets are laid into ~64 KiB shards in md5(doc_id) order (ingest-
+    order-free, rerun-stable) by a running byte total; shard id =
+    closed-left bin of the bytes preceding the asset. The output is
+    the manifest a downstream tar/arrow writer consumes. Metadata-
+    only: the blob column is never read (column pruning) — sizes come
+    from the typed metadata, which is the point at 100 TB. Per-
+    modality windows keep the running sum partitioned (no global
+    sort); a skewed modality splits under the same two-pass plan as
+    the token-budget cutoff (SCALE.md)."""
+    from pyspark.sql import Window
+
+    a = _assets(spark, sf_dir)
+    w = (
+        Window.partitionBy(F.col("meta.modality"))
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = a.select(
+        F.col("meta.modality").alias("modality"),
+        F.length("payload").alias("n_bytes"),
+        F.sum(F.length("payload")).over(w).alias("cum"),
+    )
+    return (
+        c.groupBy(
+            "modality",
+            F.floor((F.col("cum") - F.col("n_bytes")) / 65536.0).alias(
+                "shard_id"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assets"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+        )
+        .select(
+            "modality",
+            F.col("shard_id").cast("long").alias("shard_id"),
+            "n_assets",
+            "shard_bytes",
+        )
+    )

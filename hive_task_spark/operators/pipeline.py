@@ -617,3 +617,57 @@ def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 30)
         .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@register(
+    "pipeline_interleave_mixture",
+    oracle="""
+    WITH s AS (
+        SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx,
+               count(*) OVER () AS n_sources
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.rk * s.n_sources + s.src_idx AS BIGINT) AS global_pos
+    FROM r JOIN s USING (source)
+    """,
+)
+def pipeline_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave across sources: the global
+    training order visits sources in rotation (position = per-source
+    hash rank × n_sources + source index), so every window of the
+    stream carries the mixture ratio — no source-runs, no epoch-level
+    shuffling service needed, and the order is a pure function of doc
+    ids. The global position is ARITHMETIC (rank × stride + offset),
+    not a global sort or zipWithIndex: each row's position is computed
+    inside its source partition, which is what makes the plan hold at
+    100 TB (contrast: a global row_number would single-partition the
+    corpus). Source index and count come from a broadcast-size
+    distinct-source table."""
+    d = load(spark, sf_dir, "documents")
+    srcs = d.select("source").distinct()
+    s = srcs.select(
+        "source",
+        (F.row_number().over(Window.orderBy("source")) - 1).alias("src_idx"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_sources"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = d.select(
+        "doc_id", "source", (F.row_number().over(w) - 1).alias("rk")
+    )
+    return r.join(F.broadcast(s), "source").select(
+        "doc_id",
+        "source",
+        (F.col("rk") * F.col("n_sources") + F.col("src_idx"))
+        .cast("long")
+        .alias("global_pos"),
+    )
