@@ -155,3 +155,49 @@ def math_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shifted_sum"),
     )
+
+
+@register(
+    "math_decimal_exact_money",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                AS VARCHAR) AS gross_exact_s,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                         AS DECIMAL(18,4))) AS VARCHAR) AS net_exact_s
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def math_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal money arithmetic: cast to DECIMAL(18,2) BEFORE
+    aggregating, so the sum is exact integer arithmetic with no
+    float summation-order noise — the fixed-point discipline a
+    financial ledger requires (contrast every `round(sum(double),2)`
+    edge elsewhere, which is only hash-stable because money sums stay
+    within double's exact-integer range). The edge serializes the
+    decimal as a string: no float ever crosses the comparison
+    boundary. Decimal aggregation is still one partial+final hash
+    aggregate (Spark accumulates unscaled longs), same shuffle shape
+    as the double path."""
+    li = load(spark, sf_dir, "lineitem")
+    # Round AT THE VALUE'S EXACT GRAIN before the decimal cast: prices
+    # are exact 2dp, so gross rounds at 2; net = 2dp price x 2dp
+    # (1-discount) is an exact 4dp decimal, so it must round at 4 —
+    # rounding a true 4dp value to 2dp hits REAL half-boundaries
+    # (.xx50) where Spark (HALF_UP on the exact decimal expansion of
+    # the double) and DuckDB (scaled std::round) legitimately
+    # disagree. At the value's own grain no boundary exists.
+    gross = F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
+    net = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(gross).cast("string").alias("gross_exact_s"),
+            F.sum(net).cast("string").alias("net_exact_s"),
+        )
+    )

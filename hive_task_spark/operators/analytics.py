@@ -563,3 +563,51 @@ def analytics_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(tri))
     )
+
+
+@register(
+    "analytics_sequence_pattern",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, seq,
+           CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3
+                AS BIGINT) AS n_vcp
+    FROM s
+    """,
+)
+def analytics_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining (MATCH_RECOGNIZE-lite): each user's
+    event stream collapses to an ordered initial-letter string, and
+    contiguous view→click→purchase runs are counted by the
+    replace-length identity (engine-portable, unlike regex counting
+    whose greediness differs across engines). One groupBy(user)
+    collect with an in-row sort — per-user sequences are bounded
+    (events per user ≪ partition size); the pattern scan itself is a
+    string kernel at scan speed. The staged-aggregate funnel
+    (analytics_funnel) answers "did the user ever convert"; this
+    answers "how many times, contiguously" — the stricter sessionized
+    product metric."""
+    e = load(spark, sf_dir, "events")
+    agged = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                )
+            )
+        ).alias("arr")
+    )
+    seqd = agged.select(
+        "user_id",
+        F.array_join(F.expr("transform(arr, x -> x.c)"), "").alias("seq"),
+    )
+    n_vcp = (
+        (F.length("seq") - F.length(F.expr("replace(seq, 'vcp', '')"))) / 3
+    )
+    return seqd.select("user_id", "seq", n_vcp.cast("long").alias("n_vcp"))

@@ -250,3 +250,75 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@register(
+    "merge_upsert_apply",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, round(o_totalprice * 1.1, 3) AS new_price
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    del AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 1
+    ),
+    ins AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+               round(o_totalprice, 3) AS price_r, 'inserted' AS change_op
+        FROM orders WHERE o_orderkey % 10 = 2
+    ),
+    kept AS (
+        SELECT o.o_orderkey, o.o_custkey,
+               round(coalesce(u.new_price, o.o_totalprice), 3) AS price_r,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN 'updated'
+                    ELSE 'unchanged' END AS change_op
+        FROM orders o
+        LEFT JOIN upd u ON o.o_orderkey = u.o_orderkey
+        WHERE NOT EXISTS (SELECT 1 FROM del d
+                          WHERE d.o_orderkey = o.o_orderkey)
+    )
+    SELECT * FROM kept
+    UNION ALL
+    SELECT * FROM ins
+    """,
+)
+def merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation on plain parquet: apply a CDC changeset
+    (updates, deletes, inserts — derived deterministically from the
+    snapshot by key class) in ONE pass: anti-join the deletes, left-
+    join the updates with coalesce, union the inserts. This is
+    exactly the join plan a Delta/Iceberg MERGE compiles to; on a
+    cluster the same statement targets the table format's
+    transaction log while the join shape stays identical. All three
+    change joins key on o_orderkey, so AQE coalesces them into the
+    snapshot's single exchange; change tables broadcast when small.
+    Prices round at 3dp — the exact grain of 2dp-price x 1.1 (a 2dp
+    round of a true 3dp value sits ON the half boundary, where
+    engines legitimately disagree)."""
+    o = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    upd = o.filter(key % 10 == 0).select(
+        key.alias("u_key"), F.round(F.col("o_totalprice") * 1.1, 3).alias("new_price")
+    )
+    dele = o.filter(key % 10 == 1).select(key.alias("d_key"))
+    ins = o.filter(key % 10 == 2).select(
+        (key + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        F.round("o_totalprice", 3).alias("price_r"),
+        F.lit("inserted").alias("change_op"),
+    )
+    kept = (
+        o.join(dele, o["o_orderkey"] == dele["d_key"], "left_anti")
+        .join(upd, o["o_orderkey"] == upd["u_key"], "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(
+                F.coalesce(F.col("new_price"), F.col("o_totalprice")), 3
+            ).alias("price_r"),
+            F.when(F.col("u_key").isNotNull(), "updated")
+            .otherwise("unchanged")
+            .alias("change_op"),
+        )
+    )
+    return kept.unionByName(ins)

@@ -419,3 +419,49 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("kept_tokens"),
     )
     return _run_to_table(spark, agg, "stream_quality_filter", "complete")
+
+
+@register(
+    "stream_zscore_static",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 6) AS zscore_r,
+           (abs((e.value - s.mu) / s.sigma) > 2.0) AS is_outlier
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+)
+def stream_zscore_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly scoring against a static reference model:
+    per-type mean/stddev are computed in batch (the "trained" profile)
+    and broadcast into the stream; each event is scored stateless in
+    its micro-batch — the standard shape for production anomaly
+    detection, where the model is periodically refit in batch and the
+    stream only applies it (no unbounded streaming state, no
+    watermark needed, append mode). Batch-replay oracle-checked
+    end-to-end."""
+    from hive_task_spark.tables import load
+
+    stats = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.avg("value").alias("mu"),
+            F.stddev_samp("value").alias("sigma"),
+        )
+    )
+    s = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    scored = (
+        s.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(z, 6).alias("zscore_r"),
+            (F.abs(z) > 2.0).alias("is_outlier"),
+        )
+    )
+    return _run_to_table(spark, scored, "stream_zscore_static", "append")
