@@ -616,3 +616,36 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_mode"),
         )
     )
+
+
+@register(
+    "agg_bool_countif",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+               AS n_big_discount,
+           bool_and(l_quantity > 0)  AS all_qty_positive,
+           bool_or(l_tax > 0.07)     AS any_high_tax,
+           bool_and(l_discount <= l_tax + 0.1) AS discount_bounded
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: count_if, bool_and/bool_or (ANSI
+    EVERY/ANY) — the predicate-summary aggregates invariant checks
+    and data-quality dashboards are built from. All are single-pass
+    hash aggregates with trivially small partial state (one bit / one
+    long per group), so map-side combine reduces the shuffle to
+    O(groups) regardless of fact size."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05)
+        .cast("long")
+        .alias("n_big_discount"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_qty_positive"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.bool_and(F.col("l_discount") <= F.col("l_tax") + 0.1).alias(
+            "discount_bounded"
+        ),
+    )

@@ -510,19 +510,23 @@ def analytics_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins whose size is Σ out-deg², the quantity degree orientation
     minimizes (a hub of degree 1M contributes its sqrt-bounded
     out-neighborhood, not 10¹² wedges). No collect, no iteration;
-    the three one-row counts cross-join via broadcast."""
+    the three one-row counts cross-join via broadcast. The degree
+    joins broadcast (O(nodes) rows); on a graph too large for that
+    the same joins fall back to shuffles with identical semantics."""
     li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    # Edge generation = the co-purchase kernel: collect each basket
+    # once (collect_set dedupes), pair via codegen double-explode —
+    # ONE fact shuffle (the items-self-join formulation costs three
+    # and benched 3x slower at sf0.1). Support >= 2 prunes the edge
+    # set to broadcast size, so every later stage is dimension-scale.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        baskets.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
         .select("u", "v")
@@ -540,8 +544,8 @@ def analytics_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     oriented = (
-        edges.join(du, F.col("u") == F.col("un"))
-        .join(dv, F.col("v") == F.col("vn"))
+        edges.join(F.broadcast(du), F.col("u") == F.col("un"))
+        .join(F.broadcast(dv), F.col("v") == F.col("vn"))
         .select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
