@@ -671,3 +671,51 @@ def pipeline_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("global_pos"),
     )
+
+
+@register(
+    "pipeline_incremental_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)      AS n_orders,
+           round(sum(o_totalprice), 2)   AS total_r,
+           round(avg(o_totalprice), 6)   AS avg_r,
+           CAST(count(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                                    THEN 0 ELSE 1 END) AS BIGINT) AS n_partials
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a materialized per-status
+    summary (rows before 1996) is merged with a new-data delta (rows
+    from 1996 on) WITHOUT touching the old fact rows — count and sum
+    are algebraic, so partial states merge by addition and avg
+    derives at the end. This is the micro-batch/MV-refresh contract:
+    at 100 TB the state side is a tiny summary table and each refresh
+    scans only the delta partition. The oracle is the full recompute
+    — the merged result must be indistinguishable (sums of exact-2dp
+    money are order-insensitive in doubles, so even the float edge
+    is exact). n_partials proves both branches contributed."""
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.to_timestamp(F.lit("1996-01-01"))
+
+    def partial(df: DataFrame, tag: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("o_totalprice").alias("ptotal"),
+            F.lit(tag).alias("ptag"),
+        )
+
+    state = partial(o.filter(F.col("o_orderdate") < cutoff), 0)
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff), 1)
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.round(F.sum("ptotal"), 2).alias("total_r"),
+            F.round(F.sum("ptotal") / F.sum("pn"), 6).alias("avg_r"),
+            F.count_distinct(F.col("ptag")).cast("long").alias("n_partials"),
+        )
+    )

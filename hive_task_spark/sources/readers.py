@@ -292,3 +292,49 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
         )
     )
+
+
+@register(
+    "source_join_dpp_prune",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(count(*) AS BIGINT)          AS n_orders,
+           round(sum(o_totalprice), 2)       AS total_r
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY year(o_orderdate)
+    """,
+)
+def source_join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is stored partitioned
+    by year; the year predicate arrives through a JOIN with a filtered
+    dimension, not as a literal on the fact — at planning time Spark
+    injects the dim's key set as a runtime partition filter
+    (dynamicpruning subquery in the scan), so only the two matching
+    year directories are read. THE 100 TB star-join pattern: date-dim
+    filters prune the fact scan without the query author repeating
+    the predicate. Plan-asserted in tests/test_plans.py; the oracle
+    states the post-pruning semantics as a plain filter."""
+    o = load(spark, sf_dir, "orders")
+    path = _scratch("orders_dpp_by_year")
+    (
+        o.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    years = (
+        fact.select(F.col("o_year").alias("y"))
+        .distinct()
+        .filter(F.col("y").isin(1996, 1997))
+    )
+    return (
+        fact.join(years, fact["o_year"] == years["y"])
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_r"),
+        )
+        .select(F.col("o_year").cast("long").alias("o_year"), "n_orders", "total_r")
+    )

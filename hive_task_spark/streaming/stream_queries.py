@@ -465,3 +465,42 @@ def stream_zscore_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(spark, scored, "stream_zscore_static", "append")
+
+
+@register(
+    "stream_multibatch_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value_r
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE multi-micro-batch stateful aggregation: the events table
+    is re-laid as four parquet files and the file source is throttled
+    to one file per trigger (maxFilesPerTrigger=1), so AvailableNow
+    drains it in four micro-batches and the per-type counts/sums are
+    MERGED across batch boundaries through the state store — the
+    state-evolution path every other stream here (single file = one
+    batch) cannot exercise. Batch-replay oracle: the final complete-
+    mode table must equal the one-shot batch aggregate exactly."""
+    from hive_task_spark.tables import load
+
+    apply_runtime_conf(spark)
+    src_dir = os.path.join(_SCRATCH, "events_multibatch")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    e = load(spark, sf_dir, "events")
+    e.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value_r"),
+    )
+    return _run_to_table(spark, agg, "stream_multibatch_agg", "complete")

@@ -142,3 +142,20 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") >= 2
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_dpp_runtime_partition_filter(spark, sf_dir):
+    """The dimension-derived year predicate must reach the fact scan as
+    a DYNAMIC partition-pruning subquery (not a static literal): the
+    star-join pattern where the date dim prunes fact directories at
+    runtime."""
+    df = registry.QUERIES["source_join_dpp_prune"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery in fact scan"
+
+
+def test_kmeans_assign_no_shuffle_before_stats(spark, sf_dir):
+    """Codebook scoring must be a broadcast nested loop over the plan-
+    literal centroids — no SortMergeJoin anywhere."""
+    plan = _plan(spark, sf_dir, "similarity_kmeans_assign")
+    assert "SortMergeJoin" not in plan

@@ -252,3 +252,88 @@ def test_ivf_codebook_training_shape(spark, sf_dir):
         nrm = math.sqrt(sum(x * x for x in c))
         assert 0.0 < nrm <= 1.0 + 1e-9
         assert all(math.isfinite(x) for x in c)
+
+
+def test_triangle_count_known_graph(spark):
+    """Degree-oriented triangle counting on a hand-built graph with a
+    known answer: K4 (4 triangles... K4 has C(4,3)=4 triangles) plus a
+    pendant edge and an isolated edge — 4 triangles exactly, counted
+    once each regardless of orientation choices."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7)],
+        "u long, v long",
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("un"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("vn"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, F.col("u") == F.col("un"))
+        .join(dv, F.col("v") == F.col("vn"))
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    o1 = oriented.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
+    o2 = oriented.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
+    o3 = oriented.select(F.col("s").alias("s3"), F.col("t").alias("t3"))
+    n = (
+        o1.join(o2, F.col("t1") == F.col("s2"))
+        .join(o3, (F.col("s3") == F.col("s1")) & (F.col("t3") == F.col("t2")))
+        .count()
+    )
+    assert n == 4
+
+
+def test_markov_probabilities_sum_to_one(spark, sf_dir):
+    """Each from-state's outgoing transition probabilities must sum to
+    ~1 (rounded edge)."""
+    from pyspark.sql import functions as F
+
+    from hive_task_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["analytics_markov_transitions"](spark, sf_dir)
+    sums = df.groupBy("from_type").agg(F.sum("p_trans").alias("p"))
+    for r in sums.collect():
+        assert abs(r.p - 1.0) < 1e-4, r
+
+
+def test_kmeans_assignment_covers_corpus(spark, sf_dir):
+    """Every embedding lands in exactly one cluster: cluster sizes sum
+    to the corpus size; dominant-label support never exceeds size."""
+    from pyspark.sql import functions as F
+
+    from hive_task_spark import registry
+    from hive_task_spark.tables import load
+
+    registry.load_all()
+    df = registry.QUERIES["similarity_kmeans_assign"](spark, sf_dir)
+    total = load(spark, sf_dir, "embeddings").count()
+    rows = df.collect()
+    assert sum(r.n_vecs for r in rows) == total
+    assert all(r.top_label_n <= r.n_vecs for r in rows)
+
+
+def test_jl_projection_preserves_norms(spark, sf_dir):
+    """JL with k=8 is lossy but unbiased: every ratio is positive and
+    the mean ratio-squared sits near 1 (Rademacher projection is an
+    unbiased norm estimator)."""
+    from hive_task_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["similarity_dim_reduction"](spark, sf_dir).collect()
+    ratios = [r.norm_ratio_r for r in rows]
+    assert all(x > 0 for x in ratios)
+    mean_sq = sum(x * x for x in ratios) / len(ratios)
+    assert 0.7 < mean_sq < 1.3, mean_sq
