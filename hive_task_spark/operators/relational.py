@@ -254,6 +254,7 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "merge_upsert_apply",
+    defer=True,
     oracle="""
     WITH upd AS (
         SELECT o_orderkey, round(o_totalprice * 1.1, 3) AS new_price

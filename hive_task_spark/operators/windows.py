@@ -262,6 +262,7 @@ def window_nth_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_running_distinct",
+    defer=True,
     oracle="""
     WITH flagged AS (
         SELECT event_id, user_id, ts,

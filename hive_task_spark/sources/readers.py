@@ -16,8 +16,10 @@ CSV/JSON are exchange formats only — parquet is the storage format.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -296,6 +298,7 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_join_dpp_prune",
+    defer=True,
     oracle="""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
            CAST(count(*) AS BIGINT)          AS n_orders,
@@ -337,4 +340,117 @@ def source_join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_r"),
         )
         .select(F.col("o_year").cast("long").alias("o_year"), "n_orders", "total_r")
+    )
+
+
+class _FibSource(DataSource):
+    """Custom batch source via the Spark 4 Python DataSource API: a
+    deterministic number-theory table (n, fib(n) mod 2^31, n mod k) in
+    `numPartitions` independent splits. Demonstrates the full V2
+    surface — schema(), partitions(), per-partition read() — i.e. how
+    a bespoke feed (internal service, proprietary format) plugs into
+    the engine as a first-class scan with REAL parallelism (each
+    partition computes independently on its executor)."""
+
+    @classmethod
+    def name(cls):
+        return "fibsource"
+
+    def schema(self):
+        return "n BIGINT, fib_mod BIGINT, bucket BIGINT"
+
+    def reader(self, schema):
+        return _FibReader(self.options)
+
+
+class _FibReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 256))
+        self.n_parts = int(options.get("numPartitions", 8))
+
+    def partitions(self):
+        step = (self.n_rows + self.n_parts - 1) // self.n_parts
+        return [
+            InputPartition((i * step, min((i + 1) * step, self.n_rows)))
+            for i in range(self.n_parts)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        # closed-form-free iterative fib from the partition start:
+        # recompute the two seeds for `lo` locally (O(lo) once per
+        # partition, fine for a demo source; a real source would seek)
+        M = 2147483647
+        a, b = 0, 1
+        for _ in range(lo):
+            a, b = b, (a + b) % M
+        for n in range(lo, hi):
+            yield (n, a, n % 8)
+            a, b = b, (a + b) % M
+
+
+@register(
+    "source_python_datasource",
+    defer=True,
+    oracle="""
+    WITH RECURSIVE fib(n, a, b) AS (
+        SELECT 0, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT n + 1, b, (a + b) % 2147483647 FROM fib WHERE n < 255
+    )
+    SELECT CAST(n % 8 AS BIGINT)   AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(a) AS BIGINT)   AS fib_mod_sum,
+           CAST(max(a) AS BIGINT)   AS fib_mod_max
+    FROM fib
+    GROUP BY n % 8
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register + scan a custom Python DataSource (Spark 4 V2 API) and
+    aggregate it — proving third-party feeds enter the engine as
+    partitioned scans (8 input splits here, each read independently)
+    rather than driver-side collects. The oracle recomputes the same
+    deterministic sequence with a recursive CTE."""
+    spark.dataSource.register(_FibSource)
+    df = spark.read.format("fibsource").option("rows", "256").option(
+        "numPartitions", "8"
+    ).load()
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("fib_mod").cast("long").alias("fib_mod_sum"),
+            F.max("fib_mod").cast("long").alias("fib_mod_max"),
+        )
+    )
+
+
+@register(
+    "source_ignore_corrupt_files",
+    defer=True,
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def source_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-shard resilience: a directory holding one good parquet
+    file and one garbage file reads back clean under
+    ``ignoreCorruptFiles`` — at 100 TB across millions of objects,
+    occasional truncated/corrupt shards are a fact of life and a full
+    job abort on one bad file is not acceptable for bulk analytics.
+    (The flip side — integrity-critical loads want the default
+    fail-fast — is exactly why it's a per-read option.) The oracle is
+    the intact table: the read must surface every good row and
+    nothing else."""
+    n = load(spark, sf_dir, "nation")
+    path = _scratch("nation_with_corrupt")
+    shutil.rmtree(path, ignore_errors=True)
+    n.coalesce(1).write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not really a parquet file \x00\x01\x02")
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
     )

@@ -423,6 +423,7 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_zscore_static",
+    defer=True,
     oracle="""
     WITH stats AS (
         SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
@@ -469,6 +470,7 @@ def stream_zscore_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_multibatch_agg",
+    defer=True,
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
