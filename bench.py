@@ -56,6 +56,9 @@ HEADLINE = [
     # just batch SQL.
     "stream_tumbling_append",
     "multimodal_decode_features",
+    "analytics_markov_transitions",
+    "similarity_kmeans_assign",
+    "merge_upsert_apply",
 ]
 
 

@@ -793,11 +793,11 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, mean cosine-to-centroid (cohesion), and the dominant
     ground-truth label with its support (purity numerator).
 
-    Scale shape: the 16-row codebook is a broadcast literal; the
-    corpus is scored in a single map stage (16 dots/row, no shuffle)
-    and shuffles ONCE on cluster id for the stats — the centroid-
-    assign pattern `train_ivf_codebook` iterates, run once. The
-    label-majority window runs over ≤ K×|labels| rows."""
+    Scale shape: the codebook is a PLAN LITERAL; the corpus is scored
+    in a single map stage (16 dots/row via in-row transform + argmax,
+    zero scoring shuffle) and shuffles ONCE on cluster id for the
+    stats — the centroid-assign pattern `train_ivf_codebook` iterates,
+    run once. The label-majority window runs over ≤ K×|labels| rows."""
     from pyspark.sql import Window
 
     cb_lit = (
@@ -814,24 +814,38 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = vecs.select(
         "vec_id", "label", F.expr("transform(vec, x -> x / nrm)").alias("uvec")
     )
-    centroids = F.broadcast(
-        e.sparkSession.range(1).select(
-            F.posexplode(F.expr(cb_lit)).alias("cid", "cvec")
-        )
+    # In-row argmax over the literal codebook: one dot expression PER
+    # CENTROID (16 independent zip_with/aggregate exprs, the same
+    # per-row kernel similarity_dim_reduction uses), best = greatest(),
+    # cid = first column equal to the best — identical tie-break to
+    # (dot DESC, cid ASC). NO shuffle, NO window, NO per-row candidate
+    # set: scoring is a pure map stage. (Two rejected formulations:
+    # crossJoin+rank ships a 16x-expanded row stream through an
+    # exchange; a single transform() over the 16x64 literal array
+    # rebuilds the literal per row in the interpreted evaluator and
+    # benched 4x worse.) dots materialize in their own projection so
+    # each runs once (CollapseProject keeps multi-referenced exprs).
+    cent_lits = [
+        F.expr("array(" + ",".join(f"{x}D" for x in c) + ")")
+        for c in _IVF_CODEBOOK
+    ]
+    dotted = unit.select(
+        "vec_id",
+        "label",
+        *[
+            _dot(F.col("uvec"), cl).alias(f"d{i}")
+            for i, cl in enumerate(cent_lits)
+        ],
     )
-    assigned = (
-        unit.crossJoin(centroids)
-        .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), "cid")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "cid", "dot")
-        .localCheckpoint()  # feeds both the stats and the majority-label aggs
+    best = dotted.withColumn(
+        "dot", F.greatest(*[F.col(f"d{i}") for i in range(len(cent_lits))])
     )
+    cid = F.lit(None).cast("int")
+    for i in range(len(cent_lits) - 1, -1, -1):
+        cid = F.when(F.col(f"d{i}") == F.col("dot"), i).otherwise(cid)
+    assigned = best.select(
+        "vec_id", "label", cid.alias("cid"), "dot"
+    ).localCheckpoint()  # feeds both the stats and the majority-label aggs
     stats = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.round(F.avg("dot"), 6).alias("avg_cos_r"),

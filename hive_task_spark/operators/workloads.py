@@ -484,3 +484,73 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum exact-decimal on both engines."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SQL_RECURSIVE_CHAIN)
+
+
+@register(
+    "sql_lateral_column_alias",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, round(o_totalprice * 0.9, 3) AS discounted
+        FROM orders WHERE o_totalprice > 100000
+    ),
+    u AS (
+        SELECT o_orderkey, discounted,
+               round(discounted * 0.07, 5) AS tax_due
+        FROM t
+    )
+    SELECT o_orderkey, discounted, tax_due,
+           round(discounted + tax_due, 5) AS final_price
+    FROM u
+    """,
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+ SQL): later SELECT items
+    reference earlier aliases in the same list (discounted → tax_due →
+    final_price) instead of repeating the expression or nesting a
+    subquery — purely a resolution feature, so the optimized plan is
+    identical to the expanded form (one project over the scan, full
+    pushdown preserved). The DuckDB oracle expands through CTEs; all
+    rounds sit at each value's exact decimal grain (2dp price -> 3dp
+    discounted -> 5dp tax) per the half-boundary rule."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ht_orders_lca")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(o_totalprice * 0.9, 3)   AS discounted,
+               round(discounted * 0.07, 5)    AS tax_due,
+               round(discounted + tax_due, 5) AS final_price
+        FROM ht_orders_lca
+        WHERE o_totalprice > 100000
+        """
+    )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_bal_r
+    FROM customer
+    WHERE c_acctbal >= 1000.0 AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args=...)): the binding API
+    that kills string-interpolated predicates — parameters arrive as
+    typed literals in the plan (constant-folded, pushed down like any
+    literal), never concatenated text, which is both the injection-
+    safe and the plan-cache-friendly form."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("ht_customer_prm")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal_r
+        FROM ht_customer_prm
+        WHERE c_acctbal >= :min_bal AND c_mktsegment IN (:seg1, :seg2)
+        GROUP BY c_mktsegment
+        """,
+        args={"min_bal": 1000.0, "seg1": "BUILDING", "seg2": "MACHINERY"},
+    )

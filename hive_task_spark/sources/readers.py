@@ -454,3 +454,36 @@ def source_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    defer=True,
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 from_xml): each nation row is
+    serialized to an XML fragment and parsed back through an explicit
+    schema; the extracted struct must reproduce the table exactly.
+    Field extraction happens JVM-side in one projection (no Python);
+    at scale this is the pattern for XML feeds landed as text —
+    schema-on-read without a preprocessing hop. Oracle sees only the
+    round-trip result."""
+    n = load(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<nation><k>"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("</k><name>"),
+        F.col("n_name"),
+        F.lit("</name><rk>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</rk></nation>"),
+    )
+    parsed = n.select(
+        F.from_xml(xml, "k INT, name STRING, rk INT").alias("x")
+    )
+    return parsed.select(
+        F.col("x.k").alias("n_nationkey"),
+        F.col("x.name").alias("n_name"),
+        F.col("x.rk").alias("n_regionkey"),
+    )
