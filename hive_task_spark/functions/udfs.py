@@ -184,3 +184,80 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p.p_partkey <= 50
         """
     )
+
+
+def _acct_band_arrow_batches(it):
+    """mapInArrow kernel: pyarrow.RecordBatch in/out — no pandas
+    conversion at all, the lowest-overhead Python hop (columnar
+    buffers cross zero-copy where dtypes allow)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in it:
+        bal = batch.column("c_acctbal")
+        band = pc.floor(pc.divide(bal, 1000.0))
+        keep = pc.greater_equal(bal, 0.0)
+        out = pa.RecordBatch.from_arrays(
+            [
+                batch.column("c_custkey"),
+                pc.cast(band, pa.int64()),
+            ],
+            names=["c_custkey", "bal_band"],
+        )
+        yield out.filter(keep)
+
+
+@register(
+    "udf_mapinarrow",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+    FROM customer
+    WHERE c_acctbal >= 0.0
+    """,
+)
+def udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the raw-Arrow sibling of mapInPandas — kernels see
+    pyarrow.RecordBatch directly (no pandas materialization), the
+    right surface for codec-style byte work and libraries that speak
+    Arrow natively. Same oracle discipline as every Python hop: the
+    full type/null/batch path is value-checked."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return c.mapInArrow(
+        _acct_band_arrow_batches, "c_custkey long, bal_band long"
+    )
+
+
+def _zscore_iter_udf():
+    @pandas_udf("double")
+    def _zscore_iter(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        """Iterator-of-Series pandas_udf: one-time per-executor setup
+        (the constant here stands in for loading a model/tokenizer)
+        amortized across every batch in the partition — THE pattern
+        for expensive-init kernels."""
+        center, scale = 3000.0, 1500.0  # "model load" happens once
+        for bal in it:
+            yield (bal - center) / scale
+
+    return _zscore_iter
+
+
+@register(
+    "udf_pandas_iterator",
+    oracle="""
+    SELECT s_suppkey,
+           round((s_acctbal - 3000.0) / 1500.0, 6) AS bal_z
+    FROM supplier
+    """,
+)
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas_udf (Iterator[Series] -> Iterator[Series]):
+    functionally identical to the scalar form but with a per-partition
+    prologue — where model weights load ONCE instead of per batch.
+    At 100 TB this is the difference between loading a tokenizer
+    300,000 times (once per batch) and once per executor core."""
+    s = load(spark, sf_dir, "supplier")
+    fn = _zscore_iter_udf()
+    return s.select(
+        "s_suppkey", F.round(fn("s_acctbal"), 6).alias("bal_z")
+    )

@@ -487,3 +487,33 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.name").alias("n_name"),
         F.col("x.rk").alias("n_regionkey"),
     )
+
+
+@register(
+    "source_parquet_zstd",
+    defer=True,
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS total_r
+    FROM lineitem
+    """
+    + "GROUP BY l_returnflag",
+)
+def source_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec control: lineitem rewritten as zstd parquet (the modern
+    default for cold analytic storage — tighter than snappy at
+    comparable scan cost) and aggregated from the re-read. At 100 TB
+    codec choice is a first-order cost knob (storage AND shuffle);
+    the engine must prove values survive the round-trip bit-exactly,
+    which the intact-table oracle checks."""
+    li = load(spark, sf_dir, "lineitem")
+    path = _scratch("lineitem_zstd")
+    li.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_r"),
+        )
+    )
