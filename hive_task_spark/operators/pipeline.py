@@ -719,3 +719,88 @@ def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("ptag")).cast("long").alias("n_partials"),
         )
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5(text) AS h,
+               len(list_distinct(string_split(text, ' '))) * 1.0 /
+                   greatest(len(string_split(text, ' ')), 1) AS ttr
+        FROM documents
+    ),
+    dup AS (
+        SELECT h, count(*) AS cnt FROM t GROUP BY h
+    ),
+    src AS (
+        SELECT lang, source, count(*) AS ns FROM t GROUP BY lang, source
+    ),
+    top_src AS (
+        SELECT lang, source AS top_source FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY ns DESC, source) AS rn
+            FROM src
+        ) WHERE rn = 1
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT)                     AS n_docs,
+           CAST(sum(t.n_tokens) AS BIGINT)              AS n_tokens,
+           round(avg(t.ttr), 6)                         AS avg_ttr_r,
+           CAST(count(*) FILTER (WHERE d.cnt > 1) AS BIGINT) AS n_exact_dup,
+           any_value(ts.top_source)                     AS top_source
+    FROM t
+    JOIN dup d ON t.h = d.h
+    JOIN top_src ts ON t.lang = ts.lang
+    GROUP BY t.lang
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator: the per-language governance summary a
+    training-data release ships with — corpus size (docs, tokens),
+    lexical quality (mean TTR), exact-duplicate exposure (docs whose
+    content hash repeats), and the dominant source. One fact scan
+    feeds three small aggregates (hash groups, source counts, the
+    final language rollup); everything rejoins on broadcast-size
+    summaries. The operator exists because data cards are a release
+    REQUIREMENT for serious corpora — the engine should produce them
+    as one query, not a notebook."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.md5("text").alias("h"),
+        (
+            F.size(F.array_distinct(w)).cast("double")
+            / F.greatest(F.size(w), F.lit(1))
+        ).alias("ttr"),
+    ).localCheckpoint()  # one scan feeds dup-, source- and lang-aggs
+    dup = t.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    src = t.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("ns"))
+    top_src = (
+        src.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("ns").desc(), "source")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("top_source"))
+    )
+    return (
+        t.join(dup, "h")
+        .join(F.broadcast(top_src), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.avg("ttr"), 6).alias("avg_ttr_r"),
+            F.count_if(F.col("cnt") > 1).cast("long").alias("n_exact_dup"),
+            F.any_value(F.col("top_source")).alias("top_source"),
+        )
+    )

@@ -960,3 +960,117 @@ def similarity_dim_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm_ratio_r"),
         _djoin(F.col("proj"), 4).alias("proj_s"),
     )
+
+
+_ORACLE_SEMANTIC_DEDUP = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    u AS (
+        SELECT vec_id, list_transform(vec, x -> x / nrm) AS uvec FROM n
+    ),
+    c AS (
+        SELECT generate_subscripts(cb, 1) - 1 AS cid, unnest(cb) AS cvec
+        FROM (SELECT {{cb}} AS cb)
+    ),
+    scored AS (
+        SELECT u.vec_id, u.uvec, c.cid,
+               list_sum(list_transform(list_zip(u.uvec, c.cvec),
+                                       p -> p[1] * p[2])) AS dot
+        FROM u CROSS JOIN c
+    ),
+    a AS (
+        SELECT vec_id, uvec, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT x.cid,
+               list_sum(list_transform(list_zip(x.uvec, y.uvec),
+                                       z -> z[1] * z[2])) AS cos
+        FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    )
+    SELECT CAST(cid AS BIGINT)                                AS cid,
+           CAST(count(*) AS BIGINT)                           AS n_pairs,
+           CAST(count(*) FILTER (WHERE cos > 0.42) AS BIGINT) AS n_dups,
+           round(max(cos), 4)                                 AS max_cos_r
+    FROM pairs
+    GROUP BY cid
+""".format(cb="__CB__").replace("__CB__", _CODEBOOK_SQL)
+
+
+@register("similarity_semantic_dedup", oracle=_ORACLE_SEMANTIC_DEDUP)
+def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: exact pairwise cosine is
+    computed only WITHIN each frozen-codebook cluster, never across —
+    the standard way to make embedding dedup subquadratic (pair volume
+    drops by ~K when clusters are balanced; recall loss is exactly the
+    cross-cluster near-dups, the documented SemDeDup trade). Per
+    cluster: candidate pairs examined, pairs over the duplicate
+    threshold (0.42 on this synthetic corpus; production text models
+    sit near 0.95), and the tightest pair. Assignment and the
+    pairwise matrix are BOTH numpy kernels (mapInPandas assign, then
+    one cluster-keyed applyInPandas); the
+    pair join keys on cluster id, so the corpus shuffles ONCE; the
+    within-cluster pairwise matrix is ONE numpy matmul per cluster in
+    an Arrow-batched applyInPandas kernel — the sanctioned Python
+    drop-down for dense linear algebra (the interpreted zip_with
+    formulation evaluated 50M lambda steps and ran 25x slower at
+    sf0.01; BLAS does the same flops in milliseconds). max_cos rounds
+    at 4dp: matmul sums in SIMD order, not list order, so the edge
+    absorbs summation-order noise."""
+    e = load(spark, sf_dir, "embeddings")
+
+    def _assign_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        cb = np.array(_IVF_CODEBOOK)  # 16 x 64, the frozen codebook
+        for pdf in it:
+            m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cids = (m @ cb.T).argmax(axis=1)  # ties -> lowest cid
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cids.astype("int64"),
+                    "uvec": list(m),
+                }
+            )
+
+    assigned = e.select("vec_id", "embedding").mapInPandas(
+        _assign_batches, "vec_id long, cid long, uvec array<double>"
+    )
+
+    def _cluster_pair_stats(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = np.stack(pdf["uvec"].to_numpy())
+        if len(m) < 2:
+            return pd.DataFrame(
+                {"cid": [], "n_pairs": [], "n_dups": [], "max_cos_r": []}
+            )
+        g = m @ m.T
+        iu = np.triu_indices(len(m), k=1)
+        cos = g[iu]
+        return pd.DataFrame(
+            {
+                "cid": [int(key[0])],
+                "n_pairs": [len(cos)],
+                "n_dups": [int((cos > 0.42).sum())],
+                "max_cos_r": [round(float(cos.max()), 4)],
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        _cluster_pair_stats,
+        "cid long, n_pairs long, n_dups long, max_cos_r double",
+    )
