@@ -306,3 +306,37 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("first_seen").over(w2).cast("long").alias("n_distinct_so_far"),
     )
+
+
+@register(
+    "window_time_range_frame",
+    defer=True,
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER w AS BIGINT)      AS n_7d,
+           round(sum(o_totalprice) OVER w, 2)   AS sum_7d_r
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval RANGE frame: each order's trailing-7-day activity
+    for the same customer (count + spend) — the value-based frame
+    over event TIME, not row offsets: gaps shrink the window, bursts
+    widen it, and equal-timestamp peers aggregate together on both
+    engines by RANGE semantics (which is what makes this hash-stable
+    with no tiebreak). Distinct from window_range_frame (numeric
+    band) and window_running_total (row frame). One customer-keyed
+    exchange; the frame scan is linear per partition."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ht_orders_trf")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(count(*) OVER w AS BIGINT)    AS n_7d,
+               round(sum(o_totalprice) OVER w, 2) AS sum_7d_r
+        FROM ht_orders_trf
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        """
+    )

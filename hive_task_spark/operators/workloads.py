@@ -554,3 +554,94 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_bal": 1000.0, "seg1": "BUILDING", "seg2": "MACHINERY"},
     )
+
+
+@register(
+    "sql_native_unpivot",
+    oracle="""
+    UNPIVOT (SELECT c_mktsegment,
+                    round(avg(c_acctbal), 6) AS avg_bal,
+                    round(min(c_acctbal), 2) AS min_bal,
+                    round(max(c_acctbal), 2) AS max_bal
+             FROM customer GROUP BY c_mktsegment)
+    ON avg_bal, min_bal, max_bal
+    INTO NAME metric VALUE val
+    """,
+)
+def sql_native_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SQL UNPIVOT clause (Spark 3.4+): wide per-segment stats
+    rotate into (segment, metric, value) rows without the stack()
+    workaround `agg_unpivot_stack` demonstrates — same Expand
+    physical node, but schema-checked syntax where column typos are
+    analysis errors instead of silent string literals. DuckDB's
+    UNPIVOT spelling differs (ON/INTO NAME/VALUE) — the semantic is
+    identical."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("ht_customer_upv")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, metric, val
+        FROM (SELECT c_mktsegment,
+                     round(avg(c_acctbal), 6) AS avg_bal,
+                     round(min(c_acctbal), 2) AS min_bal,
+                     round(max(c_acctbal), 2) AS max_bal
+              FROM ht_customer_upv GROUP BY c_mktsegment)
+        UNPIVOT (val FOR metric IN (avg_bal, min_bal, max_bal))
+        """
+    )
+
+
+@register(
+    "sql_ctas_insert",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_r
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL/DML catalog surface: CREATE TABLE AS SELECT materializes
+    the pre-1997 per-status partials into a catalog table (explicit
+    external path, works on both the in-memory catalog and a Hive
+    metastore), INSERT INTO appends the 1997+ partials, and the final
+    read re-merges — proving the write path (CTAS file layout, append
+    semantics, catalog resolution) preserves values end-to-end. The
+    same two statements against a metastore are the nightly summary-
+    table refresh."""
+    import os as _os
+
+    from hive_task_spark.sources.readers import _scratch
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ht_orders_ctas_src")
+    spark.sql("DROP TABLE IF EXISTS htspark_ctas_summary")
+    path = _scratch("ctas_summary_tbl")
+    import shutil as _shutil
+
+    _shutil.rmtree(path, ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE htspark_ctas_summary
+        USING parquet LOCATION '{path}'
+        AS SELECT o_orderstatus, count(*) AS pn, sum(o_totalprice) AS ptotal
+           FROM ht_orders_ctas_src WHERE year(o_orderdate) < 1997
+           GROUP BY o_orderstatus
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO htspark_ctas_summary
+        SELECT o_orderstatus, count(*) AS pn, sum(o_totalprice) AS ptotal
+        FROM ht_orders_ctas_src WHERE year(o_orderdate) >= 1997
+        GROUP BY o_orderstatus
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(sum(pn) AS BIGINT)  AS n_orders,
+               round(sum(ptotal), 2)    AS total_r
+        FROM htspark_ctas_summary
+        GROUP BY o_orderstatus
+        """
+    )

@@ -517,3 +517,39 @@ def source_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_r"),
         )
     )
+
+
+@register(
+    "source_compact_small_files",
+    defer=True,
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total_r
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def source_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: orders shattered into 64 shards (the
+    streaming-ingest pathology — at 100 TB, millions of KB-sized files
+    turn listing and task scheduling into the bottleneck), then
+    compacted to 4 right-sized files with a single repartition write.
+    The aggregate reads the COMPACTED copy and must match the intact
+    table — compaction is only correct if it's a pure re-layout.
+    tests/test_plans.py asserts the file counts; on a cluster the same
+    two statements are the nightly compaction job (or the table
+    format's OPTIMIZE)."""
+    o = load(spark, sf_dir, "orders")
+    frag = _scratch("orders_fragmented")
+    compact = _scratch("orders_compacted")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compact
+    )
+    return (
+        spark.read.parquet(compact)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_r"),
+        )
+    )

@@ -506,3 +506,79 @@ def stream_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value_r"),
     )
     return _run_to_table(spark, agg, "stream_multibatch_agg", "complete")
+
+
+@register(
+    "stream_late_drop_proof",
+    defer=True,
+    oracle="""
+    WITH kept AS (
+        SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    ),
+    wm AS (
+        SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+    )
+    SELECT CAST(epoch(date_trunc('hour', k.ts)) AS BIGINT) AS window_start_s,
+           CAST(count(*) AS BIGINT)                        AS n_events
+    FROM kept k, wm
+    GROUP BY date_trunc('hour', k.ts), wm.w
+    HAVING date_trunc('hour', k.ts) + INTERVAL 1 HOUR <= wm.w
+    """,
+)
+def stream_late_drop_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark EVICTION proof — the one semantic every other stream
+    here can't exercise (single-batch replays never drop anything).
+    Three micro-batches, ordered by file mtime: (1) the on-time tail
+    (>= Jan 25) advances the watermark to max(ts)-1h; (2) a mid-range
+    file (Jan 20-25) is admitted — Spark applies the watermark
+    LAGGED BY ONE BATCH (empirically verified: the drop filter in
+    batch N uses the watermark committed after batch N-1), so these
+    rows aggregate and their long-passed windows emit immediately;
+    (3) the oldest 19 days arrive when the advanced watermark IS in
+    force and are dropped wholesale (numRowsDroppedByWatermark > 0,
+    zero output rows). Append output = hourly windows from files 1-2
+    whose end cleared the watermark — exactly what the batch oracle
+    states. A unit error in the event-time column (the round-2
+    silent-wrongness class) makes this output explode or vanish — it
+    cannot pass silently."""
+    import time as _time
+
+    from hive_task_spark.tables import load
+
+    apply_runtime_conf(spark)
+    src_dir = os.path.join(_SCRATCH, "events_late_drop")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    e = load(spark, sf_dir, "events")
+    c_hi, c_lo = "2024-01-25 00:00:00", "2024-01-20 00:00:00"
+    batches = [
+        e.filter(F.col("ts") >= c_hi),
+        e.filter((F.col("ts") >= c_lo) & (F.col("ts") < c_hi)),
+        e.filter(F.col("ts") < c_lo),
+    ]
+    now = _time.time()
+    seen: set[str] = set()
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(src_dir)
+        fresh = {
+            f for f in os.listdir(src_dir) if f.endswith(".parquet")
+        } - seen
+        for f in fresh:
+            age = 300 - 100 * i  # older mtime => processed earlier
+            os.utime(os.path.join(src_dir, f), (now - age, now - age))
+        seen |= fresh
+    schema = spark.read.parquet(src_dir).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    return _run_to_table(spark, agg, "stream_late_drop_proof", "append")

@@ -159,3 +159,16 @@ def test_kmeans_assign_no_shuffle_before_stats(spark, sf_dir):
     literal centroids — no SortMergeJoin anywhere."""
     plan = _plan(spark, sf_dir, "similarity_kmeans_assign")
     assert "SortMergeJoin" not in plan
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """The compaction op must actually reduce the physical file count
+    64 -> 4 (layout change), while the oracle proves value identity."""
+    import os
+
+    registry.QUERIES["source_compact_small_files"](spark, sf_dir).count()
+    from hive_task_spark.sources.readers import _scratch
+
+    n_frag = len([f for f in os.listdir(_scratch("orders_fragmented")) if f.endswith(".parquet")])
+    n_comp = len([f for f in os.listdir(_scratch("orders_compacted")) if f.endswith(".parquet")])
+    assert n_frag == 64 and n_comp == 4, (n_frag, n_comp)
