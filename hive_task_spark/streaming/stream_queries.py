@@ -60,15 +60,25 @@ def _run_to_table(
     file source re-reads the input."""
     cp = os.path.join(_SCRATCH, f"cp_{name}")
     shutil.rmtree(cp, ignore_errors=True)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", cp)
-        .start()
-    )
-    q.awaitTermination()
+    # State-store overhead scales with the shuffle-partition count (2
+    # checkpoint files per partition per batch); replay state here is
+    # tiny, so pin 8 state partitions for the stream run — halves
+    # replay wall-clock at sf0.1. Values are partitioning-independent;
+    # a real cluster sizes this to executor cores instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
