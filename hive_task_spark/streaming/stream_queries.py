@@ -248,27 +248,48 @@ def stream_static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STATE_SCHEMA = "n long, total double"
-_STATEFUL_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+_STATEFUL_OUT_SCHEMA = "user_id long, n_events long, total_value_r double"
 
 
 def _running_per_user(key, pdf_iter, state):
     """Custom stateful kernel: cumulative count/sum per user, persisted
-    in GroupState across micro-batches (Arrow-batched)."""
+    in GroupState across micro-batches (Arrow-batched). The emitted
+    total rounds at 2dp: pandas sums pairwise, DuckDB sequentially —
+    the 1e-12 summation-order gap closes at the money grain."""
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdf_iter:
         n += len(pdf)
         total += float(pdf["value"].sum())
     state.update((n, total))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value_r": [round(total, 2)],
+        }
     )
 
 
-@register("stream_stateful_running")  # rows-only: emission cadence is engine-specific
+@register(
+    "stream_stateful_running",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value_r
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState: per-user running totals with explicit
-    GroupState — the arbitrary-stateful-operator surface
-    (the Spark-native analog of a per-key accumulator service)."""
+    GroupState — the arbitrary-stateful-operator surface (the
+    Spark-native analog of a per-key accumulator service). Oracle-
+    checkable BECAUSE the single-file AvailableNow replay is exactly
+    one micro-batch, so update mode emits each key once with its
+    final state == the batch aggregate; on a live multi-batch stream
+    the same query emits a per-key running series (cadence is the
+    engine's choice — the update-mode contract is per-key last-value,
+    which is what the oracle pins)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     s = _events_stream(spark, sf_dir).select("user_id", "value")
