@@ -615,3 +615,83 @@ def analytics_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("seq") - F.length(F.expr("replace(seq, 'vcp', '')"))) / 3
     )
     return seqd.select("user_id", "seq", n_vcp.cast("long").alias("n_vcp"))
+
+
+@register(
+    "analytics_ab_welch_ttest",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 'treat'
+                    ELSE 'ctrl' END AS grp,
+               value
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    s AS (
+        SELECT grp, count(*) AS n, avg(value) AS mu,
+               var_samp(value) AS v
+        FROM g GROUP BY grp
+    ),
+    w AS (
+        SELECT max(CASE WHEN grp = 'treat' THEN n END)  AS nt,
+               max(CASE WHEN grp = 'treat' THEN mu END) AS mt,
+               max(CASE WHEN grp = 'treat' THEN v END)  AS vt,
+               max(CASE WHEN grp = 'ctrl' THEN n END)   AS nc,
+               max(CASE WHEN grp = 'ctrl' THEN mu END)  AS mc,
+               max(CASE WHEN grp = 'ctrl' THEN v END)   AS vc
+        FROM s
+    )
+    SELECT CAST(nt AS BIGINT)              AS n_treat,
+           CAST(nc AS BIGINT)              AS n_ctrl,
+           round(mt - mc, 6)               AS mean_diff_r,
+           round((mt - mc) / sqrt(vt / nt + vc / nc), 4) AS t_stat_r,
+           round(pow(vt / nt + vc / nc, 2) /
+                 (pow(vt / nt, 2) / (nt - 1) + pow(vc / nc, 2) / (nc - 1)),
+                 2)                        AS welch_df_r
+    FROM w
+    """,
+)
+def analytics_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t-test between
+    two event cohorts (purchase vs view values) — group means,
+    difference, t statistic and Welch-Satterthwaite degrees of
+    freedom, all from ONE pass of per-group (n, mean, var) partial
+    aggregates; the test statistic itself is O(1) arithmetic on the
+    two summary rows (conditional-max pivot). This is the whole
+    distributed cost model of experimentation analytics: sufficient
+    statistics shuffle, never observations. Stats edges round per the
+    transcendental rule (t at 4dp, df at 2dp)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = e.select(
+        F.when(F.col("event_type") == "purchase", "treat")
+        .otherwise("ctrl")
+        .alias("grp"),
+        "value",
+    )
+    s = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    pick = lambda c, grp: F.max(F.when(F.col("grp") == grp, F.col(c)))
+    w = s.agg(
+        pick("n", "treat").alias("nt"),
+        pick("mu", "treat").alias("mt"),
+        pick("v", "treat").alias("vt"),
+        pick("n", "ctrl").alias("nc"),
+        pick("mu", "ctrl").alias("mc"),
+        pick("v", "ctrl").alias("vc"),
+    )
+    se2 = F.col("vt") / F.col("nt") + F.col("vc") / F.col("nc")
+    df_num = F.pow(se2, 2)
+    df_den = F.pow(F.col("vt") / F.col("nt"), 2) / (F.col("nt") - 1) + F.pow(
+        F.col("vc") / F.col("nc"), 2
+    ) / (F.col("nc") - 1)
+    return w.select(
+        F.col("nt").cast("long").alias("n_treat"),
+        F.col("nc").cast("long").alias("n_ctrl"),
+        F.round(F.col("mt") - F.col("mc"), 6).alias("mean_diff_r"),
+        F.round((F.col("mt") - F.col("mc")) / F.sqrt(se2), 4).alias("t_stat_r"),
+        F.round(df_num / df_den, 2).alias("welch_df_r"),
+    )

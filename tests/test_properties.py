@@ -337,3 +337,18 @@ def test_jl_projection_preserves_norms(spark, sf_dir):
     assert all(x > 0 for x in ratios)
     mean_sq = sum(x * x for x in ratios) / len(ratios)
     assert 0.7 < mean_sq < 1.3, mean_sq
+
+
+def test_audit_window_composition():
+    """The first 50 registered queries ARE the round-3 rotation promise
+    (CLAUDE.md): any drift — e.g. a new operator registered without
+    defer=True in a window module — fails here, not silently in the
+    driver's audit."""
+    from hive_task_spark import registry
+
+    registry.load_all()
+    names = list(registry.QUERIES)[:50]
+    assert names[0] == "q1_pricing_summary"
+    assert names[49] == "similarity_quantize_int8", names[45:]
+    fams = {n.split("_")[0] for n in names}
+    assert {"window", "setop", "asof", "source", "stream", "similarity"} <= fams
