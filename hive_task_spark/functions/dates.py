@@ -197,3 +197,49 @@ def date_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_gap"),
         F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap"),
     )
+
+
+@register(
+    "date_timezone_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch((ts AT TIME ZONE 'UTC')
+                      AT TIME ZONE 'America/New_York')) AS BIGINT)
+               AS ny_epoch_s,
+           CAST(hour((ts AT TIME ZONE 'UTC')
+                     AT TIME ZONE 'Asia/Tokyo') AS BIGINT)
+               AS tokyo_hour,
+           CAST(minute((ts AT TIME ZONE 'UTC')
+                       AT TIME ZONE 'Asia/Kolkata') AS BIGINT)
+               AS kolkata_minute,
+           (timezone('UTC', timezone('America/New_York',
+                (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'))
+                AT TIME ZONE 'UTC') = ts
+               AS roundtrip_ok
+    FROM events
+    """,
+)
+def date_timezone_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion family: from_utc_timestamp into a DST zone
+    (America/New_York), an eastern zone (Asia/Tokyo), and a
+    half-hour-offset zone (Asia/Kolkata — the +05:30 minute shift is
+    the classic tz-bug detector), plus a to_utc round-trip proof.
+    Session timezone stays pinned UTC (CLAUDE rule); every conversion
+    is EXPLICIT two-hop (instant -> named zone), so results are
+    session-independent on both engines. All JVM-side expressions at
+    scan speed — timezone math never needs a shuffle."""
+    e = load(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    return e.select(
+        "event_id",
+        F.unix_timestamp(ny).alias("ny_epoch_s"),
+        F.hour(F.from_utc_timestamp("ts", "Asia/Tokyo"))
+        .cast("long")
+        .alias("tokyo_hour"),
+        F.minute(F.from_utc_timestamp("ts", "Asia/Kolkata"))
+        .cast("long")
+        .alias("kolkata_minute"),
+        (F.to_utc_timestamp(ny, "America/New_York") == F.col("ts")).alias(
+            "roundtrip_ok"
+        ),
+    )

@@ -804,3 +804,86 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value(F.col("top_source")).alias("top_source"),
         )
     )
+
+
+@register(
+    "pipeline_clean_corpus_funnel",
+    oracle="""
+    WITH s0 AS (SELECT doc_id, text, lang, source FROM documents),
+    s1 AS (  -- exact dedup: keep min doc_id per content hash
+        SELECT * FROM s0 WHERE doc_id IN (
+            SELECT min(doc_id) FROM s0 GROUP BY md5(text))
+    ),
+    s2 AS (  -- prefix dedup among survivors
+        SELECT * FROM s1 WHERE doc_id IN (
+            SELECT min(doc_id) FROM s1
+            GROUP BY md5(array_to_string(string_split(text, ' ')[1:20], ' ')))
+    ),
+    s3 AS (  -- absolute quality bar
+        SELECT * FROM s2
+        WHERE len(list_distinct(string_split(text, ' '))) * 1.0 /
+              greatest(len(string_split(text, ' ')), 1) >= 0.55
+    ),
+    s4 AS (  -- per-domain cap, hash order
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM s3
+        ) WHERE rk <= 40
+    )
+    SELECT * FROM (
+        SELECT 0 AS stage_id, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM s0
+        UNION ALL SELECT 1, 'exact_dedup', count(*) FROM s1
+        UNION ALL SELECT 2, 'prefix_dedup', count(*) FROM s2
+        UNION ALL SELECT 3, 'quality_bar', count(*) FROM s3
+        UNION ALL SELECT 4, 'domain_cap', count(*) FROM s4
+    )
+    """,
+)
+def pipeline_clean_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled cleaning pipeline as ONE query: raw corpus →
+    exact dedup (content-hash argmin) → prefix dedup → absolute
+    quality bar (TTR ≥ 0.55) → per-domain cap, reporting survivors at
+    every stage — the funnel chart every data-curation run reports.
+    Stages compose as DataFrames (each stage's survivor set feeds the
+    next), which is the point: the engine's dedup/quality/mixing
+    operators are closed under composition, no materialization
+    between stages except the tiny survivor checkpoints. At 100 TB
+    each stage is the same bucketable shuffle it is standalone; the
+    stage counts come from one-row aggregates unioned at the end."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    s0 = d.localCheckpoint()
+    keep1 = s0.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    s1 = s0.join(keep1.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
+    pfx = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 20), " "))
+    keep2 = s1.groupBy(pfx).agg(F.min("doc_id").alias("doc_id"))
+    s2 = s1.join(keep2.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
+    w = F.split("text", " ")
+    ttr = F.size(F.array_distinct(w)).cast("double") / F.greatest(
+        F.size(w), F.lit(1)
+    )
+    s3 = s2.filter(ttr >= 0.55).localCheckpoint()
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    s4 = s3.withColumn("rk", rk).filter(F.col("rk") <= 40)
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+
+    return (
+        stage(0, "raw", s0)
+        .unionByName(stage(1, "exact_dedup", s1))
+        .unionByName(stage(2, "prefix_dedup", s2))
+        .unionByName(stage(3, "quality_bar", s3))
+        .unionByName(stage(4, "domain_cap", s4))
+    )
