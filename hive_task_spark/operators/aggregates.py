@@ -649,3 +649,112 @@ def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
             "discount_bounded"
         ),
     )
+
+
+_CMS_W = 256
+_CMS_P = 4294967291  # largest prime < 2^32
+_CMS_HASHES = [  # (a, b) affine constants, same trick as the minhash bank
+    (2654435761, 97),
+    (2246822519, 1013),
+    (3266489917, 8191),
+    (668265263, 131071),
+]
+
+
+def _cms_bucket_sql(i: int, key: str) -> str:
+    a, b = _CMS_HASHES[i]
+    return f"(({key} * {a} + {b}) % {_CMS_P}) % {_CMS_W}"
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    oracle=f"""
+    WITH kc AS (
+        SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY l_partkey
+    ),
+    counters AS (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS h, {_cms_bucket_sql(i, 'k')} AS bkt, sum(c) AS cnt"
+            f" FROM kc GROUP BY {_cms_bucket_sql(i, 'k')}"
+            for i in range(4)
+        )}
+    ),
+    est AS (
+        SELECT kc.k, kc.c AS exact_n,
+               min(ct.cnt) AS cms_est
+        FROM kc
+        JOIN counters ct
+          ON (ct.h = 0 AND ct.bkt = {_cms_bucket_sql(0, 'kc.k')})
+          OR (ct.h = 1 AND ct.bkt = {_cms_bucket_sql(1, 'kc.k')})
+          OR (ct.h = 2 AND ct.bkt = {_cms_bucket_sql(2, 'kc.k')})
+          OR (ct.h = 3 AND ct.bkt = {_cms_bucket_sql(3, 'kc.k')})
+        GROUP BY kc.k, kc.c
+    )
+    SELECT CAST(k AS BIGINT) AS l_partkey,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           (cms_est >= exact_n)    AS never_undercounts
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY cms_est DESC, k) AS rn FROM est)
+    WHERE rn <= 10
+    """,
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: a 4x256 counter matrix under
+    deterministic affine hashes (same constants both engines — the
+    sketch is bit-identical, so unlike HLL it oracle-checks exactly),
+    point-estimate = min over rows, top-10 keys by estimate with the
+    exact count and the one-sided-error witness (CMS never
+    undercounts) alongside. Scale shape: the counter build routes
+    through per-key partial counts (one fact shuffle, then O(keys)
+    rows into a 1 KB counter table — identical counters to per-row
+    updates because addition commutes); estimation is a broadcast
+    join of the counter matrix. At 100 TB the sketch IS the thing you
+    ship to the driver/dashboard instead of the 20M-row key table."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    kc = (
+        li.groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # feeds 4 counter builds + the estimate join
+    )
+
+    def bucket(i: int, col):
+        a, b = _CMS_HASHES[i]
+        return ((col * a + b) % _CMS_P) % _CMS_W
+
+    counters = None
+    for i in range(4):
+        ci = kc.groupBy(bucket(i, F.col("k")).alias("bkt")).agg(
+            F.sum("c").alias("cnt")
+        ).select(F.lit(i).alias("h"), "bkt", "cnt")
+        counters = ci if counters is None else counters.unionByName(ci)
+    est = kc
+    for i in range(4):
+        cti = counters.filter(F.col("h") == i).select(
+            F.col("bkt").alias(f"bkt{i}"), F.col("cnt").alias(f"cnt{i}")
+        )
+        est = est.join(
+            F.broadcast(cti), bucket(i, F.col("k")) == F.col(f"bkt{i}")
+        )
+    cms_est = F.least(*[F.col(f"cnt{i}") for i in range(4)])
+    ranked = est.select(
+        F.col("k").cast("long").alias("l_partkey"),
+        cms_est.cast("long").alias("cms_est"),
+        F.col("c").cast("long").alias("exact_n"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("cms_est").desc(), "l_partkey")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 10)
+        .select(
+            "l_partkey",
+            "cms_est",
+            "exact_n",
+            (F.col("cms_est") >= F.col("exact_n")).alias("never_undercounts"),
+        )
+    )

@@ -695,3 +695,61 @@ def analytics_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("mt") - F.col("mc")) / F.sqrt(se2), 4).alias("t_stat_r"),
         F.round(df_num / df_den, 2).alias("welch_df_r"),
     )
+
+
+@register(
+    "analytics_hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS b,
+               count(*) AS n, sum(value) AS sv
+        FROM events GROUP BY date_trunc('hour', ts)
+    )
+    SELECT 'hour' AS granularity,
+           CAST(floor(epoch(b)) AS BIGINT) AS bucket_s,
+           CAST(n AS BIGINT)               AS n_events,
+           round(sv, 2)                    AS sum_value_r
+    FROM hourly
+    UNION ALL
+    SELECT 'day',
+           CAST(floor(epoch(date_trunc('day', b))) AS BIGINT),
+           CAST(sum(n) AS BIGINT),
+           round(sum(sv), 2)
+    FROM hourly
+    GROUP BY date_trunc('day', b)
+    """,
+)
+def analytics_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the hourly rollup is
+    computed from the fact scan ONCE, and the daily grain re-
+    aggregates the HOURLY PARTIALS (count/sum are algebraic), never
+    touching the events table again — Timescale's continuous-
+    aggregate / materialized-rollup contract. At 100 TB the fine
+    grain is the only fact-sized job; every coarser grain costs
+    O(buckets), and refreshing a late hour cascades through partials
+    the same way (see pipeline_incremental_agg for the merge proof).
+    The oracle states both grains independently — equality holds
+    because the partial states are exactly mergeable."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .localCheckpoint()  # the materialized fine-grain rollup
+    )
+    hour_rows = hourly.select(
+        F.lit("hour").alias("granularity"),
+        F.unix_timestamp("b").alias("bucket_s"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round("sv", 2).alias("sum_value_r"),
+    )
+    day_rows = (
+        hourly.groupBy(F.date_trunc("day", "b").alias("d"))
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        .select(
+            F.lit("day").alias("granularity"),
+            F.unix_timestamp("d").alias("bucket_s"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round("sv", 2).alias("sum_value_r"),
+        )
+    )
+    return hour_rows.unionByName(day_rows)
