@@ -224,7 +224,7 @@ def date_timezone_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (America/New_York), an eastern zone (Asia/Tokyo), and a
     half-hour-offset zone (Asia/Kolkata — the +05:30 minute shift is
     the classic tz-bug detector), plus a to_utc round-trip proof.
-    Session timezone stays pinned UTC (CLAUDE rule); every conversion
+    Session timezone stays pinned UTC (project rule); every conversion
     is EXPLICIT two-hop (instant -> named zone), so results are
     session-independent on both engines. All JVM-side expressions at
     scan speed — timezone math never needs a shuffle."""
