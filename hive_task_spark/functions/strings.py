@@ -141,3 +141,43 @@ def str_extract_all_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type",
         ).alias("type_back"),
     )
+
+
+@register(
+    "str_collation_suite",
+    oracle="""
+    SELECT lower(p_brand) AS brand_ci,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT lower(p_type)) AS BIGINT) AS n_types_ci,
+           min(lower(p_name)) AS first_name_ci
+    FROM part
+    GROUP BY lower(p_brand)
+    """,
+)
+def str_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics (Spark 4): grouping, DISTINCT
+    and MIN under the UTF8_LCASE collation — the engine-level answer
+    to case-insensitive analytics that otherwise force lower() wrapped
+    around every reference (and defeat statistics/pruning on the raw
+    column). The oracle states the same semantics via explicit
+    lower() — for ASCII data the two are identical by definition; the
+    point of the operator is that on the Spark side NO expression
+    wrapping happens: the comparison semantic is a property of the
+    type. Edge values are lowercased on both sides so the hash
+    compares the semantic, not the case of representatives."""
+    p = load(spark, sf_dir, "part")
+    ci = lambda c: F.collate(F.col(c), "UTF8_LCASE")
+    return (
+        p.groupBy(F.lower(ci("p_brand")).alias("brand_ci"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.count_distinct(ci("p_type")).cast("long").alias("n_types_ci"),
+            F.lower(F.min(ci("p_name"))).alias("first_name_ci"),
+        )
+        .select(
+            F.col("brand_ci").cast("string"),
+            "n_parts",
+            "n_types_ci",
+            F.col("first_name_ci").cast("string"),
+        )
+    )

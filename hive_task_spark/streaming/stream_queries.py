@@ -613,3 +613,51 @@ def stream_late_drop_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(spark, agg, "stream_late_drop_proof", "append")
+
+
+@register(
+    "stream_file_sink_roundtrip",
+    defer=True,
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value_r
+    FROM events
+    WHERE value > 10.0
+    GROUP BY event_type
+    """,
+)
+def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable-sink path: the stream writes PARQUET FILES with an
+    exactly-once manifest (_spark_metadata commit log) instead of a
+    memory table — the production topology (memory sinks are demo
+    hardware). The filtered stream lands append-only; the batch
+    read-back then aggregates and must match the all-batch oracle:
+    proves the file sink commits exactly the processed rows (no
+    dupes, no loss) across the replay. On a cluster the same code
+    writes to object storage and downstream jobs read the manifest,
+    never partial files."""
+    out_dir = os.path.join(_SCRATCH, "file_sink_out")
+    cp = os.path.join(_SCRATCH, "cp_file_sink")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    s = _events_stream(spark, sf_dir).filter(F.col("value") > 10.0).select(
+        "event_id", "event_type", "value"
+    )
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value_r"),
+        )
+    )
