@@ -753,3 +753,79 @@ def analytics_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hour_rows.unionByName(day_rows)
+
+
+@register(
+    "analytics_rfm_segmentation",
+    oracle="""
+    WITH m AS (SELECT max(o_orderdate) AS mx FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               datediff('day', max(o_orderdate), any_value(m.mx)) AS rec_days,
+               count(*) AS freq,
+               sum(o_totalprice) AS monetary
+        FROM orders, m
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(4) OVER (ORDER BY rec_days, o_custkey)          AS r_rank,
+               ntile(4) OVER (ORDER BY freq DESC, o_custkey)         AS f_rank,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey)     AS m_rank
+        FROM rfm
+    )
+    SELECT CAST(r_rank AS BIGINT) AS r_rank,
+           CAST(f_rank AS BIGINT) AS f_rank,
+           CAST(m_rank AS BIGINT) AS m_rank,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(min(o_custkey) AS BIGINT) AS sample_cust
+    FROM scored
+    GROUP BY r_rank, f_rank, m_rank
+    """,
+)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    against the corpus max date), frequency, monetary — each
+    quartiled by ntile with a custkey tiebreak (ntile over a total
+    order is engine-portable), then the 4x4x4 segment census. One
+    customer-keyed aggregate + three windows over the per-customer
+    summary (NOT the fact table) + a tiny census groupBy. The
+    unpartitioned ntile windows run over customer-grain rows — at
+    100 TB that's still ~millions, and the standard fix is quantile
+    cutpoints (approx or exact two-pass) + broadcast, preserving
+    these exact semantics."""
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("mx"), F.max("o_orderdate")).alias("rec_days"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("rec_days", "o_custkey")).alias("r_rank"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
+        .alias("f_rank"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_rank"),
+    )
+    return (
+        scored.groupBy("r_rank", "f_rank", "m_rank")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.min("o_custkey").cast("long").alias("sample_cust"),
+        )
+        .select(
+            F.col("r_rank").cast("long").alias("r_rank"),
+            F.col("f_rank").cast("long").alias("f_rank"),
+            F.col("m_rank").cast("long").alias("m_rank"),
+            "n_custs",
+            "sample_cust",
+        )
+    )

@@ -887,3 +887,55 @@ def pipeline_clean_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(3, "quality_bar", s3))
         .unionByName(stage(4, "domain_cap", s4))
     )
+
+
+@register(
+    "pipeline_snapshot_dedup",
+    oracle="""
+    WITH snap AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE source = 'src0'
+    ),
+    incoming AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+        WHERE source <> 'src0'
+    )
+    SELECT i.source,
+           CAST(count(*) AS BIGINT) AS n_incoming,
+           CAST(count(*) FILTER (WHERE s.h IS NOT NULL) AS BIGINT)
+               AS n_already_seen,
+           CAST(count(*) FILTER (WHERE s.h IS NULL) AS BIGINT) AS n_new
+    FROM incoming i LEFT JOIN snap s ON i.h = s.h
+    GROUP BY i.source
+    """,
+)
+def pipeline_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: a new crawl increment is
+    deduped AGAINST THE EXISTING CORPUS's content-hash index (src0
+    plays the snapshot), not just within itself — the ingestion-time
+    shape: the snapshot side is hashes only (32 bytes/doc, millions
+    of times smaller than the corpus), the increment streams through
+    one hash join, and per-source admit/reject counts fall out. At
+    100 TB the snapshot index is a bucketed hash table on disk; the
+    increment join stays shuffle-free on the bucket key (see
+    source_bucketed_join for the mechanism)."""
+    d = load(spark, sf_dir, "documents")
+    snap = (
+        d.filter(F.col("source") == "src0")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    inc = d.filter(F.col("source") != "src0").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    return (
+        inc.join(F.broadcast(snap), "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_incoming"),
+            F.count_if(F.col("seen").isNotNull())
+            .cast("long")
+            .alias("n_already_seen"),
+            F.count_if(F.col("seen").isNull()).cast("long").alias("n_new"),
+        )
+    )

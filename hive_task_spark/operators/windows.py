@@ -340,3 +340,42 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "window_rolling_features",
+    defer=True,
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT)             AS event_idx,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll5_avg_r,
+           CAST(coalesce(floor(epoch(ts) - epoch(lag(ts) OVER w)), -1)
+                AS BIGINT)                                  AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML feature engineering over event streams: per user at each
+    event — sequence index, trailing-5-event mean value, seconds
+    since the previous event (-1 for the first; DuckDB's fractional
+    epoch floored on both sides) — the feature-store backfill shape.
+    All three features share ONE user-keyed exchange (same partition
+    key, compatible sort), which is the entire scale story: a
+    feature set is cheap iff its windows agree on the key."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w5 = w.rowsBetween(-4, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    secs = F.floor(
+        F.unix_micros(F.col("ts")) / 1e6 - F.unix_micros(prev_ts) / 1e6
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("event_idx"),
+        F.round(F.avg("value").over(w5), 6).alias("roll5_avg_r"),
+        F.coalesce(secs, F.lit(-1)).cast("long").alias("secs_since_prev"),
+    )
