@@ -758,3 +758,42 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") >= F.col("exact_n")).alias("never_undercounts"),
         )
     )
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(arg_max(o_totalprice, o_orderkey) AS DOUBLE)
+               AS latest_key_price,
+           CAST(arg_min(o_totalprice, o_orderkey) AS DOUBLE)
+               AS earliest_key_price,
+           CAST(arg_max(o_orderkey, o_totalprice ) AS BIGINT)
+               AS priciest_orderkey_hint
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (DuckDB: arg_max / arg_min) — the argmax
+    aggregate that replaces a rank-window + filter when only the
+    extremum's companion value is wanted: single partial+final hash
+    aggregate, no window, no second shuffle. Determinism discipline:
+    the first two columns key the extremum on o_orderkey (UNIQUE, so
+    ties cannot occur); the third keys on o_totalprice and is kept
+    deliberately as the documented anti-pattern-with-caveat — on this
+    dataset the per-status price maxima are unique (verified by the
+    exact hash staying green), but production code must break ties
+    via a composite or unique ordering key."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_totalprice", "o_orderkey")
+        .cast("double")
+        .alias("latest_key_price"),
+        F.min_by("o_totalprice", "o_orderkey")
+        .cast("double")
+        .alias("earliest_key_price"),
+        F.max_by("o_orderkey", "o_totalprice")
+        .cast("long")
+        .alias("priciest_orderkey_hint"),
+    )

@@ -112,3 +112,37 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_totalprice") > 50000).select("o_orderstatus")
     b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderstatus")
     return a.exceptAll(b)
+
+
+@register(
+    "setop_union_schema_evolution",
+    defer=True,
+    oracle="""
+    SELECT n_nationkey AS entity_key, n_name AS entity_name,
+           CAST(n_regionkey AS BIGINT) AS region_key,
+           CAST(NULL AS DOUBLE) AS acctbal
+    FROM nation
+    UNION ALL
+    SELECT s_suppkey, s_name, CAST(NULL AS BIGINT), s_acctbal
+    FROM supplier
+    """,
+)
+def setop_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: unionByName(allowMissingColumns=True)
+    aligns two differently-shaped relations BY NAME, null-padding
+    each side's missing columns — how heterogeneous snapshots (an old
+    table version + a new one with added fields) concatenate without
+    positional-union silent corruption (plain UNION by position would
+    happily zip unrelated columns). The oracle writes the null
+    padding out explicitly."""
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("entity_key"),
+        F.col("n_name").alias("entity_name"),
+        F.col("n_regionkey").cast("long").alias("region_key"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return n.unionByName(s, allowMissingColumns=True)
