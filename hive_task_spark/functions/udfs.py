@@ -261,3 +261,71 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "s_suppkey", F.round(fn("s_acctbal"), 6).alias("bal_z")
     )
+
+
+def _make_chunker():
+    """Polymorphic Python UDTF (Spark 4): no static returnType — the
+    OUTPUT SCHEMA is computed at plan time by `analyze()` from the
+    literal chunk-count argument (part_1..part_n columns). Built
+    lazily like `_make_expander`."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class _ChunkSplit:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"part_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            ln = len(text)
+            bounds = [(i * ln) // n for i in range(n + 1)]
+            yield tuple(text[bounds[i] : bounds[i + 1]] for i in range(n))
+
+    return udtf(_ChunkSplit)
+
+
+@register(
+    "udtf_polymorphic",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, len(text) AS ln FROM documents
+               WHERE doc_id <= 50)
+    SELECT doc_id,
+           substr(text, 1, ln // 3)                            AS part_1,
+           substr(text, ln // 3 + 1, (2 * ln) // 3 - ln // 3)  AS part_2,
+           substr(text, (2 * ln) // 3 + 1, ln - (2 * ln) // 3) AS part_3
+    FROM t
+    """,
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF via LATERAL: splits each document into 3
+    near-equal codepoint chunks where the COLUMN LIST (part_1..3) is
+    derived by the UDTF's analyze() from the literal argument — the
+    generator's shape is a plan-time function of its call site, which
+    a static returnType cannot express. The oracle spells out the same
+    integer chunk boundaries ((i*len)//n) with substr. Sharding a
+    document column for fan-out embedding calls is the pipeline use."""
+    try:
+        chunker = _make_chunker()
+    except ImportError:  # pre-4.0 — static substring equivalent
+        d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+        return d.selectExpr(
+            "doc_id",
+            "substr(text, 1, length(text) div 3) AS part_1",
+            "substr(text, length(text) div 3 + 1,"
+            " (2 * length(text)) div 3 - length(text) div 3) AS part_2",
+            "substr(text, (2 * length(text)) div 3 + 1,"
+            " length(text) - (2 * length(text)) div 3) AS part_3",
+        )
+    spark.udtf.register("ht_chunk_split", chunker)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("ht_docs_chunk")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.part_1, t.part_2, t.part_3
+        FROM ht_docs_chunk d, LATERAL ht_chunk_split(d.text, 3) t
+        WHERE d.doc_id <= 50
+        """
+    )

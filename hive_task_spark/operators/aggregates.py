@@ -797,3 +797,127 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("priciest_orderkey_hint"),
     )
+
+
+@register(
+    "agg_session_window_batch",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT)                       AS session_start_us,
+           CAST(epoch_us(max(ts) + INTERVAL 30 MINUTE) AS BIGINT)  AS session_end_us,
+           CAST(count(*) AS BIGINT)                                AS n_events,
+           round(sum(value), 2)                                    AS total_value_r
+    FROM g
+    GROUP BY user_id, sid
+    """,
+)
+def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native BATCH `session_window` aggregation (Spark 3.2+): the
+    same gap-merge semantics `pipeline_sessionize_events` hand-rolls
+    with island numbering, but expressed as a first-class grouping
+    expression — Spark plans a dedicated MergingSessionsExec-style
+    aggregate over (user_id)-partitioned, ts-sorted data: ONE shuffle
+    on the user key, sessions merged in a single pass, no window
+    functions at all. At 100 TB this is strictly cheaper than the
+    island formulation (one aggregate vs two windows + groupBy).
+    Session end is last-event-ts + gap (exclusive), matching the
+    streaming session window; the oracle is the island-numbering twin.
+    """
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value_r"),
+    )
+    return agg.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.unix_micros("w.end").alias("session_end_us"),
+        "n_events",
+        "total_value_r",
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_quantity AS BIGINT) AS qty,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    c AS (
+        SELECT l_returnflag, l_extendedprice, qty, l_orderkey, l_linenumber,
+               sum(qty) OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                              ROWS UNBOUNDED PRECEDING)  AS cum,
+               sum(qty) OVER (PARTITION BY l_returnflag) AS tot
+        FROM t
+    ),
+    hit AS (
+        SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice, l_orderkey,
+                                              l_linenumber) AS rn
+        FROM c WHERE 2 * cum >= tot
+    )
+    SELECT l_returnflag,
+           l_extendedprice       AS weighted_median_price,
+           CAST(tot AS BIGINT)   AS total_weight
+    FROM hit WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (50th weighted percentile) of extended price,
+    weighted by quantity, per return flag: cumulative-weight window
+    with a deterministic total order, first row whose cumulative
+    weight reaches half the group total. Weights cast to BIGINT (the
+    fixture's quantities are integral) so the cumulative comparison
+    is EXACT integer arithmetic on both engines — no float summation-
+    order hazard at the 2*cum >= tot boundary. One shuffle on the
+    group key; both window specs and the filter share it."""
+    from pyspark.sql import Window
+
+    order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    t = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    c = t.select(
+        "*",
+        F.sum("qty").over(w_cum).alias("cum"),
+        F.sum("qty").over(w_tot).alias("tot"),
+    ).filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+    w_rn = Window.partitionBy("l_returnflag").orderBy(*order)
+    return (
+        c.withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("weighted_median_price"),
+            F.col("tot").cast("long").alias("total_weight"),
+        )
+    )

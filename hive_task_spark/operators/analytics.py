@@ -829,3 +829,117 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_cust",
         )
     )
+
+
+@register(
+    "analytics_attribution_models",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               first_value(CASE WHEN event_type IN ('view','click','signup')
+                                THEN event_type END IGNORE NULLS) OVER wb
+                   AS first_touch_type,
+               last_value(CASE WHEN event_type IN ('view','click','signup')
+                               THEN event_type END IGNORE NULLS) OVER wb
+                   AS last_touch_type,
+               sum(CASE WHEN event_type = 'view'   THEN 1 ELSE 0 END) OVER wb AS n_view,
+               sum(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END) OVER wb AS n_click,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER wb AS n_signup
+        FROM events
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (
+        SELECT *, n_view + n_click + n_signup AS n_touch
+        FROM seq
+        WHERE event_type = 'purchase' AND last_touch_type IS NOT NULL
+    ),
+    scal AS (
+        SELECT
+          CAST(count(*) FILTER (first_touch_type = 'view')   AS BIGINT) AS ft_view,
+          CAST(count(*) FILTER (first_touch_type = 'click')  AS BIGINT) AS ft_click,
+          CAST(count(*) FILTER (first_touch_type = 'signup') AS BIGINT) AS ft_signup,
+          CAST(count(*) FILTER (last_touch_type = 'view')    AS BIGINT) AS lt_view,
+          CAST(count(*) FILTER (last_touch_type = 'click')   AS BIGINT) AS lt_click,
+          CAST(count(*) FILTER (last_touch_type = 'signup')  AS BIGINT) AS lt_signup,
+          CAST(sum(CAST(round(1000000.0 * n_view   / n_touch) AS BIGINT)) AS BIGINT) AS lin_view,
+          CAST(sum(CAST(round(1000000.0 * n_click  / n_touch) AS BIGINT)) AS BIGINT) AS lin_click,
+          CAST(sum(CAST(round(1000000.0 * n_signup / n_touch) AS BIGINT)) AS BIGINT) AS lin_signup
+        FROM conv
+    )
+    SELECT 'view' AS touch_type, ft_view AS first_touch,
+           lt_view AS last_touch, lin_view AS linear_micros FROM scal
+    UNION ALL
+    SELECT 'click', ft_click, lt_click, lin_click FROM scal
+    UNION ALL
+    SELECT 'signup', ft_signup, lt_signup, lin_signup FROM scal
+    """,
+)
+def analytics_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution, three models at once: for
+    each conversion (purchase) credit the user's PRIOR touches
+    (view/click/signup) by first-touch, last-touch, and linear
+    fractional models. Everything is window algebra over ONE
+    (user_id)-partitioned, time-ordered frame — running touch counts
+    and ignore-nulls first/last touch — so the whole query costs a
+    single shuffle of the event log; no per-conversion join, no
+    range explosion, at any corpus size. Linear credit is emitted as
+    integer micro-credits (round(1e6 * n_type / n_touch) per
+    conversion, summed): the per-conversion ratio is binary-exact at
+    every half boundary (power-of-two denominators), so the BIGINT
+    edge is engine-stable where a summed DOUBLE ratio would not be."""
+    touch = F.when(
+        F.col("event_type").isin("view", "click", "signup"),
+        F.col("event_type"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.first(touch, ignorenulls=True).over(wb).alias("first_touch_type"),
+        F.last(touch, ignorenulls=True).over(wb).alias("last_touch_type"),
+        F.sum((F.col("event_type") == "view").cast("long")).over(wb).alias("n_view"),
+        F.sum((F.col("event_type") == "click").cast("long")).over(wb).alias("n_click"),
+        F.sum((F.col("event_type") == "signup").cast("long")).over(wb).alias("n_signup"),
+    )
+    conv = seq.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_touch_type").isNotNull()
+    ).withColumn("n_touch", F.col("n_view") + F.col("n_click") + F.col("n_signup"))
+
+    def _lin(col: str):
+        return F.sum(
+            F.round(F.lit(1000000.0) * F.col(col) / F.col("n_touch"), 0).cast(
+                "long"
+            )
+        ).cast("long")
+
+    def _cnt(col: str, v: str):
+        return F.count(F.when(F.col(col) == v, 1)).cast("long")
+
+    scal = conv.agg(
+        _cnt("first_touch_type", "view").alias("ft_view"),
+        _cnt("first_touch_type", "click").alias("ft_click"),
+        _cnt("first_touch_type", "signup").alias("ft_signup"),
+        _cnt("last_touch_type", "view").alias("lt_view"),
+        _cnt("last_touch_type", "click").alias("lt_click"),
+        _cnt("last_touch_type", "signup").alias("lt_signup"),
+        _lin("n_view").alias("lin_view"),
+        _lin("n_click").alias("lin_click"),
+        _lin("n_signup").alias("lin_signup"),
+    )
+    return scal.select(
+        F.expr(
+            "stack(3, "
+            "'view',   ft_view,   lt_view,   lin_view, "
+            "'click',  ft_click,  lt_click,  lin_click, "
+            "'signup', ft_signup, lt_signup, lin_signup) "
+            "AS (touch_type, first_touch, last_touch, linear_micros)"
+        )
+    )

@@ -939,3 +939,63 @@ def pipeline_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("seen").isNull()).cast("long").alias("n_new"),
         )
     )
+
+
+@register(
+    "pipeline_scd2_dimension",
+    oracle="""
+    WITH src AS (
+        SELECT o_custkey, o_orderpriority,
+               CAST(o_orderdate AS DATE) AS odate, o_orderkey,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey)
+                   AS prev_p
+        FROM orders
+    ),
+    chg AS (
+        SELECT o_custkey, o_orderpriority, odate, o_orderkey
+        FROM src WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+    )
+    SELECT o_custkey                                   AS c_custkey,
+           o_orderpriority                             AS priority,
+           odate                                       AS valid_from,
+           coalesce(lead(odate) OVER w, DATE '2199-12-31') AS valid_to,
+           CAST(row_number() OVER w AS BIGINT)         AS version,
+           (lead(odate) OVER w IS NULL)                AS is_current
+    FROM chg
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)
+    """,
+)
+def pipeline_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each customer's order-
+    priority history collapses into versioned validity intervals
+    [valid_from, valid_to) — change detection via lag, interval close
+    via lead, open current version capped at a 2199-12-31 sentinel (9999-12-31 overflows the driver canonicalizer's datetime64[ns]).
+    This is the warehouse-standard dimension-maintenance pattern (a
+    MERGE-free full rebuild; `merge_upsert_apply` covers the
+    incremental CDC path). Both windows and the change filter share
+    ONE hash partitioning on the customer key — a single shuffle no
+    matter the corpus size, and at 100 TB the rebuild is
+    embarrassingly parallel per key."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    src = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("odate"),
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    )
+    chg = src.filter(
+        F.col("prev_p").isNull() | (F.col("prev_p") != F.col("o_orderpriority"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    return chg.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("odate").alias("valid_from"),
+        F.coalesce(
+            F.lead("odate").over(w2), F.lit("2199-12-31").cast("date")
+        ).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead("odate").over(w2).isNull().alias("is_current"),
+    )

@@ -337,3 +337,143 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ttr", 6).alias("ttr_r"),
         F.round("pr", 6).alias("pr_r"),
     )
+
+
+@register(
+    "quality_expectations_audit",
+    oracle="""
+    SELECT 'orders_fk_customer' AS check_name,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS checked_rows,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+               AS violations
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'documents_pk_unique',
+           CAST((SELECT count(*) FROM documents) AS BIGINT),
+           CAST((SELECT count(*) - count(DISTINCT doc_id) FROM documents) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_quantity IS NULL
+                    OR l_quantity NOT BETWEEN 1 AND 50) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_policy',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_discount IS NULL
+                    OR l_discount NOT BETWEEN 0 AND 0.08) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'events_ts_plausible',
+           CAST((SELECT count(*) FROM events) AS BIGINT),
+           CAST((SELECT count(*) FROM events
+                 WHERE ts IS NULL
+                    OR ts < TIMESTAMP '2020-01-01'
+                    OR ts >= TIMESTAMP '2030-01-01') AS BIGINT)
+    """,
+)
+def quality_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset expectation audit (the dbt-test / Deequ shape): a suite
+    of declarative checks — referential integrity (anti-join orphan
+    counts), primary-key uniqueness, range/policy predicates, and
+    event-time plausibility — each reduced to one (check, checked,
+    violations) row and unioned into a single audit report. Every
+    check is a scan-plus-aggregate (FK checks are broadcast anti-
+    joins against dimension keys); no check is ever quadratic, so the
+    audit costs a bounded number of passes at any corpus size. The
+    discount-policy check intentionally fires on the fixture (its
+    discounts run to 0.10 against the 0.08 policy bound) so the
+    failing-check path is exercised, not just all-green."""
+
+    def _check(name: str, base: DataFrame, bad: DataFrame) -> DataFrame:
+        total = base.agg(F.count(F.lit(1)).cast("long").alias("checked_rows"))
+        viol = bad.agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        return (
+            total.crossJoin(F.broadcast(viol))
+            .select(
+                F.lit(name).alias("check_name"), "checked_rows", "violations"
+            )
+        )
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    documents = load(spark, sf_dir, "documents")
+    customer = load(spark, sf_dir, "customer")
+    events = load(spark, sf_dir, "events")
+
+    checks = [
+        _check(
+            "orders_fk_customer",
+            orders,
+            orders.join(
+                F.broadcast(customer.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        _check(
+            "lineitem_fk_orders",
+            lineitem,
+            lineitem.join(
+                orders.select("o_orderkey"),
+                lineitem.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        _check(
+            "documents_pk_unique",
+            documents,
+            documents.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .select(F.explode(F.sequence(F.lit(2), F.col("n"))).alias("_d")),
+        ),
+        _check(
+            "lineitem_qty_range",
+            lineitem,
+            lineitem.filter(
+                F.col("l_quantity").isNull()
+                | ~F.col("l_quantity").between(1, 50)
+            ),
+        ),
+        _check(
+            "lineitem_discount_policy",
+            lineitem,
+            lineitem.filter(
+                F.col("l_discount").isNull()
+                | ~F.col("l_discount").between(0, 0.08)
+            ),
+        ),
+        _check(
+            "orders_totalprice_positive",
+            orders,
+            orders.filter(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+            ),
+        ),
+        _check(
+            "events_ts_plausible",
+            events,
+            events.filter(
+                F.col("ts").isNull()
+                | (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp"))
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

@@ -645,3 +645,124 @@ def sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@register(
+    "sql_udf_library",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END                             AS size_bucket,
+           concat(CAST(year(o_orderdate) AS VARCHAR), '-Q',
+                  CAST(quarter(o_orderdate) AS VARCHAR))     AS yq,
+           CAST(count(*) AS BIGINT)                          AS n_orders,
+           round(sum(o_totalprice), 2)                       AS total_r
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def sql_udf_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (Spark 4.0 `CREATE FUNCTION ... RETURN
+    <expr>`): a reusable scalar-function library defined in pure SQL —
+    no Python hop at all. Catalyst INLINES the function body into the
+    calling plan (the optimized plan shows plain CASE/concat
+    expressions inside WholeStageCodegen, not a UDF call), so at
+    100 TB these run at scan speed, unlike any Python UDF. The oracle
+    is the hand-inlined equivalent — identical semantics by
+    construction."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION ht_size_bucket(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 50000 THEN 'small'
+                    WHEN p < 150000 THEN 'medium'
+                    ELSE 'large' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION ht_year_quarter(d TIMESTAMP)
+        RETURNS STRING
+        RETURN concat(CAST(year(d) AS STRING), '-Q', CAST(quarter(d) AS STRING))
+        """
+    )
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ht_orders_sqludf")
+    return spark.sql(
+        """
+        SELECT ht_size_bucket(o_totalprice)  AS size_bucket,
+               ht_year_quarter(o_orderdate)  AS yq,
+               CAST(count(*) AS BIGINT)      AS n_orders,
+               round(sum(o_totalprice), 2)   AS total_r
+        FROM ht_orders_sqludf
+        GROUP BY 1, 2
+        """
+    )
+
+
+@register(
+    "sql_table_function",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(1 + o_orderkey % 3 AS INT) AS n
+        FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT o_orderkey,
+           CAST(unnest(range(1, n + 1)) AS INT) AS k,
+           round(o_totalprice / n, 4)           AS amount
+    FROM src
+    """,
+)
+def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table function (Spark 4.0 `CREATE FUNCTION ... RETURNS
+    TABLE`) applied per-row via correlated LATERAL: each order explodes
+    into its installment schedule (1-3 rows keyed by orderkey). Like
+    scalar SQL UDFs the body inlines into the plan — the LATERAL
+    becomes a generate/explode, not a per-row subquery. Amounts round
+    at 4dp (2dp price / n<=3 — at or above the value's exact decimal
+    grain for n in {1,2}, and a non-terminating decimal for n=3, so
+    4dp sits on no half boundary)."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION ht_installments(total DOUBLE, n INT)
+        RETURNS TABLE(k INT, amount DOUBLE)
+        RETURN SELECT explode(sequence(1, n)) AS k, round(total / n, 4) AS amount
+        """
+    )
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ht_orders_tvf")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.k, t.amount
+        FROM ht_orders_tvf o,
+             LATERAL ht_installments(o.o_totalprice,
+                                     CAST(1 + o.o_orderkey % 3 AS INT)) t
+        WHERE o.o_orderkey <= 500
+        """
+    )
+
+
+@register(
+    "sql_native_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (l_linestatus = 'O') AS BIGINT) AS st_o,
+           CAST(count(*) FILTER (l_linestatus = 'F') AS BIGINT) AS st_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SQL PIVOT clause (vs the DataFrame `.pivot()` in
+    `agg_pivot`): line counts rotate status values into columns.
+    With the IN-list enumerated (no value-discovery scan), the plan is
+    a single partial+final hash aggregate over filtered counts —
+    exactly the filtered-agg formulation the oracle spells out, so the
+    rotation is free at any scale."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("ht_li_pivot")
+    return spark.sql(
+        """
+        SELECT * FROM (SELECT l_returnflag, l_linestatus FROM ht_li_pivot)
+        PIVOT (CAST(count(*) AS BIGINT)
+               FOR l_linestatus IN ('O' AS st_o, 'F' AS st_f))
+        """
+    )
