@@ -329,3 +329,111 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id <= 50
         """
     )
+
+
+def _cogroup_reconcile(orders_pdf, events_pdf):
+    """Cogrouped-map kernel: both sides of one key arrive as pandas
+    frames; emit a per-key reconciliation row. Key columns are present
+    in each (possibly empty) frame."""
+    import pandas as pd
+
+    if len(orders_pdf):
+        key = int(orders_pdf["o_custkey"].iloc[0])
+    else:
+        key = int(events_pdf["user_id"].iloc[0])
+    spend = float(orders_pdf["o_totalprice"].sum()) if len(orders_pdf) else 0.0
+    val = float(events_pdf["value"].sum()) if len(events_pdf) else 0.0
+    return pd.DataFrame(
+        {
+            "key_id": [key],
+            "n_orders": [len(orders_pdf)],
+            "n_events": [len(events_pdf)],
+            "total_spend_r": [round(spend, 2)],
+            "total_value_r": [round(val, 2)],
+        }
+    )
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
+                      round(sum(o_totalprice), 2) AS total_spend_r
+               FROM orders GROUP BY o_custkey),
+         e AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_events,
+                      round(sum(value), 2) AS total_value_r
+               FROM events GROUP BY user_id)
+    SELECT coalesce(o.k, e.k)                 AS key_id,
+           coalesce(n_orders, 0)              AS n_orders,
+           coalesce(n_events, 0)              AS n_events,
+           coalesce(total_spend_r, 0.0)       AS total_spend_r,
+           coalesce(total_value_r, 0.0)       AS total_value_r
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped map (`groupby().cogroup().applyInPandas`): orders and
+    events co-shuffle on one key (custkey = user_id) and each key's
+    TWO pandas frames land in a single Python call — the API for
+    custom per-key reconciliation/merge logic that needs both sides
+    materialized (merge_asof-style alignment, interleaved replay,
+    drift checks). Both sides arrive Arrow-batched; the shuffle is the
+    same two-sided hash exchange a full-outer join would pay, so the
+    pattern holds at any scale. The oracle is the relational twin:
+    per-side aggregates full-outer-joined on the key."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    events = load(spark, sf_dir, "events").select("user_id", "value")
+    out = (
+        orders.groupby("o_custkey")
+        .cogroup(events.groupby("user_id"))
+        .applyInPandas(
+            _cogroup_reconcile,
+            schema="key_id long, n_orders long, n_events long, "
+            "total_spend_r double, total_value_r double",
+        )
+    )
+    return out
+
+
+def _arrow_flag_stats(key, tbl):
+    """applyInArrow grouped-map kernel: one RecordBatch-backed
+    pyarrow.Table per group, zero pandas conversion."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "l_returnflag": [key[0].as_py() if hasattr(key[0], "as_py") else key[0]],
+            "n_rows": [tbl.num_rows],
+            "sum_qty": [int(pc.sum(pc.cast(tbl.column("l_quantity"), pa.int64())).as_py())],
+            "max_price": [float(pc.max(tbl.column("l_extendedprice")).as_py())],
+        }
+    )
+
+
+@register(
+    "udf_grouped_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)                    AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           max(l_extendedprice)                        AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map `applyInArrow` (Spark 4): the per-group kernel
+    receives a raw pyarrow.Table — no pandas materialization at all,
+    the cheapest possible Python hop for columnar group logic
+    (complements `udf_mapinarrow`, the ungrouped form). Sum/max over
+    int-cast quantities keep the edge integer/2dp-exact. In
+    production the built-in aggregate wins (the oracle IS that
+    relational twin); the registered query proves the API surface."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        _arrow_flag_stats,
+        schema="l_returnflag string, n_rows long, sum_qty long, max_price double",
+    )

@@ -766,3 +766,114 @@ def sql_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                FOR l_linestatus IN ('O' AS st_o, 'F' AS st_f))
         """
     )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_r
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+ / DuckDB-pioneered sugar): every non-
+    aggregate select item becomes a grouping key — the exact same SQL
+    text runs on BOTH engines here, so the oracle is literal. Resolves
+    at analysis time to an ordinary partial+final hash aggregate."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ht_orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT)    AS n_orders,
+               round(sum(o_totalprice), 2) AS total_r
+        FROM ht_orders_gba
+        GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "sql_identifier_template",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_identifier_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 3.4+): table/column names arrive as
+    PARAMETERS instead of string-concatenated SQL — the
+    injection-safe way to template multi-tenant queries over
+    per-tenant table names. The identifier binds at analysis time, so
+    the optimized plan is indistinguishable from the literal query
+    (broadcast dim join here)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("ht_cust_idf")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("ht_nat_idf")
+    return spark.sql(
+        """
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+        FROM IDENTIFIER(:cust_tbl) JOIN IDENTIFIER(:nat_tbl)
+             ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        args={"cust_tbl": "ht_cust_idf", "nat_tbl": "ht_nat_idf"},
+    )
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_open
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4.0): dynamic SQL with ?-positional
+    binds — the stored-procedure-style escape hatch for query text
+    assembled at runtime, with values passed as real parameters (no
+    string splicing). Plans identically to the static statement."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ht_orders_exi")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_open
+           FROM ht_orders_exi WHERE o_orderstatus = ? GROUP BY o_orderpriority'
+          USING 'O'
+        """
+    )
+
+
+@register(
+    "sql_session_variables",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rich
+    FROM customer
+    WHERE c_acctbal >= 5000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4.0 DECLARE/SET VARIABLE): a typed,
+    session-scoped scalar referenced by name inside later queries —
+    the SQL-native way to thread thresholds through a multi-statement
+    workflow (vs string formatting). The variable folds to a literal
+    at analysis, so predicate pushdown still sees a constant."""
+    spark.sql("DECLARE OR REPLACE VARIABLE ht_bal_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE ht_bal_floor = 5000.0")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("ht_cust_var")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rich
+        FROM ht_cust_var
+        WHERE c_acctbal >= ht_bal_floor
+        GROUP BY c_mktsegment
+        """
+    )

@@ -553,3 +553,59 @@ def source_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_r"),
         )
     )
+
+
+@register(
+    "source_binary_files",
+    oracle="""
+    SELECT concat('doc_', CAST(doc_id AS VARCHAR), '.txt') AS fname,
+           CAST(octet_length(encode(text)) AS BIGINT)      AS n_bytes,
+           sha256(text)                                    AS content_sha256
+    FROM documents
+    WHERE doc_id <= 20
+    """,
+    defer=True,
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — the blob-ingestion path every multimodal
+    pipeline starts from (image/audio shards on a filesystem → opaque
+    `content: binary` rows with path/length metadata). Fixture: the
+    first 20 documents written as UTF-8 .txt blobs; the scan then
+    proves content fidelity end-to-end by re-deriving byte length and
+    sha256 from the BINARY column and matching the oracle's
+    computation over the source strings. At scale the reader
+    parallelizes over files and `pathGlobFilter`/`recursiveFileLookup`
+    prune directories server-side; pair with
+    `spark.sql.files.maxPartitionBytes` so many small blobs coalesce
+    into few tasks (see multimodal.py for the downstream decode
+    kernels)."""
+    import shutil
+
+    d = _scratch("bin_docs")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+
+    def _write_blobs(rows) -> None:
+        # Executor-side blob writer (local[_] shares the scratch FS;
+        # on a cluster this is a shared/object store path) — the
+        # driver never materializes the corpus.
+        for r in rows:
+            with open(os.path.join(d, f"doc_{r['doc_id']}.txt"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 20)
+        .select("doc_id", "text")
+        .foreachPartition(_write_blobs)
+    )
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(d)
+    )
+    return scan.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_sha256"),
+    )
