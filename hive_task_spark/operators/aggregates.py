@@ -921,3 +921,85 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tot").cast("long").alias("total_weight"),
         )
     )
+
+
+@register(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_docs,
+           TRUE                                   AS approx_ok
+    FROM documents
+    GROUP BY source
+    UNION ALL
+    SELECT '__all__',
+           CAST(count(DISTINCT doc_id) AS BIGINT),
+           TRUE
+    FROM documents
+    """,
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches HLL (Spark 3.5 `hll_sketch_agg` /
+    `hll_union_agg`): per-source sketches built in ONE pass are
+    UNIONED into a corpus-wide estimate without touching the data
+    again — the sketch algebra that lets 100 TB distinct counts be
+    maintained incrementally (per-partition/per-day sketches, folded
+    on demand) instead of recomputed. Sketch bytes are engine-
+    specific, so the edge emits exact counts plus a 5%-bound check
+    on both the per-source and the merged estimates (the oracle
+    asserts TRUE; at these cardinalities HLL is near-exact)."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.expr("hll_sketch_agg(doc_id)").alias("sk"),
+        F.countDistinct("doc_id").cast("long").alias("exact_docs"),
+    )
+    per_rows = per.select(
+        "source",
+        "exact_docs",
+        (
+            F.abs(
+                F.expr("hll_sketch_estimate(sk)") - F.col("exact_docs")
+            )
+            <= 0.05 * F.col("exact_docs")
+        ).alias("approx_ok"),
+    )
+    merged = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_all"),
+        F.sum("exact_docs").cast("long").alias("exact_docs"),  # doc_id unique per source
+    ).select(
+        F.lit("__all__").alias("source"),
+        "exact_docs",
+        (
+            F.abs(F.col("approx_all") - F.col("exact_docs"))
+            <= 0.05 * F.col("exact_docs")
+        ).alias("approx_ok"),
+    )
+    return per_rows.unionAll(merged)
+
+
+@register(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type             AS item,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, item
+    LIMIT 3
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches frequent-items heavy hitters (`approx_top_k`,
+    Spark 4): the streaming-friendly top-k that never shuffles the
+    full key space — each partition keeps a bounded sketch, merged at
+    the driver. With domain cardinality far below maxItemsTracked the
+    sketch is EXACT, so the exploded (item, count) edge is oracle-
+    stable (fixture type counts are distinct at every SF — no rank-3
+    tie). Complements `agg_countmin_heavy_hitters` (bit-identical CM
+    twin) with the built-in sketch aggregate."""
+    e = load(spark, sf_dir, "events")
+    topk = e.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return topk.select(F.explode("tk").alias("x")).select(
+        F.col("x.item").alias("item"),
+        F.col("x.count").cast("long").alias("cnt"),
+    )

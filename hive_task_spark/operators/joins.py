@@ -386,3 +386,90 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_temporal_pointintime",
+    oracle="""
+    WITH src AS (
+        SELECT o_custkey, o_orderpriority,
+               CAST(o_orderdate AS DATE) AS odate, o_orderkey,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey)
+                   AS prev_p
+        FROM orders
+    ),
+    dim AS (
+        SELECT o_custkey AS d_custkey, o_orderpriority AS priority,
+               odate AS valid_from,
+               coalesce(lead(odate) OVER (PARTITION BY o_custkey
+                                          ORDER BY odate, o_orderkey),
+                        DATE '2199-12-31') AS valid_to
+        FROM src WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+    ),
+    fact AS (
+        SELECT o.o_custkey, CAST(l.l_shipdate AS DATE) AS sdate,
+               l.l_extendedprice
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT d.priority,
+           CAST(count(*) AS BIGINT)        AS n_lines,
+           round(sum(f.l_extendedprice), 2) AS revenue_r
+    FROM fact f JOIN dim d
+      ON f.o_custkey = d.d_custkey
+     AND f.sdate >= d.valid_from AND f.sdate < d.valid_to
+    GROUP BY d.priority
+    """,
+)
+def join_temporal_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each shipment joins the SCD2
+    dimension VERSION that was valid on its ship date — the
+    as-of-correct dimension lookup that prevents training-data
+    leakage from future attribute values (the ML feature-store
+    'time-travel join'). Equi-key on custkey carries the join; the
+    validity-range predicate filters WITHIN each key's few versions,
+    so this plans as a plain hash/SMJ join plus a cheap residual —
+    never a range explosion. The SCD2 dimension is built inline with
+    the same change-detection algebra as `pipeline_scd2_dimension`."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = load(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("odate"),
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    dim = (
+        src.filter(
+            F.col("prev_p").isNull()
+            | (F.col("prev_p") != F.col("o_orderpriority"))
+        )
+        .select(
+            F.col("o_custkey").alias("d_custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("odate").alias("valid_from"),
+            F.coalesce(
+                F.lead("odate").over(w2), F.lit("2199-12-31").cast("date")
+            ).alias("valid_to"),
+        )
+    )
+    fact = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", F.to_date("l_shipdate").alias("sdate"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    joined = fact.join(
+        dim,
+        (F.col("o_custkey") == F.col("d_custkey"))
+        & (F.col("sdate") >= F.col("valid_from"))
+        & (F.col("sdate") < F.col("valid_to")),
+    )
+    return joined.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue_r"),
+    )

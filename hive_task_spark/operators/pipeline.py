@@ -999,3 +999,68 @@ def pipeline_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).cast("long").alias("version"),
         F.lead("odate").over(w2).isNull().alias("is_current"),
     )
+
+
+def _spread16(x: str, shl: str) -> str:
+    """Bit-spread of a 16-bit value into even bit positions (classic
+    Morton magic-number sequence), written with dialect-parameterized
+    shift syntax: ``shl`` is a format string for a left shift."""
+    e = x
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        e = f"(({e} | {shl.format(x=e, n=shift)}) & {mask})"
+    return e
+
+
+def _zorder_sql(shl: str) -> str:
+    """Morton key over (l_partkey, l_suppkey) 16-bit truncations."""
+    p = _spread16("(l_partkey & 65535)", shl)
+    s = _spread16("(l_suppkey & 65535)", shl)
+    return f"({p} | {shl.format(x=s, n=1)})"
+
+
+_Z_SPARK = _zorder_sql("shiftleft({x}, {n})")
+_Z_DUCK = _zorder_sql("({x} << {n})")
+
+
+@register(
+    "pipeline_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               {_Z_DUCK} // 16777216 AS zbucket
+        FROM lineitem
+    )
+    SELECT CAST(zbucket AS BIGINT)          AS zbucket,
+           CAST(count(*) AS BIGINT)         AS n_rows,
+           CAST(min(l_partkey) AS BIGINT)   AS min_part,
+           CAST(max(l_partkey) AS BIGINT)   AS max_part,
+           CAST(min(l_suppkey) AS BIGINT)   AS min_supp,
+           CAST(max(l_suppkey) AS BIGINT)   AS max_supp
+    FROM z
+    GROUP BY zbucket
+    """,
+)
+def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys: interleave the bits of two join/
+    filter dimensions into one sort key, so RANGE-partitioning files
+    by zkey gives every file a tight bounding box in BOTH dimensions
+    — the multi-dimensional clustering trick behind Delta/Iceberg
+    OPTIMIZE ZORDER, reproduced as pure JVM bit algebra (magic-number
+    bit spreading, no UDF). The query emits per-z-bucket bounding
+    boxes: the artifact a file-skipping planner would consult, and
+    the direct measure of pruning power (each bucket covers ~1/2^k of
+    each dim's range rather than all of it). At 100 TB: add
+    `.repartitionByRange("zkey").sortWithinPartitions("zkey")` before
+    the parquet write and min/max footer stats do the skipping."""
+    z = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "l_suppkey",
+        f"CAST({_Z_SPARK} div 16777216 AS BIGINT) AS zbucket",
+    )
+    return z.groupBy("zbucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("l_partkey").cast("long").alias("min_part"),
+        F.max("l_partkey").cast("long").alias("max_part"),
+        F.min("l_suppkey").cast("long").alias("min_supp"),
+        F.max("l_suppkey").cast("long").alias("max_supp"),
+    )

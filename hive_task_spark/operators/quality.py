@@ -477,3 +477,73 @@ def quality_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+@register(
+    "quality_winsorize",
+    oracle="""
+    WITH r AS (
+        SELECT lang, n_chars, doc_id,
+               percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS pr
+        FROM documents
+    ),
+    b AS (
+        SELECT lang,
+               max(CASE WHEN pr <= 0.05 THEN n_chars END) AS lo,
+               min(CASE WHEN pr >= 0.95 THEN n_chars END) AS hi
+        FROM r GROUP BY lang
+    )
+    SELECT r.lang,
+           CAST(b.lo AS BIGINT)                                   AS clip_lo,
+           CAST(b.hi AS BIGINT)                                   AS clip_hi,
+           CAST(sum(CASE WHEN r.n_chars < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(sum(CASE WHEN r.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(sum(least(greatest(r.n_chars, b.lo), b.hi)) AS BIGINT)
+               AS sum_winsorized
+    FROM r JOIN b ON r.lang = b.lang
+    GROUP BY r.lang, b.lo, b.hi
+    """,
+)
+def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based winsorization (outlier clipping at the empirical
+    5th/95th percentile) of document lengths per language — the
+    robust-stats preprocessing step before corpus-level means/
+    z-scores. Clip bounds are chosen by PERCENT_RANK over actual
+    data values, NOT interpolated quantiles: bounds stay integers,
+    every clipped sum stays exact BIGINT arithmetic, and the
+    percent_rank threshold compare is a single double division of
+    identical integers on both engines — no float-summation or
+    interpolation hazard anywhere. One window pass + a broadcast-
+    size per-group bounds join: two scans of the column, no
+    quadratic work at any corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = load(spark, sf_dir, "documents").select(
+        "lang", "n_chars", "doc_id", F.percent_rank().over(w).alias("pr")
+    )
+    b = r.groupBy("lang").agg(
+        F.max(F.when(F.col("pr") <= 0.05, F.col("n_chars"))).alias("lo"),
+        F.min(F.when(F.col("pr") >= 0.95, F.col("n_chars"))).alias("hi"),
+    )
+    j = r.join(F.broadcast(b), "lang")
+    clipped = F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi"))
+    return j.groupBy("lang", "lo", "hi").agg(
+        F.sum((F.col("n_chars") < F.col("lo")).cast("long"))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum((F.col("n_chars") > F.col("hi")).cast("long"))
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.sum(clipped).cast("long").alias("sum_winsorized"),
+    ).select(
+        "lang",
+        F.col("lo").cast("long").alias("clip_lo"),
+        F.col("hi").cast("long").alias("clip_hi"),
+        "n_clipped_low",
+        "n_clipped_high",
+        "sum_winsorized",
+    )
