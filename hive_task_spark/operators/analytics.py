@@ -943,3 +943,62 @@ def analytics_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (touch_type, first_touch, last_touch, linear_micros)"
         )
     )
+
+
+@register(
+    "analytics_dau_mau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    dau AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    ),
+    cover AS (
+        SELECT user_id, d + CAST(unnest(range(0, 7)) AS INT) AS cd FROM ud
+    ),
+    wau AS (
+        SELECT cd AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+        FROM cover GROUP BY cd
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau7,
+           CAST(dau.dau AS DOUBLE) / wau.wau7 AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def analytics_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-AU stickiness, the product-health ratio:
+    each (user, day) activity row COVERS days d..d+6, so trailing
+    distinct actives become a plain per-day count(distinct) after a
+    bounded 7x row expansion — no self-join over a date range, no
+    windowed distinct (which Spark/SQL both lack), and therefore a
+    fixed fan-out regardless of corpus size (the standard scalable
+    rewrite for sliding distinct counts). The stickiness ratio is one
+    double division of exact BIGINTs — bit-identical cross-engine.
+    Days with activity report their ratio; the trailing window
+    denominator includes users whose 7-day cover extends into the
+    day."""
+    ud = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .distinct()
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cover = ud.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+    ).select("user_id", F.expr("date_add(d, k)").alias("cd"))
+    wau = cover.groupBy("cd").agg(
+        F.countDistinct("user_id").cast("long").alias("wau7")
+    )
+    return (
+        dau.join(wau, dau.d == wau.cd)
+        .select(
+            dau.d.alias("day"),
+            "dau",
+            "wau7",
+            (F.col("dau").cast("double") / F.col("wau7")).alias("stickiness"),
+        )
+    )

@@ -473,3 +473,45 @@ def join_temporal_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue_r"),
     )
+
+
+@register(
+    "join_broadcast_nested_loop",
+    oracle="""
+    SELECT t.bracket,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_r
+    FROM orders JOIN (VALUES ('low',  0.0,      50000.0),
+                             ('mid',  50000.0,  150000.0),
+                             ('high', 150000.0, 1e12)) t(bracket, lo, hi)
+      ON o_totalprice >= t.lo AND o_totalprice < t.hi
+    GROUP BY t.bracket
+    """,
+)
+def join_broadcast_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-inequality join (NO equi key): each order finds its price
+    bracket by range containment against a tiny in-memory bracket
+    table. Catalyst has no hash key to use, so it plans
+    BroadcastNestedLoopJoin — the correct physical strategy exactly
+    when one side is constant-size: cost is |fact| × |brackets| row
+    compares with zero shuffle of the fact. This is the 'band lookup'
+    pattern (tax brackets, SLA tiers, score bands); contrast
+    `join_theta_range`, where an equi component carries the join and
+    the inequality is a residual."""
+    brackets = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e12)],
+        "bracket string, lo double, hi double",
+    )
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        o.join(
+            F.broadcast(brackets),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("bracket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_r"),
+        )
+    )

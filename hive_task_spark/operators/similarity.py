@@ -1074,3 +1074,97 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cluster_pair_stats,
         "cid long, n_pairs long, n_dups long, max_cos_r double",
     )
+
+
+# Product-quantization sub-codebooks: the first 4 frozen IVF centroids
+# sliced into 4 x 16-dim subspaces (deterministic plan literals, same
+# freezing discipline as `_IVF_CODEBOOK` itself).
+_PQ_M, _PQ_K, _PQ_SUBDIM = 4, 4, 16
+_PQ_CB = [
+    [_IVF_CODEBOOK[c][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM] for c in range(_PQ_K)]
+    for s in range(_PQ_M)
+]
+
+
+def _pq_oracle() -> str:
+    dist_cols = []
+    for s in range(_PQ_M):
+        lo = s * _PQ_SUBDIM + 1
+        hi = (s + 1) * _PQ_SUBDIM
+        for c in range(_PQ_K):
+            lit = "[" + ",".join(str(x) for x in _PQ_CB[s][c]) + "]"
+            dist_cols.append(
+                f"list_sum(list_transform(list_zip(vec[{lo}:{hi}], {lit}), "
+                f"p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d{s}_{c}"
+            )
+    code_cases = []
+    for s in range(_PQ_M):
+        d = [f"d{s}_{c}" for c in range(_PQ_K)]
+        code_cases.append(
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]} THEN 0 "
+            f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+            f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
+        )
+    errs = " + ".join(
+        f"least(d{s}_0, d{s}_1, d{s}_2, d{s}_3)" for s in range(_PQ_M)
+    )
+    codes = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in code_cases)
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    d AS (SELECT vec_id, {", ".join(dist_cols)} FROM v)
+    SELECT vec_id, {codes} AS pq_code, round({errs}, 6) AS err_r
+    FROM d
+    """
+
+
+@register("similarity_product_quantization", oracle=_pq_oracle(), defer=True)
+def similarity_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ, the faiss IVF-PQ compression stage):
+    each 64-dim vector splits into 4 x 16-dim subspaces, each subspace
+    snaps to its nearest entry in a FROZEN 4-entry sub-codebook, and
+    the vector is stored as 4 small codes (here 8 bits total vs 256
+    bytes — a 256x index compression) plus a reconstruction error.
+    Like `similarity_kmeans_assign` the codebooks are plan literals
+    and scoring is a pure map stage: 16 subspace-distance expressions
+    per row, argmin by CASE with the deterministic <=-chain
+    tie-break, ZERO shuffle anywhere (the output is per-vector).
+    Distances on both engines are the identical ascending-dimension
+    fold, so codes match exactly and the summed error is bit-stable
+    before its 6dp rounding."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _vec_d().alias("vec"))
+    dist_exprs = []
+    for s in range(_PQ_M):
+        sub = F.slice(F.col("vec"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        for c in range(_PQ_K):
+            lit = F.expr(
+                "array(" + ",".join(f"{x}D" for x in _PQ_CB[s][c]) + ")"
+            )
+            dist_exprs.append(
+                F.aggregate(
+                    F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias(f"d{s}_{c}")
+            )
+    d = v.select("vec_id", *dist_exprs)
+    codes = []
+    for s in range(_PQ_M):
+        ds = [F.col(f"d{s}_{c}") for c in range(_PQ_K)]
+        codes.append(
+            F.when((ds[0] <= ds[1]) & (ds[0] <= ds[2]) & (ds[0] <= ds[3]), 0)
+            .when((ds[1] <= ds[2]) & (ds[1] <= ds[3]), 1)
+            .when(ds[2] <= ds[3], 2)
+            .otherwise(3)
+        )
+    err = sum(
+        (F.least(*[F.col(f"d{s}_{c}") for c in range(_PQ_K)]) for s in range(_PQ_M)),
+        start=F.lit(0.0),
+    )
+    pq_code = F.concat_ws("|", *[c.cast("string") for c in codes])
+    return d.select(
+        "vec_id", pq_code.alias("pq_code"), F.round(err, 6).alias("err_r")
+    )
