@@ -172,3 +172,46 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     n_frag = len([f for f in os.listdir(_scratch("orders_fragmented")) if f.endswith(".parquet")])
     n_comp = len([f for f in os.listdir(_scratch("orders_compacted")) if f.endswith(".parquet")])
     assert n_frag == 64 and n_comp == 4, (n_frag, n_comp)
+
+
+def test_session_window_single_exchange(spark, sf_dir):
+    """Native batch session_window must plan the dedicated session-
+    merging aggregate with exactly one user-key exchange — the reason
+    it beats the two-window island rewrite at scale."""
+    df = registry.QUERIES["agg_session_window_batch"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MergingSessions" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bnlj_only_where_intended(spark, sf_dir):
+    """The pure-inequality band lookup is the ONE query allowed a
+    BroadcastNestedLoopJoin (constant-size build side); it must not
+    degrade to a cartesian product."""
+    plan = _plan(spark, sf_dir, "join_broadcast_nested_loop")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temporal_join_dim_broadcast(spark, sf_dir):
+    """Point-in-time join: the SCD2 dimension side must broadcast at
+    this scale (equi-key + residual range predicate, never a range
+    explosion or SMJ of the fact per version)."""
+    plan = _plan(spark, sf_dir, "join_temporal_pointintime")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_product_quantization_pure_map(spark, sf_dir):
+    """PQ scoring is a map stage: frozen codebooks are plan literals,
+    so the plan must contain NO exchange at all (per-vector output)."""
+    plan = _plan(spark, sf_dir, "similarity_product_quantization")
+    assert "Exchange" not in plan
+
+
+def test_zorder_partial_aggregation(spark, sf_dir):
+    """Morton-key bucket stats must aggregate partial+final — the bit
+    algebra stays inside WholeStageCodegen (no Python, no UDF)."""
+    plan = _plan(spark, sf_dir, "pipeline_zorder_layout")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
