@@ -1002,3 +1002,68 @@ def analytics_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau7")).alias("stickiness"),
         )
     )
+
+
+@register(
+    "analytics_anomaly_mad",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, med, median(adev) AS mad
+        FROM dev GROUP BY event_type, med
+    )
+    SELECT d.event_type,
+           round(mad.med, 2)        AS median_r,
+           round(mad.mad, 2)        AS mad_r,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type, mad.med, mad.mad
+    """,
+)
+def analytics_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation: the
+    z-score twin (`analytics_outlier_zscore`) that outliers CANNOT
+    poison, because both the center (median) and the spread (MAD,
+    scaled by the normal-consistency constant 1.4826) are quantile
+    statistics. Two grouped exact medians + one broadcast of the
+    per-group constants back onto the rows; both interpolated medians
+    are the same two-value midpoint computation on each engine, so
+    the 3-sigma-equivalent threshold compare is bit-deterministic.
+    At 100 TB swap the exact medians for percentile_approx (same
+    shape, mergeable sketch) — the exact form here is the oracle
+    anchor, like `agg_percentile_grouped`."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    m = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(m), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "med").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 2).alias("median_r"),
+            F.round("mad", 2).alias("mad_r"),
+            "n_events",
+            "n_outliers",
+        )
+    )

@@ -1064,3 +1064,70 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").cast("long").alias("min_supp"),
         F.max("l_suppkey").cast("long").alias("max_supp"),
     )
+
+
+@register(
+    "pipeline_skew_diagnose",
+    oracle="""
+    WITH c AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM c
+    ),
+    r AS (
+        SELECT l_partkey, cnt,
+               row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rnk
+        FROM c
+    )
+    SELECT CAST(r.rnk AS BIGINT)                              AS rnk,
+           r.l_partkey,
+           r.cnt,
+           CAST(round(1000000.0 * r.cnt / t.total) AS BIGINT) AS share_ppm,
+           CAST(r.cnt * t.n_keys AS DOUBLE) / t.total         AS skew_factor
+    FROM r, t
+    WHERE r.rnk <= 5
+    """,
+)
+def pipeline_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis — the report you run BEFORE choosing
+    a join/agg strategy at scale: per-key counts, the top-5 heavy
+    keys, their parts-per-million share, and the skew factor
+    (key count ÷ mean key count; a factor ≫ 1 says salt this key or
+    rely on AQE skew-join). One aggregate + a count-ordered top-k;
+    the totals side is a single row cross-joined back (broadcast).
+    Integer micro-shares and an int÷int double division keep the
+    edge engine-stable."""
+    c = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    t = c.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    # TakeOrderedAndProject keeps only 5 rows per partition before the
+    # single-task merge — the global row_number then runs on a 5-row
+    # relation, never on the full key census.
+    top5 = c.orderBy(F.col("cnt").desc(), "l_partkey").limit(5)
+    r = top5.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), "l_partkey")
+        ),
+    )
+    return r.crossJoin(F.broadcast(t)).select(
+        F.col("rnk").cast("long").alias("rnk"),
+        "l_partkey",
+        "cnt",
+        F.round(F.lit(1000000.0) * F.col("cnt") / F.col("total"), 0)
+        .cast("long")
+        .alias("share_ppm"),
+        (
+            (F.col("cnt") * F.col("n_keys")).cast("double") / F.col("total")
+        ).alias("skew_factor"),
+    )

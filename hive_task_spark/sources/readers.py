@@ -609,3 +609,57 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.sha2("content", 256).alias("content_sha256"),
     )
+
+
+@register(
+    "source_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_r
+    FROM orders
+    WHERE o_orderstatus <> 'F' OR year(o_orderdate) >= 1997
+    GROUP BY o_orderstatus
+    """,
+    defer=True,
+)
+def source_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (`partitionOverwriteMode=dynamic`):
+    an INSERT OVERWRITE that replaces ONLY the partitions present in
+    the incoming data, leaving sibling partitions byte-identical —
+    the idempotent daily-reload primitive (static mode would wipe the
+    whole table). Fixture: orders written partitioned by status, then
+    the 'F' partition alone overwritten with its post-1997 subset;
+    the re-read proves 'O'/'P' survived untouched and 'F' was
+    replaced, value-exactly. The conf is set per-write and restored
+    (queries must not depend on session conf — CLAUDE.md)."""
+    import shutil
+
+    path = _scratch("orders_dpo")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            o.filter(
+                (F.col("o_orderstatus") == "F")
+                & (F.year("o_orderdate") >= 1997)
+            )
+            .write.partitionBy("o_orderstatus")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_r"),
+        )
+    )

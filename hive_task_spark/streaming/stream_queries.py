@@ -661,3 +661,58 @@ def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value_r"),
         )
     )
+
+
+@register(
+    "stream_statestore_inspect",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value_r
+    FROM events
+    GROUP BY user_id
+    """,
+    defer=True,
+)
+def stream_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store READER (Spark 4 `spark.read.format("statestore")`):
+    after a stateful stream completes, its checkpointed per-key state
+    is itself a queryable DataFrame — the production debugging/audit
+    path for 'what does my stream believe right now' (state-size
+    audits, stuck-key hunts, offline repair validation) without
+    touching the running query. The replayed per-user aggregate's
+    state must equal the batch aggregate over the same input exactly
+    — proving checkpoint round-trip fidelity, not just that the
+    stream ran. State key/value arrive as structs; the aggregation
+    buffer's count and sum fields are flattened positionally."""
+    name = "stream_statestore_inspect_run"
+    cp = os.path.join(_SCRATCH, f"cp_{name}")
+    shutil.rmtree(cp, ignore_errors=True)
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = spark.read.format("statestore").load(cp)
+    # key = (user_id); value = the agg buffer (count, sum) in
+    # declaration order — flatten positionally, then re-alias.
+    kf = state.schema["key"].dataType.names[0]
+    vf = state.schema["value"].dataType.names
+    return state.select(
+        F.col(f"key.{kf}").alias("user_id"),
+        F.col(f"value.{vf[0]}").cast("long").alias("n_events"),
+        F.round(F.col(f"value.{vf[1]}"), 2).alias("total_value_r"),
+    )
