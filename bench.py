@@ -59,6 +59,12 @@ HEADLINE = [
     "analytics_markov_transitions",
     "similarity_kmeans_assign",
     "merge_upsert_apply",
+    # Mid-round-3 additions: native session merge vs the island rewrite
+    # (same semantics, one fewer pass), the SCD2 point-in-time join, and
+    # the zero-shuffle PQ map stage.
+    "agg_session_window_batch",
+    "join_temporal_pointintime",
+    "similarity_product_quantization",
 ]
 
 
