@@ -1067,3 +1067,81 @@ def analytics_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "analytics_label_propagation",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey <= 120
+    ),
+    und AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+        SELECT a, b FROM und
+        UNION SELECT b, a FROM und
+        UNION SELECT DISTINCT l_partkey, l_partkey FROM items
+    ),
+    l0 AS (SELECT DISTINCT l_partkey AS part, l_partkey AS lbl FROM items),
+    l1 AS (SELECT e.a AS part, min(l.lbl) AS lbl
+           FROM edges e JOIN l0 l ON e.b = l.part GROUP BY e.a),
+    l2 AS (SELECT e.a AS part, min(l.lbl) AS lbl
+           FROM edges e JOIN l1 l ON e.b = l.part GROUP BY e.a),
+    l3 AS (SELECT e.a AS part, min(l.lbl) AS lbl
+           FROM edges e JOIN l2 l ON e.b = l.part GROUP BY e.a)
+    SELECT part AS l_partkey, CAST(lbl AS BIGINT) AS community
+    FROM l3
+    """,
+)
+def analytics_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation (3 unrolled rounds) over the
+    co-purchase graph — the community-detection sibling of
+    `dedup_cluster_components`: every vertex repeatedly adopts the
+    minimum label in its closed neighborhood (self-loops make own-
+    label part of the min, so the update is one join+groupBy per
+    round, no coalesce step). Deterministic by construction (min is
+    order-free), so the oracle is three chained CTEs. Scale shape:
+    each round costs one equi-join on the vertex key + one aggregate
+    — the standard bounded-rounds BSP pattern; at 100 TB you
+    checkpoint every few rounds exactly like the connected-components
+    loop (label range shrinks monotonically, convergence detection by
+    count of changed labels)."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") <= 120)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    und = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+    edges = (
+        und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .unionByName(
+            items.select(
+                F.col("l_partkey").alias("a"), F.col("l_partkey").alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint()  # reused by all three rounds
+    )
+    lab = items.select(F.col("l_partkey").alias("part")).distinct().select(
+        "part", F.col("part").alias("lbl")
+    )
+    for _ in range(3):
+        lab = (
+            edges.join(lab, edges.b == lab.part)
+            .groupBy(edges.a.alias("part"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return lab.select(
+        F.col("part").alias("l_partkey"), F.col("lbl").cast("long").alias("community")
+    )

@@ -1131,3 +1131,170 @@ def pipeline_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt") * F.col("n_keys")).cast("double") / F.col("total")
         ).alias("skew_factor"),
     )
+
+
+@register(
+    "pipeline_bloom_prefilter",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(
+                 CASE WHEN len(w) >= 3
+                      THEN [array_to_string(w[i:i+2], ' ')
+                            FOR i IN range(1, len(w) - 1)]
+                      ELSE [array_to_string(w, ' ')]
+                 END)) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    tagged AS (
+        SELECT s.shingle, d.source FROM sh s
+        JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    eval_sh AS (SELECT DISTINCT shingle FROM tagged WHERE source = 'src0'),
+    train_sh AS (SELECT DISTINCT shingle FROM tagged WHERE source <> 'src0'),
+    pos AS (
+        SELECT shingle,
+               ('0x' || substr(md5(shingle), 1, 8))::UBIGINT % 1024 AS p1,
+               ('0x' || substr(md5(shingle), 9, 8))::UBIGINT % 1024 AS p2
+        FROM eval_sh
+    ),
+    bits AS (
+        SELECT p1 AS p FROM pos UNION ALL SELECT p2 FROM pos
+    ),
+    lanes AS (
+        SELECT CAST(p // 32 AS BIGINT) AS lane,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS mask
+        FROM bits GROUP BY p // 32
+    ),
+    probe AS (
+        SELECT t.shingle,
+               ('0x' || substr(md5(t.shingle), 1, 8))::UBIGINT % 1024 AS p1,
+               ('0x' || substr(md5(t.shingle), 9, 8))::UBIGINT % 1024 AS p2,
+               (t.shingle IN (SELECT shingle FROM eval_sh)) AS true_hit
+        FROM train_sh t
+    ),
+    checked AS (
+        SELECT pr.shingle, pr.true_hit,
+               (coalesce(l1.mask, 0) & (CAST(1 AS BIGINT) << CAST(pr.p1 % 32 AS INT))) <> 0
+               AND
+               (coalesce(l2.mask, 0) & (CAST(1 AS BIGINT) << CAST(pr.p2 % 32 AS INT))) <> 0
+                   AS bloom_pass
+        FROM probe pr
+        LEFT JOIN lanes l1 ON l1.lane = CAST(pr.p1 // 32 AS BIGINT)
+        LEFT JOIN lanes l2 ON l2.lane = CAST(pr.p2 // 32 AS BIGINT)
+    )
+    SELECT CAST(count(*) AS BIGINT)                            AS n_train_shingles,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(sum(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_hits,
+           CAST(sum(CASE WHEN bloom_pass AND NOT true_hit THEN 1 ELSE 0 END)
+                AS BIGINT)                                     AS n_false_pos,
+           CAST(sum(CASE WHEN true_hit AND NOT bloom_pass THEN 1 ELSE 0 END)
+                AS BIGINT)                                     AS n_false_neg
+    FROM checked
+    """,
+)
+def pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefilter for decontamination — the
+    broadcast-able alternative to shuffling the training corpus
+    against the benchmark shingle set: the eval shingles fold into a
+    1024-bit filter (32 x 32-bit lanes, k=2 md5-derived probe
+    positions — the SAME md5 hex arithmetic on both engines, so the
+    filter is BIT-IDENTICAL cross-engine), each train shingle tests
+    two bits, and only bloom-passing candidates would proceed to
+    exact verification. The report quantifies the contract: zero
+    false negatives (a Bloom filter never misses — asserted by
+    n_false_neg), a measured false-positive count, and the survivor
+    fraction that the exact stage still has to verify. At 100 TB the
+    lanes relation is bytes — it broadcasts to every executor and the
+    corpus-side test is a pure map stage; Spark's own runtime bloom
+    join applies the same idea automatically, this operator is the
+    explicit, cross-engine-checkable form."""
+    from hive_task_spark.operators.dedup import _shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    src = d.select(F.col("doc_id").alias("src_doc"), "source")
+    sh = (
+        _shingle_rows(d)
+        .distinct()
+        .join(F.broadcast(src), F.col("doc_id") == F.col("src_doc"))
+    )
+    eval_sh = (
+        sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    )
+    train_sh = (
+        sh.filter(F.col("source") != "src0").select("shingle").distinct()
+    )
+
+    def _pos(col, start: int):
+        return (
+            F.conv(F.substring(F.md5(col), start, 8), 16, 10).cast("long")
+            % 1024
+        )
+
+    pos = eval_sh.select(
+        _pos(F.col("shingle"), 1).alias("p1"),
+        _pos(F.col("shingle"), 9).alias("p2"),
+    )
+    bits = pos.select(F.col("p1").alias("p")).unionAll(
+        pos.select(F.col("p2").alias("p"))
+    )
+    lanes = bits.groupBy((F.col("p") / 32).cast("long").alias("lane")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+        ).alias("mask")
+    )
+    probe = train_sh.select(
+        "shingle",
+        _pos(F.col("shingle"), 1).alias("p1"),
+        _pos(F.col("shingle"), 9).alias("p2"),
+    ).join(
+        eval_sh.withColumn("true_hit", F.lit(True)), "shingle", "left"
+    ).fillna({"true_hit": False})
+    l1 = lanes.select(F.col("lane").alias("lane1"), F.col("mask").alias("mask1"))
+    l2 = lanes.select(F.col("lane").alias("lane2"), F.col("mask").alias("mask2"))
+    checked = (
+        probe.join(
+            F.broadcast(l1),
+            (F.col("p1") / 32).cast("long") == F.col("lane1"),
+            "left",
+        )
+        .join(
+            F.broadcast(l2),
+            (F.col("p2") / 32).cast("long") == F.col("lane2"),
+            "left",
+        )
+        .select(
+            "true_hit",
+            (
+                (
+                    F.coalesce(F.col("mask1"), F.lit(0)).bitwiseAND(
+                        F.expr(
+                            "shiftleft(CAST(1 AS BIGINT), CAST(p1 % 32 AS INT))"
+                        )
+                    )
+                    != 0
+                )
+                & (
+                    F.coalesce(F.col("mask2"), F.lit(0)).bitwiseAND(
+                        F.expr(
+                            "shiftleft(CAST(1 AS BIGINT), CAST(p2 % 32 AS INT))"
+                        )
+                    )
+                    != 0
+                )
+            ).alias("bloom_pass"),
+        )
+    )
+    return checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_shingles"),
+        F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_bloom_pass"),
+        F.sum(F.col("true_hit").cast("long")).cast("long").alias("n_true_hits"),
+        F.sum((F.col("bloom_pass") & ~F.col("true_hit")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum((F.col("true_hit") & ~F.col("bloom_pass")).cast("long"))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
