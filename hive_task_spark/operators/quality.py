@@ -547,3 +547,120 @@ def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clipped_high",
         "sum_winsorized",
     )
+
+
+@register(
+    "quality_drift_report",
+    oracle="""
+    WITH seg AS (
+        SELECT CASE WHEN year(o_orderdate) < 1997 THEN 'pre' ELSE 'post' END AS seg,
+               CAST(count(*) AS BIGINT)                              AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                                                                     AS cents,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT)           AS n_urgent,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT)         AS n_status
+        FROM orders GROUP BY 1
+    ),
+    wide AS (
+        SELECT
+          max(CASE WHEN seg = 'pre'  THEN n END)        AS pre_n,
+          max(CASE WHEN seg = 'post' THEN n END)        AS post_n,
+          max(CASE WHEN seg = 'pre'  THEN cents END)    AS pre_c,
+          max(CASE WHEN seg = 'post' THEN cents END)    AS post_c,
+          max(CASE WHEN seg = 'pre'  THEN n_urgent END) AS pre_u,
+          max(CASE WHEN seg = 'post' THEN n_urgent END) AS post_u,
+          max(CASE WHEN seg = 'pre'  THEN n_status END) AS pre_s,
+          max(CASE WHEN seg = 'post' THEN n_status END) AS post_s
+        FROM seg
+    )
+    SELECT 'row_count' AS metric,
+           CAST(pre_n AS DOUBLE)  AS pre_value,
+           CAST(post_n AS DOUBLE) AS post_value,
+           CAST(post_n AS DOUBLE) - CAST(pre_n AS DOUBLE) AS drift
+    FROM wide
+    UNION ALL
+    SELECT 'avg_price_cents',
+           CAST(pre_c AS DOUBLE) / pre_n,
+           CAST(post_c AS DOUBLE) / post_n,
+           CAST(post_c AS DOUBLE) / post_n - CAST(pre_c AS DOUBLE) / pre_n
+    FROM wide
+    UNION ALL
+    SELECT 'urgent_share',
+           CAST(pre_u AS DOUBLE) / pre_n,
+           CAST(post_u AS DOUBLE) / post_n,
+           CAST(post_u AS DOUBLE) / post_n - CAST(pre_u AS DOUBLE) / pre_n
+    FROM wide
+    UNION ALL
+    SELECT 'distinct_statuses',
+           CAST(pre_s AS DOUBLE),
+           CAST(post_s AS DOUBLE),
+           CAST(post_s AS DOUBLE) - CAST(pre_s AS DOUBLE)
+    FROM wide
+    """,
+)
+def quality_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two data segments (pre-/
+    post-1997 orders standing in for yesterday-vs-today loads) — the
+    monitor that catches silent upstream changes before a model
+    does: per-segment row counts, mean price, urgent-priority share,
+    and categorical cardinality, emitted as (metric, pre, post,
+    drift) rows. Every ratio is a double division of EXACT integer
+    sufficient statistics (cents, counts), so both engines derive
+    bit-identical values — the same discipline as
+    `window_rolling_regression`. One scan, one tiny pivot; at 100 TB
+    this runs as a daily scan-speed audit beside the load job."""
+    seg = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.when(F.year("o_orderdate") < 1997, "pre")
+            .otherwise("post")
+            .alias("seg")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long"))
+            .cast("long")
+            .alias("n_urgent"),
+            F.countDistinct("o_orderstatus").cast("long").alias("n_status"),
+        )
+    )
+    wide = seg.agg(
+        *[
+            F.max(F.when(F.col("seg") == s, F.col(c))).alias(f"{p}_{c}")
+            for s, p in (("pre", "pre"), ("post", "post"))
+            for c in ("n", "cents", "n_urgent", "n_status")
+        ]
+    )
+    pre_n, post_n = F.col("pre_n").cast("double"), F.col("post_n").cast("double")
+    rows = [
+        ("row_count", pre_n, post_n),
+        (
+            "avg_price_cents",
+            F.col("pre_cents").cast("double") / F.col("pre_n"),
+            F.col("post_cents").cast("double") / F.col("post_n"),
+        ),
+        (
+            "urgent_share",
+            F.col("pre_n_urgent").cast("double") / F.col("pre_n"),
+            F.col("post_n_urgent").cast("double") / F.col("post_n"),
+        ),
+        (
+            "distinct_statuses",
+            F.col("pre_n_status").cast("double"),
+            F.col("post_n_status").cast("double"),
+        ),
+    ]
+    out = None
+    for metric, pre, post in rows:
+        r = wide.select(
+            F.lit(metric).alias("metric"),
+            pre.alias("pre_value"),
+            post.alias("post_value"),
+            (post - pre).alias("drift"),
+        )
+        out = r if out is None else out.unionAll(r)
+    return out

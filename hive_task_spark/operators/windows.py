@@ -379,3 +379,86 @@ def window_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w5), 6).alias("roll5_avg_r"),
         F.coalesce(secs, F.lit(-1)).cast("long").alias("secs_since_prev"),
     )
+
+
+@register(
+    "window_rolling_regression",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                    AS BIGINT)                                  AS x,
+               CAST(round(o_totalprice * 100) AS BIGINT)        AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(count(*)   OVER w AS BIGINT) AS n,
+               CAST(sum(x)     OVER w AS BIGINT) AS sx,
+               CAST(sum(y)     OVER w AS BIGINT) AS sy,
+               CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+        FROM seq
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY x
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+               AS slope_cents,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+              * sx) / n                                         AS intercept_cents
+    FROM s
+    WHERE n >= 2
+    """,
+    defer=True,
+)
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend (slope + intercept over the trailing 5 orders
+    per customer) — the feature-store 'recent spend trend' column,
+    computed from EXACT INTEGER sufficient statistics: money becomes
+    cents (round-then-cast, the Spark-truncates/DuckDB-rounds trap),
+    x is the per-customer order index, and every windowed sum
+    (n, Σx, Σy, Σxy, Σx²) is BIGINT arithmetic — so the closed-form
+    slope (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) is ONE double division of exact
+    integers, bit-identical cross-engine with no float-summation-
+    order hazard (a naive double rolling regression would differ in
+    the last bit under DuckDB's segment-tree window accumulation).
+    All five sums share one (custkey)-partitioned frame: one
+    shuffle."""
+    seq = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("x")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    s = seq.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+    ).filter(F.col("n") >= 2)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den
+    return s.select(
+        "o_custkey",
+        "o_orderkey",
+        "n",
+        slope.alias("slope_cents"),
+        ((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept_cents"
+        ),
+    )
