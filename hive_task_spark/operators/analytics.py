@@ -1145,3 +1145,102 @@ def analytics_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.select(
         F.col("part").alias("l_partkey"), F.col("lbl").cast("long").alias("community")
     )
+
+
+@register(
+    "analytics_association_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey <= 80
+    ),
+    n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+        FROM lineitem
+    ),
+    supp AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+        FROM items GROUP BY l_partkey
+    ),
+    pair AS (
+        SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.ante, p.cons, p.n_both,
+           CAST(p.n_both AS DOUBLE) / t.n                       AS support,
+           CAST(p.n_both AS DOUBLE) / sa.n_item                 AS confidence,
+           (CAST(p.n_both AS DOUBLE) / t.n)
+             / ((CAST(sa.n_item AS DOUBLE) / t.n)
+                * (CAST(sc.n_item AS DOUBLE) / t.n))            AS lift
+    FROM pair p
+    JOIN supp sa ON p.ante = sa.l_partkey
+    JOIN supp sc ON p.cons = sc.l_partkey
+    CROSS JOIN n_orders t
+    WHERE p.n_both >= 2
+    """,
+)
+def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (the Apriori readout): for item pairs
+    co-occurring in ≥2 baskets, emit support, confidence and lift —
+    the classic recommendation signals, all derived from THREE exact
+    integer counts (pair count, per-item counts, basket total) so
+    every ratio is an int/int double division, bit-stable on both
+    engines. The pair join is the bounded co-purchase wedge join
+    (`analytics_copurchase_pairs` discipline — distinct items first,
+    equi-join on the basket key); support counts broadcast back onto
+    the pair relation. At 100 TB frequent-itemset mining prunes by
+    min-support FIRST (the supp relation filter) so the pair join
+    only ever sees items that can possibly qualify."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") <= 80)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = (
+        load(spark, sf_dir, "lineitem")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+    )
+    supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"),
+            F.col("b.l_partkey").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    sa = supp.select(F.col("l_partkey").alias("ante"), F.col("n_item").alias("na"))
+    sc = supp.select(F.col("l_partkey").alias("cons"), F.col("n_item").alias("nc"))
+    out = (
+        pair.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sc), "cons")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    nb = F.col("n_both").cast("double")
+    return out.select(
+        "ante",
+        "cons",
+        "n_both",
+        (nb / F.col("n")).alias("support"),
+        (nb / F.col("na")).alias("confidence"),
+        (
+            (nb / F.col("n"))
+            / (
+                (F.col("na").cast("double") / F.col("n"))
+                * (F.col("nc").cast("double") / F.col("n"))
+            )
+        ).alias("lift"),
+    )

@@ -877,3 +877,38 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "sql_masked_view",
+    oracle="""
+    SELECT substr(c_name, 1, 4) || '***'        AS masked_name,
+           md5(CAST(c_custkey AS VARCHAR))      AS stable_key,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+def sql_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance view: column masking (name truncated, key replaced
+    by a stable md5 pseudonym, balance coarsened to a band) plus a
+    row-level filter, packaged as a VIEW — the pattern that lets
+    analysts query PII-bearing tables without seeing PII, while the
+    pseudonym still joins across views. Views are analysis-time
+    macros: the optimized plan is identical to inlining the
+    expressions, so masking costs nothing at any scale and predicate
+    pushdown still reaches the scan through the view."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("ht_cust_mask_src")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW ht_customer_masked AS
+        SELECT concat(substr(c_name, 1, 4), '***')       AS masked_name,
+               md5(CAST(c_custkey AS STRING))            AS stable_key,
+               c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT)   AS bal_band
+        FROM ht_cust_mask_src
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """
+    )
+    return spark.sql("SELECT * FROM ht_customer_masked")
