@@ -352,3 +352,106 @@ def test_audit_window_composition():
     assert names[49] == "similarity_quantize_int8", names[45:]
     fams = {n.split("_")[0] for n in names}
     assert {"window", "setop", "asof", "source", "stream", "similarity"} <= fams
+
+
+def test_session_window_conserves_events(spark, sf_dir):
+    """Batch session_window must partition the event stream exactly:
+    session event-counts sum to the table count, every session has
+    start < end, and values are conserved at 2dp."""
+    out = registry.QUERIES["agg_session_window_batch"](spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n_raw = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == n_raw
+    assert out.filter(F.col("session_end_us") <= F.col("session_start_us")).count() == 0
+
+
+def test_bloom_prefilter_never_misses(spark, sf_dir):
+    """The Bloom contract: zero false negatives, and the pass set is a
+    superset of the true-hit set (n_pass >= n_true)."""
+    row = registry.QUERIES["pipeline_bloom_prefilter"](spark, sf_dir).collect()[0]
+    assert row["n_false_neg"] == 0
+    assert row["n_bloom_pass"] >= row["n_true_hits"]
+    assert row["n_bloom_pass"] - row["n_true_hits"] == row["n_false_pos"]
+
+
+def test_winsorize_bounds_and_conservation(spark, sf_dir):
+    """Winsorization invariants: lo <= hi per group and the clipped sum
+    never exceeds the raw sum's clip envelope (lo*n <= sum <= hi*n)."""
+    rows = registry.QUERIES["quality_winsorize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["clip_lo"] <= r["clip_hi"]
+        n = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(f"lang = '{r['lang']}'")
+            .count()
+        )
+        assert r["clip_lo"] * n <= r["sum_winsorized"] <= r["clip_hi"] * n
+
+
+def test_product_quantization_codes_in_range(spark, sf_dir):
+    """PQ invariants: every code in [0, 3], error non-negative, one
+    row per vector."""
+    out = registry.QUERIES["similarity_product_quantization"](spark, sf_dir)
+    rows = out.collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    for r in rows[:50]:
+        codes = [int(c) for c in r["pq_code"].split("|")]
+        assert len(codes) == 4 and all(0 <= c <= 3 for c in codes)
+        assert r["err_r"] >= 0.0
+
+
+def test_zorder_buckets_partition_table(spark, sf_dir):
+    """Morton bucketing is a partition of the table: bucket row counts
+    sum to the table count and bounding boxes nest in the key domain."""
+    from pyspark.sql import functions as F
+
+    out = registry.QUERIES["pipeline_zorder_layout"](spark, sf_dir)
+    total = out.agg(F.sum("n_rows")).collect()[0][0]
+    n_raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert total == n_raw
+    assert out.filter(
+        (F.col("min_part") > F.col("max_part"))
+        | (F.col("min_supp") > F.col("max_supp"))
+    ).count() == 0
+
+
+def test_rolling_regression_two_point_slope(spark, sf_dir):
+    """For n=2 windows the OLS slope must equal the exact two-point
+    difference (y2-y1)/(x2-x1) = y2-y1 in cents (consecutive x)."""
+    from pyspark.sql import functions as F
+
+    out = registry.QUERIES["window_rolling_regression"](spark, sf_dir)
+    two = out.filter(F.col("n") == 2).limit(20).collect()
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    by_cust = {}
+    for r in orders:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    for r in two:
+        seq = sorted(
+            by_cust[r["o_custkey"]], key=lambda o: (o["o_orderdate"], o["o_orderkey"])
+        )
+        idx = next(i for i, o in enumerate(seq) if o["o_orderkey"] == r["o_orderkey"])
+        y2 = round(seq[idx]["o_totalprice"] * 100)
+        y1 = round(seq[idx - 1]["o_totalprice"] * 100)
+        assert abs(r["slope_cents"] - (y2 - y1)) < 1e-9
+
+
+def test_attribution_linear_credit_conserved(spark, sf_dir):
+    """Linear attribution credit must sum to ~1e6 micro-credits per
+    attributed conversion (up to per-conversion rounding of the three
+    shares, each within 0.5 micro-credit)."""
+    from pyspark.sql import functions as F
+
+    out = registry.QUERIES["analytics_attribution_models"](spark, sf_dir)
+    rows = {r["touch_type"]: r for r in out.collect()}
+    total_linear = sum(r["linear_micros"] for r in rows.values())
+    n_conv = sum(r["last_touch"] for r in rows.values())  # each conv has ONE last touch
+    assert abs(total_linear - n_conv * 1_000_000) <= n_conv * 2
