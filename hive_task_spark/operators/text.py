@@ -450,3 +450,88 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope_r"),
         F.round(F.regr_r2(lf, lr), 4).alias("zipf_r2_r"),
     )
+
+
+# Frozen ordered BPE merge table (textbook toy vocabulary): each merge
+# fuses an adjacent symbol pair; later merges may consume earlier
+# outputs ('th'+'e'). The '·' marker separates not-yet-merged symbols.
+_BPE_MERGES = [
+    ("t", "h"),
+    ("h", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "n"),
+    ("r", "e"),
+    ("o", "n"),
+    ("th", "e"),
+]
+
+
+def _bpe_chain(expr: str, quote: str) -> str:
+    """Nested replace() chain applying the merges in order; `expr` is a
+    SQL expression yielding the '·'-separated symbol string."""
+    out = expr
+    for a, b in _BPE_MERGES:
+        out = f"replace({out}, {quote}{a}·{b}{quote}, {quote}{a}{b}{quote})"
+    return out
+
+
+_BPE_DUCK_SYM = "trim(TRAILING '·' FROM regexp_replace(word, '(.)', '\\1·', 'g'))"
+
+
+@register(
+    "text_bpe_apply",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents WHERE doc_id <= 200
+    ),
+    m AS (
+        SELECT doc_id, word,
+               {_bpe_chain(_BPE_DUCK_SYM, chr(39))}
+                   AS merged
+        FROM w WHERE word <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(merged) - length(replace(merged, '·', '')) + 1)
+                AS BIGINT)          AS n_bpe_tokens,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars
+    FROM m GROUP BY doc_id
+    """,
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (the mechanism, not a trained vocab):
+    each word explodes into '·'-separated symbols and a frozen ordered
+    merge table fuses adjacent pairs — exactly how byte-pair encoding
+    tokenizes at inference, expressed as a chain of 8 constant
+    replace() calls that whole-stage codegen fuses into one scan-speed
+    map (no UDF, no Python). Emits per-doc word/BPE-token/char counts
+    — the token-budget accounting a real pipeline does with the real
+    tokenizer; swapping in a production vocab means swapping the merge
+    literal. Merge semantics are pure string rewriting, so the DuckDB
+    twin is the identical replace chain."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 200)
+        .select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    )
+    sym = "trim(TRAILING '·' FROM regexp_replace(w, '(.)', '$1·'))"
+    merged_counts = (
+        "aggregate(filter(ws, w -> w <> ''), "
+        "named_struct('words', CAST(0 AS BIGINT), 'toks', CAST(0 AS BIGINT), "
+        "'chars', CAST(0 AS BIGINT)), "
+        "(acc, w) -> named_struct("
+        "'words', acc.words + 1, "
+        f"'toks', acc.toks + length({_bpe_chain(sym, chr(39))}) "
+        f"- length(replace({_bpe_chain(sym, chr(39))}, '·', '')) + 1, "
+        "'chars', acc.chars + length(w)))"
+    )
+    return d.select(
+        "doc_id", F.expr(merged_counts).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.words").alias("n_words"),
+        F.col("s.toks").alias("n_bpe_tokens"),
+        F.col("s.chars").alias("n_chars"),
+    )

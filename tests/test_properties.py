@@ -455,3 +455,17 @@ def test_attribution_linear_credit_conserved(spark, sf_dir):
     total_linear = sum(r["linear_micros"] for r in rows.values())
     n_conv = sum(r["last_touch"] for r in rows.values())  # each conv has ONE last touch
     assert abs(total_linear - n_conv * 1_000_000) <= n_conv * 2
+
+
+def test_bpe_apply_merges_reduce_tokens(spark, sf_dir):
+    """BPE invariants: words <= tokens <= chars, and the frozen merges
+    actually fire on the fixture (tokens strictly below chars)."""
+    from pyspark.sql import functions as F
+
+    out = registry.QUERIES["text_bpe_apply"](spark, sf_dir)
+    r = out.agg(
+        F.sum("n_bpe_tokens").alias("t"),
+        F.sum("n_chars").alias("c"),
+        F.sum("n_words").alias("w"),
+    ).collect()[0]
+    assert r["w"] <= r["t"] < r["c"]
