@@ -469,3 +469,42 @@ def test_bpe_apply_merges_reduce_tokens(spark, sf_dir):
         F.sum("n_words").alias("w"),
     ).collect()[0]
     assert r["w"] <= r["t"] < r["c"]
+
+
+def test_queries_survive_empty_input(spark, tmp_path):
+    """Empty-partition robustness: representative operators from each
+    family must plan and execute (returning zero rows, not crashing)
+    when every table is empty — the all-partitions-pruned / empty-
+    micro-batch condition any 100 TB job eventually hits."""
+    import os
+
+    empty_dir = str(tmp_path / "sf_empty")
+    os.makedirs(empty_dir, exist_ok=True)
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    from hive_task_spark.tables import TABLES
+
+    for t in TABLES:
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{empty_dir}/{t}.parquet")
+    names = [
+        "q1_pricing_summary",
+        "join_inner_star",
+        "agg_stats_suite",
+        "window_ranking",
+        "setop_union_distinct",
+        "dedup_exact_hash",
+        "similarity_topk_bruteforce",
+        "text_quality_scores",
+        "pipeline_sessionize_events",
+        "analytics_dau_mau",
+        "agg_session_window_batch",
+        "pipeline_scd2_dimension",
+        "join_temporal_pointintime",
+        "quality_winsorize",
+        "pipeline_zorder_layout",
+        "analytics_association_rules",
+    ]
+    for name in names:
+        out = registry.QUERIES[name](spark, empty_dir)
+        assert out.count() == 0, f"{name}: expected empty result"
