@@ -535,3 +535,115 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.toks").alias("n_bpe_tokens"),
         F.col("s.chars").alias("n_chars"),
     )
+
+
+_BM25_TERMS = ["spark", "data", "query"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_scoring",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+               {", ".join(
+                   f"CAST(len(list_filter(ws, w -> w = '{t}')) AS BIGINT) AS tf_{i}"
+                   for i, t in enumerate(_BM25_TERMS))}
+        FROM d
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT)  AS total_dl,
+               {", ".join(
+                   f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+                   f" AS df_{i}" for i in range(len(_BM25_TERMS)))}
+        FROM tf
+    )
+    SELECT tf.doc_id,
+           CAST({" + ".join(f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END"
+                            for i in range(len(_BM25_TERMS)))} AS BIGINT)
+               AS n_terms_matched,
+           round({" + ".join(
+               f"ln((CAST(n AS DOUBLE) - df_{i} + 0.5) / (df_{i} + 0.5) + 1)"
+               f" * (tf_{i} * ({_BM25_K1} + 1))"
+               f" / (tf_{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl"
+               f" * CAST(n AS DOUBLE) / total_dl))"
+               for i in range(len(_BM25_TERMS)))}, 6) AS score_r
+    FROM tf CROSS JOIN stats
+    WHERE {" + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))} > 0
+    """,
+)
+def text_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scoring (k1=1.2, b=0.75) for a fixed query
+    over the corpus — the standard lexical retrieval scorer (what
+    `text_tfidf_top_terms` is to salience, this is to ranked search):
+    saturating term frequency, document-length normalization against
+    the corpus mean, and the +1-smoothed idf. Per-doc term counts are
+    one in-row filter per query term (scan-speed, no explode, no
+    join); the corpus statistics (N, Σdl, per-term df) are ONE
+    aggregate broadcast back — so the whole scorer is two passes at
+    any corpus size. dl/avgdl is computed as dl·N/Σdl (exact-int
+    products before the one division) and the final score rounds at
+    6dp to absorb the JVM-vs-libm last-bit of ln()."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    tf = d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter(ws, w -> w = '{t}'))")
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+            .cast("long")
+            .alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = tf.crossJoin(F.broadcast(stats)).filter(
+        sum((F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))), start=F.lit(0))
+        > 0
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf_i, df_i = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(
+            (F.col("n").cast("double") - df_i + 0.5) / (df_i + 0.5) + 1
+        )
+        part = (
+            idf
+            * (tf_i * (_BM25_K1 + 1))
+            / (
+                tf_i
+                + _BM25_K1
+                * (
+                    1
+                    - _BM25_B
+                    + _BM25_B
+                    * F.col("dl")
+                    * F.col("n").cast("double")
+                    / F.col("total_dl")
+                )
+            )
+        )
+        score = part if score is None else score + part
+    matched = sum(
+        ((F.col(f"tf_{i}") > 0).cast("long") for i in range(len(_BM25_TERMS))),
+        start=F.lit(0).cast("long"),
+    )
+    return j.select(
+        "doc_id",
+        matched.cast("long").alias("n_terms_matched"),
+        F.round(score, 6).alias("score_r"),
+    )
