@@ -1168,3 +1168,110 @@ def similarity_product_quantization(spark: SparkSession, sf_dir: str) -> DataFra
     return d.select(
         "vec_id", pq_code.alias("pq_code"), F.round(err, 6).alias("err_r")
     )
+
+
+_RRF_K = 60
+_RRF_TERMS = ["spark", "data", "query"]
+_RRF_QVEC_SQL = "[" + ",".join(str(x) for x in _IVF_CODEBOOK[0]) + "]"
+_RRF_QVEC_SPARK = "array(" + ",".join(f"{x}D" for x in _IVF_CODEBOOK[0]) + ")"
+
+
+@register(
+    "similarity_hybrid_rrf",
+    oracle=f"""
+    WITH lex AS (
+        SELECT doc_id,
+               CAST({" + ".join(
+                   f"len(list_filter(string_split(lower(text), ' '), w -> w = '{t}'))"
+                   for t in _RRF_TERMS)} AS BIGINT) AS lex_score
+        FROM documents
+    ),
+    lr AS (
+        SELECT doc_id, lex_score,
+               CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id)
+                    AS BIGINT) AS r_lex
+        FROM lex
+    ),
+    sem AS (
+        SELECT vec_id AS doc_id,
+               list_sum(list_transform(
+                   list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                            {_RRF_QVEC_SQL}),
+                   p -> p[1] * p[2])) AS dot
+        FROM embeddings
+    ),
+    sr AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY dot DESC, doc_id) AS BIGINT)
+                   AS r_sem
+        FROM sem
+    )
+    SELECT lr.doc_id, lr.r_lex, sr.r_sem,
+           CAST(round(1000000.0 / ({_RRF_K} + lr.r_lex)
+                      + 1000000.0 / ({_RRF_K} + sr.r_sem)) AS BIGINT)
+               AS rrf_micro
+    FROM lr JOIN sr ON lr.doc_id = sr.doc_id
+    WHERE lr.r_lex <= 50 OR sr.r_sem <= 50
+    """,
+    defer=True,
+)
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (k=60): the
+    industry-standard way to combine a LEXICAL ranking (term-count
+    score over text, the `text_bm25_scoring` family) with a SEMANTIC
+    ranking (dot product against a frozen query embedding, the ANN
+    family) without score calibration — only RANKS enter the fusion,
+    so the fused score 1/(k+r_lex) + 1/(k+r_sem) is a pure function
+    of exact integers, emitted as micro-units. Docs and vectors join
+    on the shared id. The global rankings here are window row_numbers
+    on the scored relation; at 100 TB each ranking comes from its
+    engine's top-k (TakeOrdered / ANN index) and only the k-sized
+    heads fuse — identical semantics, bounded state."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    lex = d.select(
+        "doc_id",
+        sum(
+            (
+                F.expr(
+                    f"size(filter(split(lower(text), ' '), w -> w = '{t}'))"
+                ).cast("long")
+                for t in _RRF_TERMS
+            ),
+            start=F.lit(0).cast("long"),
+        ).alias("lex_score"),
+    )
+    lr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("lex_score").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_lex"),
+    )
+    sem = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        _dot(_vec_d(), F.expr(_RRF_QVEC_SPARK)).alias("dot"),
+    )
+    sr = sem.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("dot").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_sem"),
+    )
+    fused = lr.join(sr, "doc_id").filter(
+        (F.col("r_lex") <= 50) | (F.col("r_sem") <= 50)
+    )
+    return fused.select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        F.round(
+            F.lit(1000000.0) / (_RRF_K + F.col("r_lex"))
+            + F.lit(1000000.0) / (_RRF_K + F.col("r_sem")),
+            0,
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
