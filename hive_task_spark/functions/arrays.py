@@ -254,3 +254,100 @@ def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("xs"),
     )
     return t.select("n_nationkey", F.explode_outer("xs").alias("x"))
+
+
+@register(
+    "array_mutation_suite",
+    oracle="""
+    WITH b AS (
+        SELECT l_orderkey, l_linenumber,
+               [CAST(l_linenumber AS BIGINT),
+                CAST(l_suppkey % 5 AS BIGINT),
+                CASE WHEN l_discount > 0.05 THEN NULL
+                     ELSE CAST(l_partkey % 7 AS BIGINT) END,
+                CAST(l_partkey % 3 AS BIGINT)] AS base
+        FROM lineitem WHERE l_orderkey <= 200
+    ),
+    m AS (
+        SELECT l_orderkey, l_linenumber, base,
+               list_append(base, 9)                          AS appended,
+               list_prepend(0, base)                         AS prepended,
+               base[1:1] || [CAST(5 AS BIGINT)] || base[2:]  AS inserted,
+               list_filter(base, x -> x IS NOT NULL)         AS compacted,
+               list_filter(base, x -> x IS DISTINCT FROM 1)  AS removed
+        FROM b
+    )
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(list_transform(base,
+               x -> coalesce(CAST(x AS VARCHAR), 'N')), '|') AS base_s,
+           array_to_string(list_transform(appended,
+               x -> coalesce(CAST(x AS VARCHAR), 'N')), '|') AS appended_s,
+           array_to_string(list_transform(prepended,
+               x -> coalesce(CAST(x AS VARCHAR), 'N')), '|') AS prepended_s,
+           array_to_string(list_transform(inserted,
+               x -> coalesce(CAST(x AS VARCHAR), 'N')), '|') AS inserted_s,
+           array_to_string(list_transform(compacted,
+               x -> CAST(x AS VARCHAR)), '|')                AS compacted_s,
+           array_to_string(list_transform(removed,
+               x -> coalesce(CAST(x AS VARCHAR), 'N')), '|') AS removed_s,
+           array_to_string(list_transform(list_sort(list_distinct(compacted)),
+               x -> CAST(x AS VARCHAR)), '|')                AS dedup_sorted_s
+    FROM m
+    """,
+)
+def array_mutation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array MUTATION builtins (Spark 3.4/3.5 additions the original
+    array suites predate): array_append / array_prepend /
+    array_insert (1-based, before-position) / array_compact
+    (null-strip) / array_remove (all-equal strip, nulls survive) /
+    array_distinct — each applied to a per-row constructed array with
+    a deliberate NULL element, serialized with 'N' null markers.
+    DuckDB spells insert as slice concatenation and remove as
+    IS DISTINCT FROM filter — semantics identical. All row-local
+    codegen expressions: scan speed at any scale."""
+    b = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.array(
+                F.col("l_linenumber").cast("long"),
+                (F.col("l_suppkey") % 5).cast("long"),
+                F.when(
+                    F.col("l_discount") > 0.05, F.lit(None).cast("long")
+                ).otherwise((F.col("l_partkey") % 7).cast("long")),
+                (F.col("l_partkey") % 3).cast("long"),
+            ).alias("base"),
+        )
+    )
+    m = b.select(
+        "l_orderkey",
+        "l_linenumber",
+        "base",
+        F.expr("array_append(base, CAST(9 AS BIGINT))").alias("appended"),
+        F.expr("array_prepend(base, CAST(0 AS BIGINT))").alias("prepended"),
+        F.expr("array_insert(base, 2, CAST(5 AS BIGINT))").alias("inserted"),
+        F.expr("array_compact(base)").alias("compacted"),
+        F.expr("array_remove(base, CAST(1 AS BIGINT))").alias("removed"),
+    )
+
+    def _s(col: str):
+        return F.expr(
+            f"array_join(transform({col}, x -> coalesce(CAST(x AS STRING), 'N')), '|')"
+        ).alias(f"{col}_s")
+
+    return m.select(
+        "l_orderkey",
+        "l_linenumber",
+        _s("base"),
+        _s("appended"),
+        _s("prepended"),
+        _s("inserted"),
+        _s("compacted"),
+        _s("removed"),
+        F.expr(
+            "array_join(transform(array_sort(array_distinct(compacted)), "
+            "x -> CAST(x AS STRING)), '|')"
+        ).alias("dedup_sorted_s"),
+    )
