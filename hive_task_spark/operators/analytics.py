@@ -1244,3 +1244,471 @@ def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lift"),
     )
+
+
+@register(
+    "analytics_chi_square",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(user_id % 4 AS BIGINT) AS seg,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, user_id % 4
+    ),
+    m AS (
+        SELECT event_type, seg, o,
+               sum(o) OVER (PARTITION BY event_type) AS rm,
+               sum(o) OVER (PARTITION BY seg)        AS cm,
+               sum(o) OVER ()                        AS n
+        FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT seg) - 1) AS BIGINT) AS dof,
+           round(sum(pow(o - rm * cm / CAST(n AS DOUBLE), 2)
+                     / (rm * cm / CAST(n AS DOUBLE))), 4) AS chi2_r,
+           round(sqrt(sum(pow(o - rm * cm / CAST(n AS DOUBLE), 2)
+                          / (rm * cm / CAST(n AS DOUBLE)))
+                      / (max(n) * least(count(DISTINCT event_type) - 1,
+                                        count(DISTINCT seg) - 1))), 6)
+               AS cramers_v_r
+    FROM m
+    """,
+)
+def analytics_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and a user
+    segment (user_id % 4), plus Cramer's V effect size. ONE shuffle
+    builds the contingency cells; marginals come from window sums
+    OVER the tiny cells relation, never a second pass of the fact
+    table — the sufficient-statistics discipline that makes the test
+    O(cells) after the count, at any corpus scale. chi2 is a short
+    float sum → round 4 (stats-ratio grain, CLAUDE.md)."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.col("user_id") % 4).cast("long").alias("seg")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    m = cells.select(
+        "event_type",
+        "seg",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rm"),
+        F.sum("o").over(Window.partitionBy("seg")).alias("cm"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    exp = F.col("rm") * F.col("cm") / F.col("n").cast("double")
+    term = F.pow(F.col("o") - exp, 2) / exp
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            (F.count_distinct(F.col("event_type")) - 1)
+            * (F.count_distinct(F.col("seg")) - 1)
+        ).cast("long").alias("dof"),
+        F.round(F.sum(term), 4).alias("chi2_r"),
+        F.round(
+            F.sqrt(
+                F.sum(term)
+                / (
+                    F.max("n")
+                    * F.least(
+                        F.count_distinct(F.col("event_type")) - 1,
+                        F.count_distinct(F.col("seg")) - 1,
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v_r"),
+    )
+
+
+@register(
+    "analytics_mann_whitney",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+               CAST(count(*) FILTER (event_type = 'view')  AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY value
+    ),
+    r AS (
+        SELECT c1, c2, c1 + c2 AS ct,
+               coalesce(sum(c1 + c2) OVER (
+                   ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM s
+    ),
+    agg AS (
+        SELECT sum(c1) AS n1, sum(c2) AS n2,
+               sum((cum_before + (ct + 1) / 2.0) * c1) AS r1,
+               sum(CAST(ct AS DOUBLE) * ct * ct - ct)  AS tie3
+        FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u_stat_r,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - tie3 / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))),
+                 4) AS z_r
+    FROM agg
+    """,
+)
+def analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (click vs view event values) with
+    midrank tie handling and the tie-corrected normal approximation.
+    Shape: group the pooled sample BY VALUE (ties collapse to one row
+    with per-sample counts), one global ordered window assigns
+    midranks from the running count — so the shuffle carries distinct
+    values, not observations, and the rank sum R1 is assembled from
+    exact integer counts (midranks are .5-grain → exact in double;
+    U is rounded only at the display grain). z uses the standard
+    tie-corrected sigma. The single ordered window over distinct
+    values is the only global stage; at 100 TB you'd range-partition
+    that sort exactly like global_sort_limit."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = e.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long").alias("c1"),
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("long").alias("c2"),
+    )
+    wb = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = s.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("ct"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wb), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    agg = r.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            (F.col("cum_before") + (F.col("ct") + 1) / 2.0) * F.col("c1")
+        ).alias("r1"),
+        F.sum(
+            F.col("ct").cast("double") * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tie3"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u = F.col("r1") - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * ((n + 1) - F.col("tie3") / (n * (n - 1).cast("double")))
+    )
+    return agg.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(u, 1).alias("u_stat_r"),
+        F.round((u - n1 * n2 / 2.0) / sigma, 4).alias("z_r"),
+    )
+
+
+@register(
+    "analytics_ks_test",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+               CAST(count(*) FILTER (event_type = 'view')  AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY value
+    ),
+    c AS (
+        SELECT sum(c1) OVER (ORDER BY value) AS cum1,
+               sum(c2) OVER (ORDER BY value) AS cum2,
+               sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+        FROM s
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           round(max(abs(cum1 / CAST(n1 AS DOUBLE)
+                         - cum2 / CAST(n2 AS DOUBLE))), 6) AS d_stat_r,
+           round(max(abs(cum1 / CAST(n1 AS DOUBLE)
+                         - cum2 / CAST(n2 AS DOUBLE)))
+                 * sqrt(max(n1) * max(n2)
+                        / CAST(max(n1) + max(n2) AS DOUBLE)), 4)
+               AS ks_lambda_r
+    FROM c
+    """,
+)
+def analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov: D = sup |F1 - F2| between the
+    click and view value distributions, from ONE grouped pass (distinct
+    values with per-sample counts) + one ordered running-sum window —
+    the ECDFs never materialize per-observation, so the sort carries
+    |distinct values| rows. ks_lambda is the scaled statistic fed to
+    the asymptotic p-value series. Distribution-shift monitoring for
+    training corpora in one shuffle + one window."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = e.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long").alias("c1"),
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("long").alias("c2"),
+    )
+    wr = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = s.select(
+        F.sum("c1").over(wr).alias("cum1"),
+        F.sum("c2").over(wr).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    d = F.abs(
+        F.col("cum1") / F.col("n1").cast("double")
+        - F.col("cum2") / F.col("n2").cast("double")
+    )
+    return c.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.round(F.max(d), 6).alias("d_stat_r"),
+        F.round(
+            F.max(d)
+            * F.sqrt(
+                F.max("n1")
+                * F.max("n2")
+                / (F.max("n1") + F.max("n2")).cast("double")
+            ),
+            4,
+        ).alias("ks_lambda_r"),
+    )
+
+
+@register(
+    "analytics_gini_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey, sum(o_totalprice) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    asc_r AS (
+        SELECT x,
+               row_number() OVER (ORDER BY x, o_custkey) AS i,
+               count(*) OVER () AS n, sum(x) OVER () AS s
+        FROM rev
+    ),
+    gini AS (
+        SELECT round(2.0 * sum(i * x) / (max(n) * max(s))
+                     - (max(n) + 1.0) / max(n), 6) AS g
+        FROM asc_r
+    ),
+    ranked AS (
+        SELECT x, sum(x) OVER (ORDER BY x DESC, o_custkey) / sum(x) OVER ()
+                   AS cum_share
+        FROM rev
+    ),
+    classed AS (
+        SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class, x
+        FROM ranked
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(x) / (SELECT sum(x) FROM rev), 6) AS revenue_share_r,
+           (SELECT g FROM gini) AS gini_r
+    FROM classed GROUP BY abc_class
+    """,
+)
+def analytics_gini_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration readout: Gini coefficient over per-customer
+    revenue (ascending rank-weighted sum identity) plus Pareto/ABC
+    classing on the descending cumulative share (A: top 80% of
+    revenue, B: to 95%, C: tail). One aggregate shuffles the fact
+    table; everything after runs on the per-customer summary —
+    running-share windows are order-pinned (tie-break custkey), so
+    the cumulative sums are sequentially identical across engines.
+    The two ordered windows over the summary are the global stage; at
+    100 TB the summary is ~|customers| rows, range-partition the
+    sort."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    asc_w = Window.orderBy("x", "o_custkey")
+    wall = Window.partitionBy()
+    asc_r = rev.select(
+        "x",
+        F.row_number().over(asc_w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("s"),
+    )
+    gini = asc_r.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("s"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini_r")
+    )
+    desc_w = (
+        Window.orderBy(F.col("x").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = rev.select(
+        "x",
+        (F.sum("x").over(desc_w) / F.sum("x").over(wall)).alias("cum_share"),
+        F.sum("x").over(wall).alias("s"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "x",
+        "s",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("x") / F.max("s"), 6).alias("revenue_share_r"),
+        )
+        .crossJoin(F.broadcast(gini))
+    )
+
+
+@register(
+    "analytics_ewma_horizon",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               avg(value) AS v
+        FROM events GROUP BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+    ),
+    lagged AS (
+        SELECT user_id, day_idx, v,
+               lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+               lag(v, 3) OVER w AS v3, lag(v, 4) OVER w AS v4,
+               lag(v, 5) OVER w AS v5, lag(v, 6) OVER w AS v6
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day_idx)
+    )
+    SELECT user_id, day_idx,
+           CAST(1 + (v1 IS NOT NULL)::INT + (v2 IS NOT NULL)::INT
+                  + (v3 IS NOT NULL)::INT + (v4 IS NOT NULL)::INT
+                  + (v5 IS NOT NULL)::INT + (v6 IS NOT NULL)::INT
+                AS BIGINT) AS n_obs,
+           round((v + coalesce(v1, 0) * 0.5 + coalesce(v2, 0) * 0.25
+                    + coalesce(v3, 0) * 0.125 + coalesce(v4, 0) * 0.0625
+                    + coalesce(v5, 0) * 0.03125 + coalesce(v6, 0) * 0.015625)
+                 / (1 + (v1 IS NOT NULL)::INT * 0.5
+                      + (v2 IS NOT NULL)::INT * 0.25
+                      + (v3 IS NOT NULL)::INT * 0.125
+                      + (v4 IS NOT NULL)::INT * 0.0625
+                      + (v5 IS NOT NULL)::INT * 0.03125
+                      + (v6 IS NOT NULL)::INT * 0.015625), 6) AS ewma_r
+    FROM lagged
+    """,
+)
+def analytics_ewma_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-horizon exponentially weighted moving average (alpha=0.5,
+    7-observation FIR window) over each user's daily series, weight-
+    renormalized at the series head where fewer lags exist. Pure lag
+    algebra: one user-keyed window supplies all six lags in a single
+    pass (no self-joins, no recursion), so the whole smoother is one
+    shuffle + one sort per user partition — the scale-safe way to
+    ship IIR-style smoothing: truncate to a fixed horizon so state
+    never crosses partition boundaries. Weights are exact binary
+    fractions; the only rounding is the avg-derived input (6dp
+    edge)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.avg("value").alias("v"))
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    cols = {f"v{j}": F.lag("v", j).over(w) for j in range(1, 7)}
+    lagged = daily.select("user_id", "day_idx", "v", *[
+        c.alias(nm) for nm, c in cols.items()
+    ])
+    weights = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625]
+    vs = [F.col("v")] + [F.col(f"v{j}") for j in range(1, 7)]
+    num = sum(
+        (F.coalesce(v, F.lit(0.0)) * F.lit(wt) for v, wt in zip(vs, weights)),
+        F.lit(0.0),
+    )
+    den = sum(
+        (v.isNotNull().cast("int") * F.lit(wt) for v, wt in zip(vs, weights)),
+        F.lit(0.0),
+    )
+    n_obs = sum(
+        (v.isNotNull().cast("int") for v in vs), F.lit(0)
+    ).cast("long")
+    return lagged.select(
+        "user_id",
+        "day_idx",
+        n_obs.alias("n_obs"),
+        F.round(num / den, 6).alias("ewma_r"),
+    )
+
+
+@register(
+    "analytics_shortest_path_bfs",
+    oracle="""
+    WITH nodes AS (
+        SELECT p_partkey AS u FROM part WHERE p_partkey <= 150
+    ),
+    edges AS (
+        SELECT u, ((u * 3 + 7) % 150) + 1 AS v FROM nodes
+        UNION ALL
+        SELECT u, ((u * 5 + 11) % 150) + 1 AS v FROM nodes
+    ),
+    bfs AS (
+        WITH RECURSIVE walk(node, dist) AS (
+            SELECT CAST(1 AS BIGINT), 0
+            UNION
+            SELECT e.v, w.dist + 1
+            FROM walk w JOIN edges e ON e.u = w.node
+            WHERE w.dist < 6
+        )
+        SELECT node, min(dist) AS dist FROM walk GROUP BY node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+    FROM bfs
+    """,
+)
+def analytics_shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest paths (6 unrolled supersteps) over a
+    deterministic 2-regular expander on the part keys (edges
+    u -> (3u+7)%N+1 and (5u+11)%N+1, N=150, source=1). Each
+    superstep is the BSP frontier pattern: join current distances to
+    the edge list, add 1, union, min-aggregate on the vertex key —
+    one equi-join + one groupBy per round, the same shape Pregel
+    compiles to, with no driver-side frontier collect. At 100 TB you
+    checkpoint every few supersteps (like the connected-components
+    loop) and stop when the frontier count stops changing; the
+    oracle is the equivalent depth-bounded recursive CTE."""
+    nodes = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 150)
+        .select(F.col("p_partkey").alias("u"))
+    )
+    e1 = nodes.select("u", (((F.col("u") * 3 + 7) % 150) + 1).alias("v"))
+    e2 = nodes.select("u", (((F.col("u") * 5 + 11) % 150) + 1).alias("v"))
+    edges = e1.unionByName(e2).localCheckpoint()  # reused every superstep
+    dist = spark.range(1, 2).select(
+        F.col("id").alias("node"), F.lit(0).alias("dist")
+    )
+    for _ in range(6):
+        step = (
+            dist.join(edges, dist.node == edges.u)
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )
