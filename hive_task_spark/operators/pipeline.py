@@ -1298,3 +1298,58 @@ def pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_false_neg"),
     )
+
+
+@register(
+    "pipeline_feature_hashing",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(w), 1, 4) AS BIGINT) % 32
+                    AS BIGINT) AS dim,
+               CASE WHEN CAST('0x' || substr(md5(w), 5, 1) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tok WHERE w <> ''
+    )
+    SELECT doc_id, dim,
+           CAST(sum(sgn) AS BIGINT)      AS feat,
+           CAST(count(*) AS BIGINT)      AS n_tokens
+    FROM hashed GROUP BY doc_id, dim
+    """,
+)
+def pipeline_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer (signed feature hashing a la
+    Weinberger et al.): every token maps to one of 32 dimensions via
+    md5, with a second md5 nibble choosing the sign, and the doc's
+    sparse feature vector is the signed count per (doc, dim). The
+    fixed dimensionality is what makes bag-of-words features
+    shippable at 100 TB — no vocabulary broadcast, no dictionary
+    fitting pass, memory O(dims) per doc regardless of corpus
+    vocabulary; the whole operator is explode + one hash-keyed
+    aggregate (map-side combinable). Output stays sparse (only
+    touched dims appear) — the dense assembly is a downstream
+    array_agg."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.md5(F.col("w"))
+    dim = (
+        F.expr("CAST(conv(substr(md5(w), 1, 4), 16, 10) AS BIGINT)") % 32
+    ).cast("long")
+    sgn = F.when(
+        F.expr("CAST(conv(substr(md5(w), 5, 1), 16, 10) AS BIGINT)") % 2 == 0,
+        1,
+    ).otherwise(-1)
+    return (
+        tok.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(
+            F.sum("sgn").cast("long").alias("feat"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )

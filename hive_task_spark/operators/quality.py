@@ -664,3 +664,102 @@ def quality_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionAll(r)
     return out
+
+
+@register(
+    "quality_referential_integrity",
+    oracle="""
+    SELECT 'orders.custkey->customer' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             AS BIGINT) AS n_orphans,
+           count(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+             AS ok
+    FROM orders o
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+             AS BIGINT),
+           count(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) = 0
+    FROM lineitem l
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+             AS BIGINT),
+           count(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) = 0
+    FROM lineitem l
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS BIGINT),
+           count(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+    FROM lineitem l
+    UNION ALL
+    SELECT 'customer.nationkey->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+             AS BIGINT),
+           count(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) = 0
+    FROM customer c
+    """,
+)
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: for each FK
+    edge (orders→customer, lineitem→part/supplier/orders,
+    customer→nation), count referencing rows and rows whose key has
+    no match — the referential-integrity leg of the expectations
+    audit (`quality_expectations_audit` covers per-column checks).
+    Each check is one broadcast left-anti join against the DISTINCT
+    key projection of the referenced table (dims broadcast; for a
+    fact-to-fact edge like lineitem→orders at 100 TB the anti-join
+    shuffles on the key like any equi-join, and AQE picks the
+    strategy). The five one-row summaries union at the driver-plan
+    level — zero extra fact passes beyond one scan per check."""
+    tables = {
+        "orders": load(spark, sf_dir, "orders"),
+        "lineitem": load(spark, sf_dir, "lineitem"),
+        "customer": load(spark, sf_dir, "customer"),
+        "part": load(spark, sf_dir, "part"),
+        "supplier": load(spark, sf_dir, "supplier"),
+        "nation": load(spark, sf_dir, "nation"),
+    }
+    checks = [
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    outs = []
+    for name, fact, fk, dim, pk in checks:
+        f_df = tables[fact]
+        keys = tables[dim].select(F.col(pk).alias("__pk")).distinct()
+        orphans = f_df.join(
+            F.broadcast(keys), f_df[fk] == F.col("__pk"), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = f_df.agg(F.count(F.lit(1)).alias("n_rows"))
+        outs.append(
+            total.crossJoin(F.broadcast(orphans)).select(
+                F.lit(name).alias("check_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -647,3 +647,92 @@ def text_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.cast("long").alias("n_terms_matched"),
         F.round(score, 6).alias("score_r"),
     )
+
+
+@register(
+    "text_ndcg_eval",
+    oracle="""
+    WITH rated AS (
+        SELECT source, doc_id, n_chars,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         AS BIGINT) % 4 AS BIGINT) AS rel
+        FROM documents
+    ),
+    by_score AS (
+        SELECT source, rel,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS pos
+        FROM rated
+    ),
+    by_ideal AS (
+        SELECT source, rel,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY rel DESC, doc_id) AS pos
+        FROM rated
+    ),
+    dcg AS (
+        SELECT source,
+               sum((pow(2, rel) - 1) / log2(pos + 1)) AS dcg
+        FROM by_score WHERE pos <= 10 GROUP BY source
+    ),
+    idcg AS (
+        SELECT source,
+               sum((pow(2, rel) - 1) / log2(pos + 1)) AS idcg,
+               CAST(count(*) AS BIGINT) AS n_rated
+        FROM by_ideal WHERE pos <= 10 GROUP BY source
+    )
+    SELECT d.source, i.n_rated,
+           round(d.dcg, 6) AS dcg_r,
+           round(i.idcg, 6) AS idcg_r,
+           round(d.dcg / i.idcg, 6) AS ndcg_r
+    FROM dcg d JOIN idcg i ON d.source = i.source
+    """,
+)
+def text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: NDCG@10 per source group, scoring the
+    length-prior ranking (n_chars DESC, the same quality proxy the
+    corpus filters use) against a deterministic graded relevance
+    label (md5(doc_id)-derived, 0-3). DCG and the ideal DCG come
+    from two ranking windows over the SAME rated relation — one pass
+    of documents, one shuffle on the query-group key, top-10 frames
+    only; exactly how retrieval eval runs at corpus scale (per-query
+    partitions are small; the fan-in is the per-source join of two
+    10-row aggregates). Gain terms are exact powers of two over
+    log2; the 6dp edge round covers the transcendental."""
+    from pyspark.sql import Window
+
+    rated = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (
+            F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT)")
+            % 4
+        ).cast("long").alias("rel"),
+    )
+    gain = (F.pow(F.lit(2), F.col("rel")) - 1) / F.log2(F.col("pos") + 1)
+    by_score = rated.select(
+        "source",
+        "rel",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("pos"),
+    ).filter(F.col("pos") <= 10)
+    by_ideal = rated.select(
+        "source",
+        "rel",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.col("rel").desc(), "doc_id"))
+        .alias("pos"),
+    ).filter(F.col("pos") <= 10)
+    dcg = by_score.groupBy("source").agg(F.sum(gain).alias("dcg"))
+    idcg = by_ideal.groupBy("source").agg(
+        F.sum(gain).alias("idcg"), F.count(F.lit(1)).cast("long").alias("n_rated")
+    )
+    return dcg.join(idcg, "source").select(
+        "source",
+        "n_rated",
+        F.round("dcg", 6).alias("dcg_r"),
+        F.round("idcg", 6).alias("idcg_r"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_r"),
+    )
