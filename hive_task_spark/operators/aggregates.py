@@ -1003,3 +1003,44 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.item").alias("item"),
         F.col("x.count").cast("long").alias("cnt"),
     )
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH t AS (
+        SELECT l_extendedprice AS x,
+               ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+                              l_linenumber) AS bucket
+        FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(x) AS lo, max(x) AS hi
+    FROM t GROUP BY bucket
+    """,
+    defer=True,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of l_extendedprice via
+    ntile(8) — the complement of the fixed-width `agg_histogram_bins`:
+    bucket boundaries adapt to the distribution, which is what query
+    optimizers and drift monitors actually store. The order spec
+    carries a full deterministic tie-break (price, orderkey,
+    linenumber) so tile assignment is identical across engines.
+    ntile needs a total order — at 100 TB you swap it for
+    approx_percentile cut-points (sampled boundaries) or a
+    range-partitioned sort; lo/hi are exact stored values (no float
+    edge)."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    t = li.select(
+        F.col("l_extendedprice").alias("x"), F.ntile(8).over(w).alias("bucket")
+    )
+    return t.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )

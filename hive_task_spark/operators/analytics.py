@@ -1712,3 +1712,161 @@ def analytics_shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+@register(
+    "analytics_anova_f",
+    oracle="""
+    WITH g AS (
+        SELECT event_type AS grp, count(*) AS n, avg(value) AS mu,
+               var_samp(value) AS v
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT sum(n) AS nn, count(*) AS k,
+               sum(n * mu) / sum(n) AS grand
+        FROM g
+    )
+    SELECT CAST(tot.nn AS BIGINT) AS n_obs,
+           CAST(tot.k AS BIGINT) AS n_groups,
+           round(sum(g.n * pow(g.mu - tot.grand, 2)) / (max(tot.k) - 1)
+                 / (sum((g.n - 1) * g.v) / (max(tot.nn) - max(tot.k))), 4)
+               AS f_stat_r,
+           round(sum(g.n * pow(g.mu - tot.grand, 2))
+                 / (sum(g.n * pow(g.mu - tot.grand, 2))
+                    + sum((g.n - 1) * g.v)), 6) AS eta_sq_r
+    FROM g, tot
+    GROUP BY tot.nn, tot.k
+    """,
+)
+def analytics_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test across event-type cohorts: between-group
+    and within-group sums of squares assembled purely from per-group
+    sufficient statistics (n, mean, sample variance) — the same
+    one-pass discipline as the Welch t-test, generalized to k groups:
+    the fact table shuffles once into k summary rows, and F plus the
+    eta-squared effect size are O(k) arithmetic on that summary
+    (broadcast of a one-row grand-mean relation). Stats edges: F at
+    4dp, eta^2 at 6dp."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(F.col("n") * F.col("mu")) / F.sum("n")).alias("grand"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ssb = F.sum(F.col("n") * F.pow(F.col("mu") - F.col("grand"), 2))
+    ssw = F.sum((F.col("n") - 1) * F.col("v"))
+    return j.groupBy("nn", "k").agg(
+        F.round(
+            (ssb / (F.max("k") - 1)) / (ssw / (F.max("nn") - F.max("k"))), 4
+        ).alias("f_stat_r"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq_r"),
+    ).select(
+        F.col("nn").cast("long").alias("n_obs"),
+        F.col("k").cast("long").alias("n_groups"),
+        "f_stat_r",
+        "eta_sq_r",
+    )
+
+
+@register(
+    "analytics_benford",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(floor(o_totalprice
+                          / pow(10, floor(log10(o_totalprice))))
+                    AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+               AS obs_share_r,
+           round(log10(1 + 1.0 / digit), 6) AS exp_share_r,
+           round(abs(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE)
+                     - log10(1 + 1.0 / digit)), 6) AS abs_dev_r
+    FROM d GROUP BY digit
+    """,
+)
+def analytics_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    anomaly/fraud screen a warehouse runs on money columns: observed
+    leading-digit shares vs the log10(1+1/d) expectation, with
+    per-digit absolute deviation. The digit extraction is closed-form
+    (floor over log10 — no string casts), so the whole audit is one
+    map expression + one 9-row aggregate; the share denominators come
+    from a window over the 9-row result, never a second scan."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    wall = Window.partitionBy()
+    cells = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    share = F.col("n") / F.sum("n").over(wall).cast("double")
+    exp = F.log10(1 + 1.0 / F.col("digit"))
+    return cells.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("obs_share_r"),
+        F.round(exp, 6).alias("exp_share_r"),
+        F.round(F.abs(share - exp), 6).alias("abs_dev_r"),
+    )
+
+
+@register(
+    "analytics_period_over_period",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                   AS ym,
+               sum(o_totalprice) AS rev,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT ym, n_orders, round(rev, 2) AS rev_r,
+           round((rev - lag(rev) OVER (ORDER BY ym))
+                 / lag(rev) OVER (ORDER BY ym), 6) AS mom_pct_r,
+           round((rev - lag(rev, 12) OVER (ORDER BY ym))
+                 / lag(rev, 12) OVER (ORDER BY ym), 6) AS yoy_pct_r
+    FROM m
+    """,
+)
+def analytics_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth: one monthly
+    aggregate of the fact table, then lag(1)/lag(12) deltas over the
+    ~|months| summary — the period-comparison shape behind every KPI
+    dashboard. Growth ratios are computed from the UNROUNDED sums on
+    both sides (ratio-of-sums at the 6dp stats grain); the revenue
+    edge itself rounds at the exact-decimal 2dp money grain. The
+    ordered lag window runs over the tiny month summary, so the
+    global sort is free at any fact scale."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym")
+    ).agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("ym")
+    prev = F.lag("rev").over(w)
+    prev12 = F.lag("rev", 12).over(w)
+    return m.select(
+        "ym",
+        "n_orders",
+        F.round("rev", 2).alias("rev_r"),
+        F.round((F.col("rev") - prev) / prev, 6).alias("mom_pct_r"),
+        F.round((F.col("rev") - prev12) / prev12, 6).alias("yoy_pct_r"),
+    )

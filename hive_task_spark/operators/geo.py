@@ -1,0 +1,147 @@
+"""Geospatial-lite operators — haversine distance, grid-cell density,
+and a grid-bucketed radius join (the spatial-binning pattern that
+replaces O(n^2) distance joins at scale).
+
+Points are synthesized deterministically from the TPC-H keys (no
+geometry columns exist in the fixtures): latitudes in [-45, 45) and
+longitudes in [-90, 90) via integer affine maps, so both engines
+derive bit-identical coordinates and the fixtures stay the only
+input. The restricted ranges keep the neighbor-cell stencil exact
+(no antimeridian wrap, bounded lon-degree width of the search
+radius).
+
+Reference parity note: the reference (/root/reference, a Lisp STM
+task-scheduling library) has no spatial layer; these are target-layer
+operators (SURVEY.md §2B extension families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_task_spark.registry import register
+from hive_task_spark.tables import load
+
+# Affine point synthesis (shared by every geo query; SQL twins inline).
+_CUST_LAT = "((c_custkey * 37) % 9000) / 100.0 - 45"
+_CUST_LON = "((c_custkey * 73) % 18000) / 100.0 - 90"
+_SUPP_LAT = "((s_suppkey * 53) % 9000) / 100.0 - 45"
+_SUPP_LON = "((s_suppkey * 97) % 18000) / 100.0 - 90"
+
+# Haversine great-circle distance in km (R = 6371.0).
+_HAV = (
+    "2 * 6371.0 * asin(sqrt("
+    "pow(sin(radians({lat2} - {lat1}) / 2), 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * pow(sin(radians({lon2} - {lon1}) / 2), 2)))"
+)
+
+
+@register(
+    "geo_grid_density",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(floor(({_CUST_LAT}) / 5) AS BIGINT) AS cell_lat,
+               CAST(floor(({_CUST_LON}) / 5) AS BIGINT) AS cell_lon,
+               c_acctbal
+        FROM customer
+    )
+    SELECT cell_lat, cell_lon,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(avg(c_acctbal), 4) AS avg_balance_r
+    FROM pts GROUP BY cell_lat, cell_lon
+    """,
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density aggregation: bucket synthesized customer points
+    into 5-degree grid cells and aggregate count + average balance per
+    cell. The cell key is a closed-form floor of the coordinates —
+    a pure map expression, so the whole query is one hash aggregate
+    on the cell key (map-side combinable); this is the zoom-level
+    tile aggregation a geo dashboard runs, and it scales like any
+    groupBy. avg of money → 4dp stats grain."""
+    c = load(spark, sf_dir, "customer")
+    lat = F.expr(_CUST_LAT.replace("c_custkey", "c_custkey"))
+    lon = F.expr(_CUST_LON)
+    return (
+        c.select(
+            F.floor(lat / 5).cast("long").alias("cell_lat"),
+            F.floor(lon / 5).cast("long").alias("cell_lon"),
+            "c_acctbal",
+        )
+        .groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_balance_r"),
+        )
+    )
+
+
+@register(
+    "geo_radius_join",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey, {_CUST_LAT} AS clat, {_CUST_LON} AS clon
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey, {_SUPP_LAT} AS slat, {_SUPP_LON} AS slon
+        FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           round({_HAV.format(lat1="clat", lon1="clon",
+                              lat2="slat", lon2="slon")}, 3) AS dist_km_r
+    FROM c CROSS JOIN s
+    WHERE {_HAV.format(lat1="clat", lon1="clon",
+                       lat2="slat", lon2="slon")} < 500
+    """,
+)
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join (all customer-supplier pairs within 500 km) via
+    spatial binning: suppliers map to their home 5-degree cell;
+    customers explode into the 3x5 neighbor stencil (lat +-1 cell =
+    4.5-degree max lat separation at 500 km; lon +-2 cells = 6.35
+    degrees at the |45-degree| latitude cap); the equi-join on the
+    cell key replaces the cross join, and the exact haversine
+    predicate filters candidates. Each qualifying pair matches
+    exactly once (the supplier's home cell). This is THE pattern for
+    distance joins at 100 TB: candidate count ~ density x stencil
+    area, never |A| x |B|. The oracle is the brute-force cross-join
+    twin — feasible at test SF, which is exactly why the binned
+    rewrite is the product. Distance rounds at 3dp (km -> meter
+    grain, masking libm ulp skew)."""
+    cust = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{_CUST_LAT} AS clat", f"{_CUST_LON} AS clon"
+    )
+    supp = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", f"{_SUPP_LAT} AS slat", f"{_SUPP_LON} AS slon"
+    )
+    supp_cell = supp.select(
+        "*",
+        F.floor(F.col("slat") / 5).cast("long").alias("cell_lat"),
+        F.floor(F.col("slon") / 5).cast("long").alias("cell_lon"),
+    )
+    offsets = spark.range(0, 15).select(
+        (F.col("id") % 3 - 1).alias("dy"), (F.col("id") / 3).cast("long").alias("dxi")
+    ).select("dy", (F.col("dxi") - 2).alias("dx"))
+    cust_cells = cust.crossJoin(F.broadcast(offsets)).select(
+        "c_custkey",
+        "clat",
+        "clon",
+        (F.floor(F.col("clat") / 5).cast("long") + F.col("dy")).alias("cell_lat"),
+        (F.floor(F.col("clon") / 5).cast("long") + F.col("dx")).alias("cell_lon"),
+    )
+    cand = cust_cells.join(supp_cell, ["cell_lat", "cell_lon"])
+    hav = F.expr(
+        _HAV.format(lat1="clat", lon1="clon", lat2="slat", lon2="slon")
+    )
+    return (
+        cand.withColumn("dist_km", hav)
+        .filter(F.col("dist_km") < 500)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round("dist_km", 3).alias("dist_km_r"),
+        )
+    )

@@ -763,3 +763,81 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+@register(
+    "quality_snapshot_diff",
+    oracle="""
+    WITH b AS (  -- simulated next-day snapshot, derived deterministically
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '1'
+                    THEN round(o_totalprice * 1.1, 3)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <> '0'
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '2'
+    ),
+    d AS (
+        SELECT CASE
+                 WHEN a.o_orderkey IS NULL THEN 'added'
+                 WHEN b.o_orderkey IS NULL THEN 'removed'
+                 WHEN a.o_totalprice <> b.o_totalprice
+                      OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                 ELSE 'unchanged' END AS change_type
+        FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows
+    FROM d GROUP BY change_type
+    """,
+)
+def quality_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot table diff — the CDC-reconciliation audit: full
+    outer join of two snapshot versions on the primary key, classing
+    every key as added / removed / changed / unchanged by comparing
+    the non-key columns. Snapshot B is derived deterministically from
+    A (md5-keyed: ~1/16 deleted, ~1/16 price-bumped, ~1/16 new keys)
+    so the oracle reproduces it exactly. One key-partitioned shuffle
+    joins the snapshots; change classing is a row-local CASE — at
+    100 TB, bucket both snapshots on the key and the diff is
+    shuffle-free, which is how nightly reconciliation actually
+    ships."""
+    a = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    b = (
+        a.filter(nib != "0")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                nib == "1", F.round(F.col("o_totalprice") * 1.1, 3)
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionByName(
+            a.filter(nib == "2").select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    aj = a.alias("a")
+    bj = b.alias("b")
+    j = aj.join(bj, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.select(change.alias("change_type")).groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )

@@ -114,6 +114,7 @@ def load_all() -> None:
         subqueries,
         joins,
         dedup,
+        geo,
     )
     from hive_task_spark.functions import (  # noqa: F401
         arrays,
