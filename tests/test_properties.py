@@ -508,3 +508,134 @@ def test_queries_survive_empty_input(spark, tmp_path):
     for name in names:
         out = registry.QUERIES[name](spark, empty_dir)
         assert out.count() == 0, f"{name}: expected empty result"
+
+
+def test_bfs_distances_valid(spark, sf_dir):
+    """BFS: source at distance 0, all distances within the superstep
+    bound, and exactly one source row."""
+    out = registry.QUERIES["analytics_shortest_path_bfs"](spark, sf_dir).collect()
+    by_node = {r["node"]: r["dist"] for r in out}
+    assert by_node[1] == 0
+    assert sum(1 for d in by_node.values() if d == 0) == 1
+    assert all(0 <= d <= 6 for d in by_node.values())
+
+
+def test_rank_tests_statistic_bounds(spark, sf_dir):
+    """MWU: U in [0, n1*n2]; KS: D in [0, 1]; chi2 >= 0; F >= 0."""
+    mwu = registry.QUERIES["analytics_mann_whitney"](spark, sf_dir).collect()[0]
+    assert 0.0 <= mwu["u_stat_r"] <= mwu["n1"] * mwu["n2"]
+    ks = registry.QUERIES["analytics_ks_test"](spark, sf_dir).collect()[0]
+    assert 0.0 <= ks["d_stat_r"] <= 1.0
+    chi = registry.QUERIES["analytics_chi_square"](spark, sf_dir).collect()[0]
+    assert chi["chi2_r"] >= 0.0 and 0.0 <= chi["cramers_v_r"] <= 1.0
+    an = registry.QUERIES["analytics_anova_f"](spark, sf_dir).collect()[0]
+    assert an["f_stat_r"] >= 0.0 and 0.0 <= an["eta_sq_r"] <= 1.0
+
+
+def test_gini_pareto_partition(spark, sf_dir):
+    """ABC classes partition the customer base; shares sum to ~1; the
+    Gini coefficient is a proper concentration index."""
+    rows = registry.QUERIES["analytics_gini_pareto"](spark, sf_dir).collect()
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert abs(sum(r["revenue_share_r"] for r in rows) - 1.0) < 1e-4
+    assert all(0.0 <= r["gini_r"] < 1.0 for r in rows)
+
+
+def test_ndcg_bounds(spark, sf_dir):
+    """NDCG in (0, 1]; ideal DCG dominates the scored DCG."""
+    rows = registry.QUERIES["text_ndcg_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["idcg_r"] >= r["dcg_r"] - 1e-9
+        assert 0.0 < r["ndcg_r"] <= 1.0 + 1e-9
+
+
+def test_feature_hashing_conserves_tokens(spark, sf_dir):
+    """Hashed features conserve the token count and stay in the fixed
+    dimension space; signed counts are bounded by the cell count."""
+    out = registry.QUERIES["pipeline_feature_hashing"](spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_tokens").alias("tok"),
+        F.min("dim").alias("dmin"),
+        F.max("dim").alias("dmax"),
+        F.max(F.abs(F.col("feat")) > F.col("n_tokens")).alias("bad"),
+    ).collect()[0]
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "").count()
+    assert agg["tok"] == raw
+    assert 0 <= agg["dmin"] and agg["dmax"] < 32
+    assert not agg["bad"]
+
+
+def test_referential_integrity_fixtures_clean(spark, sf_dir):
+    """The generated star schema has intact FKs — the audit must report
+    zero orphans on every edge."""
+    rows = registry.QUERIES["quality_referential_integrity"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["ok"] and r["n_orphans"] == 0 for r in rows)
+
+
+def test_radius_join_equals_bruteforce(spark, sf_dir):
+    """The neighbor-cell stencil must find EXACTLY the brute-force pair
+    set — a missed cell offset would silently drop distant-cell pairs."""
+    out = registry.QUERIES["geo_radius_join"](spark, sf_dir)
+    got = {(r["c_custkey"], r["s_suppkey"]) for r in out.collect()}
+    cust = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "((c_custkey * 37) % 9000) / 100.0 - 45 AS clat",
+        "((c_custkey * 73) % 18000) / 100.0 - 90 AS clon"
+    )
+    supp = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", "((s_suppkey * 53) % 9000) / 100.0 - 45 AS slat",
+        "((s_suppkey * 97) % 18000) / 100.0 - 90 AS slon"
+    )
+    hav = (
+        "2 * 6371.0 * asin(sqrt(pow(sin(radians(slat - clat) / 2), 2)"
+        " + cos(radians(clat)) * cos(radians(slat))"
+        " * pow(sin(radians(slon - clon) / 2), 2)))"
+    )
+    brute = (
+        cust.crossJoin(supp)
+        .withColumn("d", F.expr(hav))
+        .filter(F.col("d") < 500)
+    )
+    want = {(r["c_custkey"], r["s_suppkey"]) for r in brute.collect()}
+    assert got == want
+
+
+def test_snapshot_diff_census_identity(spark, sf_dir):
+    """Diff counts must reproduce the deterministic perturbation: one
+    md5 nibble each for removed / changed / added."""
+    rows = {
+        r["change_type"]: r["n_rows"]
+        for r in registry.QUERIES["quality_snapshot_diff"](spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders")
+    nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    n = o.count()
+    n0 = o.filter(nib == "0").count()
+    n1 = o.filter(nib == "1").count()
+    n2 = o.filter(nib == "2").count()
+    assert rows.get("removed", 0) == n0
+    assert rows.get("changed", 0) == n1
+    assert rows.get("added", 0) == n2
+    assert rows.get("unchanged", 0) == n - n0 - n1
+
+
+def test_equidepth_buckets_balanced(spark, sf_dir):
+    """Equi-depth buckets differ by at most one row, partition the
+    table, and have non-overlapping ordered ranges."""
+    rows = sorted(
+        registry.QUERIES["agg_equidepth_histogram"](spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    counts = [r["n"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    total = load(spark, sf_dir, "lineitem").count()
+    assert sum(counts) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a["lo"] <= a["hi"] <= b["lo"]
