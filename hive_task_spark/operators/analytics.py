@@ -1870,3 +1870,68 @@ def analytics_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("rev") - prev) / prev, 6).alias("mom_pct_r"),
         F.round((F.col("rev") - prev12) / prev12, 6).alias("yoy_pct_r"),
     )
+
+
+@register(
+    "analytics_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+                   AS cohort_m
+        FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+        SELECT cohort_m, count(*) AS cohort_size
+        FROM firsts GROUP BY cohort_m
+    ),
+    aged AS (
+        SELECT f.cohort_m,
+               CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                    AS BIGINT) - f.cohort_m AS age_m,
+               sum(o.o_totalprice) AS rev
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT a.cohort_m,
+           a.age_m,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round(sum(a.rev) OVER (PARTITION BY a.cohort_m ORDER BY a.age_m),
+                 2) AS cum_rev_r
+    FROM aged a JOIN sized s ON a.cohort_m = s.cohort_m
+    """,
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month (linear month index — no date arithmetic at the edge),
+    revenue aggregated per (cohort, age-in-months), then the running
+    cumulative sum per cohort divided by cohort size = the LTV curve
+    finance actually plots (cum revenue + cohort size; the per-user
+    ratio is a client-side division — emitting it would round a
+    money/2^k dyadic below its exact decimal grain, the half-boundary
+    trap CLAUDE.md bans). Two keyed aggregates (first-order month,
+    then cohort/age) + one cumulative window over the tiny
+    cohort-age summary; the per-customer first-purchase aggregate is
+    the only fact-scale shuffle. Money edge at the exact 2dp grain."""
+    o = load(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    firsts = o.groupBy("o_custkey").agg(F.min(m).alias("cohort_m"))
+    sized = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    aged = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_m", (m - F.col("cohort_m")).alias("age_m"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return aged.join(F.broadcast(sized), "cohort_m").select(
+        "cohort_m",
+        "age_m",
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.round(F.sum("rev").over(w), 2).alias("cum_rev_r"),
+    )

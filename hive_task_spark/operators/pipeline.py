@@ -1353,3 +1353,48 @@ def pipeline_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "pipeline_dp_counts",
+    oracle="""
+    WITH g AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    u AS (
+        SELECT source, n,
+               CAST('0x' || substr(md5(source), 1, 12) AS BIGINT)
+                   / CAST(281474976710656 AS DOUBLE) AS unif
+        FROM g
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS true_n,
+           round(n + (CASE WHEN unif < 0.5 THEN 1.0 ELSE -1.0 END)
+                   * ln(1.0 - 2.0 * abs(unif - 0.5)), 4) AS noisy_n_r
+    FROM u
+    """,
+)
+def pipeline_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    epsilon=1, sensitivity 1): per-source document counts plus
+    Laplace(1) noise drawn by inverse-CDF from an md5-keyed uniform —
+    SEEDED noise, so a re-run (and the oracle twin) reproduces the
+    release bit-for-bit, which is how DP releases are audited in
+    practice (the seed is the secret; determinism here demonstrates
+    the mechanism, true_n is exposed only for the test harness). One
+    aggregate + row-local noise arithmetic: the mechanism adds zero
+    distributed cost at any scale. ln() edge rounds at 4dp."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    unif = F.expr(
+        "CAST(conv(substr(md5(source), 1, 12), 16, 10) AS BIGINT)"
+    ) / F.lit(281474976710656.0)
+    noise = (
+        F.when(unif < 0.5, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(unif - 0.5))
+    )
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("true_n"),
+        F.round(F.col("n") + noise, 4).alias("noisy_n_r"),
+    )

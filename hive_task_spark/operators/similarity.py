@@ -1275,3 +1275,141 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rrf_micro"),
     )
+
+
+def _mmr_oracle() -> str:
+    """Generate the chained-CTE DuckDB twin of the 5-pick greedy MMR
+    loop (one CTE pair per greedy step)."""
+    dotsql = (
+        "list_sum(list_transform(list_zip(c.vec, s.vec), p -> p[1] * p[2]))"
+    )
+    parts = [
+        """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    q AS (SELECT * FROM n WHERE vec_id = 0),
+    cand AS (
+        SELECT c.vec_id, c.vec, c.nrm,
+               list_sum(list_transform(list_zip(c.vec, q.vec),
+                                       p -> p[1] * p[2])) / (c.nrm * q.nrm)
+                   AS rel
+        FROM n c, q WHERE c.vec_id >= 1
+    ),
+    c12 AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 12),
+    p1 AS (
+        SELECT vec_id, vec, nrm, rel, 1 AS pick, 0.7 * rel AS score
+        FROM c12 ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    s1 AS (SELECT vec_id, vec, nrm, rel, pick, score FROM p1)"""
+    ]
+    for i in range(2, 6):
+        p, s = i - 1, i
+        parts.append(f"""
+    sc{i} AS (
+        SELECT c.vec_id, c.vec, c.nrm, c.rel,
+               0.7 * c.rel - 0.3 * max({dotsql} / (c.nrm * s.nrm)) AS score
+        FROM c12 c CROSS JOIN s{p} s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s{p})
+        GROUP BY c.vec_id, c.vec, c.nrm, c.rel
+    ),
+    p{i} AS (
+        SELECT vec_id, vec, nrm, rel, {i} AS pick, score
+        FROM sc{i} ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    s{i} AS (SELECT * FROM s{p} UNION ALL SELECT * FROM p{i})""")
+    body = ",".join(parts)
+    return f"""{body}
+    SELECT CAST(pick AS BIGINT) AS pick, vec_id,
+           round(rel, 6) AS rel_r, round(score, 6) AS score_r
+    FROM s5
+    """
+
+
+@register("similarity_mmr_rerank", oracle=_mmr_oracle(), defer=True)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
+    from the top-12 cosine candidates for query vec 0, greedily pick
+    5 results maximizing 0.7*relevance - 0.3*max-similarity-to-
+    already-picked — the diversity-aware final stage of a retrieval
+    pipeline. Structure at scale: the expensive stage is the
+    candidate fetch (any ANN operator here); the greedy loop runs on
+    the TINY candidate set — each of the 4 unrolled steps is an
+    anti-join + a broadcast pairwise-similarity max + a 1-row top-1,
+    all on <=12 rows, with `localCheckpoint` pinning the selected
+    set so the plan stays linear in k. The oracle unrolls the same
+    greedy loop as chained CTEs. Scores round at the 6dp cosine
+    grain."""
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm")
+    )
+    cand = (
+        vecs.filter(F.col("vec_id") >= 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "vec",
+            "nrm",
+            (_dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))).alias(
+                "rel"
+            ),
+        )
+    )
+    c12 = (
+        cand.orderBy(F.col("rel").desc(), "vec_id").limit(12).localCheckpoint()
+    )
+    selected = (
+        c12.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id", "vec", "nrm", "rel",
+            F.lit(1).alias("pick"),
+            (F.lit(0.7) * F.col("rel")).alias("score"),
+        )
+        .localCheckpoint()
+    )
+    for i in range(2, 6):
+        sel_small = selected.select(
+            F.col("vec_id").alias("s_id"),
+            F.col("vec").alias("svec"),
+            F.col("nrm").alias("snrm"),
+        )
+        rem = c12.join(
+            selected.select("vec_id"), "vec_id", "left_anti"
+        )
+        pairs = rem.crossJoin(F.broadcast(sel_small))
+        sim = _dot(F.col("vec"), F.col("svec")) / (F.col("nrm") * F.col("snrm"))
+        ms = (
+            pairs.withColumn("sim", sim)
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            rem.join(ms, "vec_id")
+            .select(
+                "vec_id", "vec", "nrm", "rel",
+                F.lit(i).alias("pick"),
+                (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("max_sim")).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        F.col("pick").cast("long").alias("pick"),
+        "vec_id",
+        F.round("rel", 6).alias("rel_r"),
+        F.round("score", 6).alias("score_r"),
+    )

@@ -912,3 +912,41 @@ def sql_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("SELECT * FROM ht_customer_masked")
+
+
+@register(
+    "sql_distribute_cluster_by",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT)       AS n_items,
+           round(sum(l_extendedprice), 2) AS total_r
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_suppkey
+    """,
+)
+def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL physical-layout surface: DISTRIBUTE BY (hash-partition on
+    a key without a global sort) + SORT BY (per-partition order) —
+    i.e. CLUSTER BY — feeding an aggregate on the same key. The inner
+    clause inserts exactly one hash exchange; the aggregate on top
+    reuses that partitioning, so the shuffle count equals a plain
+    groupBy's. Result content is layout-independent (the point of the
+    oracle): the dialect controls WHERE rows live, never WHAT they
+    are. This is the idiom Hive shops use to pre-cluster writes for
+    bucketed downstream joins."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("ht_li_cluster")
+    return spark.sql(
+        """
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT)       AS n_items,
+               round(sum(l_extendedprice), 2) AS total_r
+        FROM (
+            SELECT l_suppkey, l_extendedprice
+            FROM ht_li_cluster
+            WHERE l_quantity >= 30
+            CLUSTER BY l_suppkey
+        )
+        GROUP BY l_suppkey
+        """
+    )

@@ -663,3 +663,57 @@ def source_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Data
             F.round(F.sum("o_totalprice"), 2).alias("total_r"),
         )
     )
+
+
+@register(
+    "source_parquet_schema_merge",
+    oracle="""
+    WITH v1 AS (
+        SELECT c_custkey, c_acctbal, NULL AS c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    v2 AS (
+        SELECT c_custkey, NULL AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT
+        CAST(count(*) AS BIGINT)               AS n_rows,
+        CAST(count(c_acctbal) AS BIGINT)       AS n_with_bal,
+        CAST(count(c_mktsegment) AS BIGINT)    AS n_with_seg,
+        round(sum(c_acctbal), 2)               AS total_bal_r
+    FROM u
+    """,
+    defer=True,
+)
+def source_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet drops with DIFFERENT
+    column sets (v1: key+balance, v2: key+segment — the classic
+    "producer added a column mid-stream" shape) land in one dataset
+    directory; `mergeSchema=true` unions the footers into a superset
+    schema with NULLs where a file lacks the column. The audit
+    aggregate proves both halves surfaced with their own columns
+    populated. At 100 TB, schema merge is a FOOTER-only operation
+    (no data rewrite) — that's why evolving wide event tables in
+    place is cheap; pin mergeSchema off for stable-schema scans to
+    skip the footer sweep."""
+    c = load(spark, sf_dir, "customer")
+    base = _scratch("schema_merge_ds")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_acctbal").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "drop=v1"))
+    c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_mktsegment"
+    ).write.mode("overwrite").parquet(os.path.join(base, "drop=v2"))
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(base)
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("c_acctbal").cast("long").alias("n_with_bal"),
+        F.count("c_mktsegment").cast("long").alias("n_with_seg"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal_r"),
+    )

@@ -716,3 +716,52 @@ def stream_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"value.{vf[0]}").cast("long").alias("n_events"),
         F.round(F.col(f"value.{vf[1]}"), 2).alias("total_value_r"),
     )
+
+
+@register(
+    "stream_chained_windows",
+    oracle="""
+    SELECT
+        CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start_s,
+        CAST(count(*) AS BIGINT)                     AS n_events,
+        CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+                                                     AS n_active_hours,
+        round(sum(value), 2)                         AS total_value_r
+    FROM events
+    GROUP BY 1
+    HAVING day_start_s + 86400
+           <= (SELECT epoch(max(ts) - INTERVAL 1 HOUR) FROM events)
+    """,
+    defer=True,
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (Spark 4
+    multi-stateful-operator support): hourly tumbling windows roll up
+    into daily windows via window-of-window re-aggregation —
+    `window(col("w"), "1 day")` groups the finalized hourly results
+    without re-reading events. Both stages share the event-time
+    watermark; append mode emits a day only once the watermark passes
+    its end, so the batch oracle is the daily aggregate restricted to
+    days fully below the final watermark (max ts - 1h). This is the
+    production rollup topology at scale: the second stage's state is
+    24 rows per day instead of the raw stream, and the hourly stage's
+    state evicts on the same watermark."""
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    hourly = s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    daily = hourly.groupBy(F.window(F.col("w"), "1 day").alias("d")).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_active_hours"),
+        F.sum("total_value").alias("total_value"),
+    )
+    out = daily.select(
+        F.unix_timestamp("d.start").cast("long").alias("day_start_s"),
+        "n_events",
+        "n_active_hours",
+        # two-stage (hourly->daily) summation reorders float adds vs the
+        # one-stage batch twin; value is exactly 2dp, so the 2dp round
+        # is at-grain (exact-decimal safe), not below it.
+        F.round("total_value", 2).alias("total_value_r"),
+    )
+    return _run_to_table(spark, out, "stream_chained_windows", "append")
