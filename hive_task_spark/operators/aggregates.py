@@ -1044,3 +1044,34 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("lo"),
         F.max("x").alias("hi"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct
+    FROM customer GROUP BY c_mktsegment
+    """,
+    defer=True,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via the Spark 3.5+ bitmap builtins:
+    values bucket by `bitmap_bucket_number`, each (group, bucket)
+    folds into a 4 KB bitmap with `bitmap_construct_agg(
+    bitmap_bit_position(x))`, and the distinct count is the sum of
+    `bitmap_count` over buckets. This is the scale answer to exact
+    COUNT(DISTINCT dense_int_key): bitmaps combine map-side (unlike
+    the expand+double-shuffle exact distinct) and shuffle fixed-size
+    state like a sketch — but exactly. The oracle is plain
+    count(DISTINCT)."""
+    c = load(spark, sf_dir, "customer")
+    per_bucket = c.groupBy(
+        "c_mktsegment",
+        F.expr("bitmap_bucket_number(c_custkey)").alias("bk"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(c_custkey))").alias("bm")
+    )
+    return per_bucket.groupBy("c_mktsegment").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct")
+    )

@@ -1935,3 +1935,146 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_size").cast("long").alias("cohort_size"),
         F.round(F.sum("rev").over(w), 2).alias("cum_rev_r"),
     )
+
+
+@register(
+    "analytics_survival_km",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    y AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM x
+    ),
+    span AS (
+        SELECT CAST(floor(epoch(max(ts) - min(ts)) / 60) AS BIGINT) AS dur,
+               (max(ts) < (SELECT max(ts) FROM events) - INTERVAL 1 HOUR)
+                   AS completed
+        FROM y GROUP BY user_id, sess
+    ),
+    steps AS (
+        SELECT dur,
+               CAST(sum(CASE WHEN completed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS m
+        FROM span GROUP BY dur
+    ),
+    risk0 AS (
+        SELECT dur, d,
+               CAST((SELECT count(*) FROM span)
+                    - coalesce(sum(m) OVER (ORDER BY dur
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS n_at_risk
+        FROM steps
+    ),
+    risk AS (
+        SELECT dur, d, n_at_risk,
+               CASE WHEN max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+                        OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) = 1
+                    THEN 0.0
+                    ELSE round(exp(sum(CASE WHEN d < n_at_risk
+                                  THEN ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+                                  ELSE 0.0 END)
+                         OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)), 6)
+               END AS survival_r
+        FROM risk0
+    )
+    SELECT dur AS duration_min, n_at_risk, d AS n_events, survival_r
+    FROM risk WHERE d > 0
+    """,
+)
+def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator over SESSION
+    lifetimes (gaps-and-islands sessionization, 30-min gap; duration
+    = whole minutes first-to-last event; right-censored when the
+    session is still open near corpus end, i.e. last event within 1h
+    of max ts). The estimator is pure sufficient-statistics window
+    algebra: per-session aggregate -> groupBy duration -> n-at-risk
+    from a running count -> survival as exp(running sum of
+    log-hazards) — the cumulative-product-as-exp-sum-log identity
+    (no recursion, no UDF). Censoring enters only through the
+    at-risk denominators, as in the textbook estimator. The running
+    windows order on the tiny duration summary; the only fact-scale
+    work is the sessionize shuffle on user_id. 6dp transcendental
+    edge. NOTE the window sum in `risk` runs over ALL duration rows
+    (d=0 rows contribute ln(1)=0), matching the Spark side exactly."""
+    e = load(spark, sf_dir, "events")
+    wkey = Window.partitionBy("user_id").orderBy("ts")
+    x = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wkey).isNull()
+            | (
+                F.col("ts").cast("double")
+                - F.lag("ts").over(wkey).cast("double")
+                >= 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    y = x.select(
+        "user_id",
+        "ts",
+        F.sum("brk")
+        .over(wkey.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess"),
+    )
+    corpus_end = e.agg(F.max("ts").alias("end_ts"))
+    span = (
+        y.groupBy("user_id", "sess")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(corpus_end))
+        .select(
+            F.floor(
+                (F.col("t1").cast("double") - F.col("t0").cast("double")) / 60
+            )
+            .cast("long")
+            .alias("dur"),
+            (
+                F.col("t1") < F.col("end_ts") - F.expr("INTERVAL 1 HOUR")
+            ).alias("completed"),
+        )
+    )
+    steps = span.groupBy("dur").agg(
+        F.sum(F.when(F.col("completed"), 1).otherwise(0)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    n_total = span.agg(F.count(F.lit(1)).alias("n_total"))
+    wb = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = steps.crossJoin(F.broadcast(n_total)).select(
+        "dur",
+        "d",
+        (F.col("n_total") - F.coalesce(F.sum("m").over(wb), F.lit(0)))
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    log_term = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        F.when(F.col("d") == F.col("n_at_risk"), 1).otherwise(0)
+    ).over(wc)
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(log_term).over(wc)), 6)
+    )
+    return (
+        risk.select(
+            F.col("dur").alias("duration_min"),
+            "n_at_risk",
+            F.col("d").alias("n_events"),
+            surv.alias("survival_r"),
+        )
+        .filter(F.col("n_events") > 0)
+    )

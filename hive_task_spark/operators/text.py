@@ -736,3 +736,33 @@ def text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg_r"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_r"),
     )
+
+
+def _confusion_oracle() -> str:
+    from hive_task_spark.registry import ORACLES
+
+    return f"""
+    WITH pred AS ({ORACLES["text_language_id"]})
+    SELECT labeled_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           (labeled_lang = predicted_lang) AS is_correct
+    FROM pred GROUP BY labeled_lang, predicted_lang
+    """
+
+
+@register("text_langid_confusion", oracle=_confusion_oracle())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the heuristic
+    language identifier: labeled vs predicted language cell counts
+    (the operator every model-eval pipeline runs after inference).
+    Reuses `text_language_id`'s per-doc predictions — one extra
+    tiny aggregate on top of that scan-speed map stage; the oracle
+    composes the langid oracle as a CTE so both layers stay
+    verified together."""
+    pred = text_language_id(spark, sf_dir)
+    return pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.col("labeled_lang") == F.col("predicted_lang")).alias(
+            "is_correct"
+        ),
+    )

@@ -462,3 +462,46 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_cents"
         ),
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               avg(value) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day_idx,
+           round(median(v) OVER (PARTITION BY user_id ORDER BY day_idx
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                 6) AS med5_r
+    FROM daily
+    """,
+    defer=True,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median (5-observation frame) over each user's
+    daily series — the robust-smoothing counterpart of the rolling
+    mean: an aggregate function (`percentile`) used AS a window
+    function over a bounded rows frame. Interpolation semantics for
+    even frames match DuckDB's `median` (midpoint). Per-user
+    partitioned frames keep the sort local; the frame is O(1) rows,
+    so state never grows with history — at 100 TB this is one
+    shuffle + one per-partition sort, same as any keyed window."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.avg("value").alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rowsBetween(-4, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day_idx",
+        F.round(F.expr("percentile(v, 0.5)").over(w), 6).alias("med5_r"),
+    )
