@@ -65,6 +65,12 @@ HEADLINE = [
     "agg_session_window_batch",
     "join_temporal_pointintime",
     "similarity_product_quantization",
+    # Late-round-3 waves: the binned spatial join (the new join
+    # pattern), the explode-heavy hashing-trick featurizer, and the
+    # chained two-stage stateful stream (multi-operator state path).
+    "geo_radius_join",
+    "pipeline_feature_hashing",
+    "stream_chained_windows",
 ]
 
 
