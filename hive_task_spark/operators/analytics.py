@@ -2078,3 +2078,119 @@ def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") > 0)
     )
+
+
+@register(
+    "analytics_path_flows",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS step
+        FROM events
+    ),
+    p AS (
+        SELECT user_id,
+               max(CASE WHEN step = 1 THEN event_type END) AS s1,
+               max(CASE WHEN step = 2 THEN event_type END) AS s2,
+               max(CASE WHEN step = 3 THEN event_type END) AS s3
+        FROM ranked WHERE step <= 3 GROUP BY user_id
+    )
+    SELECT concat(coalesce(s1, '-'), '>', coalesce(s2, '-'), '>',
+                  coalesce(s3, '-'))  AS path3,
+           CAST(count(*) AS BIGINT)   AS n_users
+    FROM p GROUP BY 1
+    """,
+)
+def analytics_path_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sankey-style user-path analysis: each user's first three event
+    types (deterministic order: ts then event_id) concatenated into a
+    path string, counted per path — the flow diagram feeding every
+    onboarding dashboard. One user-keyed window ranks steps, a
+    conditional-max pivot collapses to one row per user (never a
+    collect_list of the whole history), and the path space is
+    |event_types|^3 so the final aggregate is tiny. At 100 TB the
+    ranking window is the only fact-scale stage and it reuses the
+    user_id partitioning every other per-user operator shuffles on."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("step")
+    ).filter(F.col("step") <= 3)
+    pick = lambda i: F.max(F.when(F.col("step") == i, F.col("event_type")))
+    p = ranked.groupBy("user_id").agg(
+        pick(1).alias("s1"), pick(2).alias("s2"), pick(3).alias("s3")
+    )
+    path = F.concat_ws(
+        ">",
+        F.coalesce(F.col("s1"), F.lit("-")),
+        F.coalesce(F.col("s2"), F.lit("-")),
+        F.coalesce(F.col("s3"), F.lit("-")),
+    )
+    return p.groupBy(path.alias("path3")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@register(
+    "analytics_streak_longest",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, day_idx,
+               day_idx - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day_idx) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len,
+               min(day_idx) AS streak_start
+        FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           max(streak_len) AS longest_streak,
+           CAST(min(streak_start) FILTER (
+               streak_len = (SELECT max(s2.streak_len) FROM streaks s2
+                             WHERE s2.user_id = streaks.user_id))
+             AS BIGINT) AS first_best_start
+    FROM streaks GROUP BY user_id
+    """,
+)
+def analytics_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands at daily grain: distinct active days, island id
+    = day_idx - row_number (constant within a consecutive run), one
+    groupBy per (user, island), then per-user argmax with a
+    deterministic earliest-start tie-break. Two aggregates + one
+    ranking window, all partitioned on user_id — one logical shuffle
+    key end-to-end. The correlated-max oracle decorrelates to the
+    same window form under Catalyst."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    grp = days.select(
+        "user_id",
+        "day_idx",
+        (F.col("day_idx") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len"),
+        F.min("day_idx").alias("streak_start"),
+    )
+    wmax = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("best", F.max("streak_len").over(wmax))
+        .filter(F.col("streak_len") == F.col("best"))
+        .groupBy("user_id")
+        .agg(
+            F.max("streak_len").alias("longest_streak"),
+            F.min("streak_start").cast("long").alias("first_best_start"),
+        )
+    )

@@ -1398,3 +1398,53 @@ def pipeline_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("true_n"),
         F.round(F.col("n") + noise, 4).alias("noisy_n_r"),
     )
+
+
+@register(
+    "pipeline_weighted_sample",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(n_chars AS DOUBLE) AS wt,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) / CAST(281474976710656 AS DOUBLE) AS u
+        FROM documents WHERE n_chars > 0
+    ),
+    keyed AS (
+        SELECT doc_id, lang, n_chars,
+               -ln(1.0 - u) / wt AS es_key
+        FROM w
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY es_key, doc_id) AS rk
+        FROM keyed
+    )
+    WHERE rk <= 50
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis exponential-key trick: each doc draws key
+    Exp(weight) = -ln(1-u)/w from an md5-seeded uniform, and the
+    k smallest keys ARE a weight-proportional sample — the only
+    known one-pass, collect-free, merge-friendly way to draw
+    weighted samples at corpus scale (per-partition top-k heaps
+    merge at the driver as TakeOrderedAndProject; rerun-stable
+    because the uniforms are content-keyed, the same determinism
+    discipline as pipeline_hash_sample). Weight = n_chars (longer
+    docs proportionally likelier). The rank edge is exact; the key
+    itself never leaves the plan."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    ) / F.lit(281474976710656.0)
+    es_key = -F.log(1.0 - u) / F.col("n_chars").cast("double")
+    keyed = d.select("doc_id", "lang", "n_chars", es_key.alias("es_key"))
+    w = Window.orderBy("es_key", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select("doc_id", "lang", "n_chars", F.col("rk").cast("long").alias("rk"))
+    )

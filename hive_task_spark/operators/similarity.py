@@ -807,6 +807,8 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ")"
     )
+    from pyspark.sql import Window
+
     e = load(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", "label", _vec_d().alias("vec")).withColumn(
         "nrm", _norm(F.col("vec"))
@@ -1412,4 +1414,100 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("rel", 6).alias("rel_r"),
         F.round("score", 6).alias("score_r"),
+    )
+
+
+@register(
+    "similarity_knn_classify",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.label,
+               list_sum(list_transform(list_zip(q.vec, c.vec),
+                                       p -> p[1] * p[2])) / (q.nrm * c.nrm)
+                   AS cosine,
+               c.vec_id AS neighbor_id
+        FROM n q JOIN n c
+          ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ),
+    top5 AS (
+        SELECT query_id, label, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    ),
+    votes AS (
+        SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+        FROM top5 WHERE rnk <= 5 GROUP BY query_id, label
+    )
+    SELECT query_id,
+           CAST(label AS BIGINT)  AS predicted_label,
+           n_votes
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, label) AS vr
+        FROM votes
+    )
+    WHERE vr = 1
+    """,
+    defer=True,
+)
+def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification (k=5, cosine metric, majority
+    vote with deterministic smallest-label tie-break): query vectors
+    classify against the labeled corpus — the eval-harness operator
+    behind every embedding-quality report. Same broadcast-queries x
+    partitioned-corpus shape as `similarity_topk_bruteforce` (swap in
+    any ANN operator as the candidate stage at 100 TB); voting is a
+    per-query aggregate over k rows, then a 1-row argmax window.
+    Counts are exact; no float crosses the edge."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    corpus = vecs.filter(F.col("vec_id") >= N_QUERIES)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "label",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))).alias(
+            "cosine"
+        ),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 5)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "label"
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("predicted_label"),
+            "n_votes",
+        )
     )
