@@ -1075,3 +1075,77 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("c_mktsegment").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct")
     )
+
+
+@register(
+    "agg_grouping_id_flags",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>')  AS rf,
+           coalesce(l_linestatus, '<all>')  AS ls,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """,
+    defer=True,
+)
+def agg_grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator flags over GROUPING SETS — the mechanism
+    BI layers use to tell a real NULL from a subtotal row (coalesce
+    to '<all>' only where the grouping flag says "aggregated"). All
+    four sets expand in ONE Expand+shuffle pass, the same physical
+    shape as cube/rollup; the flags are plan metadata, costing
+    nothing."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("ht_li_gid")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '<all>')  AS rf,
+               coalesce(l_linestatus, '<all>')  AS ls,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ht_li_gid
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_percentile_cont_disc",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6)  AS p50_cont_r,
+           quantile_disc(l_quantity, 0.5)            AS p50_disc,
+           round(quantile_cont(l_quantity, 0.9), 6)  AS p90_cont_r,
+           quantile_disc(l_quantity, 0.9)            AS p90_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    defer=True,
+)
+def agg_percentile_cont_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT vs PERCENTILE_DISC side by side — interpolated
+    vs actual-datum quantiles (the disc edge is an exact stored value,
+    no rounding; cont interpolates so it rounds at 6dp). Both compile
+    to a single sort-based aggregate per group; at 100 TB swap in
+    approx_percentile and keep disc semantics via the sketch's
+    nearest-rank read-out."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("ht_li_pct")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6)
+                   AS p50_cont_r,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                   AS p50_disc,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 6)
+                   AS p90_cont_r,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)
+                   AS p90_disc
+        FROM ht_li_pct GROUP BY l_returnflag
+        """
+    )

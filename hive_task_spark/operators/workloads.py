@@ -950,3 +950,39 @@ def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_suppkey
         """
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_r
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY n_orders DESC, o_orderpriority
+    LIMIT 3
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0's `|>` operator chaining, the
+    GoogleSQL-pipes surface): FROM |> WHERE |> AGGREGATE ... GROUP BY
+    |> ORDER BY |> LIMIT reads as a linear dataflow and compiles to
+    exactly the plan of the nested-SELECT equivalent (the oracle is
+    that equivalent in classic ANSI form). Dialect sugar only — same
+    pushdown, same partial+final aggregate, same
+    TakeOrderedAndProject."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ht_orders_pipe")
+    return spark.sql(
+        """
+        FROM ht_orders_pipe
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total_r
+           GROUP BY o_orderpriority
+        |> ORDER BY n_orders DESC, o_orderpriority
+        |> LIMIT 3
+        |> SELECT o_orderpriority, n_orders, total_r
+        """
+    )

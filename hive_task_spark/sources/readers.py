@@ -717,3 +717,29 @@ def source_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_mktsegment").cast("long").alias("n_with_seg"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal_r"),
     )
+
+
+@register(
+    "source_write_modes",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(2 AS BIGINT) AS n_copies
+    FROM nation
+    """,
+    defer=True,
+)
+def source_write_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameWriter save-mode semantics: `overwrite` resets the
+    dataset, a second write with `append` adds files alongside (no
+    rewrite of existing data — the cheap incremental-load path), and
+    the read-back sees exactly two copies of every key. Overwrite vs
+    append is THE idempotency decision in nightly loads; the
+    dynamic-partition variant is `source_dynamic_partition_overwrite`."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey")
+    path = _scratch("write_modes_nation")
+    n.write.mode("overwrite").parquet(path)
+    n.write.mode("append").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )

@@ -639,3 +639,115 @@ def test_equidepth_buckets_balanced(spark, sf_dir):
     assert sum(counts) == total
     for a, b in zip(rows, rows[1:]):
         assert a["lo"] <= a["hi"] <= b["lo"]
+
+
+def test_survival_km_monotone(spark, sf_dir):
+    """KM survival is non-increasing in duration and within [0, 1];
+    n_at_risk is non-increasing too."""
+    rows = sorted(
+        registry.QUERIES["analytics_survival_km"](spark, sf_dir).collect(),
+        key=lambda r: r["duration_min"],
+    )
+    assert rows
+    last_s, last_n = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r["survival_r"] <= last_s + 1e-9
+        last_s = r["survival_r"]
+        if last_n is not None:
+            assert r["n_at_risk"] <= last_n
+        last_n = r["n_at_risk"]
+
+
+def test_weighted_sample_deterministic_and_sized(spark, sf_dir):
+    """E-S weighted sample: exactly 50 distinct docs, identical on
+    rerun (content-keyed uniforms)."""
+    q = registry.QUERIES["pipeline_weighted_sample"]
+    a = {r["doc_id"] for r in q(spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in q(spark, sf_dir).collect()}
+    assert len(a) == 50 and a == b
+
+
+def test_mmr_first_pick_is_top_relevance(spark, sf_dir):
+    """MMR pick 1 must equal the pure-relevance argmax; all 5 picks
+    distinct."""
+    rows = registry.QUERIES["similarity_mmr_rerank"](spark, sf_dir).collect()
+    assert len({r["vec_id"] for r in rows}) == 5
+    by_pick = {r["pick"]: r for r in rows}
+    assert by_pick[1]["rel_r"] == max(r["rel_r"] for r in rows)
+
+
+def test_knn_predictions_cover_queries(spark, sf_dir):
+    """kNN: one prediction per query vector, votes within [1, 5],
+    labels drawn from the corpus label domain."""
+    rows = registry.QUERIES["similarity_knn_classify"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    labels = {
+        r["label"]
+        for r in load(spark, sf_dir, "embeddings").select("label").distinct().collect()
+    }
+    for r in rows:
+        assert 1 <= r["n_votes"] <= 5
+        assert r["predicted_label"] in labels
+
+
+def test_dp_noise_bounded(spark, sf_dir):
+    """Seeded Laplace(1) noise from a 48-bit uniform is bounded by
+    ln(2^48) ~ 33.3 in magnitude."""
+    rows = registry.QUERIES["pipeline_dp_counts"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["noisy_n_r"] - r["true_n"]) <= 34.0
+
+
+def test_path_flows_partition_users(spark, sf_dir):
+    """Every user contributes exactly one path."""
+    rows = registry.QUERIES["analytics_path_flows"](spark, sf_dir).collect()
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+
+
+def test_streaks_within_span(spark, sf_dir):
+    """Longest streak is >= 1 and <= the user's active-day count."""
+    streaks = {
+        r["user_id"]: r["longest_streak"]
+        for r in registry.QUERIES["analytics_streak_longest"](spark, sf_dir).collect()
+    }
+    active = {
+        r["user_id"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .select("user_id", (F.col("ts").cast("double") / 86400).cast("long").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(streaks) == set(active)
+    for u, s in streaks.items():
+        assert 1 <= s <= active[u]
+
+
+def test_chained_stream_conserves_counts(spark, sf_dir):
+    """Chained daily rollup: emitted day counts equal the batch daily
+    counts for every emitted day (no double count through the two
+    stateful stages)."""
+    got = {
+        r["day_start_s"]: (r["n_events"], r["n_active_hours"])
+        for r in registry.QUERIES["stream_chained_windows"](spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    batch = {
+        r["d"]: (r["n"], r["h"])
+        for r in e.groupBy(
+            F.unix_timestamp(F.date_trunc("day", "ts")).cast("long").alias("d")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.date_trunc("hour", "ts")).alias("h"),
+        )
+        .collect()
+    }
+    assert got  # at least one finalized day
+    for d, v in got.items():
+        assert batch[d] == v
