@@ -2194,3 +2194,54 @@ def analytics_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("streak_start").cast("long").alias("first_best_start"),
         )
     )
+
+
+@register(
+    "analytics_bootstrap_ci",
+    oracle="""
+    WITH reps AS (
+        SELECT b.b AS b, avg(e.value) AS mu
+        FROM events e
+        CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+        WHERE CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+                                      || '-' || CAST(b.b AS VARCHAR)), 1, 2)
+                   AS BIGINT) < 128
+        GROUP BY b.b
+    )
+    SELECT CAST(count(*) AS BIGINT)      AS n_replicates,
+           round(avg(mu), 6)             AS boot_mean_r,
+           round(min(mu), 6)             AS ci_lo_r,
+           round(max(mu), 6)             AS ci_hi_r,
+           round(stddev_samp(mu), 6)     AS boot_se_r
+    FROM reps
+    """,
+)
+def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic subsample bootstrap for the mean of event values:
+    32 half-density replicates drawn by content-keyed md5(event_id, b)
+    coin flips, each replicate's mean aggregated in ONE pass (the
+    replicate id explodes 32x BUT the subsample filter keeps the
+    expected shuffle volume at 16x row-count of tiny (b, partial)
+    pairs — at 100 TB you push the replicate loop into the partial
+    aggregate exactly like this, never 32 separate scans). The CI
+    readout (range + bootstrap SE of the replicate means) is O(B)
+    arithmetic. Content-keyed draws make the whole resampling
+    rerun-stable — the determinism discipline of every sampling
+    operator here."""
+    e = load(spark, sf_dir, "events")
+    b = spark.range(0, 32).select(F.col("id").alias("b"))
+    keyed = e.crossJoin(F.broadcast(b)).filter(
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(event_id AS STRING), '-',"
+            " CAST(b AS STRING))), 1, 2), 16, 10) AS BIGINT)"
+        )
+        < 128
+    )
+    reps = keyed.groupBy("b").agg(F.avg("value").alias("mu"))
+    return reps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.round(F.avg("mu"), 6).alias("boot_mean_r"),
+        F.round(F.min("mu"), 6).alias("ci_lo_r"),
+        F.round(F.max("mu"), 6).alias("ci_hi_r"),
+        F.round(F.stddev_samp("mu"), 6).alias("boot_se_r"),
+    )

@@ -766,3 +766,54 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_correct"
         ),
     )
+
+
+@register(
+    "text_bpe_train_step",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> substr(w, CAST(i AS INTEGER), 2)))
+                   AS pair
+        FROM words WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    WHERE pair ~ '^[a-z]{2}$'
+    GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training induction step: count adjacent character-pair
+    frequencies across the corpus and rank the top-20 merge
+    candidates — the statistic that drives every merge round of
+    byte-pair-encoding tokenizer training (`text_bpe_apply` is the
+    inference side). Pure codegen: split to chars, self-align
+    adjacent positions, one hash aggregate; the pair space is
+    bounded (alphabet^2) so the final aggregate is tiny and
+    map-side combinable. Training at 100 TB iterates this exact
+    query with the winning merge folded in — each round is one scan,
+    which is why corpus-scale BPE training is feasible at all."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.filter(F.col("pair").rlike("^[a-z]{2}$"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

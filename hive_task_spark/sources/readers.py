@@ -743,3 +743,113 @@ def source_write_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("n_nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_copies")
     )
+
+
+def _write_commit_log(spark: SparkSession, sf_dir: str) -> str:
+    """Build a 3-version Delta-style dataset in _scratch: v1 adds
+    files A+B, v2 adds C, v3 removes B. The log is JSON lines of
+    {version, action, file}; readers reconstruct any version's live
+    file set from the log alone — data files are immutable."""
+    import json
+
+    base = _scratch("commit_log_ds")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    parts = {
+        "A": n.filter(F.col("n_nationkey") < 10),
+        "B": n.filter((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)),
+        "C": n.filter(F.col("n_nationkey") >= 20),
+    }
+    for name, df in parts.items():
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"file_{name}")
+        )
+    log = [
+        {"version": 1, "action": "add", "file": "file_A"},
+        {"version": 1, "action": "add", "file": "file_B"},
+        {"version": 2, "action": "add", "file": "file_C"},
+        {"version": 3, "action": "remove", "file": "file_B"},
+    ]
+    with open(os.path.join(base, "_log.json"), "w") as fh:
+        for entry in log:
+            fh.write(json.dumps(entry) + "\n")
+    return base
+
+
+def _read_snapshot(spark: SparkSession, base: str, version: int) -> DataFrame:
+    """Replay the commit log up to `version` and read the live files.
+    The log is tiny driver-side metadata (exactly like a Delta/Iceberg
+    snapshot resolution); the DATA read is a plain multi-path parquet
+    scan of the surviving files — at 100 TB snapshot resolution cost
+    is O(log), not O(data)."""
+    import json
+
+    live: set[str] = set()
+    with open(os.path.join(base, "_log.json")) as fh:
+        for line in fh:
+            e = json.loads(line)
+            if e["version"] > version:
+                continue
+            if e["action"] == "add":
+                live.add(e["file"])
+            else:
+                live.discard(e["file"])
+    paths = [os.path.join(base, f) for f in sorted(live)]
+    return spark.read.parquet(*paths)
+
+
+@register(
+    "source_commit_log_snapshot",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(n_nationkey) AS BIGINT) AS min_key,
+           CAST(max(n_nationkey) AS BIGINT) AS max_key
+    FROM nation WHERE n_nationkey < 10 OR n_nationkey >= 20
+    """,
+    defer=True,
+)
+def source_commit_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse transaction-log replay, latest snapshot: immutable
+    parquet files + a JSON action log (add/remove per version) — the
+    Delta/Iceberg mechanic reduced to its essence. Version 3 removed
+    file B, so the live set is A+C and the scan never opens B (file
+    skipping by metadata, not data reads). The oracle states the
+    surviving key ranges directly."""
+    base = _write_commit_log(spark, sf_dir)
+    snap = _read_snapshot(spark, base, version=3)
+    return snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("n_nationkey").cast("long").alias("min_key"),
+        F.max("n_nationkey").cast("long").alias("max_key"),
+    )
+
+
+@register(
+    "source_commit_log_time_travel",
+    oracle="""
+    SELECT CAST(v AS BIGINT) AS version, CAST(n AS BIGINT) AS n_rows
+    FROM (VALUES (1, (SELECT count(*) FROM nation WHERE n_nationkey < 20)),
+                 (2, (SELECT count(*) FROM nation)),
+                 (3, (SELECT count(*) FROM nation
+                      WHERE n_nationkey < 10 OR n_nationkey >= 20)))
+         AS t(v, n)
+    """,
+    defer=True,
+)
+def source_commit_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the commit log: the same dataset read AS OF
+    versions 1, 2 and 3 returns three different row sets from the
+    same immutable files — history costs storage for removed files
+    only, never a copy of the table. Each AS-OF read resolves its
+    file list from the log and scans just those files."""
+    base = _write_commit_log(spark, sf_dir)
+    out = None
+    for v in (1, 2, 3):
+        row = _read_snapshot(spark, base, v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows")
+        ).select(F.lit(v).cast("long").alias("version"), "n_rows")
+        out = row if out is None else out.unionByName(row)
+    return out
