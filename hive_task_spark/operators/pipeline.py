@@ -1448,3 +1448,53 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 50)
         .select("doc_id", "lang", "n_chars", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@register(
+    "pipeline_shard_plan",
+    oracle="""
+    WITH ordered AS (
+        SELECT doc_id, n_chars,
+               coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM documents
+    ),
+    sharded AS (
+        SELECT CAST(floor(cum_before / 50000.0) AS BIGINT) AS shard_id,
+               n_chars
+        FROM ordered
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(sum(n_chars) / 50000.0, 4) AS fill_ratio_r
+    FROM sharded GROUP BY shard_id
+    """,
+)
+def pipeline_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard planning by cumulative payload size: docs in a
+    stable key order accumulate bytes, and shard_id =
+    floor(cum_before / target) — the next-fit bin packing every
+    large-scale writer uses to hit its target file size (the
+    execution analog is `df.repartitionByRange`/`maxRecordsPerFile`;
+    this operator PLANS the layout and audits fill ratios so skewed
+    docs surface before the write). One ordered cumulative window;
+    at 100 TB the running sum range-partitions like any global
+    cumsum, or degrades to per-partition planning with a final
+    merge pass."""
+    d = load(spark, sf_dir, "documents")
+    wb = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    ordered = d.select(
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(wb), F.lit(0)).alias("cum_before"),
+    )
+    sharded = ordered.select(
+        F.floor(F.col("cum_before") / 50000.0).cast("long").alias("shard_id"),
+        "n_chars",
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.sum("n_chars") / 50000.0, 4).alias("fill_ratio_r"),
+    )

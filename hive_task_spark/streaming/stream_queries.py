@@ -765,3 +765,99 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 2).alias("total_value_r"),
     )
     return _run_to_table(spark, out, "stream_chained_windows", "append")
+
+
+@register(
+    "stream_outer_join_watermark",
+    oracle="""
+    WITH v AS (
+        SELECT event_id AS view_id, user_id, ts FROM events
+        WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    v2 AS (SELECT ts FROM v), p2 AS (SELECT ts FROM p),
+    wm AS (  -- global watermark = MIN of the two per-stream watermarks
+        SELECT least((SELECT max(ts) FROM v2), (SELECT max(ts) FROM p2))
+               - INTERVAL 1 HOUR AS w
+        FROM (SELECT 1) one
+    ),
+    matched AS (
+        SELECT v.view_id, p.purchase_id, v.user_id
+        FROM v JOIN p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+    )
+    SELECT view_id, purchase_id, user_id FROM matched
+    UNION ALL
+    SELECT v.view_id, NULL AS purchase_id, v.user_id
+    FROM v, wm
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.view_id = v.view_id)
+      AND v.ts + INTERVAL 10 MINUTE < wm.w
+    """,
+    defer=True,
+)
+def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven null
+    emission — the semantics inner joins can't show: an unmatched
+    view emits its null-padded row only once the watermark proves no
+    purchase can ever arrive for it (state eviction). Two
+    time-ordered micro-batches (split at Jan 21, mtime-ordered,
+    maxFilesPerTrigger=1) exercise cross-batch state; the final
+    null set is governed by the GLOBAL watermark — the MIN of the
+    two per-stream watermarks (empirically pinned: the last view and
+    last purchase differ, and the two views between the per-stream
+    cutoffs stay in state) — so the oracle emits a null exactly for
+    unmatched views whose 10-minute window closed below
+    least(max view ts, max purchase ts) - 1h. At
+    100 TB this is THE outer-enrichment topology: state is bounded
+    by watermark + join range, nulls are late but exact."""
+    import time as _time
+
+    apply_runtime_conf(spark)
+    src_dir = os.path.join(_SCRATCH, "events_outer_join")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    from hive_task_spark.tables import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    cut = "2024-01-21 00:00:00"
+    now = _time.time()
+    seen: set[str] = set()
+    for i, b in enumerate([e.filter(F.col("ts") < cut), e.filter(F.col("ts") >= cut)]):
+        b.coalesce(1).write.mode("append").parquet(src_dir)
+        fresh = {f for f in os.listdir(src_dir) if f.endswith(".parquet")} - seen
+        for f in fresh:
+            age = 300 - 100 * i
+            os.utime(os.path.join(src_dir, f), (now - age, now - age))
+        seen |= fresh
+    schema = spark.read.parquet(src_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    s = normalize_events_ts(raw)
+    a = (
+        s.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("ts_a"))
+        .withWatermark("ts_a", "1 hour")
+    )
+    b = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    j = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select("view_id", "purchase_id", "user_id")
+    return _run_to_table(spark, j, "stream_outer_join_watermark", "append")
