@@ -2245,3 +2245,93 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("mu"), 6).alias("ci_hi_r"),
         F.round(F.stddev_samp("mu"), 6).alias("boot_se_r"),
     )
+
+
+@register(
+    "analytics_ols_normal_equations",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               sum(l_quantity)            AS x1,
+               CAST(count(*) AS DOUBLE)   AS x2,
+               sum(l_extendedprice)       AS y
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+               sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+               sum(x2 * x2) AS s22, sum(x1 * y) AS s1y,
+               sum(x2 * y) AS s2y
+        FROM per_order
+    ),
+    c AS (  -- centered second moments
+        SELECT n,
+               s11 - s1 * s1 / n AS a11, s12 - s1 * s2 / n AS a12,
+               s22 - s2 * s2 / n AS a22,
+               s1y - s1 * sy / n AS b1,  s2y - s2 * sy / n AS b2,
+               s1 / n AS m1, s2 / n AS m2, sy / n AS my
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12), 6)
+               AS beta_qty_r,
+           round((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12), 6)
+               AS beta_items_r,
+           round(my - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * m1
+                    - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * m2,
+                 4) AS intercept_r
+    FROM c
+    """,
+)
+def analytics_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature multivariate OLS solved in closed form via the
+    normal equations (Cramer's rule on the centered 2x2 moment
+    matrix): order revenue regressed on total quantity and line
+    count. The entire regression is NINE sufficient statistics from
+    one aggregate pass — the pattern that lets linear models fit on
+    100 TB without any iterative solver or driver-side matrix: the
+    moment sums are map-side combinable, the solve is O(1) driver
+    arithmetic in the plan. regr_* builtins cover the univariate
+    case (`agg_corr_regression`); this is the multivariate step
+    beyond them. 6dp coefficient / 4dp intercept stat edges."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("x1"),
+        F.count(F.lit(1)).cast("double").alias("x2"),
+        F.sum("l_extendedprice").alias("y"),
+    )
+    m = per_order.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n")
+    c = m.select(
+        n,
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("a11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("a12"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("a22"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("b1"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("b2"),
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("sy") / n).alias("my"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    beta1 = (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det
+    beta2 = (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / det
+    return c.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(beta1, 6).alias("beta_qty_r"),
+        F.round(beta2, 6).alias("beta_items_r"),
+        F.round(
+            F.col("my") - beta1 * F.col("m1") - beta2 * F.col("m2"), 4
+        ).alias("intercept_r"),
+    )

@@ -1511,3 +1511,54 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+def _recall_oracle() -> str:
+    from hive_task_spark.registry import ORACLES
+
+    return f"""
+    WITH ann AS ({ORACLES["similarity_ann_lsh"]}),
+    bf AS ({ORACLES["similarity_topk_bruteforce"]}),
+    hits AS (
+        SELECT b.query_id,
+               count(a.neighbor_id) AS n_hits
+        FROM bf b LEFT JOIN ann a
+          ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+        GROUP BY b.query_id
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits / 5.0, 1) AS recall_at5_r
+    FROM hits
+    """
+
+
+@register("similarity_recall_report", oracle=_recall_oracle(), defer=True)
+def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation AS A QUERY: per-query recall@5 of the
+    sign-LSH index against the brute-force ground truth — the eval
+    harness every vector-store deployment runs after (re)indexing,
+    here expressed as a join of the two existing operators (and the
+    oracle literally composes their two DuckDB twins as CTEs, so the
+    report is verified end-to-end through both pipelines). Cost =
+    the two candidate pipelines + one 50-row join; at 100 TB you
+    sample the query set, never the corpus."""
+    ann = similarity_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        bf.alias("b")
+        .join(
+            ann.alias("a"),
+            (F.col("b.query_id") == F.col("a.query_id"))
+            & (F.col("b.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(F.count(F.col("a.neighbor_id")).alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") / 5.0, 1).alias("recall_at5_r"),
+    )

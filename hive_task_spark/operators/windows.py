@@ -505,3 +505,46 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_idx",
         F.round(F.expr("percentile(v, 0.5)").over(w), 6).alias("med5_r"),
     )
+
+
+@register(
+    "window_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               avg(value) FILTER (event_type = 'click') AS cv,
+               avg(value) FILTER (event_type = 'view')  AS vv
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1
+    )
+    SELECT day_idx,
+           round(corr(cv, vv) OVER (ORDER BY day_idx
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+               AS corr7_r
+    FROM daily
+    """,
+    defer=True,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between the click and view
+    daily value series — bivariate co-movement monitoring, the
+    window-function form of `agg_corr_regression`: `corr` as a
+    window aggregate over a bounded rows frame, O(1) state per row.
+    The daily pivot (conditional avg) happens in the same aggregate
+    that builds the series, so the whole operator is one shuffle on
+    the day key + one ordered window over ~|days| rows. 4dp stats
+    grain."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    daily = e.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx")
+    ).agg(
+        F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("cv"),
+        F.avg(F.when(F.col("event_type") == "view", F.col("value"))).alias("vv"),
+    )
+    w = Window.orderBy("day_idx").rowsBetween(-6, 0)
+    return daily.select(
+        "day_idx",
+        F.round(F.corr("cv", "vv").over(w), 4).alias("corr7_r"),
+    )
