@@ -201,3 +201,49 @@ def math_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(net).cast("string").alias("net_exact_s"),
         )
     )
+
+
+@register(
+    "math_try_arithmetic_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_quantity <> 0
+             THEN CAST(l_extendedprice / l_quantity AS DOUBLE) END
+            AS try_div,
+        CASE WHEN l_linenumber - 1 <> 0
+             THEN CAST(CAST(l_partkey AS BIGINT) % (l_linenumber - 1)
+                  AS BIGINT) END               AS try_mod,
+        CAST(l_partkey AS BIGINT) + CAST(l_suppkey AS BIGINT)
+                                                AS try_add_ok,
+        CASE WHEN l_quantity BETWEEN 1 AND 49
+             THEN CAST(l_partkey * CAST(l_quantity AS BIGINT) AS BIGINT) END
+            AS try_mult
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+    defer=True,
+)
+def math_try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* ANSI-safe arithmetic family (Spark 3.2+): try_divide /
+    try_mod return NULL instead of raising on zero divisors, and
+    try_add / try_multiply return NULL on overflow instead of
+    wrapping — how pipelines keep ANSI mode's integrity without
+    tripping on dirty rows. The oracle spells each guard as an
+    explicit CASE (DuckDB has no try_ arithmetic), pinning the
+    null-on-error contract value-by-value. Pure row-local codegen."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_divide(l_extendedprice, l_quantity)").alias("try_div"),
+        F.expr(
+            "try_mod(CAST(l_partkey AS BIGINT), CAST(l_linenumber - 1 AS BIGINT))"
+        ).alias("try_mod"),
+        F.expr(
+            "try_add(CAST(l_partkey AS BIGINT), CAST(l_suppkey AS BIGINT))"
+        ).alias("try_add_ok"),
+        F.expr(
+            "CASE WHEN l_quantity BETWEEN 1 AND 49 THEN"
+            " try_multiply(l_partkey, CAST(l_quantity AS BIGINT)) END"
+        ).alias("try_mult"),
+    )

@@ -2335,3 +2335,60 @@ def analytics_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("my") - beta1 * F.col("m1") - beta2 * F.col("m2"), 4
         ).alias("intercept_r"),
     )
+
+
+@register(
+    "analytics_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               avg(value) AS v
+        FROM events GROUP BY 1
+    ),
+    stats AS (SELECT avg(v) AS mu, count(*) AS n FROM daily),
+    cusum AS (
+        SELECT d.day_idx,
+               sum(d.v - s.mu) OVER (ORDER BY d.day_idx
+                                     ROWS UNBOUNDED PRECEDING) AS s_t
+        FROM daily d, stats s
+    )
+    SELECT day_idx AS changepoint_day,
+           round(abs(s_t), 4) AS max_abs_cusum_r,
+           (SELECT CAST(n AS BIGINT) FROM stats) AS n_days
+    FROM cusum
+    ORDER BY abs(s_t) DESC, day_idx LIMIT 1
+    """,
+)
+def analytics_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the corpus-wide daily value
+    series: the cumulative sum of deviations from the global mean
+    peaks (in absolute value) at the most likely regime-shift day —
+    the classic offline CUSUM statistic, fully window-expressible
+    (no recursion: S_t = running_sum(x) - t*mu needs only one
+    ordered cumsum and a broadcast scalar mean). argmax with
+    day tie-break via TakeOrderedAndProject. The series is ~|days|
+    rows, so everything after the daily aggregate is free; at 100 TB
+    per-segment changepoints partition the window by the segment
+    key."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx")
+    ).agg(F.avg("value").alias("v"))
+    stats = daily.agg(
+        F.avg("v").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    wc = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = daily.crossJoin(F.broadcast(stats)).select(
+        "day_idx",
+        F.sum(F.col("v") - F.col("mu")).over(wc).alias("s_t"),
+        F.col("n"),
+    )
+    return (
+        cusum.select(
+            F.col("day_idx").alias("changepoint_day"),
+            F.round(F.abs("s_t"), 4).alias("max_abs_cusum_r"),
+            F.col("n").cast("long").alias("n_days"),
+        )
+        .orderBy(F.abs("s_t").desc(), "changepoint_day")
+        .limit(1)
+    )

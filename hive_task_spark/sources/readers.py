@@ -853,3 +853,45 @@ def source_commit_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame
         ).select(F.lit(v).cast("long").alias("version"), "n_rows")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "source_csv_dropmalformed",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_valid,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+    defer=True,
+)
+def source_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV DROPMALFORMED mode: a shard of hand-corrupted lines (wrong
+    arity, non-numeric key) lands beside the valid rows and must be silently discarded by the parser — the
+    lossy-but-keep-going counterpart of PERMISSIVE's corrupt-record
+    column (`source_json_permissive_corrupt`). The audit aggregate
+    proves exactly the valid rows survived. At scale DROPMALFORMED
+    is how you ingest dirty third-party feeds without a quarantine
+    pass; pair with a PERMISSIVE side-channel when you need the
+    rejects."""
+    import shutil
+
+    base = _scratch("nation_malformed_csv")
+    shutil.rmtree(base, ignore_errors=True)
+    load(spark, sf_dir, "nation").select("n_nationkey", "n_name").coalesce(
+        1
+    ).write.mode("overwrite").csv(base)
+    # A second shard of hand-corrupted lines lands beside the valid one
+    # (wrong arity, non-numeric key) — no driver-side collect of data.
+    with open(os.path.join(base, "part-malformed.csv"), "w") as fh:
+        fh.write("this,row,has,too,many,columns\n")
+        fh.write("not_a_number,BADKEY\n")
+    schema = "n_nationkey BIGINT, n_name STRING"
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .csv(base)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_valid"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+    )
