@@ -2392,3 +2392,119 @@ def analytics_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs("s_t").desc(), "changepoint_day")
         .limit(1)
     )
+
+
+@register(
+    "analytics_proration_largest_remainder",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ep_cents
+        FROM lineitem WHERE l_orderkey < 1000
+    ),
+    od AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice) AS BIGINT) AS rebate_cents
+        FROM orders WHERE o_orderkey < 1000
+    ),
+    base AS (
+        SELECT li.l_orderkey, li.l_linenumber, od.rebate_cents,
+               li.ep_cents,
+               sum(li.ep_cents) OVER (PARTITION BY li.l_orderkey)
+                   AS sum_ep,
+               (od.rebate_cents * li.ep_cents) //
+                   sum(li.ep_cents) OVER (PARTITION BY li.l_orderkey)
+                   AS base_cents
+        FROM li JOIN od ON li.l_orderkey = od.o_orderkey
+    ),
+    ranked AS (
+        SELECT *,
+               rebate_cents * ep_cents - base_cents * sum_ep AS rem_num,
+               rebate_cents - sum(base_cents)
+                   OVER (PARTITION BY l_orderkey) AS shortfall,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY rebate_cents * ep_cents - base_cents * sum_ep
+                            DESC, l_linenumber) AS rk
+        FROM base
+    )
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(base_cents + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents,
+           CAST(sum(base_cents + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY l_orderkey) = rebate_cents
+                AS BIGINT) AS order_exact
+    FROM ranked
+    """,
+)
+def analytics_proration_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact money proration by the largest-remainder (Hamilton)
+    method: a 1%-of-order rebate, fixed in whole cents, is allocated
+    across the order's line items proportionally to extended price —
+    integer floor division gives each line its base share, and the
+    leftover cents (rebate - sum(base)) go one each to the lines with
+    the largest fractional remainders (line-number tie-break). The
+    classic finance requirement "allocations must sum to the invoiced
+    amount exactly" that naive round(share) violates. All arithmetic
+    is int64 (remainder comparison uses the exact integer numerator
+    rebate*ep - base*sum_ep, never a float), so the edge is
+    bit-stable on both engines; `order_exact` proves conservation per
+    order. Two window passes over one l_orderkey partitioning — a
+    single hash-partition exchange at scale, no driver math."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("ep_cents"),
+        )
+    )
+    od = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.floor("o_totalprice").cast("long").alias("rebate_cents"),
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    base = (
+        li.join(F.broadcast(od), "l_orderkey")
+        .withColumn("sum_ep", F.sum("ep_cents").over(w))
+        .withColumn(
+            "base_cents",
+            F.expr("(rebate_cents * ep_cents) div sum_ep"),
+        )
+    )
+    ranked = (
+        base.withColumn(
+            "rem_num",
+            F.col("rebate_cents") * F.col("ep_cents")
+            - F.col("base_cents") * F.col("sum_ep"),
+        )
+        .withColumn(
+            "shortfall", F.col("rebate_cents") - F.sum("base_cents").over(w)
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                w.orderBy(F.col("rem_num").desc(), "l_linenumber")
+            ),
+        )
+    )
+    alloc = F.col("base_cents") + F.when(
+        F.col("rk") <= F.col("shortfall"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return ranked.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        alloc.cast("long").alias("alloc_cents"),
+        (F.sum(alloc).over(w) == F.col("rebate_cents"))
+        .cast("long")
+        .alias("order_exact"),
+    )

@@ -817,3 +817,92 @@ def text_bpe_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w, count(*) AS n_w FROM words GROUP BY w),
+    tot AS (
+        SELECT (SELECT count(*) FROM bg) AS n_b,
+               (SELECT count(*) FROM words) AS n_u
+    )
+    SELECT c2.w1, c2.w2, CAST(c2.n_ab AS BIGINT) AS n_ab,
+           round(ln(CAST(c2.n_ab * tot.n_u * tot.n_u AS DOUBLE)
+                    / CAST(tot.n_b * a.n_w * b.n_w AS DOUBLE)), 6)
+               AS pmi_r
+    FROM c2
+    JOIN c1 a ON c2.w1 = a.w
+    JOIN c1 b ON c2.w2 = b.w
+    CROSS JOIN tot
+    WHERE c2.n_ab >= 5
+    ORDER BY pmi_r DESC, c2.w1, c2.w2
+    LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: bigrams
+    whose corpus probability exceeds what independent unigram draws
+    predict — PMI = ln(p(ab) / (p(a) p(b))) with p(ab) from the
+    bigram census and p(a) from the unigram census. The standard
+    phrase-detection signal ("New York"-style units) used when
+    building tokenizer vocabularies and phrase tables from a crawl.
+    Computed as one log of an exact-int64 ratio (n_ab * N_u^2) /
+    (N_b * c_a * c_b) so both engines see bit-identical operands;
+    min-count 5 suppresses noise PMI inflation on rare pairs. The
+    count tables are vocab-bounded and broadcast back onto the
+    bigram census — at 100 TB the fact pass is one map-side-combined
+    groupBy, never a shuffle of the corpus text itself."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bg = words.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w", 1).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    c1 = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = bg.agg(F.count(F.lit(1)).alias("n_b")).crossJoin(
+        words.agg(F.count(F.lit(1)).alias("n_u"))
+    )
+    return (
+        c2.filter(F.col("n_ab") >= 5)
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w1"), F.col("n_w").alias("na"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w2"), F.col("n_w").alias("nb"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n_u") * F.col("n_u")).cast("double")
+                    / (F.col("n_b") * F.col("na") * F.col("nb")).cast("double")
+                ),
+                6,
+            ).alias("pmi_r"),
+        )
+        .orderBy(F.col("pmi_r").desc(), "w1", "w2")
+        .limit(20)
+    )

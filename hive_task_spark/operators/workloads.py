@@ -986,3 +986,69 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, total_r
         """
     )
+
+
+@register(
+    "sql_keyset_pagination",
+    oracle="""
+    WITH keyed AS (
+        SELECT CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                    + day(o_orderdate) AS BIGINT) AS day_key,
+               o_orderkey,
+               round(o_totalprice, 2) AS total_r
+        FROM orders
+    ),
+    cursor AS (
+        SELECT day_key AS cd, o_orderkey AS ck
+        FROM keyed ORDER BY day_key, o_orderkey LIMIT 60
+    ),
+    cur AS (
+        SELECT cd, ck FROM cursor ORDER BY cd DESC, ck DESC LIMIT 1
+    )
+    SELECT k.day_key, k.o_orderkey, k.total_r
+    FROM keyed k, cur
+    WHERE k.day_key > cur.cd
+       OR (k.day_key = cur.cd AND k.o_orderkey > cur.ck)
+    ORDER BY k.day_key, k.o_orderkey
+    LIMIT 20
+    """,
+)
+def sql_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination: page 4 of a (day, orderkey)
+    ordering fetched via the composite-tuple predicate
+    `(day, key) > (cursor_day, cursor_key)` + LIMIT — the
+    scale-correct alternative to OFFSET 60, which must sort-and-skip
+    every preceding row on every page (O(pages * n) total work; at
+    100 TB deep OFFSET pages are a full-shuffle re-sort each time,
+    while the keyset predicate prunes at the scan and each page is
+    O(page)). The cursor (last row of page 3) is itself computed as
+    max-of-struct over the first 60 rows — lexicographic struct max,
+    no OFFSET anywhere. Tuple comparison is spelled as the
+    disjunctive normal form Spark and DuckDB both push down."""
+    keyed = load(spark, sf_dir, "orders").select(
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        )
+        .cast("long")
+        .alias("day_key"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_r"),
+    )
+    cursor = (
+        keyed.orderBy("day_key", "o_orderkey")
+        .limit(60)
+        .agg(F.max(F.struct("day_key", "o_orderkey")).alias("c"))
+        .select(F.col("c.day_key").alias("cd"), F.col("c.o_orderkey").alias("ck"))
+    )
+    return (
+        keyed.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("day_key") > F.col("cd"))
+            | ((F.col("day_key") == F.col("cd")) & (F.col("o_orderkey") > F.col("ck")))
+        )
+        .select("day_key", "o_orderkey", "total_r")
+        .orderBy("day_key", "o_orderkey")
+        .limit(20)
+    )
