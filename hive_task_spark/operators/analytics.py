@@ -2508,3 +2508,186 @@ def analytics_proration_largest_remainder(
         .cast("long")
         .alias("order_exact"),
     )
+
+
+@register(
+    "analytics_fifo_inventory_matching",
+    oracle="""
+    WITH flows AS (
+        SELECT l_partkey, l_orderkey, l_linenumber, l_linestatus,
+               CAST(l_quantity AS BIGINT) AS qty,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_partkey, l_linestatus
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cum_end
+        FROM lineitem WHERE l_partkey < 150
+    ),
+    inflow AS (
+        SELECT l_partkey, l_orderkey AS in_order, l_linenumber AS in_line,
+               cum_end - qty AS in_lo, cum_end AS in_hi
+        FROM flows WHERE l_linestatus = 'F'
+    ),
+    outflow AS (
+        SELECT l_partkey, l_orderkey AS out_order, l_linenumber AS out_line,
+               cum_end - qty AS out_lo, cum_end AS out_hi
+        FROM flows WHERE l_linestatus = 'O'
+    )
+    SELECT i.l_partkey,
+           i.in_order, CAST(i.in_line AS BIGINT) AS in_line,
+           o.out_order, CAST(o.out_line AS BIGINT) AS out_line,
+           CAST(least(i.in_hi, o.out_hi) - greatest(i.in_lo, o.out_lo)
+                AS BIGINT) AS matched_qty
+    FROM inflow i JOIN outflow o ON i.l_partkey = o.l_partkey
+    WHERE i.in_lo < o.out_hi AND o.out_lo < i.in_hi
+    """,
+)
+def analytics_fifo_inventory_matching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIFO lot matching — the inventory/cost-basis kernel: inflow
+    lots (linestatus 'F') and outflow demands ('O') per part are each
+    laid on a cumulative-quantity number line in ship-date order, and
+    a lot funds a demand exactly where their cumulative intervals
+    overlap: matched = min(hi,hi) - max(lo,lo). This closed form
+    replaces the sequential "walk both lists" algorithm with two
+    per-(part,status) window cumsums and one equi-join with an
+    interval predicate — each FIFO assignment appears exactly once,
+    quantities are int64-exact, and conservation (sum of matches per
+    lot = min(lot, remaining demand)) is implied by the interval
+    algebra. At 100 TB both cumsums and the join hash-partition on
+    partkey — one exchange, no per-key iteration, and a part's match
+    count is O(inflows + outflows), never a cross product."""
+    w = (
+        Window.partitionBy("l_partkey", "l_linestatus")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fl = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 150)
+        .withColumn("qty", F.col("l_quantity").cast("long"))
+        .withColumn("cum_end", F.sum("qty").over(w))
+        .withColumn("cum_lo", F.col("cum_end") - F.col("qty"))
+    )
+    inflow = fl.filter(F.col("l_linestatus") == "F").select(
+        "l_partkey",
+        F.col("l_orderkey").alias("in_order"),
+        F.col("l_linenumber").cast("long").alias("in_line"),
+        F.col("cum_lo").alias("in_lo"),
+        F.col("cum_end").alias("in_hi"),
+    )
+    outflow = fl.filter(F.col("l_linestatus") == "O").select(
+        "l_partkey",
+        F.col("l_orderkey").alias("out_order"),
+        F.col("l_linenumber").cast("long").alias("out_line"),
+        F.col("cum_lo").alias("out_lo"),
+        F.col("cum_end").alias("out_hi"),
+    )
+    return (
+        inflow.join(outflow, "l_partkey")
+        .filter(
+            (F.col("in_lo") < F.col("out_hi")) & (F.col("out_lo") < F.col("in_hi"))
+        )
+        .select(
+            "l_partkey",
+            "in_order",
+            "in_line",
+            "out_order",
+            "out_line",
+            (
+                F.least("in_hi", "out_hi") - F.greatest("in_lo", "out_lo")
+            )
+            .cast("long")
+            .alias("matched_qty"),
+        )
+    )
+
+
+@register(
+    "analytics_lift_gains_table",
+    oracle="""
+    WITH scored AS (
+        SELECT c.c_custkey, c.c_acctbal,
+               CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderpriority = '1-URGENT')
+                    THEN 1 ELSE 0 END AS responder,
+               ntile(10) OVER (ORDER BY c.c_acctbal DESC, c.c_custkey)
+                   AS decile
+        FROM customer c
+    ),
+    per AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(responder) AS BIGINT) AS responders
+        FROM scored GROUP BY decile
+    ),
+    tot AS (SELECT sum(responders) AS r_tot, sum(n) AS n_tot FROM per)
+    SELECT CAST(per.decile AS BIGINT) AS decile, per.n, per.responders,
+           round(per.responders * 1.0 / per.n, 6) AS resp_rate_r,
+           round(sum(per.responders) OVER (ORDER BY per.decile
+                     ROWS UNBOUNDED PRECEDING) * 1.0 / tot.r_tot, 6)
+               AS cum_capture_r,
+           round((per.responders * 1.0 / per.n)
+                 / (tot.r_tot * 1.0 / tot.n_tot), 6) AS lift_r
+    FROM per, tot
+    """,
+)
+def analytics_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & gains chart — the standard tabular evaluation of
+    a propensity score: customers ranked by score (account balance as
+    the stand-in model output, custkey tie-break), cut into ntile(10)
+    deciles, and each decile reports response rate, cumulative
+    capture of all responders, and lift over the base rate. Response
+    = placed at least one URGENT-priority order (left-semi join).
+    This is how ranking models are accepted/rejected in CRM/ads
+    pipelines when AUC alone is too abstract. Exact integer
+    numerators everywhere; ratios rounded at 6dp. One sort for the
+    ntile (at 100 TB: range-partitioned global sort), then a
+    10-row summary — the expensive part is exactly one pass."""
+    c = load(spark, sf_dir, "customer")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    scored = (
+        c.join(F.broadcast(urgent.withColumn("responder", F.lit(1))), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.coalesce("responder", F.lit(0)).alias("responder"),
+        )
+        .withColumn(
+            "decile",
+            F.ntile(10).over(
+                Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+            ),
+        )
+    )
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("responder").cast("long").alias("responders"),
+    )
+    tot = per.agg(
+        F.sum("responders").alias("r_tot"), F.sum("n").alias("n_tot")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n",
+            "responders",
+            F.round(F.col("responders") / F.col("n"), 6).alias("resp_rate_r"),
+            F.round(
+                F.sum("responders").over(wcum) / F.col("r_tot"), 6
+            ).alias("cum_capture_r"),
+            F.round(
+                (F.col("responders") / F.col("n"))
+                / (F.col("r_tot") / F.col("n_tot")),
+                6,
+            ).alias("lift_r"),
+        )
+    )

@@ -861,3 +861,29 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("view_id", "purchase_id", "user_id")
     return _run_to_table(spark, j, "stream_outer_join_watermark", "append")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT event_id FROM events",
+    defer=True,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark (Spark 3.5+): dedups keys whose
+    event times fall within the watermark delay of each other and —
+    unlike plain dropDuplicates, whose per-key state lives forever —
+    GUARANTEES state eviction once the watermark passes a key's
+    last-seen event time. The production-safe dedup for unbounded
+    streams: infinite-retention dedup state is the classic streaming
+    OOM at 100 TB/day; this bounds state to (delay window x key
+    arrival rate). Replaying the finite fixture in one pass, every
+    duplicate lands inside the delay, so append-mode output is
+    exactly DISTINCT event_id — same oracle as the legacy dedup row,
+    different state-lifecycle contract."""
+    s = _events_stream(spark, sf_dir)
+    deduped = (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    return _run_to_table(spark, deduped, "stream_dedup_within_wm", "append")

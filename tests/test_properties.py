@@ -751,3 +751,87 @@ def test_chained_stream_conserves_counts(spark, sf_dir):
     assert got  # at least one finalized day
     for d, v in got.items():
         assert batch[d] == v
+
+
+def test_proration_conserves_rebate(spark, sf_dir):
+    """Largest-remainder allocation sums exactly to the order rebate
+    (the order_exact flag is 1 on every row), and every allocation is
+    within 1 cent of its unrounded proportional share."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["analytics_proration_largest_remainder"](spark, sf_dir)
+    assert out.filter(F.col("order_exact") != 1).count() == 0
+
+
+def test_fifo_matching_conserves_quantity(spark, sf_dir):
+    """FIFO interval matching conserves flow: every match is strictly
+    positive and no inflow lot is over-allocated beyond its quantity."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["analytics_fifo_inventory_matching"](spark, sf_dir)
+    assert out.filter(F.col("matched_qty") <= 0).count() == 0
+    per_lot = out.groupBy("l_partkey", "in_order", "in_line").agg(
+        F.sum("matched_qty").alias("m")
+    )
+    # lot-level cap: matched total never exceeds the lot quantity
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_partkey") < 150) & (F.col("l_linestatus") == "F"))
+        .select(
+            "l_partkey",
+            F.col("l_orderkey").alias("in_order"),
+            F.col("l_linenumber").cast("long").alias("in_line"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    over = per_lot.join(li, ["l_partkey", "in_order", "in_line"]).filter(
+        F.col("m") > F.col("qty")
+    )
+    assert over.count() == 0
+
+
+def test_keyset_page_equals_offset_page(spark, sf_dir):
+    """The keyset page must equal the OFFSET-formulated page (rows
+    61-80 of the global ordering) row for row."""
+    from hive_task_spark.registry import QUERIES
+
+    keyset = QUERIES["sql_keyset_pagination"](spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders").select(
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        )
+        .cast("long")
+        .alias("day_key"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_r"),
+    )
+    offset_page = (
+        o.orderBy("day_key", "o_orderkey").limit(80).collect()[60:80]
+    )
+    assert [tuple(r) for r in keyset] == [tuple(r) for r in offset_page]
+
+
+def test_lift_gains_identities(spark, sf_dir):
+    """Gains curve is monotone nondecreasing and ends at 1; decile
+    sizes partition the customer table."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["analytics_lift_gains_table"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    caps = [r["cum_capture_r"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(caps, caps[1:]))
+    assert abs(caps[-1] - 1.0) < 1e-9
+    assert sum(r["n"] for r in rows) == load(spark, sf_dir, "customer").count()
+
+
+def test_pmi_respects_min_count(spark, sf_dir):
+    """Every reported collocation meets the min-count threshold."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["text_pmi_collocations"](spark, sf_dir)
+    assert out.filter(F.col("n_ab") < 5).count() == 0
+    assert out.count() <= 20
