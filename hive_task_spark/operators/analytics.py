@@ -2691,3 +2691,66 @@ def analytics_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_r"),
         )
     )
+
+
+@register(
+    "analytics_peak_concurrency",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(epoch_us(min(ts)) AS BIGINT)                AS st,
+               CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT)   AS en
+        FROM events
+        GROUP BY user_id, date_trunc('day', ts)
+    ),
+    pts AS (
+        SELECT st AS t, 1 AS d FROM s
+        UNION ALL
+        SELECT en AS t, -1 AS d FROM s
+    ),
+    run AS (
+        SELECT t, d,
+               sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+        FROM pts
+    )
+    SELECT CAST(c AS BIGINT) AS peak_concurrency,
+           CAST(t AS BIGINT) AS first_peak_at_us,
+           (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_intervals
+    FROM run ORDER BY c DESC, t LIMIT 1
+    """,
+)
+def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency sweep line — max simultaneously-active user
+    sessions (capacity planning's "how many servers at the spike").
+    Activity intervals are per-(user, day) spans padded by the 30-min
+    idle timeout, half-open [start, end): each interval contributes a
+    +1 point at start and a -1 at end, the points are swept in
+    (t, delta) order (-1 before +1 at the same instant, so a session
+    ending exactly when another starts never double-counts), and the
+    running sum IS the concurrency curve; its argmax (earliest-time
+    tie-break) is the answer. The O(n log n) closed form of the
+    naive per-timestamp recount. The interval build is one
+    map-side-combined groupBy; the sweep itself runs on 2x|intervals|
+    points — at 100 TB partition the sweep by calendar day (intervals
+    are day-bounded here) and take the max of per-day peaks."""
+    e = load(spark, sf_dir, "events")
+    s = e.groupBy("user_id", F.date_trunc("day", "ts").alias("d")).agg(
+        F.unix_micros(F.min("ts")).alias("st"),
+        (F.unix_micros(F.max("ts")) + 1800000000).alias("en"),
+    )
+    pts = s.select(F.col("st").alias("t"), F.lit(1).alias("d")).unionByName(
+        s.select(F.col("en").alias("t"), F.lit(-1).alias("d"))
+    )
+    wrun = Window.orderBy("t", "d").rowsBetween(Window.unboundedPreceding, 0)
+    run = pts.withColumn("c", F.sum("d").over(wrun))
+    n = s.agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    return (
+        run.crossJoin(F.broadcast(n))
+        .select(
+            F.col("c").cast("long").alias("peak_concurrency"),
+            F.col("t").cast("long").alias("first_peak_at_us"),
+            "n_intervals",
+        )
+        .orderBy(F.col("peak_concurrency").desc(), "first_peak_at_us")
+        .limit(1)
+    )

@@ -1498,3 +1498,76 @@ def pipeline_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.round(F.sum("n_chars") / 50000.0, 4).alias("fill_ratio_r"),
     )
+
+
+@register(
+    "pipeline_cdc_net_effect",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_id % 7 = 0 THEN 'd' ELSE 'u' END AS op,
+               value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events
+    ),
+    last AS (SELECT * FROM log WHERE rn = 1),
+    base AS (SELECT DISTINCT c_custkey FROM customer)
+    SELECT l.user_id,
+           CAST(l.n_changes AS BIGINT) AS n_changes,
+           l.op AS last_op,
+           CASE WHEN l.op = 'u' AND b.c_custkey IS NOT NULL THEN 'update'
+                WHEN l.op = 'u'                             THEN 'insert'
+                WHEN b.c_custkey IS NOT NULL                THEN 'delete'
+                ELSE 'noop' END AS net_op,
+           CASE WHEN l.op = 'u' THEN round(l.value, 6) END AS last_value_r
+    FROM last l LEFT JOIN base b ON l.user_id = b.c_custkey
+    """,
+)
+def pipeline_cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction to net effects — the Debezium/Kafka-compact
+    pattern: a batch of ordered change records (upserts and deletes,
+    op derived deterministically from the event id; (ts, event_id) is
+    the change sequence) collapses to AT MOST ONE net operation per
+    key, classified against the existing base table: last op 'u' on a
+    known key = update, on an unknown key = insert; last 'd' on a
+    known key = delete, on an unknown key = no-op (insert+delete
+    inside one batch cancels). Downstream MERGE then applies
+    |keys| changes instead of |log| — at 100 TB of change volume this
+    single window-collapse is what makes hourly merges feasible. One
+    hash partition by key for the window, base side is a broadcast
+    anti/semi probe."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, "d").otherwise("u").alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id")
+    wseq = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last = (
+        e.withColumn("rn", F.row_number().over(wseq))
+        .withColumn("n_changes", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+    )
+    base = (
+        load(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
+    j = last.join(
+        F.broadcast(base), last["user_id"] == base["c_custkey"], "left"
+    )
+    return j.select(
+        "user_id",
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.col("op").alias("last_op"),
+        F.when(
+            (F.col("op") == "u") & F.col("c_custkey").isNotNull(), "update"
+        )
+        .when(F.col("op") == "u", "insert")
+        .when(F.col("c_custkey").isNotNull(), "delete")
+        .otherwise("noop")
+        .alias("net_op"),
+        F.when(F.col("op") == "u", F.round("value", 6)).alias("last_value_r"),
+    )

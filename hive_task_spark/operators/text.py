@@ -906,3 +906,62 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_r").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, w AS term
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    ),
+    tot AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(count(*) > 0.8 * any_value(tot.n_docs) AS BIGINT)
+               AS is_stop,
+           CASE WHEN count(*) <= 0.8 * any_value(tot.n_docs)
+                THEN string_agg(CAST(doc_id AS VARCHAR), '|'
+                                ORDER BY doc_id)
+           END AS postings
+    FROM pairs, tot
+    GROUP BY term
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the IR backbone: term -> (document
+    frequency, sorted posting list). Distinct (doc, term) pairs feed
+    one map-side-combined groupBy(term) that emits df and the
+    numerically-sorted doc_id posting list ('|'-serialized at the
+    edge per the complex-type rule). Terms present in more than 80%
+    of the corpus are flagged as stopwords and their postings are
+    ELIDED (NULL) — exactly how production indexes control the
+    posting-list skew that kills the build at 100 TB: a stopword's
+    list is O(corpus) on one reducer key, and eliding (or
+    impact-ordering/truncating) it bounds every reducer. The corpus
+    scan is shuffle-once on term; df and postings come from the same
+    aggregate."""
+    d = load(spark, sf_dir, "documents")
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    pairs = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") >= 3)
+        .distinct()
+    )
+    agg = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list(doc_id)),"
+            " x -> cast(x as string)), '|')"
+        ).alias("all_postings"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "df",
+        (F.col("df") > 0.8 * F.col("n_docs")).cast("long").alias("is_stop"),
+        F.when(
+            F.col("df") <= 0.8 * F.col("n_docs"), F.col("all_postings")
+        ).alias("postings"),
+    )

@@ -835,3 +835,48 @@ def test_pmi_respects_min_count(spark, sf_dir):
     out = QUERIES["text_pmi_collocations"](spark, sf_dir)
     assert out.filter(F.col("n_ab") < 5).count() == 0
     assert out.count() <= 20
+
+
+def test_peak_concurrency_bounds(spark, sf_dir):
+    """1 <= peak <= number of intervals."""
+    from hive_task_spark.registry import QUERIES
+
+    r = QUERIES["analytics_peak_concurrency"](spark, sf_dir).collect()[0]
+    assert 1 <= r["peak_concurrency"] <= r["n_intervals"]
+
+
+def test_cdc_net_effect_classification(spark, sf_dir):
+    """Net ops partition the keys; upsert-last keys never classify as
+    delete/noop and delete-last keys never carry a value."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["pipeline_cdc_net_effect"](spark, sf_dir)
+    assert (
+        out.filter(
+            (F.col("last_op") == "u")
+            & F.col("net_op").isin("delete", "noop")
+        ).count()
+        == 0
+    )
+    assert (
+        out.filter(
+            (F.col("last_op") == "d") & F.col("last_value_r").isNotNull()
+        ).count()
+        == 0
+    )
+    e = load(spark, sf_dir, "events").select("user_id").distinct()
+    assert out.count() == e.count()
+
+
+def test_inverted_index_postings_match_df(spark, sf_dir):
+    """Non-stop posting lists contain exactly df entries; stop terms
+    have no postings."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["text_inverted_index"](spark, sf_dir)
+    bad = out.filter(
+        (F.col("is_stop") == 0)
+        & (F.size(F.split("postings", "\\|")) != F.col("df"))
+    )
+    assert bad.count() == 0
+    assert out.filter((F.col("is_stop") == 1) & F.col("postings").isNotNull()).count() == 0
