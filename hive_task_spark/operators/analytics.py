@@ -2754,3 +2754,145 @@ def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("peak_concurrency").desc(), "first_peak_at_us")
         .limit(1)
     )
+
+
+@register(
+    "analytics_bom_explosion",
+    oracle="""
+    WITH RECURSIVE parts AS (
+        SELECT p_partkey FROM part
+    ),
+    edges AS (
+        SELECT p_partkey AS child, p_partkey // 10 AS parent,
+               CAST(p_partkey % 3 + 1 AS BIGINT) AS qty
+        FROM parts WHERE p_partkey >= 10
+    ),
+    walk AS (
+        SELECT child, parent, qty AS units FROM edges
+        UNION ALL
+        SELECT w.child, e.parent, w.units * e.qty
+        FROM walk w JOIN edges e ON w.parent = e.child
+    )
+    SELECT parent AS root_part,
+           CAST(count(*) AS BIGINT) AS n_descendants,
+           CAST(sum(units) AS BIGINT) AS total_units
+    FROM walk
+    WHERE parent < 10
+    GROUP BY parent
+    """,
+)
+def analytics_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion — transitive closure WITH
+    multiplicities: a synthetic containment forest over the part
+    table (child p sits inside parent p div 10, qty = p mod 3 + 1)
+    is walked to the roots, multiplying edge quantities along each
+    path, and each root reports its full descendant count and total
+    effective units — the manufacturing/BOM rollup (and the same
+    algebra as account-hierarchy consolidation in finance). The
+    part-key domain bounds the forest depth at 4 levels, so the walk
+    is a statically unrolled chain of 3 broadcast self-joins (each
+    level's frontier shrinks 10x — the oracle spells it as a
+    recursive CTE, Spark runs the unrolled equi-join plan; at 100 TB
+    the edge table hash-partitions by child and each level is one
+    shuffle, with BFS frontiers this is delta-iteration)."""
+    edges = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") >= 10)
+        .select(
+            F.col("p_partkey").alias("child"),
+            F.expr("p_partkey div 10").alias("parent"),
+            (F.col("p_partkey") % 3 + 1).cast("long").alias("qty"),
+        )
+    )
+    # level-1 paths: every edge
+    walk = edges.select("child", "parent", F.col("qty").alias("units"))
+    frontier = walk
+    for _ in range(3):  # key domain <= 5 digits -> depth <= 4
+        nxt = (
+            frontier.alias("w")
+            .join(edges.alias("e"), F.col("w.parent") == F.col("e.child"))
+            .select(
+                F.col("w.child").alias("child"),
+                F.col("e.parent").alias("parent"),
+                (F.col("w.units") * F.col("e.qty")).alias("units"),
+            )
+        )
+        walk = walk.unionByName(nxt)
+        frontier = nxt
+    return (
+        walk.filter(F.col("parent") < 10)
+        .groupBy(F.col("parent").alias("root_part"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_descendants"),
+            F.sum("units").cast("long").alias("total_units"),
+        )
+    )
+
+
+@register(
+    "analytics_interval_day_split",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(epoch_us(min(ts)) AS BIGINT)              AS st,
+               CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS en
+        FROM events
+        GROUP BY user_id, date_trunc('day', ts)
+    ),
+    split AS (
+        SELECT user_id, st, en,
+               unnest(range(st // 86400000000,
+                            (en - 1) // 86400000000 + 1)) AS day_idx
+        FROM s
+    )
+    SELECT user_id, CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(sum(least(en, (day_idx + 1) * 86400000000)
+                    - greatest(st, day_idx * 86400000000)) AS BIGINT)
+               AS busy_us,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM split
+    GROUP BY user_id, day_idx
+    """,
+)
+def analytics_interval_day_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-to-calendar proration — billing/utilization's "split
+    each session across the days it touches": per-(user, day)
+    activity intervals (30-min idle pad, so spans DO cross
+    midnight) explode onto the epoch-day spine they overlap
+    (sequence over integer day indices — at most 2 days here, never
+    a wide blowup), and each covered day gets the exact µs overlap
+    min(en, day_end) - max(st, day_start). The kernel behind
+    per-day usage metering, SLA uptime attribution, and shift-cost
+    allocation. Pure int64 µs arithmetic; explode fan-out is bounded
+    by interval length / day, and the regrouping keys on (user, day)
+    — the same hash partitioning the interval build already has."""
+    e = load(spark, sf_dir, "events")
+    s = e.groupBy("user_id", F.date_trunc("day", "ts").alias("d")).agg(
+        F.unix_micros(F.min("ts")).alias("st"),
+        (F.unix_micros(F.max("ts")) + 1800000000).alias("en"),
+    )
+    day_us = 86400000000
+    split = s.select(
+        "user_id",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.expr(f"st div {day_us}"), F.expr(f"(en - 1) div {day_us}")
+            )
+        ).alias("day_idx"),
+    )
+    return split.groupBy("user_id", "day_idx").agg(
+        F.sum(
+            F.least(F.col("en"), (F.col("day_idx") + 1) * day_us)
+            - F.greatest(F.col("st"), F.col("day_idx") * day_us)
+        )
+        .cast("long")
+        .alias("busy_us"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    ).select(
+        "user_id",
+        F.col("day_idx").cast("long").alias("day_idx"),
+        "busy_us",
+        "n_intervals",
+    )

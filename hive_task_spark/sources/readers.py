@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -894,4 +894,89 @@ def source_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).cast("long").alias("n_valid"),
         F.sum("n_nationkey").cast("long").alias("key_sum"),
+    )
+
+
+@register(
+    "source_zone_map_pruning",
+    oracle="""
+    WITH nat AS (
+        SELECT l_shipdate,
+               (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+                   // 4096 AS bucket
+        FROM lineitem
+    ),
+    srt AS (
+        SELECT l_shipdate,
+               (row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+                                   l_linenumber) - 1) // 4096 AS bucket
+        FROM lineitem
+    ),
+    zones AS (
+        SELECT 'natural' AS layout, bucket,
+               min(l_shipdate) AS lo, max(l_shipdate) AS hi
+        FROM nat GROUP BY bucket
+        UNION ALL
+        SELECT 'sorted' AS layout, bucket,
+               min(l_shipdate) AS lo, max(l_shipdate) AS hi
+        FROM srt GROUP BY bucket
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN hi < TIMESTAMP '1995-03-01'
+                           OR lo >= TIMESTAMP '1995-04-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           round(sum(CASE WHEN hi < TIMESTAMP '1995-03-01'
+                            OR lo >= TIMESTAMP '1995-04-01'
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS prune_frac_r
+    FROM zones GROUP BY layout
+    """,
+    defer=True,
+)
+def source_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) skipping report — WHY you sort
+    or z-order 100 TB tables: rows are chunked into 4096-row
+    "files" under two layouts (natural l_orderkey arrival order vs
+    re-sorted by l_shipdate), each chunk keeps the min/max zone map
+    of the filter column, and a one-month ship-date predicate prunes
+    a chunk iff its [min,max] misses the range entirely. The report
+    (buckets, pruned, fraction) quantifies the layout effect: the
+    natural layout's zones all straddle the whole date domain
+    (prune ~0), the sorted layout prunes all but the chunks
+    overlapping the month (~ |month|/|domain|). This is exactly the
+    parquet row-group/Delta file-skipping computation a lakehouse
+    runs from footer stats at planning time; partition/sort design
+    IS this fraction at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    lo, hi = "1995-03-01", "1995-04-01"
+
+    def zones(df: DataFrame, order_cols, layout: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        return (
+            df.select(
+                "l_shipdate",
+                ((F.row_number().over(w) - 1) / F.lit(4096))
+                .cast("long")
+                .alias("bucket"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.min("l_shipdate").alias("zlo"), F.max("l_shipdate").alias("zhi")
+            )
+            .select(F.lit(layout).alias("layout"), "bucket", "zlo", "zhi")
+        )
+
+    z = zones(li, ["l_orderkey", "l_linenumber"], "natural").unionByName(
+        zones(li, ["l_shipdate", "l_orderkey", "l_linenumber"], "sorted")
+    )
+    pruned = F.when(
+        (F.col("zhi") < F.lit(lo).cast("timestamp"))
+        | (F.col("zlo") >= F.lit(hi).cast("timestamp")),
+        1,
+    ).otherwise(0)
+    return z.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(pruned).cast("long").alias("n_pruned"),
+        F.round(F.sum(pruned) / F.count(F.lit(1)), 6).alias("prune_frac_r"),
     )

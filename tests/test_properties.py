@@ -880,3 +880,44 @@ def test_inverted_index_postings_match_df(spark, sf_dir):
     )
     assert bad.count() == 0
     assert out.filter((F.col("is_stop") == 1) & F.col("postings").isNotNull()).count() == 0
+
+
+def test_bom_explosion_counts_every_part_once(spark, sf_dir):
+    """Every non-root part reaches exactly one root: descendant counts
+    over roots sum to |parts with key >= 10|."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["analytics_bom_explosion"](spark, sf_dir)
+    total = out.agg(F.sum("n_descendants")).collect()[0][0]
+    n_parts = (
+        load(spark, sf_dir, "part").filter(F.col("p_partkey") >= 10).count()
+    )
+    assert total == n_parts
+
+
+def test_interval_day_split_conserves_time(spark, sf_dir):
+    """Per-day overlaps sum to total interval length (µs-exact)."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["analytics_interval_day_split"](spark, sf_dir)
+    got = out.agg(F.sum("busy_us")).collect()[0][0]
+    e = load(spark, sf_dir, "events")
+    s = e.groupBy("user_id", F.date_trunc("day", "ts")).agg(
+        (
+            F.unix_micros(F.max("ts")) + 1800000000 - F.unix_micros(F.min("ts"))
+        ).alias("dur")
+    )
+    want = s.agg(F.sum("dur")).collect()[0][0]
+    assert got == want
+
+
+def test_zone_map_sorted_layout_prunes_more(spark, sf_dir):
+    """Sorting by the filter column must not reduce pruning."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = {
+        r["layout"]: r
+        for r in QUERIES["source_zone_map_pruning"](spark, sf_dir).collect()
+    }
+    assert rows["sorted"]["n_pruned"] >= rows["natural"]["n_pruned"]
+    assert rows["sorted"]["n_buckets"] == rows["natural"]["n_buckets"]
