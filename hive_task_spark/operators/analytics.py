@@ -2896,3 +2896,138 @@ def analytics_interval_day_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "busy_us",
         "n_intervals",
     )
+
+
+@register(
+    "analytics_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               round(sum(value), 2) AS a
+        FROM events GROUP BY 1
+    ),
+    eval AS (
+        SELECT t.day_idx, t.a, f.a AS fcst
+        FROM daily t JOIN daily f ON f.day_idx = t.day_idx - 7
+    ),
+    naive AS (
+        SELECT t.a, f.a AS prev
+        FROM daily t JOIN daily f ON f.day_idx = t.day_idx - 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(avg(abs(a - fcst)), 2) AS mae_r,
+               round(avg(abs(a - fcst) / abs(a)), 6) AS mape_r
+        FROM eval
+    ),
+    d AS (SELECT round(avg(abs(a - prev)), 2) AS naive_mae FROM naive)
+    SELECT m.n_days, m.mae_r, m.mape_r,
+           round(m.mae_r / d.naive_mae, 6) AS mase_r
+    FROM m, d
+    """,
+)
+def analytics_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest of the seasonal-naive predictor (forecast =
+    same weekday last week) on the corpus-wide daily value series:
+    MAE, MAPE, and MASE (MAE scaled by the one-step-naive MAE — the
+    scale-free skill score; MASE < 1 beats naive). This is the
+    evaluation harness every demand/capacity forecasting pipeline
+    runs before trusting a model; here the "model" is the baseline
+    itself, giving an honest yardstick row. Daily totals round at
+    the money grain BEFORE differencing so both engines difference
+    identical operands (float-sum order never reaches the edge).
+    Self-joins on day_idx-7/-1 keep gap days honest (a day without
+    its lag is excluded, not zero-filled). Series is |days| rows —
+    everything after the daily aggregate is free; per-segment
+    backtests would partition all three CTEs by the segment key."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx")
+    ).agg(F.round(F.sum("value"), 2).alias("a"))
+    t = daily.alias("t")
+    ev = t.join(
+        daily.select((F.col("day_idx") + 7).alias("day_idx"), F.col("a").alias("fcst")),
+        "day_idx",
+    )
+    nv = t.join(
+        daily.select((F.col("day_idx") + 1).alias("day_idx"), F.col("a").alias("prev")),
+        "day_idx",
+    )
+    m = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg(F.abs(F.col("a") - F.col("fcst"))), 2).alias("mae_r"),
+        F.round(
+            F.avg(F.abs(F.col("a") - F.col("fcst")) / F.abs("a")), 6
+        ).alias("mape_r"),
+    )
+    d = nv.agg(F.round(F.avg(F.abs(F.col("a") - F.col("prev"))), 2).alias("naive_mae"))
+    return m.crossJoin(F.broadcast(d)).select(
+        "n_days",
+        "mae_r",
+        "mape_r",
+        F.round(F.col("mae_r") / F.col("naive_mae"), 6).alias("mase_r"),
+    )
+
+
+@register(
+    "analytics_ohlc_candles",
+    oracle="""
+    WITH pricked AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               value, ts, event_id,
+               row_number() OVER (PARTITION BY event_type,
+                                  CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type,
+                                  CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_z
+        FROM events
+    )
+    SELECT event_type, day_idx,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open_r,
+           round(max(value), 6)                             AS high_r,
+           round(min(value), 6)                             AS low_r,
+           round(max(CASE WHEN rn_z = 1 THEN value END), 6) AS close_r,
+           CAST(count(*) AS BIGINT)                         AS n_ticks
+    FROM pricked
+    GROUP BY event_type, day_idx
+    """,
+)
+def analytics_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick aggregation — open/high/low/close per
+    (series, day), the finance/metrics downsampling that turns tick
+    streams into charts and the shape behind "first/last value in
+    window by event time". Open and close are true argmin/argmax by
+    (ts, event_id) — the unique composite makes the pick
+    deterministic where a bare arg_min(ts) would tie; high/low/count
+    are plain aggregates fused into the same groupBy. One window
+    pass + one hash aggregate, both partitioned on the same
+    (series, day) key — a single exchange; at 100 TB this is the
+    classic pre-aggregation that shrinks the stream 1000x before it
+    ever reaches a join."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "day_idx",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long"),
+    )
+    wgrp = Window.partitionBy("event_type", "day_idx")
+    wa = wgrp.orderBy("ts", "event_id")
+    wz = wgrp.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    pricked = e.select(
+        "event_type",
+        "day_idx",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wz).alias("rn_z"),
+    )
+    return pricked.groupBy("event_type", "day_idx").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias(
+            "open_r"
+        ),
+        F.round(F.max("value"), 6).alias("high_r"),
+        F.round(F.min("value"), 6).alias("low_r"),
+        F.round(F.max(F.when(F.col("rn_z") == 1, F.col("value"))), 6).alias(
+            "close_r"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+    )

@@ -965,3 +965,79 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("df") <= 0.8 * F.col("n_docs"), F.col("all_postings")
         ).alias("postings"),
     )
+
+
+@register(
+    "text_kwic_concordance",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, w AS term
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    ),
+    kw AS (
+        SELECT term FROM pairs GROUP BY term
+        ORDER BY count(*), term LIMIT 1
+    ),
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    hits AS (
+        SELECT t.doc_id, i.i AS p, t.ws
+        FROM toks t
+        JOIN kw ON true
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.ws) + 1)) AS i) i
+        WHERE t.ws[i.i] = kw.term
+    )
+    SELECT doc_id, CAST(p AS BIGINT) AS p,
+           array_to_string(ws[greatest(1, p - 2):least(len(ws), p + 2)],
+                           ' ') AS context
+    FROM hits
+    """,
+)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance — the corpus-linguistics
+    / search-snippet kernel: every occurrence of the target term is
+    reported with its ±2-token window. The target is chosen
+    deterministically as the rarest indexable term (min document
+    frequency, alphabetical tie-break — the same census the inverted
+    index builds), so the query composes two self-describing passes:
+    a vocab-bounded df aggregate broadcast as a one-row dim, then a
+    positional scan that slices the token array around each hit.
+    The token arrays are materialized once per doc in a separate
+    projection (HOF-reevaluation trap) and the slice is pure
+    codegen; snippet extraction at 100 TB is this exact shape with
+    the keyword side being a query, not a census."""
+    d = load(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") >= 3)
+        .distinct()
+    )
+    kw = (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy("df", "term")
+        .limit(1)
+        .select("term")
+    )
+    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
+    hits = (
+        toks.select(
+            "doc_id", "ws", F.posexplode("ws").alias("pos0", "w")
+        )
+        .join(F.broadcast(kw), F.col("w") == F.col("term"))
+        .select("doc_id", "ws", (F.col("pos0") + 1).alias("p"))
+    )
+    return hits.select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.array_join(
+            F.expr(
+                "slice(ws, greatest(1, p - 2),"
+                " least(size(ws), p + 2) - greatest(1, p - 2) + 1)"
+            ),
+            " ",
+        ).alias("context"),
+    )

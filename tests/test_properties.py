@@ -921,3 +921,47 @@ def test_zone_map_sorted_layout_prunes_more(spark, sf_dir):
     }
     assert rows["sorted"]["n_pruned"] >= rows["natural"]["n_pruned"]
     assert rows["sorted"]["n_buckets"] == rows["natural"]["n_buckets"]
+
+
+def test_ohlc_bounds(spark, sf_dir):
+    """low <= open, close <= high on every candle."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["analytics_ohlc_candles"](spark, sf_dir)
+    bad = out.filter(
+        (F.col("low_r") > F.col("open_r"))
+        | (F.col("low_r") > F.col("close_r"))
+        | (F.col("open_r") > F.col("high_r"))
+        | (F.col("close_r") > F.col("high_r"))
+    )
+    assert bad.count() == 0
+
+
+def test_forecast_backtest_sane(spark, sf_dir):
+    """Metrics are positive and the evaluation window is non-empty."""
+    from hive_task_spark.registry import QUERIES
+
+    r = QUERIES["analytics_forecast_backtest"](spark, sf_dir).collect()[0]
+    assert r["n_days"] > 0
+    assert r["mae_r"] >= 0 and r["mape_r"] >= 0 and r["mase_r"] > 0
+
+
+def test_kwic_context_contains_keyword(spark, sf_dir):
+    """Every concordance line's context window contains the keyword
+    (the rarest indexable term)."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["text_kwic_concordance"](spark, sf_dir).collect()
+    assert rows
+    d = load(spark, sf_dir, "documents")
+    kw = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") >= 3)
+        .distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy("df", "t")
+        .limit(1)
+        .collect()[0]["t"]
+    )
+    assert all(kw in r["context"].split(" ") for r in rows)
