@@ -215,3 +215,54 @@ def test_zorder_partial_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_zorder_layout")
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fifo_matching_pushdown_and_no_cartesian(spark, sf_dir):
+    """Both flow branches push (partkey, linestatus) to the scan and
+    the match join is keyed — never a cartesian."""
+    plan = _plan(spark, sf_dir, "analytics_fifo_inventory_matching")
+    assert "CartesianProduct" not in plan
+    pushed = plan.split("PushedFilters")
+    assert len(pushed) >= 3  # two scans with pushed filters
+    assert "LessThan(l_partkey,150)" in plan
+
+
+def test_proration_single_fact_partitioning(spark, sf_dir):
+    """The rebate dim broadcasts; the fact side is hash-partitioned by
+    l_orderkey once and reused by both window passes (no SMJ)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "analytics_proration_largest_remainder")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+
+
+def test_cdc_net_effect_one_fact_exchange(spark, sf_dir):
+    """Both windows (seq row_number + per-key count) share ONE
+    user_id exchange and one sort; base-table probe is broadcast."""
+    import re
+
+    plan = _plan(spark, sf_dir, "pipeline_cdc_net_effect")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1
+
+
+def test_ohlc_windows_share_group_exchange(spark, sf_dir):
+    """The two argmin/argmax windows and the final aggregate all key on
+    (event_type, day_idx): at most two exchanges, no join at all."""
+    import re
+
+    plan = _plan(spark, sf_dir, "analytics_ohlc_candles")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+
+
+def test_keyset_pagination_no_cartesian(spark, sf_dir):
+    """The cursor is a broadcast one-row side (BNLJ), never a
+    cartesian product; no sort-merge join anywhere."""
+    plan = _plan(spark, sf_dir, "sql_keyset_pagination")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
