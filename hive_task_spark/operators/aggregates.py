@@ -1149,3 +1149,35 @@ def agg_percentile_cont_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ht_li_pct GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "agg_crosstab_contingency",
+    oracle="""
+    SELECT l_returnflag AS l_returnflag_l_linestatus,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS F,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    defer=True,
+)
+def agg_crosstab_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.stat.crosstab` — the contingency-table API: pairwise
+    frequency counts of two categorical columns, one row per left
+    value, one column per right value. Compiles to exactly the
+    pivot plan (single groupBy + pivoted conditional counts — one
+    exchange, partial+final), demonstrated here against the
+    spelled-out conditional-aggregate oracle. The chi-square /
+    Cramer's V rows consume precisely this table shape. Value
+    domains must be small (column-per-value); at 100 TB you bound
+    the right-hand domain or fall back to the long (a,b,n) shape."""
+    li = load(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.select(
+        "l_returnflag_l_linestatus",
+        F.col("F").cast("long").alias("F"),
+        F.col("O").cast("long").alias("O"),
+    )

@@ -1571,3 +1571,60 @@ def pipeline_cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("net_op"),
         F.when(F.col("op") == "u", F.round("value", 6)).alias("last_value_r"),
     )
+
+
+@register(
+    "pipeline_nucleus_topp",
+    oracle="""
+    WITH w AS (
+        SELECT source, doc_id, n_chars,
+               sum(n_chars) OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n_chars) OVER (PARTITION BY source) AS total,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT)      AS rk,
+           CAST(cum AS BIGINT)     AS cum_mass
+    FROM w
+    WHERE 10 * (cum - n_chars) < 9 * total
+    """,
+)
+def pipeline_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) selection per source — the sampling-theory
+    cousin of per-domain quotas: within each source, documents are
+    ranked by mass (n_chars here; any quality-weighted mass works)
+    and the selection keeps exactly the smallest prefix covering 90%
+    of the source's total mass — heavy docs enter first, the long
+    tail is cut adaptively per source instead of by a fixed count.
+    The inclusion test is pure int64 (10*cum_before < 9*total), so
+    the p=0.9 boundary can never float-flip between engines. One
+    window partitioning per source (two frames share it); at 100 TB
+    this is a single hash exchange, and the same shape implements
+    "keep tokens until X% of corpus mass" budget curricula."""
+    d = load(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source")
+    word = wsrc.orderBy(F.col("n_chars").desc(), "doc_id")
+    w = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars")
+        .over(word.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("n_chars").over(wsrc).alias("total"),
+        F.row_number().over(word).alias("rk"),
+    )
+    return w.filter(
+        10 * (F.col("cum") - F.col("n_chars")) < 9 * F.col("total")
+    ).select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("rk").cast("long").alias("rk"),
+        F.col("cum").cast("long").alias("cum_mass"),
+    )

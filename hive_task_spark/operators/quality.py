@@ -947,3 +947,98 @@ def quality_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dirty_key") == F.col("matched_key")).alias("correct"),
         )
     )
+
+
+@register(
+    "quality_column_profiler",
+    oracle="""
+    WITH a AS (
+        SELECT count(*) AS n,
+               count(o_orderkey)   AS nn_key,
+               count(o_custkey)    AS nn_cust,
+               count(o_totalprice) AS nn_price,
+               count(o_orderstatus) AS nn_status,
+               count(DISTINCT o_orderkey)    AS nd_key,
+               count(DISTINCT o_custkey)     AS nd_cust,
+               count(DISTINCT o_totalprice)  AS nd_price,
+               count(DISTINCT o_orderstatus) AS nd_status,
+               CAST(min(o_orderkey) AS VARCHAR) AS mn_key,
+               CAST(max(o_orderkey) AS VARCHAR) AS mx_key,
+               CAST(min(o_custkey) AS VARCHAR)  AS mn_cust,
+               CAST(max(o_custkey) AS VARCHAR)  AS mx_cust,
+               CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2))
+                    AS VARCHAR) AS mn_price,
+               CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2))
+                    AS VARCHAR) AS mx_price,
+               min(o_orderstatus) AS mn_status,
+               max(o_orderstatus) AS mx_status
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, CAST(n AS BIGINT) AS n,
+           CAST(n - nn_key AS BIGINT) AS n_null,
+           CAST(nd_key AS BIGINT) AS n_distinct,
+           mn_key AS min_s, mx_key AS max_s FROM a
+    UNION ALL
+    SELECT 'o_custkey', CAST(n AS BIGINT), CAST(n - nn_cust AS BIGINT),
+           CAST(nd_cust AS BIGINT), mn_cust, mx_cust FROM a
+    UNION ALL
+    SELECT 'o_totalprice', CAST(n AS BIGINT), CAST(n - nn_price AS BIGINT),
+           CAST(nd_price AS BIGINT), mn_price, mx_price FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(n - nn_status AS BIGINT),
+           CAST(nd_status AS BIGINT), mn_status, mx_status FROM a
+    """,
+)
+def quality_column_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler — the data-catalog summary every
+    ingestion job publishes: per column, row count, null count, exact
+    distinct count, and min/max (numerics serialized at a stable
+    decimal grain). ALL columns' statistics come from ONE aggregate
+    over ONE scan (count/count-distinct/min/max fused into a single
+    partial+final HashAggregate), then the 1-row wide result unpivots
+    to the long (col_name, stats) catalog shape — at 100 TB the
+    profile costs exactly one table pass regardless of how many
+    columns are profiled, vs the naive per-column loop's N passes.
+    Exact distincts here; swap approx_count_distinct per column when
+    2% error is acceptable (the HLL row shows that path)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderkey").cast("string").alias("mn_key"),
+        F.max("o_orderkey").cast("string").alias("mx_key"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        F.round(F.min("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("mn_price"),
+        F.round(F.max("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("mx_price"),
+        F.min("o_orderstatus").alias("mn_status"),
+        F.max("o_orderstatus").alias("mx_status"),
+    )
+    return a.selectExpr(
+        """stack(4,
+            'o_orderkey',   n, n - nn_key,    nd_key,    mn_key,    mx_key,
+            'o_custkey',    n, n - nn_cust,   nd_cust,   mn_cust,   mx_cust,
+            'o_totalprice', n, n - nn_price,  nd_price,  mn_price,  mx_price,
+            'o_orderstatus',n, n - nn_status, nd_status, mn_status, mx_status
+        ) AS (col_name, n, n_null, n_distinct, min_s, max_s)"""
+    ).selectExpr(
+        "col_name",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(n_null AS BIGINT) AS n_null",
+        "CAST(n_distinct AS BIGINT) AS n_distinct",
+        "min_s",
+        "max_s",
+    )

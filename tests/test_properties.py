@@ -965,3 +965,51 @@ def test_kwic_context_contains_keyword(spark, sf_dir):
         .collect()[0]["t"]
     )
     assert all(kw in r["context"].split(" ") for r in rows)
+
+
+def test_nucleus_topp_minimal_covering_prefix(spark, sf_dir):
+    """Per source the selection is a prefix by rank, covers >= 90% of
+    the source mass, and is minimal (dropping its last doc drops
+    coverage below 90%)."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["pipeline_nucleus_topp"](spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    totals = {
+        r["source"]: r["t"]
+        for r in d.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, sel in by_src.items():
+        sel.sort(key=lambda r: r["rk"])
+        # prefix: ranks are 1..k
+        assert [r["rk"] for r in sel] == list(range(1, len(sel) + 1))
+        total = totals[src]
+        covered = sel[-1]["cum_mass"]
+        assert 10 * covered >= 9 * total
+        assert 10 * (covered - sel[-1]["n_chars"]) < 9 * total
+
+
+def test_column_profiler_sanity(spark, sf_dir):
+    """Profiler invariants: n constant across rows, n_distinct <= n,
+    no nulls in the TPC-H key columns."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["quality_column_profiler"](spark, sf_dir).collect()
+    ns = {r["n"] for r in rows}
+    assert len(ns) == 1
+    for r in rows:
+        assert r["n_distinct"] <= r["n"]
+        assert r["n_null"] == 0
+
+
+def test_crosstab_marginals(spark, sf_dir):
+    """Crosstab cell counts sum to the table count."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["agg_crosstab_contingency"](spark, sf_dir).collect()
+    total = sum(r["F"] + r["O"] for r in rows)
+    assert total == load(spark, sf_dir, "lineitem").count()
