@@ -3031,3 +3031,65 @@ def analytics_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("long").alias("n_ticks"),
     )
+
+
+@register(
+    "analytics_time_weighted_avg",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               value,
+               CAST(epoch_us(ts) AS BIGINT) AS t_us,
+               lead(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                   PARTITION BY user_id,
+                                CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                   ORDER BY ts, event_id) AS nxt_us
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, day_idx, value,
+               (nxt_us - t_us) / 1000000.0 AS w_s
+        FROM obs WHERE nxt_us IS NOT NULL
+    )
+    SELECT user_id, day_idx,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           round(sum(value * w_s) / sum(w_s), 6) AS twap_r
+    FROM seg
+    GROUP BY user_id, day_idx
+    """,
+)
+def analytics_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) over irregularly-sampled series —
+    metering/billing's correct mean: each observation holds until the
+    next one, so its weight is the µs gap to its successor (the last
+    observation of a (user, day) closes no segment and carries no
+    weight). A plain avg() over irregular samples over-weights bursts;
+    TWAP is burst-invariant. lead() over the same (user, day)
+    partitioning the final groupBy uses — one exchange total. Weights
+    convert µs → seconds through one identical double division on
+    both engines; the 6dp edge absorbs float-sum association noise
+    (weights and values are O(10^2..10^4) at O(10^2) rows/group).
+    This is Prometheus' rate()/avg_over_time() and every usage-based
+    billing engine, as one window + one aggregate."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "day_idx",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long"),
+    )
+    wseq = Window.partitionBy("user_id", "day_idx").orderBy("ts", "event_id")
+    obs = e.select(
+        "user_id",
+        "day_idx",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(wseq).alias("nxt_us"),
+    )
+    seg = obs.filter(F.col("nxt_us").isNotNull()).withColumn(
+        "w_s", (F.col("nxt_us") - F.col("t_us")) / 1000000.0
+    )
+    return seg.groupBy("user_id", "day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.round(
+            F.sum(F.col("value") * F.col("w_s")) / F.sum("w_s"), 6
+        ).alias("twap_r"),
+    )

@@ -1042,3 +1042,148 @@ def quality_column_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_s",
         "max_s",
     )
+
+
+@register(
+    "quality_sorted_neighborhood_er",
+    oracle="""
+    WITH canon AS (
+        SELECT c_custkey AS key, c_name AS name FROM customer
+    ),
+    dirty AS (
+        SELECT c.key AS key,
+               substr(c.name, 1,
+                      16 + 2 * (CAST('0x' || substr(md5(CAST(c.key AS VARCHAR)),
+                                                    1, 2) AS BIGINT) % 2) - 1)
+               || 'X'
+               || substr(c.name,
+                         16 + 2 * (CAST('0x' || substr(md5(CAST(c.key AS VARCHAR)),
+                                                       1, 2) AS BIGINT) % 2) + 1)
+                   AS name
+        FROM canon c WHERE c.key <= 300
+    ),
+    recs AS (
+        SELECT 'c' AS side, key, name, name AS k1,
+               substr(name, 1, 15) || substr(name, 17) AS k2
+        FROM canon
+        UNION ALL
+        SELECT 'd' AS side, key, name, name AS k1,
+               substr(name, 1, 15) || substr(name, 17) AS k2
+        FROM dirty
+    ),
+    p1 AS (
+        SELECT side, key, name,
+               row_number() OVER (ORDER BY k1, side, key) AS rnk
+        FROM recs
+    ),
+    p2 AS (
+        SELECT side, key, name,
+               row_number() OVER (ORDER BY k2, side, key) AS rnk
+        FROM recs
+    ),
+    cand AS (
+        SELECT d.key AS dirty_key, c.key AS matched_key,
+               d.name AS dname, c.name AS cname
+        FROM p1 d JOIN p1 c
+          ON c.rnk BETWEEN d.rnk - 25 AND d.rnk + 25
+         AND d.side = 'd' AND c.side = 'c'
+        UNION
+        SELECT d.key, c.key, d.name, c.name
+        FROM p2 d JOIN p2 c
+          ON c.rnk BETWEEN d.rnk - 25 AND d.rnk + 25
+         AND d.side = 'd' AND c.side = 'c'
+    ),
+    scored AS (
+        SELECT dirty_key, matched_key,
+               CAST(levenshtein(dname, cname) AS BIGINT) AS lev
+        FROM cand WHERE levenshtein(dname, cname) <= 1
+    )
+    SELECT dirty_key, matched_key, lev,
+           (dirty_key = matched_key) AS correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY dirty_key
+                                       ORDER BY lev, matched_key) AS rk
+          FROM scored)
+    WHERE rk = 1
+    """,
+)
+def quality_sorted_neighborhood_er(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood entity resolution — the OTHER classic
+    candidate-generation strategy (vs `quality_entity_resolution`'s
+    multi-key blocking): union dirty+canonical records, sort by a
+    key, and compare only records within ±25 ranks (the window must cover the sort key's tie-group size — here up to ~20 records share a key prefix). One pass misses
+    matches whose damage perturbs the sort key early (the method's
+    known weakness), so this is MULTI-PASS SNM: pass 1 sorts by the
+    raw name, pass 2 by the name with the damage-prone position 16
+    excised — unioned candidates recover what either pass finds,
+    then exact Levenshtein <= 1 verifies and argmin picks. Same
+    damage model as the blocking ER so the two strategies are
+    directly comparable. At 100 TB each pass is one range-partitioned
+    global sort and a rank-band self-join (banded equi-join on
+    rank div 25 in the scaled variant) — candidates are O(n * w),
+    never all-pairs, and sort keys trade recall for sort locality
+    explicitly."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    dirty = c.filter(F.col("key") <= 300).select(
+        "key",
+        F.expr(
+            "overlay(name, 'X', CAST(16 + 2 * (CAST(conv(substr(md5("
+            "CAST(key AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2) AS INT), 1)"
+        ).alias("name"),
+    )
+    recs = (
+        c.select(F.lit("c").alias("side"), "key", "name")
+        .unionByName(dirty.select(F.lit("d").alias("side"), "key", "name"))
+        .withColumn("k1", F.col("name"))
+        .withColumn(
+            "k2", F.concat(F.substring("name", 1, 15), F.expr("substr(name, 17)"))
+        )
+    )
+
+    def snm_pass(keycol: str) -> DataFrame:
+        ranked = recs.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(keycol, "side", "key"))
+        )
+        d = ranked.filter(F.col("side") == "d").select(
+            F.col("key").alias("dirty_key"),
+            F.col("name").alias("dname"),
+            F.col("rnk").alias("dr"),
+        )
+        cc = ranked.filter(F.col("side") == "c").select(
+            F.col("key").alias("matched_key"),
+            F.col("name").alias("cname"),
+            F.col("rnk").alias("cr"),
+        )
+        # banded equi-join on rank buckets, then the exact rank-band filter
+        db = d.withColumn(
+            "b", F.explode(F.expr("array(dr div 25 - 1, dr div 25, dr div 25 + 1)"))
+        )
+        cb = cc.withColumn("b", F.expr("cr div 25"))
+        return (
+            db.join(cb, "b")
+            .filter(
+                (F.col("cr") >= F.col("dr") - 25) & (F.col("cr") <= F.col("dr") + 25)
+            )
+            .select("dirty_key", "matched_key", "dname", "cname")
+        )
+
+    cand = snm_pass("k1").unionByName(snm_pass("k2")).distinct()
+    scored = cand.select(
+        "dirty_key",
+        "matched_key",
+        F.levenshtein("dname", "cname").cast("long").alias("lev"),
+    ).filter(F.col("lev") <= 1)
+    w = Window.partitionBy("dirty_key").orderBy("lev", "matched_key")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "dirty_key",
+            "matched_key",
+            "lev",
+            (F.col("dirty_key") == F.col("matched_key")).alias("correct"),
+        )
+    )

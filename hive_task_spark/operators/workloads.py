@@ -1052,3 +1052,38 @@ def sql_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day_key", "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "sql_join_hints_shuffle_hash",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_r
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sql_join_hints_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface: /*+ SHUFFLE_HASH(c) */ forces a
+    ShuffledHashJoin where the planner would otherwise broadcast (or
+    sort-merge) — the knob you reach for at 100 TB when BOTH sides
+    are too big to broadcast but one side's per-partition hash table
+    fits in executor memory, saving the two sorts a SortMergeJoin
+    would pay. Results are strategy-invariant (the oracle is plain
+    ANSI SQL); tests/test_plans.py asserts each hint (BROADCAST /
+    MERGE / SHUFFLE_HASH) actually lands its physical operator, so
+    the surface is proven, not assumed."""
+    from hive_task_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ SHUFFLE_HASH(c) */
+               c.c_mktsegment AS mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_r
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )

@@ -266,3 +266,29 @@ def test_keyset_pagination_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sql_keyset_pagination")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_join_hints_land_their_operators(spark, sf_dir):
+    """Each join-strategy hint must produce its physical operator —
+    the surface is proven, not assumed."""
+    from hive_task_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    sql = """
+        SELECT /*+ {hint} */ c.c_mktsegment, count(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """
+
+    def plan_of(hint):
+        df = spark.sql(sql.format(hint=hint))
+        je = df._jdf.queryExecution()
+        return je.explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    assert "ShuffledHashJoin" in plan_of("SHUFFLE_HASH(c)")
+    assert "SortMergeJoin" in plan_of("MERGE(c)")
+    assert "BroadcastHashJoin" in plan_of("BROADCAST(c)")

@@ -1013,3 +1013,48 @@ def test_crosstab_marginals(spark, sf_dir):
     rows = QUERIES["agg_crosstab_contingency"](spark, sf_dir).collect()
     total = sum(r["F"] + r["O"] for r in rows)
     assert total == load(spark, sf_dir, "lineitem").count()
+
+
+def test_twap_matches_plain_avg_on_uniform_spacing(spark, sf_dir):
+    """TWAP of a constant series equals the constant: check on a
+    synthetic constant column over the same segments."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "day_idx", F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    )
+    wseq = Window.partitionBy("user_id", "day_idx").orderBy("ts", "event_id")
+    obs = e.select(
+        "user_id",
+        "day_idx",
+        F.lit(7.5).alias("v"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(wseq).alias("nx"),
+    ).filter(F.col("nx").isNotNull())
+    twap = (
+        obs.withColumn("w", (F.col("nx") - F.col("t")) / 1e6)
+        .groupBy("user_id", "day_idx")
+        .agg((F.sum(F.col("v") * F.col("w")) / F.sum("w")).alias("tw"))
+    )
+    assert twap.filter(F.abs(F.col("tw") - 7.5) > 1e-9).count() == 0
+
+
+def test_snm_er_recall_vs_blocking(spark, sf_dir):
+    """Multi-pass sorted-neighborhood ER must resolve every dirty key
+    the blocking ER resolves correctly to the same lev (both verify
+    with the same Levenshtein<=1 rule); its candidate set may differ
+    but correct matches at lev<=1 are recoverable by one of the two
+    sort keys by construction."""
+    from hive_task_spark.registry import QUERIES
+
+    snm = {
+        r["dirty_key"]: r["matched_key"]
+        for r in QUERIES["quality_sorted_neighborhood_er"](spark, sf_dir).collect()
+    }
+    blocking = {
+        r["dirty_key"]: r["matched_key"]
+        for r in QUERIES["quality_entity_resolution"](spark, sf_dir).collect()
+    }
+    # every blocking-resolved dirty key is also SNM-resolved
+    missing = set(blocking) - set(snm)
+    assert not missing, f"SNM missed {len(missing)} keys blocking found"
