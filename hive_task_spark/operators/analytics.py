@@ -3093,3 +3093,214 @@ def analytics_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value") * F.col("w_s")) / F.sum("w_s"), 6
         ).alias("twap_r"),
     )
+
+
+@register(
+    "analytics_woe_iv_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT c.c_custkey,
+               CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderpriority = '1-URGENT')
+                    THEN 1 ELSE 0 END AS good,
+               ntile(10) OVER (ORDER BY c.c_acctbal DESC, c.c_custkey)
+                   AS bin
+        FROM customer c
+    ),
+    per AS (
+        SELECT bin,
+               CAST(sum(good) AS BIGINT)            AS n_good,
+               CAST(count(*) - sum(good) AS BIGINT) AS n_bad
+        FROM scored GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_good) AS g, sum(n_bad) AS b FROM per)
+    SELECT CAST(per.bin AS BIGINT) AS bin, per.n_good, per.n_bad,
+           round(ln(((per.n_good + 0.5) / (tot.g + 5.0))
+                    / ((per.n_bad + 0.5) / (tot.b + 5.0))), 6) AS woe_r,
+           round(sum(((per.n_good + 0.5) / (tot.g + 5.0)
+                      - (per.n_bad + 0.5) / (tot.b + 5.0))
+                     * ln(((per.n_good + 0.5) / (tot.g + 5.0))
+                          / ((per.n_bad + 0.5) / (tot.b + 5.0))))
+                 OVER (), 6) AS iv_total_r
+    FROM per, tot
+    """,
+)
+def analytics_woe_iv_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning — credit
+    scoring's standard univariate screen: score deciles (account
+    balance, custkey tie-break) report WOE = ln(good-share /
+    bad-share) with 0.5 Laplace smoothing (so empty cells never blow
+    up), and the summed IV quantifies the feature's separating power
+    (IV < 0.02 = useless, > 0.3 = strong). Same exact-integer decile
+    census as the lift/gains row — WOE/IV is its log-scale sibling,
+    used to pick features BEFORE training where lift evaluates the
+    model after. The ntile sort is the only large operation; the
+    10-row WOE table and the IV window are free. Edge ratios share
+    one spelled-identically formula on both engines, rounded 6dp."""
+    c = load(spark, sf_dir, "customer")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("good", F.lit(1))
+    )
+    scored = (
+        c.join(F.broadcast(urgent), "c_custkey", "left")
+        .select("c_custkey", "c_acctbal", F.coalesce("good", F.lit(0)).alias("good"))
+        .withColumn(
+            "bin",
+            F.ntile(10).over(Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")),
+        )
+    )
+    per = scored.groupBy("bin").agg(
+        F.sum("good").cast("long").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("good")).cast("long").alias("n_bad"),
+    )
+    tot = per.agg(F.sum("n_good").alias("g"), F.sum("n_bad").alias("b"))
+    gs = (F.col("n_good") + 0.5) / (F.col("g") + 5.0)
+    bs = (F.col("n_bad") + 0.5) / (F.col("b") + 5.0)
+    woe = F.log(gs / bs)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_good",
+            "n_bad",
+            F.round(woe, 6).alias("woe_r"),
+            F.round(
+                F.sum((gs - bs) * woe).over(
+                    Window.partitionBy()
+                ),
+                6,
+            ).alias("iv_total_r"),
+        )
+    )
+
+
+@register(
+    "analytics_markov_absorption",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    t AS (
+        SELECT from_type, to_type,
+               count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY from_type) AS p
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    h1 AS (
+        SELECT from_type AS s,
+               coalesce(sum(CASE WHEN to_type = 'purchase' THEN p END), 0)
+                   AS h
+        FROM t GROUP BY from_type
+    ),
+    h2 AS (
+        SELECT t.from_type AS s,
+               any_value(h1a.h)
+               + coalesce(sum(CASE WHEN t.to_type <> 'purchase'
+                                   THEN t.p * h1b.h END), 0) AS h
+        FROM t
+        JOIN h1 h1a ON h1a.s = t.from_type
+        LEFT JOIN h1 h1b ON h1b.s = t.to_type
+        GROUP BY t.from_type
+    ),
+    h3 AS (
+        SELECT t.from_type AS s,
+               any_value(h1a.h)
+               + coalesce(sum(CASE WHEN t.to_type <> 'purchase'
+                                   THEN t.p * h2b.h END), 0) AS h
+        FROM t
+        JOIN h1 h1a ON h1a.s = t.from_type
+        LEFT JOIN h2 h2b ON h2b.s = t.to_type
+        GROUP BY t.from_type
+    )
+    SELECT h1.s AS from_type,
+           round(h1.h, 6) AS p_hit1_r,
+           round(h2.h, 6) AS p_hit2_r,
+           round(h3.h, 6) AS p_hit3_r
+    FROM h1 JOIN h2 ON h2.s = h1.s JOIN h3 ON h3.s = h1.s
+    """,
+)
+def analytics_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-step absorption probability — "how likely does a user reach
+    `purchase` within k steps from each state", computed as
+    relational matrix powers over the Markov transition matrix:
+    h_{k+1}(s) = P(s, purchase) + Σ_{t≠purchase} P(s,t) · h_k(t).
+    Two unrolled join-aggregate iterations over the 5x5 transition
+    table give the 1/2/3-step hitting probabilities — the
+    journey-scoring signal behind "propensity to convert in the next
+    k events". The fact table is touched ONCE (the same single
+    user_id exchange as the transition matrix); every iteration
+    joins 25-row broadcasts, so k grows cost-free. Monotonicity
+    h1 <= h2 <= h3 is asserted as a property test."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p",
+            F.col("n") / F.sum("n").over(Window.partitionBy("from_type")),
+        )
+        .select("from_type", "to_type", "p")
+        .localCheckpoint()
+    )
+    h1 = t.groupBy(F.col("from_type").alias("s")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("to_type") == "purchase", F.col("p"))),
+            F.lit(0.0),
+        ).alias("h")
+    )
+
+    def step(hk: DataFrame) -> DataFrame:
+        return (
+            t.join(
+                F.broadcast(h1.select(F.col("s").alias("from_type"), F.col("h").alias("ha"))),
+                "from_type",
+            )
+            .join(
+                F.broadcast(hk.select(F.col("s").alias("to_type"), F.col("h").alias("hb"))),
+                "to_type",
+                "left",
+            )
+            .groupBy(F.col("from_type").alias("s"))
+            .agg(
+                (
+                    F.first("ha")
+                    + F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("to_type") != "purchase",
+                                F.col("p") * F.col("hb"),
+                            )
+                        ),
+                        F.lit(0.0),
+                    )
+                ).alias("h")
+            )
+        )
+
+    h2 = step(h1)
+    h3 = step(h2)
+    return (
+        h1.select(F.col("s").alias("from_type"), F.col("h").alias("a"))
+        .join(h2.select(F.col("s").alias("from_type"), F.col("h").alias("b")), "from_type")
+        .join(h3.select(F.col("s").alias("from_type"), F.col("h").alias("c")), "from_type")
+        .select(
+            "from_type",
+            F.round("a", 6).alias("p_hit1_r"),
+            F.round("b", 6).alias("p_hit2_r"),
+            F.round("c", 6).alias("p_hit3_r"),
+        )
+    )

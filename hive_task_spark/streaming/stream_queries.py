@@ -23,7 +23,7 @@ import shutil
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -887,3 +887,111 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("event_id")
     )
     return _run_to_table(spark, deduped, "stream_dedup_within_wm", "append")
+
+
+@register(
+    "stream_upsert_sink",
+    defer=True,
+    oracle="""
+    SELECT user_id, last_ts_us, last_value_r, n_changes
+    FROM (
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+               round(value, 6) AS last_value_r,
+               count(*) OVER (PARTITION BY user_id) AS n_changes,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT (merge) sink via foreachBatch — the
+    streaming-CDC apply pattern: the event stream drains in four
+    throttled micro-batches (maxFilesPerTrigger=1), and each batch
+    MERGEs into a keyed versioned table: previous state ∪ batch →
+    keep the latest record per user by (ts, event_id) → write
+    version v+1 (immutable versions, so a failed batch can retry
+    idempotently — poor man's Delta MERGE with time travel). The
+    final state must equal the batch argmax per key regardless of
+    how the stream was batched, because keep-latest is associative —
+    that independence IS the correctness contract of streaming
+    upsert. State writes stay fully distributed (no driver
+    collect); per-batch cost is |state| + |batch|, which at 100 TB
+    is why real systems keep state in an indexed table format and
+    merge-on-read instead of rewriting (same join shape either
+    way)."""
+    from hive_task_spark.tables import load
+
+    apply_runtime_conf(spark)
+    src_dir = os.path.join(_SCRATCH, "events_upsert_src")
+    state_root = os.path.join(_SCRATCH, "upsert_state")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+    os.makedirs(state_root)
+    e = load(spark, sf_dir, "events")
+    e.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    versions = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        incoming = batch_df.select(
+            "user_id",
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("value").alias("last_value"),
+            F.col("event_id").alias("last_event_id"),
+            F.lit(1).cast("long").alias("n_changes"),
+        )
+        if versions:
+            prev = sess.read.parquet(
+                os.path.join(state_root, f"v{versions[-1]}")
+            )
+            merged = prev.unionByName(incoming)
+        else:
+            merged = incoming
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("last_ts_us").desc(), F.col("last_event_id").desc()
+        )
+        nxt = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "total_changes",
+                F.sum("n_changes").over(Window.partitionBy("user_id")),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "last_ts_us",
+                "last_value",
+                "last_event_id",
+                F.col("total_changes").alias("n_changes"),
+            )
+        )
+        v = len(versions) + 1
+        nxt.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{v}")
+        )
+        versions.append(v)
+
+    cp = os.path.join(_SCRATCH, "cp_stream_upsert_sink")
+    shutil.rmtree(cp, ignore_errors=True)
+    q = (
+        s.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(os.path.join(state_root, f"v{versions[-1]}"))
+    return final.select(
+        "user_id",
+        "last_ts_us",
+        F.round("last_value", 6).alias("last_value_r"),
+        "n_changes",
+    )

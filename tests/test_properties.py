@@ -1058,3 +1058,53 @@ def test_snm_er_recall_vs_blocking(spark, sf_dir):
     # every blocking-resolved dirty key is also SNM-resolved
     missing = set(blocking) - set(snm)
     assert not missing, f"SNM missed {len(missing)} keys blocking found"
+
+
+def test_markov_absorption_monotone(spark, sf_dir):
+    """Hitting probabilities are monotone in the horizon and lie in
+    [0, 1]."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["analytics_markov_absorption"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["p_hit1_r"] <= r["p_hit2_r"] + 1e-9
+        assert r["p_hit2_r"] <= r["p_hit3_r"] + 1e-9
+        assert r["p_hit3_r"] <= 1.0 + 1e-9
+
+
+def test_woe_iv_census_partitions_customers(spark, sf_dir):
+    """Good+bad over bins equals the customer count; IV total is
+    constant across rows and non-negative."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["analytics_woe_iv_bins"](spark, sf_dir).collect()
+    total = sum(r["n_good"] + r["n_bad"] for r in rows)
+    assert total == load(spark, sf_dir, "customer").count()
+    ivs = {r["iv_total_r"] for r in rows}
+    assert len(ivs) == 1 and ivs.pop() >= 0.0
+
+
+def test_stream_upsert_batch_split_invariant(spark, sf_dir):
+    """The upsert sink's final state equals the one-shot batch argmax
+    per key — keep-latest must be independent of micro-batching."""
+    from pyspark.sql import Window
+    from hive_task_spark.registry import QUERIES
+
+    got = {
+        r["user_id"]: (r["last_ts_us"], r["n_changes"])
+        for r in QUERIES["stream_upsert_sink"](spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r["user_id"]: (r["t"], r["n"])
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.unix_micros("ts").alias("t"), "n")
+        .collect()
+    }
+    assert got == want
