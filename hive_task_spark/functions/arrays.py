@@ -351,3 +351,67 @@ def array_mutation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x -> CAST(x AS STRING)), '|')"
         ).alias("dedup_sorted_s"),
     )
+
+
+@register(
+    "array_nested_struct_rollup",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(l_linenumber AS BIGINT) AS ln,
+               round(l_extendedprice * (1 - l_discount), 4) AS amt
+        FROM lineitem WHERE l_orderkey < 500
+    )
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           string_agg(ln || ':' ||
+                      CAST(CAST(amt AS DECIMAL(24,4)) AS VARCHAR),
+                      '|' ORDER BY ln, amt) AS items_s,
+           round(sum(amt), 4) AS order_net_r
+    FROM li GROUP BY l_orderkey
+    """,
+)
+def array_nested_struct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-model round trip — the denormalized array<struct>
+    pattern: each order's line items collect into a sorted
+    array<struct<ln, amt>> (the shape a document store or a
+    pre-joined gold table carries), then the ORDER TOTAL is computed
+    by a higher-order `aggregate` fold OVER THE NESTED ARRAY — no
+    re-explode, no second shuffle: once data is nested, per-parent
+    math is row-local codegen. The fold runs in (ln, amt) order (sort_array sorts the full
+    struct; linenumber alone is not unique in this fixture), so the
+    float sum is sequence-deterministic; amounts are rounded at their true 4dp
+    grain (2dp price x 2dp discount) before nesting. The struct
+    array serializes at the edge per the complex-type rule; the
+    oracle computes the same rollup flat. At 100 TB nest-once /
+    fold-many is the access-pattern win for per-entity repeated
+    reads — one groupBy builds the document, every later pass is
+    scan-local."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("ln"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("amt"),
+        )
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct("ln", "amt"))).alias("items")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.array_join(
+            F.expr(
+                "transform(items, x -> concat(x.ln, ':',"
+                " cast(cast(x.amt as decimal(24,4)) as string)))"
+            ),
+            "|",
+        ).alias("items_s"),
+        F.round(
+            F.expr("aggregate(items, 0D, (acc, x) -> acc + x.amt)"), 4
+        ).alias("order_net_r"),
+    )

@@ -12,7 +12,7 @@ exact twins oracle-checked alongside.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_task_spark.registry import register
@@ -1180,4 +1180,69 @@ def agg_crosstab_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag_l_linestatus",
         F.col("F").cast("long").alias("F"),
         F.col("O").cast("long").alias("O"),
+    )
+
+
+@register(
+    "agg_topn_plus_others",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS r
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    ranked AS (
+        SELECT n_name, r,
+               row_number() OVER (ORDER BY r DESC, n_name) AS rk
+        FROM rev
+    )
+    SELECT CASE WHEN rk <= 5 THEN n_name ELSE 'OTHERS' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           round(sum(r), 2) AS revenue_r
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def agg_topn_plus_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N + OTHERS — the BI presentation rollup every dashboard
+    needs: the five highest-revenue supplier nations keep their own
+    row, the long tail collapses into one OTHERS bucket (so charts
+    stay readable and no revenue silently disappears — the OTHERS
+    row makes the rollup exhaustive). Rank ties break on name for a
+    deterministic cut. The fact-table pass is the usual broadcast
+    star + one partial+final aggregate to 25 nation rows; ranking
+    and re-bucketing operate on that tiny summary, so the N knob is
+    free at any scale. Revenue rounds at the money grain before the
+    OTHERS re-sum (2dp-exact addition)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("r")
+        )
+    )
+    ranked = rev.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("r").desc(), "n_name"))
+    )
+    return (
+        ranked.select(
+            F.when(F.col("rk") <= 5, F.col("n_name"))
+            .otherwise("OTHERS")
+            .alias("bucket"),
+            "r",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.round(F.sum("r"), 2).alias("revenue_r"),
+        )
     )

@@ -3304,3 +3304,79 @@ def analytics_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c", 6).alias("p_hit3_r"),
         )
     )
+
+
+@register(
+    "analytics_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) >= 19738
+                    AS BIGINT) AS post,
+               avg(value) AS m,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT max(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n_t_pre,
+           max(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n_t_post,
+           max(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n_c_pre,
+           max(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n_c_post,
+           round(max(CASE WHEN arm = 1 AND post = 0 THEN m END), 4)
+               AS m_t_pre_r,
+           round(max(CASE WHEN arm = 1 AND post = 1 THEN m END), 4)
+               AS m_t_post_r,
+           round(max(CASE WHEN arm = 0 AND post = 0 THEN m END), 4)
+               AS m_c_pre_r,
+           round(max(CASE WHEN arm = 0 AND post = 1 THEN m END), 4)
+               AS m_c_post_r,
+           round((max(CASE WHEN arm = 1 AND post = 1 THEN m END)
+                  - max(CASE WHEN arm = 1 AND post = 0 THEN m END))
+                 - (max(CASE WHEN arm = 0 AND post = 1 THEN m END)
+                    - max(CASE WHEN arm = 0 AND post = 0 THEN m END)), 4)
+               AS did_r
+    FROM cells
+    """,
+)
+def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse causal estimator for
+    rollouts without randomization: treatment arm (user_id parity as
+    the deterministic stand-in assignment) and period (before/after
+    the Jan-16 epoch-day split) form a 2x2 mean table, and DiD =
+    (treat_post - treat_pre) - (ctrl_post - ctrl_pre) nets out both
+    the arm's level difference and the common time trend. One
+    map-side-combined groupBy over the fact table produces the four
+    sufficient cells; the estimator itself is arithmetic on a 4-row
+    table. The parallel-trends caveat is the analyst's burden — the
+    engine's job, done here, is exact cell census + deterministic
+    pivot."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        (
+            F.floor(F.col("ts").cast("double") / 86400).cast("long") >= 19738
+        )
+        .cast("long")
+        .alias("post"),
+    ).agg(F.avg("value").alias("m"), F.count(F.lit(1)).alias("n"))
+
+    def cell(a, p, col):
+        return F.max(
+            F.when((F.col("arm") == a) & (F.col("post") == p), F.col(col))
+        )
+
+    return cells.agg(
+        cell(1, 0, "n").cast("long").alias("n_t_pre"),
+        cell(1, 1, "n").cast("long").alias("n_t_post"),
+        cell(0, 0, "n").cast("long").alias("n_c_pre"),
+        cell(0, 1, "n").cast("long").alias("n_c_post"),
+        F.round(cell(1, 0, "m"), 4).alias("m_t_pre_r"),
+        F.round(cell(1, 1, "m"), 4).alias("m_t_post_r"),
+        F.round(cell(0, 0, "m"), 4).alias("m_c_pre_r"),
+        F.round(cell(0, 1, "m"), 4).alias("m_c_post_r"),
+        F.round(
+            (cell(1, 1, "m") - cell(1, 0, "m"))
+            - (cell(0, 1, "m") - cell(0, 0, "m")),
+            4,
+        ).alias("did_r"),
+    )

@@ -1108,3 +1108,59 @@ def test_stream_upsert_batch_split_invariant(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_nested_rollup_matches_flat_total(spark, sf_dir):
+    """The HOF fold over the nested array equals the flat groupBy sum
+    (4dp grain)."""
+    from hive_task_spark.registry import QUERIES
+
+    nested = QUERIES["array_nested_struct_rollup"](spark, sf_dir).select(
+        "l_orderkey", "order_net_r"
+    )
+    flat = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                    )
+                ),
+                4,
+            ).alias("flat_r")
+        )
+    )
+    diff = nested.join(flat, "l_orderkey").filter(
+        F.abs(F.col("order_net_r") - F.col("flat_r")) > 1e-9
+    )
+    assert diff.count() == 0
+
+
+def test_did_cells_partition_events(spark, sf_dir):
+    """The 2x2 DiD census covers every event exactly once."""
+    from hive_task_spark.registry import QUERIES
+
+    r = QUERIES["analytics_diff_in_diff"](spark, sf_dir).collect()[0]
+    total = r["n_t_pre"] + r["n_t_post"] + r["n_c_pre"] + r["n_c_post"]
+    assert total == load(spark, sf_dir, "events").count()
+
+
+def test_topn_others_is_exhaustive(spark, sf_dir):
+    """Top-N + OTHERS buckets cover every nation with revenue: no
+    group disappears from the rollup."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["agg_topn_plus_others"](spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n_rev = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select("s_nationkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_nations"] for r in rows) == n_rev
+    assert len(rows) == min(5, n_rev) + (1 if n_rev > 5 else 0)
