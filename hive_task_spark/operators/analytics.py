@@ -3380,3 +3380,179 @@ def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did_r"),
     )
+
+
+@register(
+    "analytics_seasonal_index",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               round(sum(value), 2) AS a
+        FROM events GROUP BY 1
+    ),
+    ma AS (
+        SELECT day_idx, a,
+               avg(a) OVER (ORDER BY day_idx
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS m,
+               count(*) OVER (ORDER BY day_idx
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS w
+        FROM daily
+    )
+    SELECT CAST((day_idx + 4) % 7 AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(a / m), 6) AS seasonal_index_r
+    FROM ma WHERE w = 7
+    GROUP BY 1
+    """,
+)
+def analytics_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal index by ratio-to-moving-average — classical
+    decomposition's first step: each day's total is divided by its
+    centered 7-day moving average (full windows only, so the trend
+    estimate is unbiased at the edges by construction), and the
+    ratios average per day-of-week ((epoch_day+4) % 7; epoch day 0
+    was a Thursday). Index > 1 = that weekday runs structurally hot —
+    the deseasonalization factor every capacity/demand forecast
+    divides by before modeling trend. Daily totals round at the money
+    grain before any ratio. The series is |days| rows post-aggregate;
+    per-segment indexes would partition the MA window by segment."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx")
+    ).agg(F.round(F.sum("value"), 2).alias("a"))
+    wma = Window.orderBy("day_idx").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day_idx",
+        "a",
+        F.avg("a").over(wma).alias("m"),
+        F.count(F.lit(1)).over(wma).alias("w"),
+    )
+    return (
+        ma.filter(F.col("w") == 7)
+        .groupBy(((F.col("day_idx") + 4) % 7).cast("long").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg(F.col("a") / F.col("m")), 6).alias(
+                "seasonal_index_r"
+            ),
+        )
+    )
+
+
+@register(
+    "analytics_rle_event_runs",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM seq
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+           CAST(count(*) AS BIGINT) AS run_len,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+    FROM runs
+    GROUP BY user_id, run_id, event_type
+    """,
+)
+def analytics_rle_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of per-user event streams — collapse
+    consecutive same-type events into (type, length, span) runs: the
+    telemetry-compression / state-change-log transform ("the sensor
+    reported OK 500 times, then ERROR 3 times" as 2 rows instead of
+    503). Change points come from lag() null-safely compared, run ids
+    from the running sum of change flags — the gaps-and-islands
+    numbering specialized to value changes — and one groupBy per
+    (user, run) emits length and time span. Both windows and the
+    aggregate share the user_id hash partitioning: ONE exchange. At
+    100 TB RLE before storage is often a 100x row reduction for
+    state-style streams, and this exact plan does it in a single
+    pass."""
+    e = load(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(wseq).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    runs = seq.withColumn(
+        "run_id",
+        F.sum("is_new").over(wseq.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy(
+        "user_id", F.col("run_id").cast("long").alias("run_id"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+
+
+@register(
+    "analytics_hhi_concentration",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS seg, c.c_custkey,
+               round(sum(o.o_totalprice), 2) AS s
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT seg, sum(s) AS t, count(*) AS n FROM spend GROUP BY seg
+    )
+    SELECT sp.seg AS mktsegment,
+           CAST(any_value(tot.n) AS BIGINT) AS n_customers,
+           round(sum((sp.s / tot.t) * (sp.s / tot.t)), 6) AS hhi_r,
+           round(1.0 / sum((sp.s / tot.t) * (sp.s / tot.t)), 4)
+               AS effective_n_r
+    FROM spend sp JOIN tot ON tot.seg = sp.seg
+    GROUP BY sp.seg
+    """,
+)
+def analytics_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market segment —
+    "is this segment's revenue spread across customers or dominated
+    by a few": HHI = Σ share², and 1/HHI is the effective number of
+    equal-size customers (the interpretable twin). The
+    antitrust/portfolio-concentration metric, complementing the Gini
+    row (inequality of the distribution) with dominance mass. Customer
+    spends round at the money grain; shares divide by the segment
+    total computed from the SAME rounded values, so both engines
+    square identical quotients. Two aggregates sharing the segment
+    key; the customer-grain table is the only large intermediate."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"), "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+    )
+    tot = spend.groupBy("seg").agg(
+        F.sum("s").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    share = F.col("s") / F.col("t")
+    return (
+        spend.join(F.broadcast(tot), "seg")
+        .groupBy(F.col("seg").alias("mktsegment"))
+        .agg(
+            F.first("n").cast("long").alias("n_customers"),
+            F.round(F.sum(share * share), 6).alias("hhi_r"),
+            F.round(1.0 / F.sum(share * share), 4).alias("effective_n_r"),
+        )
+    )

@@ -1164,3 +1164,42 @@ def test_topn_others_is_exhaustive(spark, sf_dir):
     )
     assert sum(r["n_nations"] for r in rows) == n_rev
     assert len(rows) == min(5, n_rev) + (1 if n_rev > 5 else 0)
+
+
+def test_rle_runs_conserve_events(spark, sf_dir):
+    """Run lengths sum to the event count; adjacent runs per user
+    always change type."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["analytics_rle_event_runs"](spark, sf_dir)
+    assert (
+        out.agg(F.sum("run_len")).collect()[0][0]
+        == load(spark, sf_dir, "events").count()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("run_id")
+    adj = out.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").eqNullSafe(F.col("event_type"))
+    )
+    assert adj.count() == 0
+
+
+def test_seasonal_index_averages_to_one(spark, sf_dir):
+    """Weighted by day counts, the seasonal ratios average ~1 (the MA
+    normalizes the level)."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["analytics_seasonal_index"](spark, sf_dir).collect()
+    total_days = sum(r["n_days"] for r in rows)
+    mean = sum(r["seasonal_index_r"] * r["n_days"] for r in rows) / total_days
+    assert 0.7 < mean < 1.3
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """1/n <= HHI <= 1 per segment; effective n <= n."""
+    from hive_task_spark.registry import QUERIES
+
+    for r in QUERIES["analytics_hhi_concentration"](spark, sf_dir).collect():
+        assert 1.0 / r["n_customers"] - 1e-9 <= r["hhi_r"] <= 1.0 + 1e-9
+        assert r["effective_n_r"] <= r["n_customers"] + 1e-6
