@@ -1246,3 +1246,70 @@ def agg_topn_plus_others(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("r"), 2).alias("revenue_r"),
         )
     )
+
+
+@register(
+    "agg_dense_report_scaffold",
+    oracle="""
+    WITH span AS (
+        SELECT min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0,
+               max(year(o_orderdate) * 12 + month(o_orderdate)) AS m1
+        FROM orders
+    ),
+    months AS (SELECT unnest(range(m0, m1 + 1)) AS m FROM span),
+    segs AS (SELECT DISTINCT c_mktsegment AS seg FROM customer),
+    fact AS (
+        SELECT year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+               c.c_mktsegment AS seg,
+               count(*) AS n,
+               round(sum(o.o_totalprice), 2) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(months.m AS BIGINT) AS ym_idx, segs.seg AS mktsegment,
+           CAST(coalesce(fact.n, 0) AS BIGINT) AS n_orders,
+           round(coalesce(fact.rev, 0.0), 2) AS revenue_r
+    FROM months CROSS JOIN segs
+    LEFT JOIN fact ON fact.m = months.m AND fact.seg = segs.seg
+    """,
+)
+def agg_dense_report_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense report scaffold — the BI zero-fill: a (month x segment)
+    spine built from the calendar span and the dimension domain
+    LEFT-joins the sparse fact aggregate, so months with no sales
+    appear as explicit zeros instead of silently missing rows (the
+    bug that makes month-over-month charts skip bad months — the
+    exact failure mode a chart can't show). The spine is
+    |months| x |segments| — dimension-sized, built with sequence +
+    explode and a broadcast cross of two tiny sides; the fact table
+    is touched once by the ordinary aggregate. Complements the
+    LOCF gap-fill row (carry-forward) with the sum-semantics
+    zero-fill."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m_expr = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    span = o.agg(
+        F.min(m_expr).alias("m0"), F.max(m_expr).alias("m1")
+    )
+    months = span.select(
+        F.explode(F.sequence("m0", "m1")).alias("ym_idx")
+    )
+    segs = c.select(F.col("c_mktsegment").alias("mktsegment")).distinct()
+    fact = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            m_expr.alias("ym_idx"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    spine = months.crossJoin(F.broadcast(segs))
+    return spine.join(fact, ["ym_idx", "mktsegment"], "left").select(
+        "ym_idx",
+        "mktsegment",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+        F.round(F.coalesce("rev", F.lit(0.0)), 2).alias("revenue_r"),
+    )

@@ -1187,3 +1187,87 @@ def quality_sorted_neighborhood_er(
             (F.col("dirty_key") == F.col("matched_key")).alias("correct"),
         )
     )
+
+
+@register(
+    "quality_k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               count(*) AS n
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(nat AS BIGINT) AS nat, seg, bal_bucket,
+           CAST(n AS BIGINT) AS n
+    FROM q WHERE n < 5
+    """,
+)
+def quality_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — privacy governance's release gate: group
+    the table by its quasi-identifiers (nation, segment, coarse
+    balance bucket) and surface every equivalence class smaller than
+    k=5. A record in such a class is re-identifiable by joining the
+    quasi-identifiers against any public roster; the fix is further
+    generalization (wider buckets), suppression of the listed rows,
+    or noise (the DP row). One map-side-combined groupBy at the
+    quasi-identifier grain — the audit costs a single pass no matter
+    how wide the table is, because only the quasi columns are
+    scanned (column pruning does the rest). Pairs with the masking
+    view and DP-counts rows as the release-pipeline trio."""
+    c = load(spark, sf_dir, "customer")
+    q = c.groupBy(
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return q.filter(F.col("n") < 5)
+
+
+@register(
+    "quality_retry_storm_census",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT)
+               - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN gap_us <= 5000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retries,
+           round(sum(CASE WHEN gap_us <= 5000000 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS retry_rate_r
+    FROM seq
+    GROUP BY event_type
+    """,
+)
+def quality_retry_storm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-storm census — SRE telemetry hygiene: an event is a
+    "retry" when the same user emitted the same event type within
+    the last 5 seconds (client retry loops, double-clicks, webhook
+    redelivery). The per-type retry rate tells you how much of the
+    stream is amplification rather than signal, and which types need
+    idempotency keys upstream. One lag() per (user, type)
+    partitioning and a 5-row census — the same single-exchange
+    profile as sessionization; at 100 TB this runs as a daily
+    data-quality monitor on the same shuffle the sessionizer already
+    pays."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    is_retry = F.when(F.col("gap_us") <= 5000000, 1).otherwise(0)
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(is_retry).cast("long").alias("n_retries"),
+        F.round(F.sum(is_retry) / F.count(F.lit(1)), 6).alias("retry_rate_r"),
+    )

@@ -1203,3 +1203,52 @@ def test_hhi_bounds(spark, sf_dir):
     for r in QUERIES["analytics_hhi_concentration"](spark, sf_dir).collect():
         assert 1.0 / r["n_customers"] - 1e-9 <= r["hhi_r"] <= 1.0 + 1e-9
         assert r["effective_n_r"] <= r["n_customers"] + 1e-6
+
+
+def test_k_anonymity_only_small_classes(spark, sf_dir):
+    """Every reported class is genuinely < 5 and re-countable."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["quality_k_anonymity_audit"](spark, sf_dir)
+    assert out.filter(F.col("n") >= 5).count() == 0
+    # recount one reported class directly
+    row = out.limit(1).collect()
+    if row:
+        r = row[0]
+        n = (
+            load(spark, sf_dir, "customer")
+            .filter(
+                (F.col("c_nationkey") == r["nat"])
+                & (F.col("c_mktsegment") == r["seg"])
+                & (F.floor(F.col("c_acctbal") / 1000) == r["bal_bucket"])
+            )
+            .count()
+        )
+        assert n == r["n"]
+
+
+def test_retry_census_partitions_events(spark, sf_dir):
+    """Per-type event counts in the census sum to the table count;
+    retries never exceed events."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["quality_retry_storm_census"](spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in rows) == load(spark, sf_dir, "events").count()
+    assert all(r["n_retries"] <= r["n_events"] for r in rows)
+
+
+def test_dense_scaffold_is_complete_grid(spark, sf_dir):
+    """The scaffold has exactly |months| x |segments| rows and its
+    totals equal the sparse aggregate's totals (zero-fill adds no
+    mass)."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["agg_dense_report_scaffold"](spark, sf_dir)
+    o = load(spark, sf_dir, "orders")
+    m = o.select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+    ).agg(F.min("m").alias("a"), F.max("m").alias("b")).collect()[0]
+    n_months = m["b"] - m["a"] + 1
+    n_segs = load(spark, sf_dir, "customer").select("c_mktsegment").distinct().count()
+    assert out.count() == n_months * n_segs
+    assert out.agg(F.sum("n_orders")).collect()[0][0] == o.count()
