@@ -303,3 +303,98 @@ def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d2") - F.col("d1")).alias("calendar_days"),
         (g(F.col("d2")) - g(F.col("d1"))).alias("business_days"),
     )
+
+
+@register(
+    "date_multiformat_parse_dispatch",
+    oracle="""
+    WITH raw AS (
+        SELECT o_orderkey AS k,
+               CASE
+                 WHEN o_orderkey % 97 = 0 THEN 'not-a-date'
+                 WHEN o_orderkey % 3 = 0
+                   THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                 WHEN o_orderkey % 3 = 1
+                   THEN strftime(o_orderdate, '%m/%d/%Y')
+                 ELSE CAST(CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT)
+                           AS VARCHAR)
+               END AS s
+        FROM orders
+    ),
+    parsed AS (
+        SELECT k, s,
+               try_strptime(s, '%Y-%m-%d %H:%M:%S') AS p_iso,
+               CASE WHEN s LIKE '%/%' THEN try_strptime(s, '%m/%d/%Y') END
+                   AS p_us,
+               CASE WHEN try_cast(s AS BIGINT) IS NOT NULL
+                    THEN make_timestamp(try_cast(s AS BIGINT) * 1000000)
+               END AS p_epoch
+        FROM raw
+    )
+    SELECT CASE WHEN p_iso IS NOT NULL THEN 'iso'
+                WHEN p_us IS NOT NULL THEN 'us'
+                WHEN p_epoch IS NOT NULL THEN 'epoch'
+                ELSE 'unparsed' END AS fmt,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(epoch_us(coalesce(p_iso, p_us, p_epoch))) AS BIGINT)
+               AS min_us,
+           CAST(max(epoch_us(coalesce(p_iso, p_us, p_epoch))) AS BIGINT)
+               AS max_us
+    FROM parsed
+    GROUP BY 1
+    """,
+)
+def date_multiformat_parse_dispatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-format timestamp ingestion — the dirty-feed reality:
+    one string column carries ISO datetimes, US-style dates, raw
+    epoch seconds, and garbage (synthesized deterministically by key
+    class), and the parser dispatches through a try_to_timestamp
+    chain, keeping the first format that parses and quarantining the
+    rest as 'unparsed' instead of failing the job (ANSI mode would
+    throw on the first bad row). The census (count + parsed range
+    per format) is exactly the ingestion report you publish before
+    trusting a third-party feed. All parsing is row-local codegen;
+    the try_ chain costs one pass regardless of how many formats are
+    registered."""
+    o = load(spark, sf_dir, "orders")
+    s = (
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("not-a-date"))
+        .when(
+            F.col("o_orderkey") % 3 == 0,
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.date_format("o_orderdate", "MM/dd/yyyy"),
+        )
+        .otherwise(
+            F.expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000 AS STRING)")
+        )
+    )
+    raw = o.select(F.col("o_orderkey").alias("k"), s.alias("s"))
+    parsed = raw.select(
+        "k",
+        "s",
+        F.expr("try_to_timestamp(s, 'yyyy-MM-dd HH:mm:ss')").alias("p_iso"),
+        F.expr(
+            "CASE WHEN s LIKE '%/%' THEN try_to_timestamp(s, 'MM/dd/yyyy') END"
+        ).alias("p_us"),
+        F.expr(
+            "CASE WHEN try_cast(s AS BIGINT) IS NOT NULL"
+            " THEN timestamp_seconds(try_cast(s AS BIGINT)) END"
+        ).alias("p_epoch"),
+    )
+    fmt = (
+        F.when(F.col("p_iso").isNotNull(), "iso")
+        .when(F.col("p_us").isNotNull(), "us")
+        .when(F.col("p_epoch").isNotNull(), "epoch")
+        .otherwise("unparsed")
+    )
+    best = F.coalesce("p_iso", "p_us", "p_epoch")
+    return parsed.groupBy(fmt.alias("fmt")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.unix_micros(F.min(best)).alias("min_us"),
+        F.unix_micros(F.max(best)).alias("max_us"),
+    )

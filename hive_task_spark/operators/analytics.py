@@ -3556,3 +3556,103 @@ def analytics_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 / F.sum(share * share), 4).alias("effective_n_r"),
         )
     )
+
+
+@register(
+    "analytics_clock_repair",
+    oracle="""
+    WITH arrival AS (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS t_us,
+               max(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING) AS repaired_us
+        FROM events WHERE user_id < 30
+    )
+    SELECT user_id, event_id, t_us, repaired_us,
+           CAST(repaired_us > t_us AS BIGINT) AS was_repaired
+    FROM arrival
+    """,
+)
+def analytics_clock_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic clock repair — telemetry's out-of-order-timestamp
+    fix: within each device/user stream in ARRIVAL order (event_id
+    as the ingestion sequence), the repaired event time is the
+    running maximum of claimed times, which enforces monotonicity
+    while never moving a timestamp backwards — the standard
+    pre-processing before sessionization or interval math on
+    clock-skewed clients (NTP steps, device reboots). The
+    was_repaired flag doubles as the skew-rate data-quality metric.
+    One cummax window per user partition — the same exchange the
+    downstream sessionizer needs, so repair is free in-line."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = F.unix_micros("ts")
+    return e.select(
+        "user_id",
+        "event_id",
+        t.alias("t_us"),
+        F.max(t).over(w).alias("repaired_us"),
+    ).withColumn(
+        "was_repaired",
+        (F.col("repaired_us") > F.col("t_us")).cast("long"),
+    )
+
+
+@register(
+    "analytics_first_per_hour_throttle",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+               event_id,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(floor(epoch(ts) / 3600)
+                                              AS BIGINT)
+                   ORDER BY ts, event_id) AS rn,
+               count(*) OVER (
+                   PARTITION BY user_id, CAST(floor(epoch(ts) / 3600)
+                                              AS BIGINT)) AS n_in_hour
+        FROM events
+    )
+    SELECT user_id, hour_idx,
+           event_id AS first_event_id,
+           CAST(n_in_hour - 1 AS BIGINT) AS n_suppressed
+    FROM ranked WHERE rn = 1
+    """,
+)
+def analytics_first_per_hour_throttle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keyed rate limiting / event throttling — keep the FIRST event
+    per (user, hour), suppress the rest, and report how many each
+    kept event stands for: the notification-dedup / alert-throttle /
+    telemetry-downsampling kernel ("page once per host per hour, with
+    a suppressed-count"). Deterministic keep rule (earliest by ts
+    with event_id tie-break), and the suppressed census makes the
+    lossy step auditable — downstream counts can be reconstructed,
+    nothing silently vanishes. One window partitioning on the
+    (key, window) grain; at 100 TB this IS the pre-aggregation that
+    keeps alerting pipelines O(keys/hour) instead of O(events)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "hour_idx",
+        F.floor(F.col("ts").cast("double") / 3600).cast("long"),
+    )
+    w = Window.partitionBy("user_id", "hour_idx")
+    ranked = e.select(
+        "user_id",
+        "hour_idx",
+        "event_id",
+        F.row_number().over(w.orderBy("ts", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_in_hour"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "user_id",
+        "hour_idx",
+        F.col("event_id").alias("first_event_id"),
+        (F.col("n_in_hour") - 1).cast("long").alias("n_suppressed"),
+    )

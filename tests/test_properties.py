@@ -1252,3 +1252,46 @@ def test_dense_scaffold_is_complete_grid(spark, sf_dir):
     n_segs = load(spark, sf_dir, "customer").select("c_mktsegment").distinct().count()
     assert out.count() == n_months * n_segs
     assert out.agg(F.sum("n_orders")).collect()[0][0] == o.count()
+
+
+def test_parse_dispatch_covers_all_rows(spark, sf_dir):
+    """Format census covers every order; 'unparsed' captures exactly
+    the injected garbage class."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = {r["fmt"]: r for r in QUERIES["date_multiformat_parse_dispatch"](spark, sf_dir).collect()}
+    o = load(spark, sf_dir, "orders")
+    assert sum(r["n"] for r in rows.values()) == o.count()
+    n_garbage = o.filter(F.col("o_orderkey") % 97 == 0).count()
+    assert rows["unparsed"]["n"] == n_garbage
+    assert rows["unparsed"]["min_us"] is None
+
+
+def test_clock_repair_is_monotone_and_minimal(spark, sf_dir):
+    """Repaired times are monotone per user in arrival order and never
+    below the claimed time."""
+    from pyspark.sql import Window
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["analytics_clock_repair"](spark, sf_dir)
+    assert out.filter(F.col("repaired_us") < F.col("t_us")).count() == 0
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    non_mono = out.withColumn(
+        "prev", F.lag("repaired_us").over(w)
+    ).filter(F.col("prev") > F.col("repaired_us"))
+    assert non_mono.count() == 0
+
+
+def test_throttle_conserves_events(spark, sf_dir):
+    """kept + suppressed == total events; one kept row per
+    (user, hour)."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["analytics_first_per_hour_throttle"](spark, sf_dir)
+    kept = out.count()
+    suppressed = out.agg(F.sum("n_suppressed")).collect()[0][0]
+    assert kept + suppressed == load(spark, sf_dir, "events").count()
+    assert (
+        out.groupBy("user_id", "hour_idx").count().filter(F.col("count") > 1).count()
+        == 0
+    )
