@@ -1313,3 +1313,54 @@ def agg_dense_report_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
         F.round(F.coalesce("rev", F.lit(0.0)), 2).alias("revenue_r"),
     )
+
+
+@register(
+    "agg_melt_unpivot_api",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           'l_quantity' AS var, CAST(l_quantity AS DOUBLE) AS val
+    FROM lineitem WHERE l_orderkey < 300
+    UNION ALL
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+           'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+    FROM lineitem WHERE l_orderkey < 300
+    UNION ALL
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+           'l_discount', CAST(l_discount AS DOUBLE)
+    FROM lineitem WHERE l_orderkey < 300
+    UNION ALL
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+           'l_tax', CAST(l_tax AS DOUBLE)
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+    defer=True,
+)
+def agg_melt_unpivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.melt` (Spark 3.4's unpivot API) — the third unpivot
+    surface next to stack() and SQL UNPIVOT, and the one pandas
+    users reach for: ids stay, the measure columns fold into
+    (variable, value) long form, value types coerce to the common
+    DOUBLE. Long form is what ML feature stores and plotting layers
+    ingest; at 100 TB melt is a zero-shuffle row-local explode of
+    width into height (output rows = rows x measures — budget for
+    the 4x here). The oracle spells the same reshape as UNION ALL
+    branches."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+            F.col("l_discount").cast("double"),
+            F.col("l_tax").cast("double"),
+        )
+    )
+    return li.melt(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="var",
+        valueColumnName="val",
+    )

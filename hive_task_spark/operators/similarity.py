@@ -1562,3 +1562,115 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").cast("long").alias("n_hits"),
         F.round(F.col("n_hits") / 5.0, 1).alias("recall_at5_r"),
     )
+
+
+@register(
+    "similarity_rec_diversity_eval",
+    defer=True,
+    oracle=f"""
+    WITH rec AS ({_ORACLE_TOPK}),
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    pairs AS (
+        SELECT a.query_id,
+               1.0 - list_sum(list_transform(list_zip(x.vec, y.vec),
+                                             p -> p[1] * p[2]))
+                     / (x.nrm * y.nrm) AS dist
+        FROM rec a
+        JOIN rec b ON b.query_id = a.query_id
+                  AND a.neighbor_id < b.neighbor_id
+        JOIN n x ON x.vec_id = a.neighbor_id
+        JOIN n y ON y.vec_id = b.neighbor_id
+    ),
+    cov AS (
+        SELECT count(DISTINCT neighbor_id) * 1.0
+               / (SELECT count(*) FROM embeddings) AS c
+        FROM rec
+    )
+    SELECT p.query_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(p.dist), 6) AS ild_r,
+           round(any_value(cov.c), 6) AS catalog_coverage_r
+    FROM pairs p, cov
+    GROUP BY p.query_id
+    """,
+)
+def similarity_rec_diversity_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recommender-list quality beyond relevance — the two metrics a
+    ranking eval needs next to NDCG: intra-list diversity (mean
+    pairwise cosine DISTANCE among each query's top-k — low ILD
+    means the list is k near-copies) and catalog coverage (what
+    fraction of the corpus any list surfaces — low coverage means
+    popularity collapse). Composes the brute-force top-k row as the
+    recommender under test; pairwise distances are k(k-1)/2 per
+    query over broadcast-joined vectors, so eval cost is
+    O(queries * k^2), independent of corpus size. The same
+    aggregation evaluates any ANN variant by swapping the rec CTE —
+    which is exactly how the MMR rerank row justifies its lambda."""
+    rec = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    vecs = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", _vec_d().alias("vec"))
+        .withColumn("nrm", _norm(F.col("vec")))
+    )
+    total = load(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_corpus")
+    )
+    cov = (
+        rec.agg(F.countDistinct("neighbor_id").alias("n_rec"))
+        .crossJoin(F.broadcast(total))
+        .select((F.col("n_rec") / F.col("n_corpus")).alias("c"))
+    )
+    a = rec.alias("a")
+    b = rec.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") < F.col("b.neighbor_id")),
+        )
+        .join(
+            F.broadcast(
+                vecs.select(
+                    F.col("vec_id").alias("xid"),
+                    F.col("vec").alias("xvec"),
+                    F.col("nrm").alias("xnrm"),
+                )
+            ),
+            F.col("a.neighbor_id") == F.col("xid"),
+        )
+        .join(
+            F.broadcast(
+                vecs.select(
+                    F.col("vec_id").alias("yid"),
+                    F.col("vec").alias("yvec"),
+                    F.col("nrm").alias("ynrm"),
+                )
+            ),
+            F.col("b.neighbor_id") == F.col("yid"),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            (
+                1.0
+                - _dot(F.col("xvec"), F.col("yvec"))
+                / (F.col("xnrm") * F.col("ynrm"))
+            ).alias("dist"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(cov)).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("dist"), 6).alias("ild_r"),
+        F.round(F.first("c"), 6).alias("catalog_coverage_r"),
+    )

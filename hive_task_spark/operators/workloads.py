@@ -1087,3 +1087,43 @@ def sql_join_hints_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """
     )
+
+
+@register(
+    "sql_values_inline_dimension",
+    oracle="""
+    SELECT t.tier,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_r
+    FROM orders o
+    JOIN (VALUES ('1-URGENT', 'P0'), ('2-HIGH', 'P1'),
+                 ('3-MEDIUM', 'P2'), ('4-NOT SPECIFIED', 'P3'),
+                 ('5-LOW', 'P3')) AS t(prio, tier)
+      ON o.o_orderpriority = t.prio
+    GROUP BY t.tier
+    """,
+)
+def sql_values_inline_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES inline table as a seeded dimension — the enum-mapping
+    pattern: a priority → tier rollup lives directly in the query
+    text (no parquet, no temp view maintenance) and joins the fact
+    table like any dimension; Catalyst constant-folds it into a
+    LocalRelation and broadcasts it for free. The idiom for small
+    business mappings that belong in code review, not in a table
+    nobody versions. Identical SQL text runs on both engines."""
+    from hive_task_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT t.tier,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_r
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 'P0'), ('2-HIGH', 'P1'),
+                     ('3-MEDIUM', 'P2'), ('4-NOT SPECIFIED', 'P3'),
+                     ('5-LOW', 'P3')) AS t(prio, tier)
+          ON o.o_orderpriority = t.prio
+        GROUP BY t.tier
+        """
+    )

@@ -1295,3 +1295,39 @@ def test_throttle_conserves_events(spark, sf_dir):
         out.groupBy("user_id", "hour_idx").count().filter(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_rec_diversity_bounds(spark, sf_dir):
+    """ILD in [0, 2] (cosine distance range); pair count = k(k-1)/2;
+    coverage in (0, 1]."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["similarity_rec_diversity_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ild_r"] <= 2.0
+        assert r["n_pairs"] == 10  # k=5 -> 10 pairs
+        assert 0.0 < r["catalog_coverage_r"] <= 1.0
+
+
+def test_melt_conserves_cells(spark, sf_dir):
+    """melt output rows = input rows x measures; every variable
+    appears equally often."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["agg_melt_unpivot_api"](spark, sf_dir)
+    n_in = (
+        load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300).count()
+    )
+    assert out.count() == 4 * n_in
+    per_var = out.groupBy("var").count().collect()
+    assert len(per_var) == 4 and all(r["count"] == n_in for r in per_var)
+
+
+def test_values_dimension_exhaustive(spark, sf_dir):
+    """The inline tier mapping covers every order (no priority falls
+    through the join)."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["sql_values_inline_dimension"](spark, sf_dir).collect()
+    assert sum(r["n_orders"] for r in rows) == load(spark, sf_dir, "orders").count()
