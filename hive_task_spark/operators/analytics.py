@@ -3656,3 +3656,239 @@ def analytics_first_per_hour_throttle(
         F.col("event_id").alias("first_event_id"),
         (F.col("n_in_hour") - 1).cast("long").alias("n_suppressed"),
     )
+
+
+@register(
+    "analytics_wau_overlap",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_idx,
+               user_id
+        FROM events
+    ),
+    pair AS (
+        SELECT a.week_idx AS w0, a.user_id,
+               CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS ret
+        FROM wk a
+        LEFT JOIN wk b ON b.week_idx = a.week_idx + 1
+                      AND b.user_id = a.user_id
+    ),
+    nxt AS (
+        SELECT week_idx - 1 AS w0, count(*) AS n_next
+        FROM wk GROUP BY week_idx
+    )
+    SELECT p.w0 AS week_idx,
+           CAST(count(*) AS BIGINT) AS wau,
+           CAST(sum(p.ret) AS BIGINT) AS n_both,
+           round(sum(p.ret) * 1.0 /
+                 (count(*) + any_value(nxt.n_next) - sum(p.ret)), 6)
+               AS jaccard_r
+    FROM pair p JOIN nxt ON nxt.w0 = p.w0
+    GROUP BY p.w0
+    """,
+)
+def analytics_wau_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week audience overlap — "is next week's audience the
+    same people": weekly-active-user sets for consecutive weeks
+    compared by exact Jaccard (|both| / |either|). High overlap =
+    sticky core audience; low = churn-and-replace (growth that
+    retention charts alone can't distinguish — a flat WAU can be
+    100% replacement). Exact integer set algebra via one distinct
+    (user, week) census and a self-equi-join on (user, week+1) —
+    never materializing user sets as arrays; at 100 TB this is the
+    HLL-sketch shape's exact twin, and the census join partitions on
+    user_id like every other per-user op here."""
+    e = load(spark, sf_dir, "events")
+    wk = e.select(
+        F.floor(F.col("ts").cast("double") / 604800).cast("long").alias("week_idx"),
+        "user_id",
+    ).distinct()
+    nxt_wk = wk.select(
+        (F.col("week_idx") - 1).alias("week_idx"),
+        F.col("user_id").alias("nxt_user"),
+    )
+    pair = wk.join(
+        nxt_wk,
+        (wk["week_idx"] == nxt_wk["week_idx"])
+        & (wk["user_id"] == nxt_wk["nxt_user"]),
+        "left",
+    ).select(wk["week_idx"], "user_id", F.col("nxt_user").isNotNull().cast("int").alias("ret"))
+    n_next = wk.groupBy((F.col("week_idx") - 1).alias("week_idx")).agg(
+        F.count(F.lit(1)).alias("n_next")
+    )
+    return (
+        pair.groupBy("week_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("wau"),
+            F.sum("ret").cast("long").alias("n_both"),
+        )
+        .join(n_next, "week_idx")
+        .select(
+            "week_idx",
+            "wau",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("wau") + F.col("n_next") - F.col("n_both")),
+                6,
+            ).alias("jaccard_r"),
+        )
+    )
+
+
+@register(
+    "analytics_degree_powerlaw_fit",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (
+        SELECT l_partkey, count(*) AS d FROM items GROUP BY l_partkey
+    ),
+    filt AS (SELECT d FROM deg WHERE d >= 3)
+    SELECT CAST(count(*) AS BIGINT) AS n_tail,
+           CAST(min(d) AS BIGINT) AS d_min,
+           CAST(max(d) AS BIGINT) AS d_max,
+           round(1.0 + count(*) / sum(ln(d * 1.0 / 3)), 4) AS alpha_hill_r
+    FROM filt
+    """,
+)
+def analytics_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law fit — graph-health diagnosis on
+    the order-part bipartite graph: part degrees (distinct orders
+    containing the part) above d_min=3 feed the Hill/MLE estimator
+    alpha = 1 + n / Σ ln(d/d_min). Alpha near 2-3 = scale-free hubs
+    (expect join skew on those keys — the quantitative justification
+    for the salting and df-cap rows); large alpha = near-uniform
+    degrees (skew handling unnecessary). The text twin is the Zipf
+    slope row; this is the graph version, and together they are the
+    two checks run before choosing a partitioning strategy. One
+    distinct + one count groupBy + a 4-number aggregate."""
+    items = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    deg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("d"))
+    filt = deg.filter(F.col("d") >= 3)
+    return filt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.min("d").cast("long").alias("d_min"),
+        F.max("d").cast("long").alias("d_max"),
+        F.round(
+            1.0 + F.count(F.lit(1)) / F.sum(F.log(F.col("d") / 3.0)), 4
+        ).alias("alpha_hill_r"),
+    )
+
+
+@register(
+    "analytics_information_gain",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_custkey,
+               CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderpriority = '1-URGENT')
+                    THEN 1 ELSE 0 END AS y,
+               c.c_mktsegment AS f_seg,
+               CAST(c.c_nationkey % 5 AS VARCHAR) AS f_natgrp
+        FROM customer c
+    ),
+    feats AS (
+        SELECT 'mktsegment' AS feature, f_seg AS x, y FROM base
+        UNION ALL
+        SELECT 'nation_group', f_natgrp, y FROM base
+    ),
+    cell AS (
+        SELECT feature, x, y, count(*) AS n FROM feats GROUP BY 1, 2, 3
+    ),
+    nx AS (SELECT feature, x, sum(n) AS nx FROM cell GROUP BY 1, 2),
+    ny AS (SELECT feature, y, sum(n) AS ny FROM cell GROUP BY 1, 2),
+    ftot AS (SELECT feature, sum(n) AS tot FROM cell GROUP BY 1),
+    hy AS (
+        SELECT ny.feature,
+               -sum(ny.ny * 1.0 / ftot.tot * ln(ny.ny * 1.0 / ftot.tot))
+                   AS h
+        FROM ny JOIN ftot ON ftot.feature = ny.feature
+        GROUP BY ny.feature
+    ),
+    hx_terms AS (
+        SELECT c.feature, c.x,
+               sum(c.n * 1.0 / nx.nx * ln(c.n * 1.0 / nx.nx)) AS sum_p
+        FROM cell c
+        JOIN nx ON nx.feature = c.feature AND nx.x = c.x
+        GROUP BY c.feature, c.x
+    ),
+    hyx AS (
+        SELECT t.feature,
+               sum(nx.nx * 1.0 / ftot.tot * (-t.sum_p)) AS h
+        FROM hx_terms t
+        JOIN nx ON nx.feature = t.feature AND nx.x = t.x
+        JOIN ftot ON ftot.feature = t.feature
+        GROUP BY t.feature
+    )
+    SELECT hy.feature,
+           round(hy.h, 6) AS h_y_r,
+           round(hy.h - hyx.h, 6) AS info_gain_r
+    FROM hy JOIN hyx ON hyx.feature = hy.feature
+""",
+)
+def analytics_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain feature ranking — the decision-tree split
+    criterion as a screening report: IG(feature) = H(y) − H(y|x)
+    over exact cell counts, for each candidate categorical feature
+    against the urgent-responder target. Third member of the
+    univariate-screen family (chi-square tests dependence, WOE/IV
+    scores monotone strength, IG measures entropy reduction — trees
+    and mutual-information selectors consume this one). Everything
+    flows from ONE (feature, x, y) cell census (the features unpivot
+    into rows, so adding a feature adds rows, not passes); entropies
+    are sums over ≤ dozens of cells. Log-ratio edges round at 6dp."""
+    c = load(spark, sf_dir, "customer")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("y1", F.lit(1))
+    )
+    base = c.join(F.broadcast(urgent), "c_custkey", "left").select(
+        F.coalesce("y1", F.lit(0)).alias("y"),
+        F.col("c_mktsegment").alias("f_seg"),
+        (F.col("c_nationkey") % 5).cast("string").alias("f_natgrp"),
+    )
+    feats = base.select(
+        F.lit("mktsegment").alias("feature"), F.col("f_seg").alias("x"), "y"
+    ).unionByName(
+        base.select(
+            F.lit("nation_group").alias("feature"),
+            F.col("f_natgrp").alias("x"),
+            "y",
+        )
+    )
+    cell = feats.groupBy("feature", "x", "y").agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("feature")
+    # H(y) per feature
+    ny = cell.groupBy("feature", "y").agg(F.sum("n").alias("ny"))
+    ny = ny.withColumn("tot", F.sum("ny").over(wf))
+    hy = ny.groupBy("feature").agg(
+        (-F.sum((F.col("ny") / F.col("tot")) * F.log(F.col("ny") / F.col("tot")))).alias("h")
+    )
+    # H(y|x) per feature
+    wfx = Window.partitionBy("feature", "x")
+    cond = cell.withColumn("nx", F.sum("n").over(wfx)).withColumn(
+        "p", F.col("n") / F.col("nx")
+    )
+    per_x = cond.groupBy("feature", "x").agg(
+        F.first("nx").alias("nx"),
+        F.sum(F.col("p") * F.log("p")).alias("sum_p"),
+    )
+    per_x = per_x.withColumn("tot", F.sum("nx").over(wf))
+    hyx = per_x.groupBy("feature").agg(
+        F.sum((F.col("nx") / F.col("tot")) * (-F.col("sum_p"))).alias("h")
+    )
+    return (
+        hy.select("feature", F.col("h").alias("h_y"))
+        .join(hyx.select("feature", F.col("h").alias("h_yx")), "feature")
+        .select(
+            "feature",
+            F.round("h_y", 6).alias("h_y_r"),
+            F.round(F.col("h_y") - F.col("h_yx"), 6).alias("info_gain_r"),
+        )
+    )

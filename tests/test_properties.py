@@ -1331,3 +1331,32 @@ def test_values_dimension_exhaustive(spark, sf_dir):
 
     rows = QUERIES["sql_values_inline_dimension"](spark, sf_dir).collect()
     assert sum(r["n_orders"] for r in rows) == load(spark, sf_dir, "orders").count()
+
+
+def test_wau_overlap_bounds(spark, sf_dir):
+    """Jaccard in [0, 1]; overlap never exceeds either week's WAU."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["analytics_wau_overlap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["jaccard_r"] <= 1.0
+        assert r["n_both"] <= r["wau"]
+
+
+def test_powerlaw_alpha_positive(spark, sf_dir):
+    """Hill alpha > 1 by construction; tail is non-empty and d_min
+    respects the threshold."""
+    from hive_task_spark.registry import QUERIES
+
+    r = QUERIES["analytics_degree_powerlaw_fit"](spark, sf_dir).collect()[0]
+    assert r["n_tail"] > 0 and r["d_min"] >= 3
+    assert r["alpha_hill_r"] > 1.0
+
+
+def test_information_gain_bounds(spark, sf_dir):
+    """0 <= IG <= H(y) for every feature (entropy can only shrink)."""
+    from hive_task_spark.registry import QUERIES
+
+    for r in QUERIES["analytics_information_gain"](spark, sf_dir).collect():
+        assert -1e-9 <= r["info_gain_r"] <= r["h_y_r"] + 1e-9
