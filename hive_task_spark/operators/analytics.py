@@ -3892,3 +3892,110 @@ def analytics_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("h_y") - F.col("h_yx"), 6).alias("info_gain_r"),
         )
     )
+
+
+@register(
+    "analytics_dwell_time_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER w AS to_type,
+               CAST(lead(epoch_us(ts)) OVER w - epoch_us(ts) AS BIGINT)
+                   AS dwell_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT from_type, to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+           CAST(sum(dwell_us) // count(*) AS BIGINT) AS mean_dwell_us
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def analytics_dwell_time_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State dwell-time matrix — how long users sit in state A before
+    moving to state B: the time-weighted companion to the Markov
+    transition matrix (same (from, to) bigram stream, but measuring
+    µs between the events instead of counting them). Product
+    analytics reads this as friction — a long view→purchase dwell is
+    a slow checkout, a short anything→error dwell is a crash loop.
+    Pure int64 µs; the mean is integer floor division so no float
+    touches the edge. Same single user_id exchange as the transition
+    matrix and sessionizer — at 100 TB all three ship as one pass
+    over one shuffle."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (F.lead(t).over(w) - t).alias("dwell_us"),
+    ).filter(F.col("to_type").isNotNull())
+    return seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dwell_us").cast("long").alias("total_dwell_us"),
+        F.expr("sum(dwell_us) div count(*)").cast("long").alias("mean_dwell_us"),
+    )
+
+
+@register(
+    "analytics_customer_timeline",
+    oracle="""
+    WITH merged AS (
+        SELECT o_custkey AS custkey, 'order' AS kind,
+               CAST(epoch_us(o_orderdate) AS BIGINT) AS t_us,
+               o_orderkey AS ref_id,
+               round(o_totalprice, 2) AS amount_r
+        FROM orders WHERE o_custkey < 40
+        UNION ALL
+        SELECT user_id, 'event:' || event_type,
+               CAST(epoch_us(ts) AS BIGINT), event_id, round(value, 6)
+        FROM events WHERE user_id < 40
+    )
+    SELECT custkey, kind, t_us, ref_id, amount_r,
+           CAST(row_number() OVER (PARTITION BY custkey
+                                   ORDER BY t_us, kind, ref_id) AS BIGINT)
+               AS seq
+    FROM merged
+    """,
+)
+def analytics_customer_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-360 activity timeline — the union of heterogeneous
+    fact tables (orders + behavioral events) into ONE per-customer
+    time-ordered feed with source tags and a deterministic sequence
+    number ((t, kind, ref) total order). The shape behind every
+    "activity feed", support-console history, and
+    journey-reconstruction job: schemas align by projection, the
+    union is free (no shuffle), and the only exchange is the
+    per-customer sequence window — which downstream journey ops
+    (sessionize, funnel, Markov, dwell) then reuse. At 100 TB the
+    win is unioning N sources in one pass instead of N join
+    round-trips against a customer spine."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 40)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.lit("order").alias("kind"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t_us"),
+            F.col("o_orderkey").alias("ref_id"),
+            F.round("o_totalprice", 2).alias("amount_r"),
+        )
+    )
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            F.col("user_id").alias("custkey"),
+            F.concat(F.lit("event:"), F.col("event_type")).alias("kind"),
+            F.unix_micros("ts").alias("t_us"),
+            F.col("event_id").alias("ref_id"),
+            F.round("value", 6).alias("amount_r"),
+        )
+    )
+    merged = o.unionByName(e)
+    w = Window.partitionBy("custkey").orderBy("t_us", "kind", "ref_id")
+    return merged.withColumn(
+        "seq", F.row_number().over(w).cast("long")
+    )

@@ -1271,3 +1271,59 @@ def quality_retry_storm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_retry).cast("long").alias("n_retries"),
         F.round(F.sum(is_retry) / F.count(F.lit(1)), 6).alias("retry_rate_r"),
     )
+
+
+
+@register(
+    "quality_column_size_profile",
+    oracle="""
+    WITH m AS (
+        SELECT count(*) AS n,
+               sum(len(c_name))    AS b_name,
+               sum(len(c_mktsegment)) AS b_seg
+        FROM customer
+    )
+    SELECT 'c_custkey' AS col_name, CAST(n * 8 AS BIGINT) AS est_bytes,
+           CAST(800 AS BIGINT) AS avg_width_x100 FROM m
+    UNION ALL
+    SELECT 'c_acctbal', CAST(n * 8 AS BIGINT), CAST(800 AS BIGINT) FROM m
+    UNION ALL
+    SELECT 'c_name', CAST(b_name AS BIGINT),
+           CAST(b_name * 100 // n AS BIGINT) FROM m
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(b_seg AS BIGINT),
+           CAST(b_seg * 100 // n AS BIGINT) FROM m
+    UNION ALL
+    SELECT 'c_nationkey', CAST(n * 8 AS BIGINT), CAST(800 AS BIGINT) FROM m
+    """,
+)
+def quality_column_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column storage-size profile — the layout-planning report that
+    tells you what column pruning is worth: per column, estimated
+    uncompressed bytes (8 per numeric, string lengths summed) and
+    average width. When c_comment is 70% of the row, a projection
+    that skips it reads 3x less — this table is the quantitative
+    case for ReadSchema pruning, column-family splits, and
+    dictionary candidates (narrow low-cardinality strings). One
+    fused aggregate (counts + length sums in a single pass), then a
+    constant-width unpivot; integer x100 fixed-point keeps the
+    width column float-free."""
+    c = load(spark, sf_dir, "customer")
+    m = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("c_name")).alias("b_name"),
+        F.sum(F.length("c_mktsegment")).alias("b_seg"),
+    )
+    return m.selectExpr(
+        """stack(5,
+            'c_custkey',    n * 8,     CAST(800 AS BIGINT),
+            'c_acctbal',    n * 8,     CAST(800 AS BIGINT),
+            'c_name',       b_name,    b_name * 100 div n,
+            'c_mktsegment', b_seg,     b_seg * 100 div n,
+            'c_nationkey',  n * 8,     CAST(800 AS BIGINT)
+        ) AS (col_name, est_bytes, avg_width_x100)"""
+    ).selectExpr(
+        "col_name",
+        "CAST(est_bytes AS BIGINT) AS est_bytes",
+        "CAST(avg_width_x100 AS BIGINT) AS avg_width_x100",
+    )

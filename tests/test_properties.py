@@ -1360,3 +1360,43 @@ def test_information_gain_bounds(spark, sf_dir):
 
     for r in QUERIES["analytics_information_gain"](spark, sf_dir).collect():
         assert -1e-9 <= r["info_gain_r"] <= r["h_y_r"] + 1e-9
+
+
+def test_dwell_matrix_matches_transition_counts(spark, sf_dir):
+    """Dwell-matrix pair counts equal the Markov transition counts
+    (same bigram stream, two measures)."""
+    from hive_task_spark.registry import QUERIES
+
+    dwell = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in QUERIES["analytics_dwell_time_matrix"](spark, sf_dir).collect()
+    }
+    trans = {
+        (r["from_type"], r["to_type"]): r["n_trans"]
+        for r in QUERIES["analytics_markov_transitions"](spark, sf_dir).collect()
+    }
+    assert dwell == trans
+
+
+def test_timeline_seq_is_dense_per_customer(spark, sf_dir):
+    """Sequence numbers are 1..n per customer with no gaps."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["analytics_customer_timeline"](spark, sf_dir)
+    per = out.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx"),
+        F.min("seq").alias("mn"),
+    )
+    assert per.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
+
+
+def test_size_profile_accounts_all_columns(spark, sf_dir):
+    """One row per customer column; numeric widths fixed at 8.00."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = {r["col_name"]: r for r in QUERIES["quality_column_size_profile"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    }
+    for c in ("c_custkey", "c_acctbal", "c_nationkey"):
+        assert rows[c]["avg_width_x100"] == 800
