@@ -71,6 +71,13 @@ HEADLINE = [
     "geo_radius_join",
     "pipeline_feature_hashing",
     "stream_chained_windows",
+    # Closing waves: the interval-algebra FIFO matcher (cumsum + keyed
+    # interval join), the corpus-wide inverted-index build (distinct +
+    # collect_list posting serialization), and the per-(user,day) TWAP
+    # (lead window + weighted aggregate over the full events table).
+    "analytics_fifo_inventory_matching",
+    "text_inverted_index",
+    "analytics_time_weighted_avg",
 ]
 
 
