@@ -3999,3 +3999,183 @@ def analytics_customer_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn(
         "seq", F.row_number().over(w).cast("long")
     )
+
+
+@register(
+    "analytics_psi_drift",
+    oracle="""
+    WITH lab AS (
+        SELECT o_totalprice AS v,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) >=
+                    (SELECT min(year(o_orderdate) * 12 + month(o_orderdate))
+                           + 24 FROM orders) AS INTEGER) AS post
+        FROM orders
+    ),
+    rng AS (SELECT min(v) AS lo, max(v) AS hi FROM lab),
+    binned AS (
+        SELECT least(CAST(floor((v - rng.lo) / ((rng.hi - rng.lo) / 10.0))
+                          AS BIGINT), 9) AS bin,
+               post
+        FROM lab, rng
+    ),
+    cell AS (
+        SELECT bin,
+               sum(CASE WHEN post = 0 THEN 1 ELSE 0 END) AS n_pre,
+               sum(CASE WHEN post = 1 THEN 1 ELSE 0 END) AS n_post
+        FROM binned GROUP BY bin
+    ),
+    tots AS (SELECT sum(n_pre) AS tp, sum(n_post) AS tq FROM cell)
+    SELECT CAST(cell.bin AS BIGINT) AS bin,
+           CAST(cell.n_pre AS BIGINT) AS n_pre,
+           CAST(cell.n_post AS BIGINT) AS n_post,
+           round(((cell.n_pre + 0.5) / (tots.tp + 5.0)
+                  - (cell.n_post + 0.5) / (tots.tq + 5.0))
+                 * ln(((cell.n_pre + 0.5) / (tots.tp + 5.0))
+                      / ((cell.n_post + 0.5) / (tots.tq + 5.0))), 6)
+               AS psi_term_r,
+           round(sum(((cell.n_pre + 0.5) / (tots.tp + 5.0)
+                      - (cell.n_post + 0.5) / (tots.tq + 5.0))
+                     * ln(((cell.n_pre + 0.5) / (tots.tp + 5.0))
+                          / ((cell.n_post + 0.5) / (tots.tq + 5.0))))
+                 OVER (), 6) AS psi_total_r
+    FROM cell, tots
+    """,
+)
+def analytics_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — THE model-monitoring drift metric:
+    the order-value distribution before vs after a cutoff (first 24
+    months vs the rest) is binned into 10 fixed-width buckets and
+    PSI = Σ (p_i − q_i) ln(p_i/q_i) with 0.5 Laplace smoothing (so an
+    empty bin contributes a finite penalty instead of ∞). Industry
+    thresholds: < 0.1 stable, 0.1–0.25 watch, > 0.25 retrain.
+    Complements the mean/std drift monitor (which misses
+    shape-preserving shifts) and the KS row (which gives a p-value,
+    not a monitorable magnitude). One cell census from one scan;
+    bin edges come from the global min/max so both periods share the
+    grid. Per-bin terms + the windowed total on a 10-row table."""
+    o = load(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    cut = o.agg((F.min(m) + 24).alias("cut"))
+    lab = o.crossJoin(F.broadcast(cut)).select(
+        F.col("o_totalprice").alias("v"),
+        (m >= F.col("cut")).cast("int").alias("post"),
+    )
+    rng = lab.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = lab.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)
+            ).cast("long"),
+            F.lit(9),
+        ).alias("bin"),
+        "post",
+    )
+    cell = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("post") == 0, 1).otherwise(0)).alias("n_pre"),
+        F.sum(F.when(F.col("post") == 1, 1).otherwise(0)).alias("n_post"),
+    )
+    tots = cell.agg(
+        F.sum("n_pre").alias("tp"), F.sum("n_post").alias("tq")
+    )
+    p = (F.col("n_pre") + 0.5) / (F.col("tp") + 5.0)
+    q = (F.col("n_post") + 0.5) / (F.col("tq") + 5.0)
+    term = (p - q) * F.log(p / q)
+    return cell.crossJoin(F.broadcast(tots)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_pre").cast("long").alias("n_pre"),
+        F.col("n_post").cast("long").alias("n_post"),
+        F.round(term, 6).alias("psi_term_r"),
+        F.round(F.sum(term).over(Window.partitionBy()), 6).alias(
+            "psi_total_r"
+        ),
+    )
+
+
+@register(
+    "analytics_rank_stability_spearman",
+    oracle="""
+    WITH cut AS (
+        SELECT min(year(o_orderdate) * 12 + month(o_orderdate)) + 24 AS c
+        FROM orders
+    ),
+    spend AS (
+        SELECT o_custkey,
+               round(sum(CASE WHEN year(o_orderdate) * 12
+                                   + month(o_orderdate) < cut.c
+                              THEN o_totalprice ELSE 0 END), 2) AS s_pre,
+               round(sum(CASE WHEN year(o_orderdate) * 12
+                                   + month(o_orderdate) >= cut.c
+                              THEN o_totalprice ELSE 0 END), 2) AS s_post
+        FROM orders, cut
+        GROUP BY o_custkey
+        HAVING s_pre > 0 AND s_post > 0
+    ),
+    ranked AS (
+        SELECT o_custkey,
+               row_number() OVER (ORDER BY s_pre DESC, o_custkey) AS r1,
+               row_number() OVER (ORDER BY s_post DESC, o_custkey) AS r2
+        FROM spend
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+           round(1.0 - 6.0 * sum((r1 - r2) * (r1 - r2))
+                 / (count(*) * (count(*) * count(*) - 1.0)), 6)
+               AS spearman_r
+    FROM ranked
+    """,
+)
+def analytics_rank_stability_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leaderboard rank stability — Spearman rho between customer
+    spend ranks in two periods (first 24 months vs the rest),
+    computed by the exact integer formula rho = 1 − 6Σd²/(n(n²−1)):
+    ranks and squared displacements are int64, so the statistic's
+    numerator is exact and only the final ratio rounds. Near 1 =
+    the same customers dominate both periods (stable book); near 0 =
+    complete reshuffle (the "whale churn" a mean-spend drift monitor
+    cannot see — totals can match while the identities rotate).
+    Pearson-on-values is the corr row; this is its robust
+    rank-based sibling. Two window ranks over a customer-grain
+    aggregate — the fact pass is one groupBy."""
+    o = load(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    cut = o.agg((F.min(m) + 24).alias("c"))
+    spend = (
+        o.crossJoin(F.broadcast(cut))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.when(m < F.col("c"), F.col("o_totalprice")).otherwise(0.0)),
+                2,
+            ).alias("s_pre"),
+            F.round(
+                F.sum(F.when(m >= F.col("c"), F.col("o_totalprice")).otherwise(0.0)),
+                2,
+            ).alias("s_post"),
+        )
+        .filter((F.col("s_pre") > 0) & (F.col("s_post") > 0))
+    )
+    ranked = spend.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("s_pre").desc(), "o_custkey"))
+        .alias("r1"),
+        F.row_number()
+        .over(Window.orderBy(F.col("s_post").desc(), "o_custkey"))
+        .alias("r2"),
+    )
+    d2 = (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+        F.round(
+            1.0
+            - 6.0
+            * F.sum(d2)
+            / (
+                F.count(F.lit(1))
+                * (F.count(F.lit(1)) * F.count(F.lit(1)) - 1.0)
+            ),
+            6,
+        ).alias("spearman_r"),
+    )

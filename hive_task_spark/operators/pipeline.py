@@ -1628,3 +1628,106 @@ def pipeline_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("long").alias("rk"),
         F.col("cum").cast("long").alias("cum_mass"),
     )
+
+
+@register(
+    "pipeline_waterfill_allocation",
+    oracle="""
+    WITH dem AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS d
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               (9 * sum(d)) // 10 AS c
+        FROM dem
+    ),
+    ranked AS (
+        SELECT dem.source, dem.d, tot.n, tot.c,
+               row_number() OVER (ORDER BY dem.d, dem.source) AS i,
+               coalesce(sum(dem.d) OVER (ORDER BY dem.d, dem.source
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS p_prev
+        FROM dem, tot
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN d * (n - i + 1) + p_prev <= c
+                    THEN 1 ELSE 0 END AS satisfied
+        FROM ranked
+    ),
+    kstar AS (
+        SELECT coalesce(max(i), 0) AS k,
+               coalesce(max(p_prev + d), 0) AS p_k
+        FROM flagged WHERE satisfied = 1
+    )
+    SELECT f.source, f.d AS demand,
+           CAST(CASE WHEN f.satisfied = 1 THEN f.d
+                ELSE (f.c - k.p_k) // (f.n - k.k)
+                     + CASE WHEN f.i - k.k
+                                 <= (f.c - k.p_k) % (f.n - k.k)
+                            THEN 1 ELSE 0 END
+           END AS BIGINT) AS alloc,
+           CAST(f.satisfied AS BIGINT) AS fully_satisfied
+    FROM flagged f, kstar k
+    """,
+)
+def pipeline_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) allocation — divide a global
+    token/compute budget (90% of total demand here) across sources so
+    that small demands are fully satisfied and the rest share the
+    remaining budget equally: the fairness mechanic behind multi-
+    tenant quota systems and data-mixture budgeting when a flat
+    proportional split would starve small domains. The sequential
+    "fill the lowest first" algorithm collapses to a closed form
+    under an ascending-demand sort: source i is fully satisfied iff
+    d_i * (remaining sources) + prefix <= budget, and the capped
+    tail splits the leftover evenly with a largest-remainder-style
+    +1 top-up to the first r capped sources — every quantity int64,
+    so the fairness boundary can never float-flip. One sort over
+    |sources| rows (the demand census is the only corpus pass)."""
+    d = load(spark, sf_dir, "documents")
+    dem = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("d")
+    )
+    tot = dem.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("(9 * sum(d)) div 10").cast("long").alias("c"),
+    )
+    word = Window.orderBy("d", "source")
+    ranked = dem.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "d",
+        "n",
+        "c",
+        F.row_number().over(word).alias("i"),
+        F.coalesce(
+            F.sum("d").over(word.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("p_prev"),
+    )
+    flagged = ranked.withColumn(
+        "satisfied",
+        (
+            F.col("d") * (F.col("n") - F.col("i") + 1) + F.col("p_prev")
+            <= F.col("c")
+        ).cast("int"),
+    )
+    kstar = flagged.filter(F.col("satisfied") == 1).agg(
+        F.coalesce(F.max("i"), F.lit(0)).alias("k"),
+        F.coalesce(F.max(F.col("p_prev") + F.col("d")), F.lit(0)).alias("p_k"),
+    )
+    f = flagged.crossJoin(F.broadcast(kstar))
+    level = F.expr("(c - p_k) div (n - k)")
+    topup = F.when(
+        (F.col("i") - F.col("k")) <= F.expr("(c - p_k) % (n - k)"), 1
+    ).otherwise(0)
+    return f.select(
+        "source",
+        F.col("d").alias("demand"),
+        F.when(F.col("satisfied") == 1, F.col("d"))
+        .otherwise(level + topup)
+        .cast("long")
+        .alias("alloc"),
+        F.col("satisfied").cast("long").alias("fully_satisfied"),
+    )

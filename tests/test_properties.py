@@ -1400,3 +1400,42 @@ def test_size_profile_accounts_all_columns(spark, sf_dir):
     }
     for c in ("c_custkey", "c_acctbal", "c_nationkey"):
         assert rows[c]["avg_width_x100"] == 800
+
+
+def test_waterfill_fairness_invariants(spark, sf_dir):
+    """Allocations sum exactly to the budget, never exceed demand, and
+    capped sources differ by at most 1 unit (max-min fairness)."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["pipeline_waterfill_allocation"](spark, sf_dir).collect()
+    total_demand = sum(r["demand"] for r in rows)
+    budget = (9 * total_demand) // 10
+    assert sum(r["alloc"] for r in rows) == budget
+    assert all(r["alloc"] <= r["demand"] for r in rows)
+    capped = [r["alloc"] for r in rows if r["fully_satisfied"] == 0]
+    if capped:
+        assert max(capped) - min(capped) <= 1
+        # every satisfied source demands no more than any capped alloc
+        sat = [r["demand"] for r in rows if r["fully_satisfied"] == 1]
+        assert not sat or max(sat) <= min(capped) + 1
+
+
+def test_psi_terms_nonnegative(spark, sf_dir):
+    """(p-q)ln(p/q) >= 0 per bin; total equals the sum of terms."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["analytics_psi_drift"](spark, sf_dir).collect()
+    assert all(r["psi_term_r"] >= -1e-9 for r in rows)
+    total = {r["psi_total_r"] for r in rows}
+    assert len(total) == 1
+    assert abs(total.pop() - sum(r["psi_term_r"] for r in rows)) < 1e-4
+
+
+def test_spearman_bounds(spark, sf_dir):
+    """rho in [-1, 1]; d^2 sum consistent with the n bound."""
+    from hive_task_spark.registry import QUERIES
+
+    r = QUERIES["analytics_rank_stability_spearman"](spark, sf_dir).collect()[0]
+    assert -1.0 - 1e-9 <= r["spearman_r"] <= 1.0 + 1e-9
+    n = r["n"]
+    assert 0 <= r["sum_d2"] <= n * (n * n - 1) // 3
