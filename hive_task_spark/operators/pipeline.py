@@ -1731,3 +1731,86 @@ def pipeline_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("alloc"),
         F.col("satisfied").cast("long").alias("fully_satisfied"),
     )
+
+
+@register(
+    "pipeline_incremental_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM e
+    )
+    SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sess_value_r
+    FROM s GROUP BY user_id, sess_no
+    """,
+)
+def pipeline_incremental_sessionize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental (partition-parallel) sessionization with boundary
+    stitching — the 100 TB version of the sessionizer: each calendar
+    day sessionizes INDEPENDENTLY (so daily partitions process in
+    isolation — the only way to sessionize a petabyte backfill or
+    run days on different clusters), then a second, session-grain
+    pass re-applies the exact same island numbering to merge
+    sessions whose gap across midnight is <= 30 min (a chain can
+    span many days; island numbering handles transitive merges for
+    free). The oracle is the ONE-SHOT global sessionizer — the
+    stitched two-phase result must be indistinguishable from it,
+    which is the correctness contract of every incremental pipeline:
+    day-parallel + boundary reconciliation == global recompute.
+    Phase 2 touches only |sessions| rows, ~100x smaller than the
+    event grain."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "day_idx",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long"),
+    )
+    # Phase 1: per-(user, day) independent sessionization.
+    wday = Window.partitionBy("user_id", "day_idx").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wday)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    ).withColumn(
+        "day_sess",
+        F.sum("new_sess").over(
+            wday.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    day_sessions = flagged.groupBy("user_id", "day_idx", "day_sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("v"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+    # Phase 2: island numbering at the session grain stitches across
+    # day boundaries (within-day gaps are > 30 min by construction).
+    wchain = Window.partitionBy("user_id").orderBy("first_us", "day_idx")
+    cgap = F.col("first_us") - F.lag("last_us").over(wchain)
+    chained = day_sessions.withColumn(
+        "new_chain",
+        F.when(cgap.isNull() | (cgap > 30 * 60 * 1000000), 1).otherwise(0),
+    ).withColumn(
+        "sess_no",
+        F.sum("new_chain").over(
+            wchain.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return chained.groupBy(
+        "user_id", F.col("sess_no").cast("long").alias("sess_no")
+    ).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.sum("v"), 6).alias("sess_value_r"),
+    )

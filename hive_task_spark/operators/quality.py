@@ -1327,3 +1327,50 @@ def quality_column_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(est_bytes AS BIGINT) AS est_bytes",
         "CAST(avg_width_x100 AS BIGINT) AS avg_width_x100",
     )
+
+
+@register(
+    "quality_partition_fingerprint",
+    oracle="""
+    WITH h AS (
+        SELECT c_nationkey,
+               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' ||
+                                       c_name || '|' || c_mktsegment),
+                                   1, 12) AS BIGINT) AS h48
+        FROM customer
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nat,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h48) AS BIGINT) AS sum48,
+           CAST(bit_xor(h48) AS BIGINT) AS xor48
+    FROM h GROUP BY c_nationkey
+    """,
+)
+def quality_partition_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level content fingerprints — the cheap cross-cluster
+    replication audit: per partition (nation), row count plus TWO
+    order-insensitive content digests (sum and xor of a 48-bit
+    md5-derived key over the business columns). Two replicas compare
+    |partitions| fingerprint rows instead of re-shipping data; a
+    mismatch pinpoints WHICH partition diverged, and the sum/xor
+    pair catches the swaps a count alone misses (sum catches value
+    edits, xor catches duplicated-row-pair cancellation in the sum).
+    48-bit chunks keep the int64 sum overflow-free to ~30k rows per
+    partition — at bigger partitions sum modulo a prime. One
+    map-side-combined groupBy; both aggregates are commutative, so
+    the digest is partitioning- and order-independent by
+    construction."""
+    c = load(spark, sf_dir, "customer")
+    h48 = F.expr(
+        "CAST(conv(substr(md5(concat(CAST(c_custkey AS STRING), '|',"
+        " c_name, '|', c_mktsegment)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    return (
+        c.select(F.col("c_nationkey").cast("long").alias("nat"), h48.alias("h48"))
+        .groupBy("nat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("h48").cast("long").alias("sum48"),
+            F.expr("bit_xor(h48)").cast("long").alias("xor48"),
+        )
+    )

@@ -995,3 +995,81 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("last_value", 6).alias("last_value_r"),
         "n_changes",
     )
+
+
+@register(
+    "stream_lambda_backfill_union",
+    defer=True,
+    oracle="""
+    WITH cut AS (
+        SELECT min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) + 20 AS c
+        FROM events
+    )
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+           CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT) < cut.c
+                THEN 'batch' ELSE 'stream' END AS path,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value_r
+    FROM events, cut
+    GROUP BY 1, 2
+    """,
+)
+def stream_lambda_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture reconciliation — batch backfill + live
+    streaming tail serving ONE logical table: history (days before
+    the cutoff) aggregates through the batch path, the tail (days
+    >= cutoff) replays through Structured Streaming into the same
+    daily schema, and the union must tile the timeline exactly — no
+    gap, no overlap, per-day results identical to a pure batch run
+    over everything (the oracle). This seam is where real lambda
+    deployments silently double-count or drop the cutover day; the
+    path tag keeps the audit explicit. The streaming side filters
+    BEFORE aggregating, so its state covers only tail days."""
+    from hive_task_spark.tables import load
+
+    apply_runtime_conf(spark)
+    e = load(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    cut_row = e.agg((F.min(day) + 20).alias("c"))
+    cut = cut_row  # 1-row broadcast for the batch side
+    batch = (
+        e.withColumn("day_idx", day)
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("day_idx") < F.col("c"))
+        .groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value_r"),
+        )
+        .select(
+            "day_idx",
+            F.lit("batch").alias("path"),
+            "n_events",
+            "total_value_r",
+        )
+    )
+    # Streaming tail: the cutoff is a literal in the stream's plan
+    # (computed once from the batch footer read above).
+    cut_val = None
+    for r in cut_row.limit(1).toLocalIterator():
+        cut_val = r["c"]
+    s = _events_stream(spark, sf_dir)
+    sday = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    tail = (
+        s.withColumn("day_idx", sday)
+        .filter(F.col("day_idx") >= F.lit(cut_val))
+        .groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value_r"),
+        )
+    )
+    tail_out = _run_to_table(
+        spark, tail, "stream_lambda_tail", "complete"
+    ).select(
+        "day_idx",
+        F.lit("stream").alias("path"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value_r",
+    )
+    return batch.unionByName(tail_out)

@@ -1439,3 +1439,78 @@ def test_spearman_bounds(spark, sf_dir):
     assert -1.0 - 1e-9 <= r["spearman_r"] <= 1.0 + 1e-9
     n = r["n"]
     assert 0 <= r["sum_d2"] <= n * (n * n - 1) // 3
+
+
+def test_incremental_sessionize_equals_global(spark, sf_dir):
+    """Two-phase (per-day + stitch) sessionization must equal the
+    one-shot global sessionizer on (user, n_events) multisets and
+    6dp session values."""
+    from hive_task_spark.registry import QUERIES
+
+    inc = sorted(
+        (r["user_id"], r["sess_no"], r["n_events"], r["sess_value_r"])
+        for r in QUERIES["pipeline_incremental_sessionize"](spark, sf_dir).collect()
+    )
+    glob = sorted(
+        (r["user_id"], r["sess_no"], r["n_events"], round(r["sess_value"], 6))
+        for r in QUERIES["pipeline_sessionize_events"](spark, sf_dir).collect()
+    )
+    assert len(inc) == len(glob)
+    for a, b in zip(inc, glob):
+        assert a[:3] == b[:3]
+        assert abs(a[3] - b[3]) < 1e-5
+
+
+def test_partition_fingerprint_detects_mutation(spark, sf_dir):
+    """Mutating one row changes that partition's digest and no
+    other's."""
+    from hive_task_spark.registry import QUERIES
+
+    base = {
+        r["nat"]: (r["n_rows"], r["sum48"], r["xor48"])
+        for r in QUERIES["quality_partition_fingerprint"](spark, sf_dir).collect()
+    }
+    c = load(spark, sf_dir, "customer").withColumn(
+        "c_name",
+        F.when(F.col("c_custkey") == 7, F.lit("TAMPERED")).otherwise(
+            F.col("c_name")
+        ),
+    )
+    h48 = F.expr(
+        "CAST(conv(substr(md5(concat(CAST(c_custkey AS STRING), '|',"
+        " c_name, '|', c_mktsegment)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    mutated = {
+        r["nat"]: (r["n_rows"], r["sum48"], r["xor48"])
+        for r in c.select(
+            F.col("c_nationkey").cast("long").alias("nat"), h48.alias("h48")
+        )
+        .groupBy("nat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("h48").cast("long").alias("sum48"),
+            F.expr("bit_xor(h48)").cast("long").alias("xor48"),
+        )
+        .collect()
+    }
+    nat7 = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 7)
+        .select("c_nationkey")
+        .collect()[0][0]
+    )
+    diffs = [n for n in base if base[n] != mutated[n]]
+    assert diffs == [nat7]
+
+
+def test_lambda_union_tiles_timeline(spark, sf_dir):
+    """Batch and stream paths never overlap on a day, and per-day
+    counts sum to the full table."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["stream_lambda_backfill_union"](spark, sf_dir).collect()
+    days = {}
+    for r in rows:
+        days.setdefault(r["day_idx"], []).append(r["path"])
+    assert all(len(v) == 1 for v in days.values())
+    assert sum(r["n_events"] for r in rows) == load(spark, sf_dir, "events").count()
