@@ -4179,3 +4179,86 @@ def analytics_rank_stability_spearman(
             6,
         ).alias("spearman_r"),
     )
+
+
+@register(
+    "analytics_time_to_convert",
+    oracle="""
+    WITH signup AS (
+        SELECT user_id, min(ts) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT s.user_id,
+               min(epoch_us(e.ts) - epoch_us(s.t0)) AS dt_us
+        FROM signup s
+        JOIN events e ON e.user_id = s.user_id
+                     AND e.event_type = 'purchase'
+                     AND e.ts >= s.t0
+        GROUP BY s.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST((SELECT count(*) FROM signup) AS BIGINT) AS n_signed_up,
+           CAST(min(dt_us) AS BIGINT) AS min_us,
+           CAST(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dt_us)
+                     AS BIGINT) AS BIGINT) AS p50_us,
+           CAST(CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY dt_us)
+                     AS BIGINT) AS BIGINT) AS p90_us,
+           CAST(max(dt_us) AS BIGINT) AS max_us
+    FROM conv
+    """,
+)
+def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the funnel's missing dimension:
+    the staged funnel counts WHO converts; this measures HOW LONG
+    first-signup → first-subsequent-purchase takes, reported as
+    min/p50/p90/max µs (discrete percentiles over int64 durations —
+    exact values from the data, no interpolation float). p90 sizing
+    is how activation teams set nudge timers and how capacity
+    planning sizes the conversion-attribution window (the as-of and
+    stream-stream joins' tolerance parameter SHOULD be this p90, not
+    a guess — that's the operational tie-in). Two per-user aggregates
+    sharing the user_id partitioning, then a 1-row summary."""
+    e = load(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp")
+    )
+    conv = (
+        signup.join(purch, "user_id")
+        .filter(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros("tp") - F.unix_micros("t0")
+            ).alias("dt_us")
+        )
+    )
+    n_signed = signup.agg(F.count(F.lit(1)).cast("long").alias("n_signed_up"))
+    wr = Window.orderBy("dt_us", "user_id")
+    ranked = conv.select(
+        "dt_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    # percentile_disc semantics: smallest value with cume_dist >= p,
+    # i.e. the value at 1-based rank ceil(p * n) — exact, no
+    # interpolation float (Spark's percentile() interpolates).
+    p50_rn = F.expr("CAST(ceil(n * 0.5) AS BIGINT)")
+    p90_rn = F.expr("CAST(ceil(n * 0.9) AS BIGINT)")
+    return ranked.crossJoin(F.broadcast(n_signed)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.first("n_signed_up").alias("n_signed_up"),
+        F.min("dt_us").cast("long").alias("min_us"),
+        F.max(F.when(F.col("rn") == p50_rn, F.col("dt_us")))
+        .cast("long")
+        .alias("p50_us"),
+        F.max(F.when(F.col("rn") == p90_rn, F.col("dt_us")))
+        .cast("long")
+        .alias("p90_us"),
+        F.max("dt_us").cast("long").alias("max_us"),
+    )

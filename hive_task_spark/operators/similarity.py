@@ -1674,3 +1674,97 @@ def similarity_rec_diversity_eval(
         F.round(F.avg("dist"), 6).alias("ild_r"),
         F.round(F.first("c"), 6).alias("catalog_coverage_r"),
     )
+
+
+@register(
+    "similarity_filtered_search",
+    defer=True,
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               CAST(c.label AS BIGINT) AS label,
+               list_sum(list_transform(list_zip(q.vec, c.vec),
+                                       p -> p[1] * p[2]))
+                   / (q.nrm * c.nrm) AS cosine
+        FROM n q
+        JOIN n c ON q.vec_id < {N_QUERIES}
+               AND q.vec_id <> c.vec_id
+               AND c.label = q.label
+    )
+    SELECT query_id, neighbor_id, label,
+           CAST(rnk AS BIGINT) AS rnk,
+           round(cosine, 6) AS cosine_r
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+              AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — top-k retrieval restricted by a
+    metadata predicate (same-label here): the problem every vector
+    store struggles with, because post-filtering an unfiltered ANN
+    result can return < k survivors while pre-filtering shrinks the
+    candidate set the index was built for. In the DataFrame algebra
+    the filter is just another join predicate pushed INTO the
+    scoring join, so recall is exact by construction — the honest
+    baseline any filtered-ANN strategy (label-partitioned indexes,
+    filter-aware probing) must match. At scale, partitioning the
+    index by the filter column (the label-centroids row) makes the
+    pre-filter a partition prune."""
+    vecs = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _vec_d().alias("vec"))
+        .withColumn("nrm", _norm(F.col("vec")))
+    )
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            vecs,
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").cast("long").alias("label"),
+            (
+                _dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            "rnk",
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+    )

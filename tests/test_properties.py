@@ -1514,3 +1514,45 @@ def test_lambda_union_tiles_timeline(spark, sf_dir):
         days.setdefault(r["day_idx"], []).append(r["path"])
     assert all(len(v) == 1 for v in days.values())
     assert sum(r["n_events"] for r in rows) == load(spark, sf_dir, "events").count()
+
+
+def test_filtered_search_respects_filter(spark, sf_dir):
+    """Every neighbor shares the query's label; at most k per query."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["similarity_filtered_search"](spark, sf_dir)
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+    per_q = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(v <= 5 for v in per_q.values())
+
+
+def test_fellegi_sunter_true_pairs_score_high(spark, sf_dir):
+    """The true pair (dirty_key == cand_key) is never classified
+    non-match — name-prefix block plus three agreeing fields keeps
+    its weight above the lower threshold."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["quality_fellegi_sunter_scoring"](spark, sf_dir)
+    true_bad = out.filter(
+        (F.col("dirty_key") == F.col("cand_key"))
+        & (F.col("decision") == "non-match")
+    )
+    assert true_bad.count() == 0
+
+
+def test_time_to_convert_percentile_order(spark, sf_dir):
+    """min <= p50 <= p90 <= max and converted <= signed up."""
+    from hive_task_spark.registry import QUERIES
+
+    r = QUERIES["analytics_time_to_convert"](spark, sf_dir).collect()[0]
+    assert r["min_us"] <= r["p50_us"] <= r["p90_us"] <= r["max_us"]
+    assert r["n_converted"] <= r["n_signed_up"]
