@@ -4262,3 +4262,68 @@ def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_us"),
         F.max("dt_us").cast("long").alias("max_us"),
     )
+
+
+@register(
+    "analytics_qq_decile_table",
+    oracle="""
+    WITH lab AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                    ELSE 'other' END AS grp
+        FROM orders
+    ),
+    ranked AS (
+        SELECT grp, v,
+               row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY grp) AS n
+        FROM lab
+    ),
+    dec AS (SELECT unnest(range(1, 10)) AS d)
+    SELECT CAST(dec.d AS BIGINT) AS decile,
+           round(max(CASE WHEN grp = 'urgent' THEN v END), 2) AS q_urgent_r,
+           round(max(CASE WHEN grp = 'other' THEN v END), 2)  AS q_other_r,
+           round(max(CASE WHEN grp = 'urgent' THEN v END)
+                 - max(CASE WHEN grp = 'other' THEN v END), 2) AS gap_r
+    FROM ranked JOIN dec
+      ON ranked.rn = CAST(ceil(ranked.n * dec.d / 10.0) AS BIGINT)
+    GROUP BY dec.d
+    """,
+)
+def analytics_qq_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q decile comparison — the tabular quantile-quantile plot:
+    order values of two populations (urgent vs other priority) lined
+    up decile-by-decile, with the per-decile gap. Where the KS row
+    reduces the comparison to one statistic, this shows WHERE the
+    distributions diverge (head, body, or tail) — the diagnostic
+    analysts actually read before trusting a KS rejection. Discrete
+    quantiles by rank selection (value at ceil(n*d/10), same rule as
+    percentile_disc) so every reported number is a real observed
+    value — no interpolation float. Two window ranks sharing one
+    partitioning, then a 9-row pivot."""
+    o = load(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .otherwise("other")
+        .alias("grp"),
+    )
+    wg = Window.partitionBy("grp")
+    ranked = lab.select(
+        "grp",
+        "v",
+        F.row_number().over(wg.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    dec = spark.range(1, 10).select(F.col("id").alias("d"))
+    hit = ranked.join(
+        F.broadcast(dec),
+        F.col("rn") == F.ceil(F.col("n") * F.col("d") / 10.0).cast("long"),
+    )
+    qu = F.max(F.when(F.col("grp") == "urgent", F.col("v")))
+    qo = F.max(F.when(F.col("grp") == "other", F.col("v")))
+    return hit.groupBy(F.col("d").cast("long").alias("decile")).agg(
+        F.round(qu, 2).alias("q_urgent_r"),
+        F.round(qo, 2).alias("q_other_r"),
+        F.round(qu - qo, 2).alias("gap_r"),
+    )

@@ -1814,3 +1814,55 @@ def pipeline_incremental_sessionize(
         F.sum("n_events").cast("long").alias("n_events"),
         F.round(F.sum("v"), 6).alias("sess_value_r"),
     )
+
+
+@register(
+    "pipeline_subsample_ladder",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS h32
+        FROM documents
+    ),
+    rungs AS (SELECT unnest([1, 2, 4, 8, 16]) AS denom)
+    SELECT CAST(rungs.denom AS BIGINT) AS denom,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(k.n_chars) AS BIGINT) AS n_chars
+    FROM keyed k JOIN rungs
+      ON k.h32 * rungs.denom < 4294967296
+    GROUP BY rungs.denom
+    """,
+)
+def pipeline_subsample_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested subsample ladder — the scaling-law experiment harness:
+    1/1, 1/2, 1/4, 1/8, 1/16 corpus fractions selected by ONE
+    hash threshold per rung (keep doc iff h32 < 2^32/denom), so the
+    samples NEST by construction (every 1/16 doc is in the 1/8, is
+    in the 1/4, ...) — the property that makes loss-vs-data curves
+    comparable across rungs, and that rand()-per-rung sampling
+    destroys. Content-addressed (md5 of doc_id), so the ladder is
+    identical across reruns, engines, and cluster sizes; adding a
+    rung never perturbs existing ones. One scan, the rung "join" is
+    a 5-row broadcast; each rung's census is a map-side aggregate."""
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h32"),
+    )
+    rungs = spark.range(0, 5).select(
+        F.expr("shiftleft(1, CAST(id AS INT))").cast("long").alias("denom")
+    )
+    return (
+        keyed.crossJoin(F.broadcast(rungs))
+        .filter(F.col("h32") * F.col("denom") < F.lit(4294967296))
+        .groupBy(F.col("denom").cast("long").alias("denom"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )

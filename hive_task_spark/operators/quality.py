@@ -1499,3 +1499,76 @@ def quality_fellegi_sunter_scoring(
         .when(F.col("weight_r") >= 0.0, "review")
         .otherwise("non-match"),
     )
+
+
+@register(
+    "quality_encoding_advisor",
+    oracle="""
+    WITH m AS (
+        SELECT count(*) AS n,
+               count(DISTINCT o_orderstatus)    AS d_status,
+               count(DISTINCT o_orderpriority)  AS d_prio,
+               count(DISTINCT o_custkey)        AS d_cust,
+               count(DISTINCT o_orderkey)       AS d_key,
+               sum(len(o_orderstatus))   AS b_status,
+               sum(len(o_orderpriority)) AS b_prio
+        FROM orders
+    ),
+    prof AS (
+        SELECT 'o_orderstatus' AS col_name, d_status AS n_distinct,
+               b_status * 100 // n AS width_x100, n FROM m
+        UNION ALL
+        SELECT 'o_orderpriority', d_prio, b_prio * 100 // n, n FROM m
+        UNION ALL
+        SELECT 'o_custkey', d_cust, 800, n FROM m
+        UNION ALL
+        SELECT 'o_orderkey', d_key, 800, n FROM m
+    )
+    SELECT col_name,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(width_x100 AS BIGINT) AS width_x100,
+           CASE WHEN n_distinct * 100 <= n
+                THEN 'dictionary'
+                WHEN n_distinct = n THEN 'plain-unique'
+                ELSE 'plain' END AS recommended
+    FROM prof
+    """,
+)
+def quality_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor — the layout tuning report downstream
+    of the size profile: per column, exact cardinality and width
+    drive a rule-based recommendation (distinct/rows <= 1% =>
+    dictionary-encode — repeated values compress to indexes;
+    fully-unique keys => plain with delta left to the writer;
+    everything else plain). This is the decision parquet writers and
+    warehouse ANALYZE jobs make from exactly these two statistics;
+    at 100 TB choosing dictionary for a 5-value status column is
+    routinely a 10x scan-size difference on that column. One fused
+    aggregate, stack unpivot, pure-rule classification."""
+    o = load(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.countDistinct("o_orderpriority").alias("d_prio"),
+        F.countDistinct("o_custkey").alias("d_cust"),
+        F.countDistinct("o_orderkey").alias("d_key"),
+        F.sum(F.length("o_orderstatus")).alias("b_status"),
+        F.sum(F.length("o_orderpriority")).alias("b_prio"),
+    )
+    prof = m.selectExpr(
+        """stack(4,
+            'o_orderstatus',   d_status, b_status * 100 div n, n,
+            'o_orderpriority', d_prio,   b_prio * 100 div n,   n,
+            'o_custkey',       d_cust,   CAST(800 AS BIGINT),  n,
+            'o_orderkey',      d_key,    CAST(800 AS BIGINT),  n
+        ) AS (col_name, n_distinct, width_x100, n)"""
+    )
+    return prof.select(
+        "col_name",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("width_x100").cast("long").alias("width_x100"),
+        F.when(F.col("n_distinct") * 100 <= F.col("n"), "dictionary")
+        .when(F.col("n_distinct") == F.col("n"), "plain-unique")
+        .otherwise("plain")
+        .alias("recommended"),
+    )

@@ -1556,3 +1556,52 @@ def test_time_to_convert_percentile_order(spark, sf_dir):
     r = QUERIES["analytics_time_to_convert"](spark, sf_dir).collect()[0]
     assert r["min_us"] <= r["p50_us"] <= r["p90_us"] <= r["max_us"]
     assert r["n_converted"] <= r["n_signed_up"]
+
+
+def test_subsample_ladder_nests(spark, sf_dir):
+    """Each rung's doc set is a subset of the next larger rung."""
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h32"),
+    )
+    sets = {
+        k: {
+            r["doc_id"]
+            for r in keyed.filter(F.col("h32") * k < 4294967296).collect()
+        }
+        for k in (1, 2, 4, 8, 16)
+    }
+    assert sets[16] <= sets[8] <= sets[4] <= sets[2] <= sets[1]
+    from hive_task_spark.registry import QUERIES
+
+    census = {
+        r["denom"]: r["n_docs"]
+        for r in QUERIES["pipeline_subsample_ladder"](spark, sf_dir).collect()
+    }
+    assert census == {k: len(v) for k, v in sets.items()}
+
+
+def test_qq_deciles_monotone(spark, sf_dir):
+    """Quantiles increase with the decile within each group."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["analytics_qq_decile_table"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["q_urgent_r"] <= b["q_urgent_r"]
+        assert a["q_other_r"] <= b["q_other_r"]
+
+
+def test_encoding_advisor_rules(spark, sf_dir):
+    """Low-cardinality columns get dictionary; unique keys plain."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = {r["col_name"]: r["recommended"] for r in QUERIES["quality_encoding_advisor"](spark, sf_dir).collect()}
+    assert rows["o_orderstatus"] == "dictionary"
+    assert rows["o_orderkey"] == "plain-unique"
