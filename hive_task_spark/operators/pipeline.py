@@ -1866,3 +1866,102 @@ def pipeline_subsample_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+@register(
+    "pipeline_temperature_mixture",
+    oracle="""
+    WITH cnt AS (
+        SELECT lang, count(*) AS n, sum(n_chars) AS chars
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT sum(n) AS tn, sum(pow(n, 0.7)) AS tp FROM cnt
+    )
+    SELECT cnt.lang,
+           CAST(cnt.n AS BIGINT) AS n_docs,
+           round(cnt.n * 1.0 / tot.tn, 6) AS natural_share_r,
+           round(pow(cnt.n, 0.7) / tot.tp, 6) AS temp_share_r,
+           CAST(floor(pow(cnt.n, 0.7) / tot.tp * 10000) AS BIGINT)
+               AS quota_per_10k
+    FROM cnt, tot
+    """,
+)
+def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (alpha = 0.7) — the
+    multilingual-LM curriculum standard (mBERT/XLM-R/mT5): sampling
+    shares proportional to n^alpha instead of n up-weight low-
+    resource languages without flattening the mix entirely
+    (alpha = 1 reproduces natural shares; alpha = 0 is uniform —
+    both existing mixture rows). The report gives natural vs
+    tempered share and an integer per-10k quota (floored — the
+    largest-remainder row shows how to hand out the slack exactly).
+    One language census from one scan; pow/ratios on |languages|
+    rows round at 6dp. Feed quota_per_10k into the deterministic
+    hash sampler and the curriculum is fully content-addressed."""
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+    tot = cnt.agg(
+        F.sum("n").alias("tn"), F.sum(F.pow("n", F.lit(0.7))).alias("tp")
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("n") / F.col("tn"), 6).alias("natural_share_r"),
+        F.round(F.pow("n", F.lit(0.7)) / F.col("tp"), 6).alias("temp_share_r"),
+        F.floor(F.pow("n", F.lit(0.7)) / F.col("tp") * 10000)
+        .cast("long")
+        .alias("quota_per_10k"),
+    )
+
+
+@register(
+    "pipeline_truncation_loss_report",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    lims AS (SELECT unnest([64, 128, 256]) AS lim)
+    SELECT CAST(lims.lim AS BIGINT) AS context_limit,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tok > lims.lim THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           CAST(sum(greatest(n_tok - lims.lim, 0)) AS BIGINT)
+               AS tokens_lost,
+           round(sum(greatest(n_tok - lims.lim, 0)) * 1.0 / sum(n_tok), 6)
+               AS loss_frac_r
+    FROM toks, lims
+    GROUP BY lims.lim
+    """,
+)
+def pipeline_truncation_loss_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Context-window truncation loss — what choosing a sequence
+    length actually costs: for candidate limits (64/128/256 tokens
+    here; 2k/8k/32k in production), how many documents overflow and
+    what fraction of corpus tokens a hard truncation would discard.
+    This report is how the chunking stride and packing length rows'
+    parameters get CHOSEN — pick the limit where loss_frac crosses
+    your budget, then chunk only the overflow tail instead of
+    truncating it. One token census (whitespace grain, matching the
+    token-budget row) crossed with a 3-row broadcast of limits;
+    all integer."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.size(F.split("text", " ")).alias("n_tok"))
+    lims = spark.range(6, 9).select(
+        F.expr("shiftleft(1, CAST(id AS INT))").cast("long").alias("lim")
+    )
+    j = toks.crossJoin(F.broadcast(lims))
+    lost = F.greatest(F.col("n_tok") - F.col("lim"), F.lit(0))
+    return j.groupBy(F.col("lim").alias("context_limit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("n_tok") > F.col("lim")).cast("int"))
+        .cast("long")
+        .alias("n_truncated"),
+        F.sum(lost).cast("long").alias("tokens_lost"),
+        F.round(F.sum(lost) / F.sum("n_tok"), 6).alias("loss_frac_r"),
+    )

@@ -1572,3 +1572,95 @@ def quality_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("plain")
         .alias("recommended"),
     )
+
+
+@register(
+    "quality_cdc_column_attribution",
+    oracle="""
+    WITH mutated AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0
+                    THEN round(o_totalprice * 1.05, 3)
+                    ELSE round(o_totalprice, 3) END AS o_totalprice,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'X-SHIFTED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_orderstatus
+        FROM orders
+    ),
+    joined AS (
+        SELECT o.o_orderkey,
+               CASE WHEN round(o.o_totalprice, 3) <> m.o_totalprice
+                    THEN 1 ELSE 0 END AS c_price,
+               CASE WHEN o.o_orderpriority <> m.o_orderpriority
+                    THEN 1 ELSE 0 END AS c_prio,
+               CASE WHEN o.o_orderstatus <> m.o_orderstatus
+                    THEN 1 ELSE 0 END AS c_status
+        FROM orders o JOIN mutated m ON m.o_orderkey = o.o_orderkey
+    )
+    SELECT o_orderkey,
+           concat_ws('|',
+               CASE WHEN c_price = 1 THEN 'o_totalprice' END,
+               CASE WHEN c_prio = 1 THEN 'o_orderpriority' END,
+               CASE WHEN c_status = 1 THEN 'o_orderstatus' END)
+               AS changed_cols,
+           CAST(c_price + c_prio + c_status AS BIGINT) AS n_changed
+    FROM joined
+    WHERE c_price + c_prio + c_status > 0
+    """,
+)
+def quality_cdc_column_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column-level CDC diff attribution — not just WHICH keys
+    changed between snapshots (the snapshot-diff row) but WHICH
+    COLUMNS changed per key, serialized as a stable '|'-joined list:
+    the audit trail reviewers need to distinguish a price-repricing
+    batch from a schema-mapping bug upstream (all-rows-one-column
+    vs scattered). The mutated snapshot is synthesized
+    deterministically by key class (5% price bump on keys %11,
+    priority overwrite on keys %13 — keys divisible by both show
+    two-column attribution). Per-column inequality flags compile to
+    one comparison per column inside a single keyed join — adding
+    columns widens the projection, never adds passes. Prices compare
+    at their exact 3dp grain on both sides."""
+    o = load(spark, sf_dir, "orders")
+    mutated = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 11 == 0,
+            F.round(F.col("o_totalprice") * 1.05, 3),
+        )
+        .otherwise(F.round("o_totalprice", 3))
+        .alias("m_totalprice"),
+        F.when(F.col("o_orderkey") % 13 == 0, "X-SHIFTED")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("m_orderpriority"),
+        F.col("o_orderstatus").alias("m_orderstatus"),
+    )
+    j = o.join(mutated, "o_orderkey")
+    c_price = (F.round("o_totalprice", 3) != F.col("m_totalprice")).cast("int")
+    c_prio = (F.col("o_orderpriority") != F.col("m_orderpriority")).cast("int")
+    c_status = (F.col("o_orderstatus") != F.col("m_orderstatus")).cast("int")
+    flagged = j.select(
+        "o_orderkey",
+        c_price.alias("c_price"),
+        c_prio.alias("c_prio"),
+        c_status.alias("c_status"),
+    )
+    return (
+        flagged.filter(
+            F.col("c_price") + F.col("c_prio") + F.col("c_status") > 0
+        )
+        .select(
+            "o_orderkey",
+            F.concat_ws(
+                "|",
+                F.when(F.col("c_price") == 1, "o_totalprice"),
+                F.when(F.col("c_prio") == 1, "o_orderpriority"),
+                F.when(F.col("c_status") == 1, "o_orderstatus"),
+            ).alias("changed_cols"),
+            (F.col("c_price") + F.col("c_prio") + F.col("c_status"))
+            .cast("long")
+            .alias("n_changed"),
+        )
+    )

@@ -1605,3 +1605,51 @@ def test_encoding_advisor_rules(spark, sf_dir):
     rows = {r["col_name"]: r["recommended"] for r in QUERIES["quality_encoding_advisor"](spark, sf_dir).collect()}
     assert rows["o_orderstatus"] == "dictionary"
     assert rows["o_orderkey"] == "plain-unique"
+
+
+def test_temperature_mixture_shares(spark, sf_dir):
+    """Tempered shares sum to 1 and compress the range: the largest
+    language's tempered share <= its natural share, smallest >= its
+    natural share."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["pipeline_temperature_mixture"](spark, sf_dir).collect()
+    assert abs(sum(r["temp_share_r"] for r in rows) - 1.0) < 1e-4
+    big = max(rows, key=lambda r: r["n_docs"])
+    small = min(rows, key=lambda r: r["n_docs"])
+    assert big["temp_share_r"] <= big["natural_share_r"] + 1e-9
+    assert small["temp_share_r"] >= small["natural_share_r"] - 1e-9
+
+
+def test_truncation_loss_monotone(spark, sf_dir):
+    """Bigger context limits lose fewer tokens."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["pipeline_truncation_loss_report"](spark, sf_dir).collect(),
+        key=lambda r: r["context_limit"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["tokens_lost"] >= b["tokens_lost"]
+        assert a["n_truncated"] >= b["n_truncated"]
+
+
+def test_cdc_attribution_matches_key_classes(spark, sf_dir):
+    """Every key divisible by 11 or 13 (with a real value change) is
+    attributed, two-column rows are exactly the %143 keys, and no
+    other key appears."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["quality_cdc_column_attribution"](spark, sf_dir).collect()
+    for r in rows:
+        k = r["o_orderkey"]
+        assert k % 11 == 0 or k % 13 == 0
+        if k % 143 == 0:
+            assert r["n_changed"] == 2
+    # price bump of 5% is a real change for any nonzero price
+    o = load(spark, sf_dir, "orders")
+    n11 = o.filter(
+        (F.col("o_orderkey") % 11 == 0) & (F.col("o_totalprice") != 0)
+    ).count()
+    got_price = sum(1 for r in rows if "o_totalprice" in r["changed_cols"])
+    assert got_price == n11
