@@ -1768,3 +1768,235 @@ def similarity_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine_r"),
         )
     )
+
+
+@register(
+    "similarity_hard_negative_mining",
+    defer=True,
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS negative_id,
+               CAST(c.label AS BIGINT) AS neg_label,
+               list_sum(list_transform(list_zip(q.vec, c.vec),
+                                       p -> p[1] * p[2]))
+                   / (q.nrm * c.nrm) AS cosine
+        FROM n q
+        JOIN n c ON q.vec_id < {N_QUERIES}
+               AND c.label <> q.label
+    )
+    SELECT query_id, negative_id, neg_label,
+           CAST(rnk AS BIGINT) AS rnk,
+           round(cosine, 6) AS cosine_r
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, negative_id)
+              AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_hard_negative_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative mining — contrastive/metric training's highest-
+    value data op: for each anchor, the most-similar vectors of a
+    DIFFERENT label (top-k cosine among non-matching labels). Random
+    negatives are trivially separable and teach nothing; hard
+    negatives near the decision boundary are what make embedding
+    models sharp — this query IS the mining pass run between
+    training rounds. Structurally the mirror image of the filtered
+    search (label != anchor instead of =): the label predicate lives
+    inside the scoring join, so at scale a label-partitioned index
+    probes all-but-one partition and the per-anchor cost stays
+    k-bounded."""
+    vecs = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _vec_d().alias("vec"))
+        .withColumn("nrm", _norm(F.col("vec")))
+    )
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(vecs, F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").cast("long").alias("neg_label"),
+            (
+                _dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "negative_id",
+            "neg_label",
+            "rnk",
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+    )
+
+
+@register(
+    "similarity_negative_sampling",
+    defer=True,
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, label FROM embeddings
+    ),
+    anchors AS (
+        SELECT vec_id AS query_id, label AS qlabel
+        FROM corpus WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT a.query_id, c.vec_id AS neg_id,
+               CAST('0x' || substr(md5(CAST(a.query_id AS VARCHAR) || ':'
+                                       || CAST(c.vec_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS h
+        FROM anchors a
+        JOIN corpus c ON c.label <> a.qlabel
+    )
+    SELECT query_id, neg_id, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY h, neg_id) AS rnk
+          FROM cand)
+    WHERE rnk <= 8
+    """,
+)
+def similarity_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling — the other half of
+    the contrastive batch: k=8 random-looking negatives per anchor,
+    chosen by ranking candidates on a content-addressed hash of the
+    (anchor, candidate) pair. rand()-based sampling changes every
+    run and every retry (poison for reproducible training and for
+    cached shuffles); the hash rank is a uniform draw that is
+    IDENTICAL across reruns, engines, and cluster sizes, and
+    naturally excludes same-label candidates via the join predicate.
+    Pairs with the hard-negative row: real batches mix both (e.g.
+    2 hard + 6 uniform). The hash ranking shuffles only (anchor x
+    corpus) candidate keys, never vectors."""
+    corpus = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    anchors = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    cand = (
+        F.broadcast(anchors)
+        .join(corpus, F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(query_id AS STRING), ':',"
+                " CAST(vec_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy("h", "neg_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 8)
+        .select("query_id", "neg_id", "rnk")
+    )
+
+
+
+@register(
+    "similarity_centroid_drift",
+    defer=True,
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+               unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT label, half, pos, avg(CAST(x AS DOUBLE)) AS mu,
+               count(*) AS n
+        FROM e GROUP BY label, half, pos
+    ),
+    paired AS (
+        SELECT a.label, a.pos, a.mu AS ma, b.mu AS mb,
+               a.n AS na, b.n AS nb
+        FROM per_dim a
+        JOIN per_dim b ON b.label = a.label AND b.pos = a.pos
+                      AND a.half = 'a' AND b.half = 'b'
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(any_value(na) AS BIGINT) AS n_a,
+           CAST(any_value(nb) AS BIGINT) AS n_b,
+           round(sum(ma * mb)
+                 / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6)
+               AS centroid_cos_r
+    FROM paired
+    GROUP BY label
+    """,
+)
+def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor — per-label centroid cosine
+    between two cohorts (even vs odd vec_id, standing in for
+    model-v1 vs model-v2 or week-1 vs week-2 embeddings): when a
+    label's cohort centroids decorrelate, every downstream ANN
+    index, frozen codebook, and similarity threshold built on the
+    old geometry silently degrades — this is the canary run before
+    re-embedding a 100 TB corpus or invalidating an index build.
+    Per-dimension means come from one posexplode + groupBy (the
+    label-centroids kernel, keyed one level finer); the cosine
+    reduces 8 paired dims per label. No vector ever crosses an
+    edge; the monitor output is |labels| rows."""
+    e = load(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select(
+            "label",
+            F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("half"),
+            F.posexplode(_vec_d()).alias("pos", "x"),
+        )
+        .groupBy("label", "half", "pos")
+        .agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n"))
+    )
+    a = per_dim.filter(F.col("half") == "a").select(
+        "label", "pos", F.col("mu").alias("ma"), F.col("n").alias("na")
+    )
+    b = per_dim.filter(F.col("half") == "b").select(
+        "label", "pos", F.col("mu").alias("mb"), F.col("n").alias("nb")
+    )
+    paired = a.join(b, ["label", "pos"])
+    return paired.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.first("na").cast("long").alias("n_a"),
+        F.first("nb").cast("long").alias("n_b"),
+        F.round(
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            ),
+            6,
+        ).alias("centroid_cos_r"),
+    )

@@ -1653,3 +1653,49 @@ def test_cdc_attribution_matches_key_classes(spark, sf_dir):
     ).count()
     got_price = sum(1 for r in rows if "o_totalprice" in r["changed_cols"])
     assert got_price == n11
+
+
+def test_hard_negatives_cross_label_only(spark, sf_dir):
+    """Every mined negative has a different label from its anchor."""
+    from hive_task_spark.registry import QUERIES
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = QUERIES["similarity_hard_negative_mining"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert labels[r["query_id"]] != labels[r["negative_id"]]
+
+
+def test_negative_sampling_deterministic_and_sized(spark, sf_dir):
+    """Two runs produce identical samples; 8 negatives per anchor,
+    all cross-label."""
+    from hive_task_spark.registry import QUERIES
+
+    a = sorted(
+        (r["query_id"], r["neg_id"], r["rnk"])
+        for r in QUERIES["similarity_negative_sampling"](spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neg_id"], r["rnk"])
+        for r in QUERIES["similarity_negative_sampling"](spark, sf_dir).collect()
+    )
+    assert a == b
+    per = {}
+    for q, _, _ in a:
+        per[q] = per.get(q, 0) + 1
+    assert all(v == 8 for v in per.values())
+
+
+def test_centroid_drift_cos_bounds(spark, sf_dir):
+    """Cohort-centroid cosine lies in [-1, 1]; both halves non-empty
+    for every label."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["similarity_centroid_drift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["centroid_cos_r"] <= 1.0 + 1e-9
+        assert r["n_a"] > 0 and r["n_b"] > 0
