@@ -1664,3 +1664,150 @@ def quality_cdc_column_attribution(
             .alias("n_changed"),
         )
     )
+
+
+@register(
+    "quality_join_cardinality_audit",
+    oracle="""
+    WITH s AS (
+        SELECT (SELECT count(*) FROM orders)   AS n_o,
+               (SELECT count(*) FROM lineitem) AS n_l,
+               (SELECT count(*) FROM customer) AS n_c,
+               (SELECT count(DISTINCT o_orderkey) FROM orders) AS d_ok,
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS d_lk,
+               (SELECT count(DISTINCT c_custkey) FROM customer) AS d_ck,
+               (SELECT count(DISTINCT o_custkey) FROM orders)   AS d_oc
+    )
+    SELECT 'orders_lineitem' AS join_name,
+           CAST(n_o * n_l / greatest(d_ok, d_lk) AS BIGINT) AS est_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey) AS actual_rows,
+           round(CAST(n_o * n_l / greatest(d_ok, d_lk) AS BIGINT) * 1.0 /
+                 (SELECT count(*) FROM orders o
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey), 4)
+               AS est_over_actual_r
+    FROM s
+    UNION ALL
+    SELECT 'customer_orders',
+           CAST(n_c * n_o / greatest(d_ck, d_oc) AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey),
+           round(CAST(n_c * n_o / greatest(d_ck, d_oc) AS BIGINT) * 1.0 /
+                 (SELECT count(*) FROM customer c
+                  JOIN orders o ON o.o_custkey = c.c_custkey), 4)
+    FROM s
+    """,
+)
+def quality_join_cardinality_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-cardinality estimation audit — the optimizer's classic
+    formula |R ⋈ S| ≈ |R|·|S| / max(ndv(R.k), ndv(S.k)) computed AS
+    DATA next to the true join count, for the two FK joins every
+    TPC-H plan hinges on. est/actual near 1.0 validates that
+    ANALYZE-style NDV statistics would steer this schema correctly
+    (uniform FK fan-out); a big ratio flags the skew/correlation
+    cases where a CBO mis-plans and hints (the SHUFFLE_HASH row) or
+    AQE must step in. NDVs and counts fuse into one stats pass per
+    table; the actual counts are plain keyed joins. This is the
+    engine-introspection habit — checking the estimate against
+    reality — expressed as a query."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    stats = (
+        o.agg(
+            F.count(F.lit(1)).alias("n_o"),
+            F.countDistinct("o_orderkey").alias("d_ok"),
+            F.countDistinct("o_custkey").alias("d_oc"),
+        )
+        .crossJoin(
+            li.agg(
+                F.count(F.lit(1)).alias("n_l"),
+                F.countDistinct("l_orderkey").alias("d_lk"),
+            )
+        )
+        .crossJoin(
+            c.agg(
+                F.count(F.lit(1)).alias("n_c"),
+                F.countDistinct("c_custkey").alias("d_ck"),
+            )
+        )
+    )
+    a_ol = o.join(li, o["o_orderkey"] == li["l_orderkey"]).agg(
+        F.count(F.lit(1)).alias("actual")
+    )
+    a_co = c.join(o, o["o_custkey"] == c["c_custkey"]).agg(
+        F.count(F.lit(1)).alias("actual")
+    )
+    row1 = (
+        stats.crossJoin(F.broadcast(a_ol))
+        .select(
+            F.lit("orders_lineitem").alias("join_name"),
+            F.expr("CAST(n_o * n_l / greatest(d_ok, d_lk) AS BIGINT)").alias(
+                "est_rows"
+            ),
+            F.col("actual").cast("long").alias("actual_rows"),
+            F.round(
+                F.expr("CAST(n_o * n_l / greatest(d_ok, d_lk) AS BIGINT)")
+                / F.col("actual"),
+                4,
+            ).alias("est_over_actual_r"),
+        )
+    )
+    row2 = (
+        stats.crossJoin(F.broadcast(a_co))
+        .select(
+            F.lit("customer_orders").alias("join_name"),
+            F.expr("CAST(n_c * n_o / greatest(d_ck, d_oc) AS BIGINT)").alias(
+                "est_rows"
+            ),
+            F.col("actual").cast("long").alias("actual_rows"),
+            F.round(
+                F.expr("CAST(n_c * n_o / greatest(d_ck, d_oc) AS BIGINT)")
+                / F.col("actual"),
+                4,
+            ).alias("est_over_actual_r"),
+        )
+    )
+    return row1.unionByName(row2)
+
+
+@register(
+    "quality_l_diversity_audit",
+    oracle="""
+    WITH q AS (
+        SELECT c_nationkey AS nat,
+               CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+               count(*) AS n,
+               count(DISTINCT c_mktsegment) AS l_div
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT CAST(nat AS BIGINT) AS nat, bal_bucket,
+           CAST(n AS BIGINT) AS n,
+           CAST(l_div AS BIGINT) AS l_div
+    FROM q WHERE l_div < 3
+    """,
+)
+def quality_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary complement: a
+    quasi-identifier class can be large (k-safe) yet still leak if
+    everyone in it shares the SAME sensitive value (homogeneity
+    attack: "I don't know which row is yours, but you're all
+    BUILDING segment"). This surfaces (nation, coarse-balance)
+    classes whose sensitive attribute (market segment) takes fewer
+    than l=3 distinct values. Same one-pass quasi-grain census as
+    the k-anonymity row with a count(distinct sensitive) fused in —
+    the two audits share a scan in a real release pipeline. Fix:
+    generalize further or suppress, then re-run until both gates
+    pass."""
+    c = load(spark, sf_dir, "customer")
+    q = c.groupBy(
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("c_mktsegment").cast("long").alias("l_div"),
+    )
+    return q.filter(F.col("l_div") < 3)

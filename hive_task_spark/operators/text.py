@@ -1041,3 +1041,88 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("context"),
     )
+
+
+@register(
+    "text_blocklist_leet_filter",
+    oracle="""
+    WITH kw AS (
+        SELECT term FROM (
+            SELECT w AS term, count(*) AS c
+            FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                         AS w FROM documents)
+            WHERE len(w) >= 3
+            GROUP BY w
+        ) t ORDER BY c, term LIMIT 2
+    ),
+    obf AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN translate(text, 'aeost', '43057')
+                    ELSE text END AS text,
+               CAST(doc_id % 7 = 0 AS BIGINT) AS is_obfuscated
+        FROM documents
+    ),
+    normed AS (
+        SELECT doc_id, text, is_obfuscated,
+               translate(text, '43057', 'aeost') AS norm
+        FROM obf
+    )
+    SELECT n.doc_id, n.is_obfuscated, k.term AS matched_term,
+           CAST(contains(' ' || n.text || ' ', ' ' || k.term || ' ')
+                AS BIGINT) AS raw_hit,
+           CAST(contains(' ' || n.norm || ' ', ' ' || k.term || ' ')
+                AS BIGINT) AS norm_hit
+    FROM normed n JOIN kw k
+      ON contains(' ' || n.norm || ' ', ' ' || k.term || ' ')
+    """,
+)
+def text_blocklist_leet_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Obfuscation-resistant blocklist matching — content moderation's
+    cat-and-mouse baseline: a deterministic subset of documents is
+    leet-encoded (a→4, e→3, o→0, s→5, t→7 — the classic evasion),
+    and the filter matches the blocklist (the two rarest corpus
+    terms) against the TRANSLATE-normalized text instead of the raw
+    text. raw_hit vs norm_hit makes the evasion visible: obfuscated
+    docs match only after normalization — exactly the rows a naive
+    filter ships to training. translate() is row-local codegen, so
+    the normalization layer costs nothing at 100 TB; real systems
+    stack more folds (confusables, width, diacritics) on the same
+    shape."""
+    d = load(spark, sf_dir, "documents")
+    kw = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("c", "term")
+        .limit(2)
+        .select("term")
+    )
+    obf = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.translate("text", "aeost", "43057"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 7 == 0).cast("long").alias("is_obfuscated"),
+    )
+    normed = obf.withColumn("norm", F.translate("text", "43057", "aeost"))
+    pad = lambda c: F.concat(F.lit(" "), F.col(c), F.lit(" "))
+    padded_term = F.concat(F.lit(" "), F.col("term"), F.lit(" "))
+    return (
+        normed.crossJoin(F.broadcast(kw))
+        .filter(F.contains(pad("norm"), padded_term))
+        .select(
+            "doc_id",
+            "is_obfuscated",
+            F.col("term").alias("matched_term"),
+            F.contains(pad("text"), padded_term).cast("long").alias("raw_hit"),
+            F.contains(pad("norm"), padded_term).cast("long").alias("norm_hit"),
+        )
+    )

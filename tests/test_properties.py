@@ -1699,3 +1699,37 @@ def test_centroid_drift_cos_bounds(spark, sf_dir):
     for r in rows:
         assert -1.0 - 1e-9 <= r["centroid_cos_r"] <= 1.0 + 1e-9
         assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_leet_filter_catches_obfuscated(spark, sf_dir):
+    """Obfuscated hits are found only via normalization (raw_hit=0)
+    unless the term survives translation; clean docs match raw."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["text_blocklist_leet_filter"](spark, sf_dir).collect()
+    assert rows
+    obf = [r for r in rows if r["is_obfuscated"] == 1]
+    clean = [r for r in rows if r["is_obfuscated"] == 0]
+    assert all(r["norm_hit"] == 1 for r in rows)
+    assert clean and all(r["raw_hit"] == 1 for r in clean)
+    # any obfuscated match whose term contains a leet-mapped char must
+    # be invisible to the raw filter
+    for r in obf:
+        if any(ch in r["matched_term"] for ch in "aeost"):
+            assert r["raw_hit"] == 0
+
+
+def test_join_cardinality_estimates_close(spark, sf_dir):
+    """For uniform FK joins the textbook estimate lands within 2x."""
+    from hive_task_spark.registry import QUERIES
+
+    for r in QUERIES["quality_join_cardinality_audit"](spark, sf_dir).collect():
+        assert 0.5 <= r["est_over_actual_r"] <= 2.0
+
+
+def test_l_diversity_only_homogeneous_classes(spark, sf_dir):
+    """Every reported class genuinely has < 3 distinct segments."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["quality_l_diversity_audit"](spark, sf_dir)
+    assert out.filter(F.col("l_div") >= 3).count() == 0
