@@ -547,3 +547,71 @@ def dedup_prefix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "dedup_asymmetric_containment",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 CASE WHEN len(w) >= 3
+                      THEN [array_to_string(w[i:i+2], ' ')
+                            FOR i IN range(1, len(w) - 1)]
+                      ELSE [array_to_string(w, ' ')]
+                 END)) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 250)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(sa.n_sh AS BIGINT) AS n_a,
+           round(i.n_common * 1.0 / sa.n_sh, 6) AS containment_r
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    WHERE i.n_common * 10 >= 9 * sa.n_sh
+    """,
+)
+def dedup_asymmetric_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — |A∩B| / |A| >= 0.9, the measure
+    symmetric Jaccard misses: a short document quoted inside a long
+    one scores low Jaccard (the union is huge) but high containment,
+    and it's exactly the quote-expansion / boilerplate-wrapped /
+    prefix-republished duplicates a crawl is full of. Same shingle
+    equi-join backbone as the Jaccard row (shuffle keyed on shingle,
+    df-cap applies unchanged at scale), but normalized by the
+    CONTAINED side's shingle count, so the relation is directional:
+    (A contained-in B) without (B contained-in A). The integer
+    threshold test 10·common >= 9·|A| keeps the cut float-free."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    sh = _shingle_rows(d).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .filter(F.col("n_common") * 10 >= 9 * F.col("n_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_r"),
+        )
+    )

@@ -1965,3 +1965,95 @@ def pipeline_truncation_loss_report(
         F.sum(lost).cast("long").alias("tokens_lost"),
         F.round(F.sum(lost) / F.sum("n_tok"), 6).alias("loss_frac_r"),
     )
+
+
+@register(
+    "pipeline_content_defined_chunking",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, w[i] AS tok,
+               CASE WHEN i >= 3 THEN
+                 CAST('0x' || substr(md5(w[i-2] || ' ' || w[i-1] || ' '
+                                         || w[i]), 1, 8) AS BIGINT)
+               END AS rh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)
+        WHERE doc_id < 120
+    ),
+    flagged AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN pos = 1 OR rh % 8 = 0 THEN 1 ELSE 0 END AS cut
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, pos, tok,
+               sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS chunk_no
+        FROM flagged
+    )
+    SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(min(pos) AS BIGINT) AS start_pos,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+    FROM chunks
+    GROUP BY doc_id, chunk_no
+    """,
+)
+def pipeline_content_defined_chunking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync-style) — boundaries
+    where a rolling hash of the trailing 3-gram hits a mask
+    (h % 8 == 0, expected chunk ~8 tokens), NOT at fixed offsets:
+    inserting one token near a document's head shifts every
+    fixed-window chunk (and defeats chunk-level dedup) but moves
+    only the ONE content-defined chunk containing the edit — the
+    property backup systems and chunk-dedup'd training corpora rely
+    on. Trailing-window hashing is row-local (posexplode + two
+    lags), chunk ids are the usual cut-flag cumsum, and each chunk
+    emits its content digest — feed those straight into the exact-
+    dedup row for shift-resistant chunk dedup. One doc_id exchange
+    end-to-end."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    withrh = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            F.col("pos") >= 3,
+            F.expr(
+                "CAST(conv(substr(md5(concat(lag(tok, 2) OVER ("
+                "PARTITION BY doc_id ORDER BY pos), ' ', lag(tok, 1) OVER ("
+                "PARTITION BY doc_id ORDER BY pos), ' ', tok)), 1, 8),"
+                " 16, 10) AS BIGINT)"
+            ),
+        ).alias("rh"),
+    )
+    flagged = withrh.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when((F.col("pos") == 1) | (F.col("rh") % 8 == 0), 1)
+        .otherwise(0)
+        .alias("cut"),
+    )
+    chunks = flagged.withColumn(
+        "chunk_no",
+        F.sum("cut").over(wseq.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return chunks.groupBy(
+        "doc_id", F.col("chunk_no").cast("long").alias("chunk_no")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.min("pos").cast("long").alias("start_pos"),
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, tok))), x -> x.tok), ' ')"
+            ).cast("binary")
+        ).alias("chunk_md5"),
+    )

@@ -1126,3 +1126,90 @@ def text_blocklist_leet_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.contains(pad("norm"), padded_term).cast("long").alias("norm_hit"),
         )
     )
+
+
+@register(
+    "text_log_template_mining",
+    oracle="""
+    WITH lines AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'ingest doc ' || doc_id || ' from ' || source
+                         || ' took ' || (n_chars % 97) || 'ms'
+                    WHEN doc_id % 3 = 1
+                    THEN 'dedup pass kept doc ' || doc_id || ' ('
+                         || n_chars || ' chars)'
+                    ELSE 'worker ' || (doc_id % 8) || ' flushed '
+                         || n_chars || ' bytes for ' || source
+               END AS line
+        FROM documents
+    ),
+    templ AS (
+        SELECT doc_id, line,
+               regexp_replace(line, '[0-9]+', '#', 'g') AS template
+        FROM lines
+    )
+    SELECT template,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(doc_id) AS BIGINT) AS example_doc
+    FROM templ
+    GROUP BY template
+    HAVING count(*) >= 2
+    """,
+)
+def text_log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template mining (Drain-lite) — collapse log lines that
+    differ only in their variable parts: digits mask to '#' and the
+    masked line becomes the template key, so "worker 7 flushed 312
+    bytes" and "worker 3 flushed 88 bytes" group together. The log
+    fixture is synthesized deterministically from document metadata
+    (three message shapes with embedded ids/sizes — the
+    corpus-derived stand-in for an app log, since the documents
+    table itself is digit-free). The (template, frequency, example)
+    census is how log analytics turns billions of lines into
+    hundreds of event types — the prerequisite for per-template rate
+    anomaly detection and for dropping noise templates before
+    indexing. One regexp_replace (row-local codegen) + one groupBy
+    on the masked key; real systems add masks for hex ids, IPs and
+    paths on the same shape."""
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("ingest doc "), F.col("doc_id").cast("string"),
+                F.lit(" from "), F.col("source"),
+                F.lit(" took "), (F.col("n_chars") % 97).cast("string"),
+                F.lit("ms"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("dedup pass kept doc "), F.col("doc_id").cast("string"),
+                F.lit(" ("), F.col("n_chars").cast("string"),
+                F.lit(" chars)"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("worker "), (F.col("doc_id") % 8).cast("string"),
+                F.lit(" flushed "), F.col("n_chars").cast("string"),
+                F.lit(" bytes for "), F.col("source"),
+            )
+        )
+        .alias("line"),
+    )
+    templ = lines.select(
+        "doc_id",
+        F.regexp_replace("line", "[0-9]+", "#").alias("template"),
+    )
+    return (
+        templ.groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .filter(F.col("n_lines") >= 2)
+    )

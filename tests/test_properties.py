@@ -1733,3 +1733,46 @@ def test_l_diversity_only_homogeneous_classes(spark, sf_dir):
 
     out = QUERIES["quality_l_diversity_audit"](spark, sf_dir)
     assert out.filter(F.col("l_div") >= 3).count() == 0
+
+
+def test_cdc_chunking_tiles_documents(spark, sf_dir):
+    """Content-defined chunks tile each document: token counts sum to
+    the doc's token count and chunk numbering is dense from 1."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["pipeline_content_defined_chunking"](spark, sf_dir)
+    per_doc = out.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("n"),
+        F.max("chunk_no").alias("mx"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", F.size(F.split("text", " ")).alias("want"))
+    )
+    bad = per_doc.join(d, "doc_id").filter(
+        (F.col("n") != F.col("want")) | (F.col("mx") != F.col("k"))
+    )
+    assert bad.count() == 0
+
+
+def test_containment_is_directional_superset_of_nothing(spark, sf_dir):
+    """Containment >= 0.9 on every emitted pair; the relation is not
+    forced symmetric."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_asymmetric_containment"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["containment_r"] >= 0.9 - 1e-9
+        assert 10 * r["n_common"] >= 9 * r["n_a"]
+
+
+def test_template_mining_covers_all_lines(spark, sf_dir):
+    """The three synthesized shapes collapse to exactly three
+    templates covering every document."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["text_log_template_mining"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    assert sum(r["n_lines"] for r in rows) == load(spark, sf_dir, "documents").count()
