@@ -2057,3 +2057,82 @@ def pipeline_content_defined_chunking(
             ).cast("binary")
         ).alias("chunk_md5"),
     )
+
+
+@register(
+    "pipeline_preference_pairs",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS ttr,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY len(list_distinct(string_split(text, ' '))) * 1.0
+                            / len(string_split(text, ' ')) DESC, doc_id)
+                   AS r_best,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY len(list_distinct(string_split(text, ' '))) * 1.0
+                            / len(string_split(text, ' ')) ASC, doc_id)
+                   AS r_worst
+        FROM documents
+    )
+    SELECT b.source AS prompt_group,
+           b.doc_id AS chosen_doc,
+           w.doc_id AS rejected_doc,
+           round(b.ttr, 6) AS chosen_score_r,
+           round(w.ttr, 6) AS rejected_score_r,
+           round(b.ttr - w.ttr, 6) AS margin_r
+    FROM scored b
+    JOIN scored w ON w.source = b.source
+    WHERE b.r_best <= 3 AND w.r_worst <= 3 AND b.r_best = w.r_worst
+    """,
+)
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the RLHF/DPO data shape: within
+    each prompt group (source as the stand-in prompt key), the
+    top-3 responses by a quality score (type-token ratio here; any
+    reward proxy plugs in) pair positionally with the bottom-3 as
+    (chosen, rejected, margin). Margin-aware pairing matters:
+    best-vs-worst gives the cleanest signal, and the score margin
+    column lets training weight or filter low-margin (ambiguous)
+    pairs — the knob DPO ablations tune. Two ranking windows over
+    one source partitioning, positional self-join on rank; at 100 TB
+    the quality scoring is the only corpus pass and the pairing
+    touches 6 rows per group."""
+    d = load(spark, sf_dir, "documents")
+    ttr = F.size(F.array_distinct(F.split("text", " "))) / F.size(
+        F.split("text", " ")
+    )
+    scored = d.select("doc_id", "source", ttr.alias("ttr"))
+    wsrc = Window.partitionBy("source")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "ttr",
+        F.row_number().over(wsrc.orderBy(F.col("ttr").desc(), "doc_id")).alias(
+            "r_best"
+        ),
+        F.row_number().over(wsrc.orderBy(F.col("ttr").asc(), "doc_id")).alias(
+            "r_worst"
+        ),
+    )
+    b = ranked.filter(F.col("r_best") <= 3).select(
+        F.col("source").alias("prompt_group"),
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("ttr").alias("b_ttr"),
+        F.col("r_best").alias("pos"),
+    )
+    w = ranked.filter(F.col("r_worst") <= 3).select(
+        F.col("source").alias("prompt_group"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("ttr").alias("w_ttr"),
+        F.col("r_worst").alias("pos"),
+    )
+    return b.join(w, ["prompt_group", "pos"]).select(
+        "prompt_group",
+        "chosen_doc",
+        "rejected_doc",
+        F.round("b_ttr", 6).alias("chosen_score_r"),
+        F.round("w_ttr", 6).alias("rejected_score_r"),
+        F.round(F.col("b_ttr") - F.col("w_ttr"), 6).alias("margin_r"),
+    )

@@ -1213,3 +1213,126 @@ def text_log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_lines") >= 2)
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH m AS (
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS n_words,
+               sum(len(replace(text, ' ', ''))) AS n_chars_nospace,
+               sum(CAST(ceil(len(replace(text, ' ', '')) / 4.0) AS BIGINT)
+                   + len(string_split(text, ' ')) - 1) AS n_subtokens
+        FROM documents GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(n_subtokens * 1.0 / n_words, 6) AS fertility_r,
+           round(n_chars_nospace * 1.0 / n_subtokens, 6)
+               AS chars_per_token_r
+    FROM m
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — subword tokens per word, the
+    metric that decides whether a tokenizer taxes a language (high
+    fertility = more tokens per content unit = higher cost and
+    shorter effective context for that language; the mT5/NLLB audit
+    everyone runs). The subword count uses the standard
+    closed-form proxy ceil(chars/4) per word aggregated as
+    ceil(total_chars/4)+words-1-ish (a fixed bytes-per-token model —
+    swap in the BPE-apply row's real token counts to harden it);
+    both fertility and chars/token reduce from ONE language census
+    pass. Feeds the temperature-mixture row: tempered shares
+    measured in TOKENS, not docs, need exactly this table."""
+    d = load(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " "))
+    chars_ns = F.length(F.regexp_replace("text", " ", ""))
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(words).alias("n_words"),
+        F.sum(chars_ns).alias("n_chars_nospace"),
+        F.sum(
+            F.ceil(chars_ns / 4.0).cast("long") + words - 1
+        ).alias("n_subtokens"),
+    )
+    return m.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.col("n_subtokens") / F.col("n_words"), 6).alias(
+            "fertility_r"
+        ),
+        F.round(
+            F.col("n_chars_nospace") / F.col("n_subtokens"), 6
+        ).alias("chars_per_token_r"),
+    )
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle="""
+    WITH freq AS (
+        SELECT w, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    ranked AS (
+        SELECT w, n,
+               row_number() OVER (ORDER BY n DESC, w) AS rk,
+               sum(n) OVER (ORDER BY n DESC, w
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER () AS tot
+        FROM freq
+    ),
+    marks AS (SELECT unnest([50, 90, 95, 99]) AS pct)
+    SELECT CAST(marks.pct AS BIGINT) AS pct,
+           CAST(min(rk) AS BIGINT) AS types_needed,
+           CAST(max(tot) AS BIGINT) AS total_tokens
+    FROM ranked JOIN marks ON ranked.cum * 100 >= marks.pct * ranked.tot
+    GROUP BY marks.pct
+    """,
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — how many vocabulary types cover
+    50/90/95/99% of all token occurrences: THE sizing tool for
+    tokenizer vocabularies and stopword lists (a steep curve means a
+    tiny core vocab carries the corpus; the 99% tail is where OOV
+    and fertility costs live). Frequencies sort once (|vocab| rows),
+    the cumulative share is an integer comparison cum*100 >= pct*tot
+    (no float at the threshold), and each mark reports the minimal
+    rank reaching it. The corpus pass is the token census every
+    other text row shares; everything after is vocab-sized."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    word = Window.orderBy(F.col("n").desc(), "w")
+    ranked = freq.select(
+        "w",
+        "n",
+        F.row_number().over(word).alias("rk"),
+        F.sum("n").over(word.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    marks = spark.createDataFrame(
+        [(50,), (90,), (95,), (99,)], "pct INT"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(marks))
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("tot"))
+        .groupBy(F.col("pct").cast("long").alias("pct"))
+        .agg(
+            F.min("rk").cast("long").alias("types_needed"),
+            F.max("tot").cast("long").alias("total_tokens"),
+        )
+    )

@@ -1776,3 +1776,40 @@ def test_template_mining_covers_all_lines(spark, sf_dir):
     rows = QUERIES["text_log_template_mining"](spark, sf_dir).collect()
     assert len(rows) == 3
     assert sum(r["n_lines"] for r in rows) == load(spark, sf_dir, "documents").count()
+
+
+def test_preference_pairs_positive_margin(spark, sf_dir):
+    """Chosen score >= rejected score on every pair; 3 pairs per
+    prompt group."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["pipeline_preference_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["margin_r"] >= -1e-9
+    per = {}
+    for r in rows:
+        per[r["prompt_group"]] = per.get(r["prompt_group"], 0) + 1
+    assert all(v == 3 for v in per.values())
+
+
+def test_fertility_bounds(spark, sf_dir):
+    """Fertility >= 1 token per word (the proxy always emits at least
+    one subtoken per word)."""
+    from hive_task_spark.registry import QUERIES
+
+    for r in QUERIES["text_tokenizer_fertility"](spark, sf_dir).collect():
+        assert r["fertility_r"] >= 1.0 - 1e-9
+        assert r["chars_per_token_r"] > 0
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    """Higher coverage marks need at least as many types."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["text_vocab_coverage_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["pct"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["types_needed"] <= b["types_needed"]
