@@ -4327,3 +4327,52 @@ def analytics_qq_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(qo, 2).alias("q_other_r"),
         F.round(qu - qo, 2).alias("gap_r"),
     )
+
+
+@register(
+    "analytics_dispersion_index",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               count(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    stats AS (
+        SELECT event_type,
+               count(*) AS n_cells,
+               avg(n) AS mu,
+               var_pop(n) AS v
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_cells AS BIGINT) AS n_cells,
+           round(mu, 6) AS mean_r,
+           round(v, 6) AS var_r,
+           round(v / mu, 6) AS dispersion_r
+    FROM stats
+    """,
+)
+def analytics_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion index — variance-to-mean ratio of per-
+    (user, day) event counts by type: D ≈ 1 means counts behave
+    Poisson (rate models, Poisson regression, and the DP-counts
+    noise calibration are all safe); D >> 1 is overdispersion
+    (bursty users — switch to negative-binomial assumptions and
+    expect heavier shuffle skew on hot keys); D << 1 is
+    under-dispersion (throttled/metered behavior). The cheapest
+    model-assumption check in the stats family, and the quantitative
+    bridge between the statistical rows and the skew-diagnosis row.
+    One (type, user, day) census then a 5-row moment aggregate."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.avg("n"), 6).alias("mean_r"),
+        F.round(F.var_pop("n"), 6).alias("var_r"),
+        F.round(F.var_pop("n") / F.avg("n"), 6).alias("dispersion_r"),
+    )

@@ -2136,3 +2136,136 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w_ttr", 6).alias("rejected_score_r"),
         F.round(F.col("b_ttr") - F.col("w_ttr"), 6).alias("margin_r"),
     )
+
+
+@register(
+    "pipeline_churn_label_generation",
+    oracle="""
+    WITH cut AS (
+        SELECT min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) + 20 AS c
+        FROM events
+    ),
+    feat AS (
+        SELECT user_id,
+               count(*) AS f_events,
+               count(DISTINCT event_type) AS f_types,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS f_purchases,
+               max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS f_last_day
+        FROM events, cut
+        WHERE CAST(floor(epoch(ts) / 86400) AS BIGINT) < cut.c
+        GROUP BY user_id
+    ),
+    outcome AS (
+        SELECT DISTINCT user_id
+        FROM events, cut
+        WHERE CAST(floor(epoch(ts) / 86400) AS BIGINT) >= cut.c
+    )
+    SELECT f.user_id,
+           CAST(f.f_events AS BIGINT)    AS f_events,
+           CAST(f.f_types AS BIGINT)     AS f_types,
+           CAST(f.f_purchases AS BIGINT) AS f_purchases,
+           f.f_last_day,
+           CAST(o.user_id IS NULL AS BIGINT) AS label_churned
+    FROM feat f LEFT JOIN outcome o ON o.user_id = f.user_id
+    """,
+)
+def pipeline_churn_label_generation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe churn label generation — the supervised-dataset
+    shape every retention model trains on: features aggregate ONLY
+    the observation window (days before the cutoff), the label comes
+    ONLY from the outcome window (no activity after the cutoff =
+    churned), and the cutoff literal is the single source of truth
+    for both — the discipline that prevents the classic
+    target-leakage bug (a "last_seen" feature computed over ALL
+    time predicts churn perfectly and ships a useless model). Users
+    born in the outcome window are correctly absent (no observation
+    features exist for them). Two filtered aggregates over one
+    user_id partitioning; the anti-join shape of the label is a
+    broadcast probe."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "day_idx",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long"),
+    )
+    cut = e.agg((F.min("day_idx") + 20).alias("c"))
+    ec = e.crossJoin(F.broadcast(cut))
+    feat = (
+        ec.filter(F.col("day_idx") < F.col("c"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("f_events"),
+            F.countDistinct("event_type").cast("long").alias("f_types"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("f_purchases"),
+            F.max("day_idx").alias("f_last_day"),
+        )
+    )
+    outcome = (
+        ec.filter(F.col("day_idx") >= F.col("c"))
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(1))
+    )
+    return feat.join(F.broadcast(outcome), "user_id", "left").select(
+        "user_id",
+        "f_events",
+        "f_types",
+        "f_purchases",
+        "f_last_day",
+        F.col("active").isNull().cast("long").alias("label_churned"),
+    )
+
+
+@register(
+    "pipeline_group_fold_assignment",
+    oracle="""
+    WITH users AS (
+        SELECT DISTINCT user_id FROM events
+    ),
+    folded AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5('fold:' || CAST(user_id AS VARCHAR)),
+                                   1, 8) AS BIGINT) % 5 AS fold
+        FROM users
+    )
+    SELECT CAST(f.fold AS BIGINT) AS fold,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM folded f JOIN events e ON e.user_id = f.user_id
+    GROUP BY f.fold
+    """,
+)
+def pipeline_group_fold_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Group-aware k-fold assignment — cross-validation that splits by
+    ENTITY, not by row: every event of a user lands in the same fold
+    (hash of the user key mod k), so no user straddles train and
+    validation — the grouped-leakage guard without which per-row CV
+    wildly overestimates models that memorize entities. Folds are
+    content-addressed (salted md5), so the split is identical across
+    reruns and engines and survives repartitioning — the same
+    discipline as the train/val/test row, at the group grain. The
+    census reports fold balance in both users and events (hash
+    balance is near-uniform in users; event skew follows user
+    activity). One distinct + one broadcast-joined census pass."""
+    e = load(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    folded = users.withColumn(
+        "fold",
+        F.expr(
+            "CAST(conv(substr(md5(concat('fold:', CAST(user_id AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT) % 5"
+        ),
+    )
+    return (
+        e.join(F.broadcast(folded), "user_id")
+        .groupBy(F.col("fold").cast("long").alias("fold"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )

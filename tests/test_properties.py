@@ -1813,3 +1813,39 @@ def test_vocab_coverage_monotone(spark, sf_dir):
     )
     for a, b in zip(rows, rows[1:]):
         assert a["types_needed"] <= b["types_needed"]
+
+
+def test_churn_labels_leakage_free(spark, sf_dir):
+    """No feature column can be computed from outcome-window data:
+    f_last_day is strictly before the cutoff, and every labeled user
+    has observation-window activity."""
+    from hive_task_spark.registry import QUERIES
+
+    out = QUERIES["pipeline_churn_label_generation"](spark, sf_dir)
+    e = load(spark, sf_dir, "events").withColumn(
+        "day_idx", F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    )
+    cut = e.agg(F.min("day_idx")).collect()[0][0] + 20
+    assert out.filter(F.col("f_last_day") >= cut).count() == 0
+    assert out.filter(F.col("f_events") <= 0).count() == 0
+
+
+def test_group_folds_partition_users(spark, sf_dir):
+    """Fold censuses cover every user exactly once and all events."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["pipeline_group_fold_assignment"](spark, sf_dir).collect()
+    e = load(spark, sf_dir, "events")
+    assert sum(r["n_users"] for r in rows) == e.select("user_id").distinct().count()
+    assert sum(r["n_events"] for r in rows) == e.count()
+
+
+def test_dispersion_index_positive(spark, sf_dir):
+    """Dispersion is positive and the census covers all events."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["analytics_dispersion_index"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["dispersion_r"] > 0
+        assert r["mean_r"] >= 1.0  # cells exist only where counts >= 1
