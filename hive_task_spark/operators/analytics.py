@@ -4376,3 +4376,215 @@ def analytics_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("n"), 6).alias("var_r"),
         F.round(F.var_pop("n") / F.avg("n"), 6).alias("dispersion_r"),
     )
+
+
+@register(
+    "analytics_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+        SELECT c_mktsegment AS stratum,
+               count(*) AS nh,
+               stddev_pop(c_acctbal) AS sh
+        FROM customer GROUP BY c_mktsegment
+    ),
+    tot AS (SELECT sum(nh * sh) AS w FROM strata)
+    SELECT s.stratum,
+           CAST(s.nh AS BIGINT) AS n_population,
+           round(s.sh, 4) AS stddev_r,
+           CAST(floor(500 * s.nh * s.sh / tot.w) AS BIGINT)
+               AS neyman_n,
+           CAST(floor(500.0 * s.nh / sum(s.nh) OVER ()) AS BIGINT)
+               AS proportional_n
+    FROM strata s, tot
+    """,
+)
+def analytics_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) stratified-sample allocation — survey
+    sampling's classic: a 500-unit audit budget splits across strata
+    proportional to N_h·σ_h, oversampling volatile strata so the
+    stratified-mean variance is MINIMIZED for the budget — shown
+    next to naive proportional allocation, and the gap between the
+    two columns is exactly where variance is won. This is how data-
+    quality audits, financial-statement sampling, and eval-set
+    construction should size per-segment samples (uniform or
+    proportional sampling wastes budget on homogeneous strata). One
+    moment pass per stratum; floor-integer allocations (top up the
+    slack by largest remainder — that row shows how)."""
+    c = load(spark, sf_dir, "customer")
+    strata = c.groupBy(F.col("c_mktsegment").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.stddev_pop("c_acctbal").alias("sh"),
+    )
+    tot = strata.agg(F.sum(F.col("nh") * F.col("sh")).alias("w"))
+    return strata.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.col("nh").cast("long").alias("n_population"),
+        F.round("sh", 4).alias("stddev_r"),
+        F.floor(500 * F.col("nh") * F.col("sh") / F.col("w"))
+        .cast("long")
+        .alias("neyman_n"),
+        F.floor(
+            500.0 * F.col("nh") / F.sum("nh").over(Window.partitionBy())
+        )
+        .cast("long")
+        .alias("proportional_n"),
+    )
+
+
+@register(
+    "analytics_ab_power_analysis",
+    oracle="""
+    WITH base AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS k
+        FROM orders
+    ),
+    mde AS (SELECT unnest([0.01, 0.02, 0.05]) AS d),
+    calc AS (
+        SELECT mde.d,
+               k * 1.0 / n AS p1,
+               k * 1.0 / n + mde.d AS p2
+        FROM base, mde
+    )
+    SELECT round(d, 2) AS mde,
+           round(p1, 6) AS baseline_rate_r,
+           CAST(ceil(pow(1.959964 * sqrt(2 * ((p1 + p2) / 2)
+                                         * (1 - (p1 + p2) / 2))
+                         + 0.841621 * sqrt(p1 * (1 - p1)
+                                           + p2 * (1 - p2)), 2)
+                     / (d * d)) AS BIGINT) AS n_per_arm
+    FROM calc
+    """,
+)
+def analytics_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size (power) analysis — the pre-registration table
+    every experiment platform computes before a launch: per minimum
+    detectable effect (+1/+2/+5 pp on the measured baseline
+    urgent-order rate), the required n per arm for alpha = 0.05
+    two-sided (z = 1.959964) and 80% power (z = 0.841621), by the
+    standard two-proportion formula n = (z_a·sqrt(2 p̄ q̄) +
+    z_b·sqrt(p1 q1 + p2 q2))² / δ². Running it as a QUERY means the
+    baseline rate is measured, not guessed — the step most
+    underpowered experiments skip. The z constants are literals on
+    both engines; the whole thing is one count aggregate plus a
+    3-row broadcast of MDEs."""
+    o = load(spark, sf_dir, "orders")
+    base = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("k"),
+    )
+    mde = spark.createDataFrame([(0.01,), (0.02,), (0.05,)], "d DOUBLE")
+    calc = base.crossJoin(F.broadcast(mde)).select(
+        "d",
+        (F.col("k") / F.col("n")).alias("p1"),
+        (F.col("k") / F.col("n") + F.col("d")).alias("p2"),
+    )
+    pbar = (F.col("p1") + F.col("p2")) / 2
+    n_arm = F.ceil(
+        F.pow(
+            F.lit(1.959964) * F.sqrt(2 * pbar * (1 - pbar))
+            + F.lit(0.841621)
+            * F.sqrt(
+                F.col("p1") * (1 - F.col("p1"))
+                + F.col("p2") * (1 - F.col("p2"))
+            ),
+            F.lit(2.0),
+        )
+        / (F.col("d") * F.col("d"))
+    )
+    return calc.select(
+        F.round("d", 2).alias("mde"),
+        F.round("p1", 6).alias("baseline_rate_r"),
+        n_arm.cast("long").alias("n_per_arm"),
+    )
+
+
+@register(
+    "analytics_cuped_adjustment",
+    oracle="""
+    WITH cut AS (
+        SELECT min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) + 15 AS c
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               round(sum(CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                   < cut.c THEN value ELSE 0 END), 2) AS pre,
+               round(sum(CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                   >= cut.c THEN value ELSE 0 END), 2) AS post
+        FROM events, cut
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               avg(pre) AS mx, avg(post) AS my,
+               covar_pop(pre, post) AS cxy,
+               var_pop(pre) AS vx, var_pop(post) AS vy,
+               corr(pre, post) AS rho
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(cxy / vx, 6) AS theta_r,
+           round(vy, 4) AS var_post_r,
+           round(vy - cxy * cxy / vx, 4) AS var_cuped_r,
+           round(rho * rho, 6) AS var_reduction_frac_r
+    FROM m
+    """,
+)
+def analytics_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the modern experimentation-platform
+    standard (Deng et al.): adjust each user's experiment-period
+    metric by theta times their PRE-period metric
+    (theta = cov(pre, post)/var(pre)); the adjusted metric's
+    variance drops by exactly rho² — with rho = 0.5 an experiment
+    needs 25% fewer users for the same power (compose with the
+    power-analysis row: divide its n_per_arm by (1 - rho²)). The
+    report gives theta, raw vs adjusted variance, and the reduction
+    fraction, all from ONE per-user pre/post aggregate and a moment
+    pass — the pre-period sums round at the money grain so both
+    engines' moments see identical inputs."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "day_idx",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long"),
+    )
+    cut = e.agg((F.min("day_idx") + 15).alias("c"))
+    per_user = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("day_idx") < F.col("c"), F.col("value")).otherwise(
+                        0.0
+                    )
+                ),
+                2,
+            ).alias("pre"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("day_idx") >= F.col("c"), F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("post"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.covar_pop("pre", "post") / F.var_pop("pre"), 6).alias(
+            "theta_r"
+        ),
+        F.round(F.var_pop("post"), 4).alias("var_post_r"),
+        F.round(
+            F.var_pop("post")
+            - F.covar_pop("pre", "post")
+            * F.covar_pop("pre", "post")
+            / F.var_pop("pre"),
+            4,
+        ).alias("var_cuped_r"),
+        F.round(F.corr("pre", "post") * F.corr("pre", "post"), 6).alias(
+            "var_reduction_frac_r"
+        ),
+    )

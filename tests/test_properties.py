@@ -1849,3 +1849,41 @@ def test_dispersion_index_positive(spark, sf_dir):
     for r in rows:
         assert r["dispersion_r"] > 0
         assert r["mean_r"] >= 1.0  # cells exist only where counts >= 1
+
+
+def test_neyman_beats_proportional_on_volatile_strata(spark, sf_dir):
+    """Neyman totals stay within the budget; the allocation shifts
+    sample toward higher-stddev strata relative to proportional."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["analytics_neyman_allocation"](spark, sf_dir).collect()
+    assert sum(r["neyman_n"] for r in rows) <= 500
+    assert sum(r["proportional_n"] for r in rows) <= 500
+    hi = max(rows, key=lambda r: r["stddev_r"])
+    lo = min(rows, key=lambda r: r["stddev_r"])
+    assert (hi["neyman_n"] - hi["proportional_n"]) >= (
+        lo["neyman_n"] - lo["proportional_n"]
+    )
+
+
+def test_power_analysis_monotone_in_mde(spark, sf_dir):
+    """Smaller effects need more samples."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["analytics_ab_power_analysis"](spark, sf_dir).collect(),
+        key=lambda r: r["mde"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_per_arm"] > b["n_per_arm"]
+
+
+def test_cuped_variance_reduction_consistent(spark, sf_dir):
+    """Adjusted variance <= raw variance and the reduction fraction
+    equals 1 - var_cuped/var_post within rounding."""
+    from hive_task_spark.registry import QUERIES
+
+    r = QUERIES["analytics_cuped_adjustment"](spark, sf_dir).collect()[0]
+    assert 0 <= r["var_cuped_r"] <= r["var_post_r"] + 1e-6
+    implied = 1.0 - r["var_cuped_r"] / r["var_post_r"]
+    assert abs(implied - r["var_reduction_frac_r"]) < 1e-3
