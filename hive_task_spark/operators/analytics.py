@@ -4588,3 +4588,259 @@ def analytics_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction_frac_r"
         ),
     )
+
+
+@register(
+    "analytics_progressive_brackets",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS s_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    brackets AS (
+        SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT),        CAST(10000000 AS BIGINT), 0),
+            (CAST(10000000 AS BIGINT), CAST(50000000 AS BIGINT), 2),
+            (CAST(50000000 AS BIGINT), CAST(9223372036854775807 AS BIGINT), 5)
+        ) AS b(lo, hi, rate_pct)
+    )
+    SELECT sp.o_custkey,
+           sp.s_cents,
+           CAST(sum(least(greatest(sp.s_cents - b.lo, 0), b.hi - b.lo)
+                    * b.rate_pct // 100) AS BIGINT) AS fee_cents,
+           CAST(max(CASE WHEN sp.s_cents > b.lo THEN b.rate_pct
+                         ELSE 0 END) AS BIGINT) AS marginal_rate_pct
+    FROM spend sp CROSS JOIN brackets b
+    GROUP BY sp.o_custkey, sp.s_cents
+    """,
+)
+def analytics_progressive_brackets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Progressive bracket computation — the tax/royalty/tiered-
+    pricing kernel: each customer's annual spend is charged
+    per-bracket marginal rates (0% to $100k, 2% to $500k, 5% above),
+    with each bracket contributing min(max(x - lo, 0), hi - lo) ×
+    rate — the closed form that replaces the CASE-ladder (which
+    breaks the moment brackets change) with a data-driven bracket
+    table you can UPDATE without touching the query. All arithmetic
+    int64 cents with floor division per bracket (the statutory
+    rounding convention — document yours!), so the fee can never
+    float-drift; marginal_rate is the audit column. One customer
+    aggregate crossed with a 3-row broadcast bracket dim — rates
+    change by editing data, not code, which at 100 TB means no
+    redeploy."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("s_cents")
+    )
+    brackets = spark.createDataFrame(
+        [
+            (0, 10000000, 0),
+            (10000000, 50000000, 2),
+            (50000000, 9223372036854775807, 5),
+        ],
+        "lo LONG, hi LONG, rate_pct INT",
+    )
+    j = spend.crossJoin(F.broadcast(brackets))
+    slab = F.least(
+        F.greatest(F.col("s_cents") - F.col("lo"), F.lit(0)),
+        F.col("hi") - F.col("lo"),
+    )
+    return j.groupBy("o_custkey", "s_cents").agg(
+        F.sum(F.expr(
+            "least(greatest(s_cents - lo, CAST(0 AS BIGINT)), hi - lo)"
+            " * rate_pct div 100"
+        ))
+        .cast("long")
+        .alias("fee_cents"),
+        F.max(
+            F.when(F.col("s_cents") > F.col("lo"), F.col("rate_pct")).otherwise(0)
+        )
+        .cast("long")
+        .alias("marginal_rate_pct"),
+    )
+
+
+@register(
+    "analytics_auto_binning_fd",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_totalprice AS v,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM orders
+    ),
+    q AS (
+        SELECT max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+                        THEN v END) AS q1,
+               max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+                        THEN v END) AS q3,
+               max(n) AS n, min(v) AS lo, max(v) AS hi
+        FROM ranked
+    ),
+    plan AS (
+        SELECT n, lo, hi,
+               2.0 * (q3 - q1) / pow(n, 1.0 / 3.0) AS width,
+               CAST(ceil((hi - lo) / (2.0 * (q3 - q1)
+                                      / pow(n, 1.0 / 3.0))) AS BIGINT)
+                   AS n_bins
+        FROM q
+    )
+    SELECT CAST(plan.n AS BIGINT) AS n_rows,
+           round(plan.width, 4) AS bin_width_r,
+           plan.n_bins,
+           CAST(b.bin AS BIGINT) AS bin,
+           CAST(count(r.v) AS BIGINT) AS n_in_bin
+    FROM plan,
+         ranked r,
+         LATERAL (SELECT least(CAST(floor((r.v - plan.lo) / plan.width)
+                                    AS BIGINT), plan.n_bins - 1) AS bin) b
+    GROUP BY plan.n, plan.width, plan.n_bins, b.bin
+    """,
+)
+def analytics_auto_binning_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman–Diaconis automatic histogram design — the bin width
+    is DERIVED from the data (2·IQR/n^⅓, robust to outliers where
+    Sturges and fixed-width guesses are not), then the histogram is
+    built with it in the same query: the two-phase "design from
+    statistics, then apply" pattern every auto-profiling UI runs.
+    Quartiles come from exact rank selection (ceil(n·p), the
+    percentile_disc rule used across this repo); the plan row
+    (width, bin count) broadcasts onto the value scan for the
+    counting pass. Two passes total at any scale — one for order
+    statistics, one for the histogram — vs the naive
+    guess-rebuild-repeat loop."""
+    o = load(spark, sf_dir, "orders")
+    wr = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    q = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.25).cast("long"), F.col("v")
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.75).cast("long"), F.col("v")
+            )
+        ).alias("q3"),
+        F.max("n").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    plan = q.select(
+        F.col("n").alias("n_total"),
+        "lo",
+        "hi",
+        (2.0 * (F.col("q3") - F.col("q1")) / F.pow("n", F.lit(1.0 / 3.0))).alias(
+            "width"
+        ),
+    ).withColumn(
+        "n_bins",
+        F.ceil((F.col("hi") - F.col("lo")) / F.col("width")).cast("long"),
+    )
+    binned = ranked.drop("n", "rn").crossJoin(F.broadcast(plan)).select(
+        "n_total",
+        "width",
+        "n_bins",
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / F.col("width")).cast("long"),
+            F.col("n_bins") - 1,
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.first("n_total").cast("long").alias("n_rows"),
+        F.round(F.first("width"), 4).alias("bin_width_r"),
+        F.first("n_bins").alias("n_bins"),
+        F.count(F.lit(1)).cast("long").alias("n_in_bin"),
+    ).select("n_rows", "bin_width_r", "n_bins", "bin", "n_in_bin")
+
+
+@register(
+    "analytics_margin_waterfall",
+    oracle="""
+    WITH li AS (
+        SELECT n.n_name AS segment_key,
+               sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                   * 10000) AS gross_mu,
+               sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                   * CAST(round(l.l_discount * 100, 0) AS BIGINT)
+                   * 100) AS disc_mu,
+               sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+                   * CAST(round(l.l_tax * 100, 0) AS BIGINT)) AS tax_mu
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT segment_key, 'gross_revenue' AS stage,
+           CAST(1 AS BIGINT) AS stage_no,
+           CAST(gross_mu AS BIGINT) AS amount_mu FROM li
+    UNION ALL
+    SELECT segment_key, 'less_discounts', CAST(2 AS BIGINT),
+           CAST(-disc_mu AS BIGINT) FROM li
+    UNION ALL
+    SELECT segment_key, 'less_tax', CAST(3 AS BIGINT),
+           CAST(-tax_mu AS BIGINT) FROM li
+    UNION ALL
+    SELECT segment_key, 'net_revenue', CAST(4 AS BIGINT),
+           CAST(gross_mu - disc_mu - tax_mu AS BIGINT) FROM li
+    """,
+)
+def analytics_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution-margin waterfall — the finance bridge chart as
+    data: per supplier nation, gross revenue steps down through
+    discounts and tax to net revenue, each step a signed row so the
+    running total of the waterfall IS the bridge, and the net row
+    equals the sum of the steps by integer identity. Every amount is
+    an EXACT int64 in micro-dollars (price cents x discount
+    hundredths x tax hundredths — the 6-decimal true grain of
+    2dp x 2dp x 2dp), because a float edge here sits on the round-2
+    half boundary where engines legitimately disagree (this exact
+    query caught one at sf0.01 before the integer rewrite). All
+    three step measures fuse into ONE star-join aggregate; the
+    unpivot to (stage, amount) rows is free."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ep_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100, 0).cast("long")
+    base = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("segment_key"))
+        .agg(
+            F.sum(ep_c * 10000).alias("gross_mu"),
+            F.sum(ep_c * disc_c * 100).alias("disc_mu"),
+            F.sum(ep_c * (100 - disc_c) * tax_c).alias("tax_mu"),
+        )
+    )
+
+    def stage(name, no, amount):
+        return base.select(
+            "segment_key",
+            F.lit(name).alias("stage"),
+            F.lit(no).cast("long").alias("stage_no"),
+            amount.cast("long").alias("amount_mu"),
+        )
+
+    return (
+        stage("gross_revenue", 1, F.col("gross_mu"))
+        .unionByName(stage("less_discounts", 2, -F.col("disc_mu")))
+        .unionByName(stage("less_tax", 3, -F.col("tax_mu")))
+        .unionByName(
+            stage(
+                "net_revenue",
+                4,
+                F.col("gross_mu") - F.col("disc_mu") - F.col("tax_mu"),
+            )
+        )
+    )

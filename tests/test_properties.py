@@ -1887,3 +1887,48 @@ def test_cuped_variance_reduction_consistent(spark, sf_dir):
     assert 0 <= r["var_cuped_r"] <= r["var_post_r"] + 1e-6
     implied = 1.0 - r["var_cuped_r"] / r["var_post_r"]
     assert abs(implied - r["var_reduction_frac_r"]) < 1e-3
+
+
+def test_bracket_fee_monotone_in_spend(spark, sf_dir):
+    """Fees are nondecreasing in spend and below the top marginal
+    rate times spend."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["analytics_progressive_brackets"](spark, sf_dir).collect(),
+        key=lambda r: r["s_cents"],
+    )
+    prev_fee, prev_s = -1, -1
+    for r in rows:
+        if r["s_cents"] > prev_s:
+            assert r["fee_cents"] >= prev_fee
+            prev_fee, prev_s = r["fee_cents"], r["s_cents"]
+        assert r["fee_cents"] <= r["s_cents"] * 5 // 100
+
+
+def test_fd_histogram_covers_all_rows(spark, sf_dir):
+    """Auto-binned histogram counts sum to the table count; bins are
+    within [0, n_bins)."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["analytics_auto_binning_fd"](spark, sf_dir).collect()
+    n = rows[0]["n_rows"]
+    assert sum(r["n_in_bin"] for r in rows) == n
+    nb = rows[0]["n_bins"]
+    assert all(0 <= r["bin"] < nb for r in rows)
+
+
+def test_waterfall_conserves(spark, sf_dir):
+    """Signed steps sum to zero against the net row (bridge identity)
+    per segment — exact integers."""
+    from hive_task_spark.registry import QUERIES
+
+    rows = QUERIES["analytics_margin_waterfall"](spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["segment_key"], {})[r["stage"]] = r["amount_mu"]
+    for seg, st in per.items():
+        assert (
+            st["gross_revenue"] + st["less_discounts"] + st["less_tax"]
+            == st["net_revenue"]
+        )
