@@ -4844,3 +4844,156 @@ def analytics_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "analytics_holt_trend_forecast",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               round(sum(value), 2) AS a
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day_idx, a,
+               lag(a, 1) OVER w AS a1, lag(a, 2) OVER w AS a2,
+               lag(a, 3) OVER w AS a3, lag(a, 4) OVER w AS a4
+        FROM daily WINDOW w AS (ORDER BY day_idx)
+    ),
+    smoothed AS (
+        SELECT day_idx, a,
+               (a + a1 * 0.5 + a2 * 0.25 + a3 * 0.125 + a4 * 0.0625)
+                   / 1.9375 AS level,
+               ((a - a1) + (a1 - a2) * 0.5 + (a2 - a3) * 0.25
+                + (a3 - a4) * 0.125) / 1.875 AS trend
+        FROM lagged
+        WHERE a4 IS NOT NULL
+    )
+    SELECT day_idx,
+           round(level, 4) AS level_r,
+           round(trend, 4) AS trend_r,
+           round(level + trend, 4) AS forecast_next_r
+    FROM smoothed
+    """,
+)
+def analytics_holt_trend_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-style trend-adjusted smoothing as a finite FIR — the
+    level is a 5-tap exponential moving average and the trend a
+    4-tap EWMA of first differences; forecast(t+1) = level + trend.
+    Plain EWMA (the per-user row) lags a trending series by design;
+    adding the smoothed slope removes that lag — the one-line reason
+    demand forecasting uses Holt over EWMA. The textbook recursive
+    Holt is not window-expressible (infinite memory); the truncated
+    FIR form is, keeps >96% of the weight mass at alpha=0.5, and is
+    exactly reproducible on both engines (full-window rows only, so
+    every tap is real data — no edge renormalization ambiguity).
+    The series is |days| rows after one aggregate; per-segment
+    forecasts partition the same window."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx")
+    ).agg(F.round(F.sum("value"), 2).alias("a"))
+    w = Window.orderBy("day_idx")
+    lagged = daily.select(
+        "day_idx",
+        "a",
+        F.lag("a", 1).over(w).alias("a1"),
+        F.lag("a", 2).over(w).alias("a2"),
+        F.lag("a", 3).over(w).alias("a3"),
+        F.lag("a", 4).over(w).alias("a4"),
+    ).filter(F.col("a4").isNotNull())
+    level = (
+        F.col("a")
+        + F.col("a1") * 0.5
+        + F.col("a2") * 0.25
+        + F.col("a3") * 0.125
+        + F.col("a4") * 0.0625
+    ) / 1.9375
+    trend = (
+        (F.col("a") - F.col("a1"))
+        + (F.col("a1") - F.col("a2")) * 0.5
+        + (F.col("a2") - F.col("a3")) * 0.25
+        + (F.col("a3") - F.col("a4")) * 0.125
+    ) / 1.875
+    return lagged.select(
+        "day_idx",
+        F.round(level, 4).alias("level_r"),
+        F.round(trend, 4).alias("trend_r"),
+        F.round(level + trend, 4).alias("forecast_next_r"),
+    )
+
+
+@register(
+    "analytics_retention_half_life",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id,
+               min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS d0
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               CAST(floor(epoch(e.ts) / 86400) AS BIGINT) - f.d0 AS offset_d
+        FROM events e JOIN first_day f ON f.user_id = e.user_id
+    ),
+    decay AS (
+        SELECT offset_d, count(*) AS n_active
+        FROM activity WHERE offset_d BETWEEN 1 AND 14
+        GROUP BY offset_d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(n_active), offset_d), 6) AS slope_r,
+           round(regr_intercept(ln(n_active), offset_d), 6)
+               AS intercept_r,
+           round(-ln(2) / regr_slope(ln(n_active), offset_d), 4)
+               AS half_life_days_r
+    FROM decay
+    """,
+)
+def analytics_retention_half_life(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retention half-life — fit ln(active users) ~ days-since-first-
+    seen over offsets 1-14 and report -ln2/slope: the single number
+    ("engagement halves every H days") that growth teams quote where
+    the full retention matrix row gives the curve. Exponential-decay
+    fitting by log-linear least squares is the standard trick, and
+    regr_slope over exact integer day-counts makes it one aggregate
+    over a 14-row table — the fact pass is the same first-seen +
+    distinct-activity census the cohort-retention row builds.
+    Negative slope => finite half-life; a flat/positive slope (no
+    decay in this synthetic fixture's uniform activity) shows up as
+    a negative "half-life", which is precisely the sanity check the
+    property test pins."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "day_idx",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long"),
+    )
+    first = e.groupBy("user_id").agg(F.min("day_idx").alias("d0"))
+    act = (
+        e.join(first, "user_id")
+        .select("user_id", (F.col("day_idx") - F.col("d0")).alias("offset_d"))
+        .distinct()
+    )
+    decay = (
+        act.filter(F.col("offset_d").between(1, 14))
+        .groupBy("offset_d")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    lx = F.log(F.col("n_active").cast("double"))
+    return decay.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.expr("regr_slope(ln(CAST(n_active AS DOUBLE)), offset_d)"), 6).alias(
+            "slope_r"
+        ),
+        F.round(
+            F.expr("regr_intercept(ln(CAST(n_active AS DOUBLE)), offset_d)"), 6
+        ).alias("intercept_r"),
+        F.round(
+            -F.log(F.lit(2.0))
+            / F.expr("regr_slope(ln(CAST(n_active AS DOUBLE)), offset_d)"),
+            4,
+        ).alias("half_life_days_r"),
+    )

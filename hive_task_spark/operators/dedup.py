@@ -615,3 +615,71 @@ def dedup_asymmetric_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_r"),
         )
     )
+
+
+@register(
+    "dedup_health_dashboard",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+    ),
+    exact AS (
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT h) AS n_unique
+        FROM docs GROUP BY source
+    ),
+    prefix AS (
+        SELECT source,
+               count(DISTINCT md5(array_to_string(
+                   string_split(text, ' ')[1:10], ' '))) AS n_prefix
+        FROM documents GROUP BY source
+    )
+    SELECT e.source,
+           CAST(e.n_docs AS BIGINT) AS n_docs,
+           CAST(e.n_docs - e.n_unique AS BIGINT) AS n_exact_dups,
+           round((e.n_docs - e.n_unique) * 1.0 / e.n_docs, 6)
+               AS exact_dup_rate_r,
+           CAST(e.n_docs - p.n_prefix AS BIGINT) AS n_prefix_dups,
+           round((e.n_docs - p.n_prefix) * 1.0 / e.n_docs, 6)
+               AS prefix_dup_rate_r
+    FROM exact e JOIN prefix p ON p.source = e.source
+    """,
+)
+def dedup_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup health dashboard — the per-source duplication report a
+    curation team reviews before mixing: exact-duplicate rate
+    (content-hash census) next to the coarser 10-token-prefix
+    duplicate rate (the cheap near-dup proxy — prefix collisions
+    without full-hash collisions flag templated/boilerplate-heavy
+    sources that need the expensive MinHash pass). Both rates come
+    from count-distinct aggregates over ONE scan each — this is the
+    triage that decides WHERE to spend the LSH budget, so it must
+    stay scan-cheap. A source with high prefix-dup but low exact-dup
+    rate is the classic syndication signature."""
+    d = load(spark, sf_dir, "documents")
+    exact = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+    )
+    prefix = d.groupBy("source").agg(
+        F.countDistinct(
+            F.md5(
+                F.array_join(F.slice(F.split("text", " "), 1, 10), " ").cast(
+                    "binary"
+                )
+            )
+        ).alias("n_prefix")
+    )
+    return exact.join(prefix, "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs") - F.col("n_unique")).cast("long").alias("n_exact_dups"),
+        F.round(
+            (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+        ).alias("exact_dup_rate_r"),
+        (F.col("n_docs") - F.col("n_prefix")).cast("long").alias("n_prefix_dups"),
+        F.round(
+            (F.col("n_docs") - F.col("n_prefix")) / F.col("n_docs"), 6
+        ).alias("prefix_dup_rate_r"),
+    )

@@ -1932,3 +1932,38 @@ def test_waterfall_conserves(spark, sf_dir):
             st["gross_revenue"] + st["less_discounts"] + st["less_tax"]
             == st["net_revenue"]
         )
+
+
+def test_holt_forecast_identity(spark, sf_dir):
+    """forecast = level + trend on every row (4dp)."""
+    from hive_task_spark.registry import QUERIES
+
+    for r in QUERIES["analytics_holt_trend_forecast"](spark, sf_dir).collect():
+        assert abs(r["forecast_next_r"] - (r["level_r"] + r["trend_r"])) < 2e-4
+
+
+def test_half_life_consistent_with_slope(spark, sf_dir):
+    """half_life = -ln2/slope within rounding; the 14-day window is
+    fully populated in this fixture."""
+    import math
+
+    from hive_task_spark.registry import QUERIES
+
+    r = QUERIES["analytics_retention_half_life"](spark, sf_dir).collect()[0]
+    assert r["n_points"] == 14
+    if abs(r["slope_r"]) > 1e-9:
+        implied = -math.log(2) / r["slope_r"]
+        # near-zero slopes amplify the 6dp slope rounding in the
+        # reciprocal — compare with relative tolerance
+        assert abs(implied - r["half_life_days_r"]) < max(
+            0.01, abs(implied) * 1e-3
+        )
+
+
+def test_dedup_dashboard_rates_ordered(spark, sf_dir):
+    """Prefix-dup rate >= exact-dup rate (prefix collisions are a
+    superset), and rates lie in [0, 1)."""
+    from hive_task_spark.registry import QUERIES
+
+    for r in QUERIES["dedup_health_dashboard"](spark, sf_dir).collect():
+        assert 0.0 <= r["exact_dup_rate_r"] <= r["prefix_dup_rate_r"] < 1.0
