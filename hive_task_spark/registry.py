@@ -39,6 +39,78 @@ ORACLES: dict[str, str] = {}
 # operator happens to live in.
 _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 
+# The external audit samples the FIRST 50 queries in registration
+# order.  Rather than deriving that window from module import order
+# (fragile — adding one operator to an early module silently evicts
+# the 50th name), the window is an explicit curated list: load_all
+# reorders QUERIES so these names come first, in this order, and
+# everything else follows in plain registration order.  The rotation
+# schedule lives in CLAUDE.md; this is round 4's row: the 15 names
+# that were ever red in a driver window (12 round-1 function/agg
+# suites + 3 round-2 events-ts casualties, all since fixed and green
+# locally but never driver-reconfirmed), then 35 never-sampled names
+# spanning dates/strings/math/json/arrays, the Arrow UDF surface,
+# aggregates, SQL dialect, rolling windows, text, and quality.
+AUDIT_WINDOW: tuple[str, ...] = (
+    # -- ever-red, fixed, awaiting driver reconfirmation (15) --
+    "array_basic_suite",
+    "array_higher_order",
+    "array_zip_flatten",
+    "agg_approx_count_distinct",
+    "agg_approx_quantiles",
+    "agg_collect_array",
+    "map_keys_values_entries",
+    "map_higher_order",
+    "json_schema_inference",
+    "math_suite",
+    "str_extract_all_map",
+    "hash_engine_specific",
+    "join_null_safe_eq",
+    "pipeline_sessionize_events",
+    "sql_hiveql_interface",
+    # -- never-sampled: scalar-function suites (11) --
+    "date_calendar_arithmetic",
+    "date_order_gaps",
+    "date_timezone_suite",
+    "date_business_days",
+    "date_multiformat_parse_dispatch",
+    "str_collation_suite",
+    "math_decimal_exact_money",
+    "math_try_arithmetic_suite",
+    "json_variant_extract",
+    "array_mutation_suite",
+    "array_nested_struct_rollup",
+    # -- never-sampled: Arrow/pandas UDF surface (5) --
+    "udf_mapinarrow",
+    "udf_pandas_iterator",
+    "udtf_polymorphic",
+    "udf_cogrouped_map",
+    "udf_grouped_arrow",
+    # -- never-sampled: aggregates (6) --
+    "agg_higher_moments",
+    "agg_minmax_by",
+    "agg_weighted_median",
+    "agg_percentile_cont_disc",
+    "agg_crosstab_contingency",
+    "agg_melt_unpivot_api",
+    # -- never-sampled: SQL dialect (4) --
+    "sql_native_pivot",
+    "sql_native_unpivot",
+    "sql_group_by_all",
+    "sql_ctas_insert",
+    # -- never-sampled: rolling windows (3) --
+    "window_rolling_regression",
+    "window_time_range_frame",
+    "window_running_distinct",
+    # -- never-sampled: text + quality + analytics heads (6) --
+    "text_quality_scores",
+    "text_language_id",
+    "text_token_counts",
+    "quality_winsorize",
+    "quality_column_profiler",
+    "analytics_funnel",
+)
+
 
 def register(
     name: str, oracle: str | None = None, defer: bool = False
@@ -76,20 +148,31 @@ def _flush_deferred() -> None:
             ORACLES[name] = oracle
 
 
+def _apply_window() -> None:
+    """Reorder QUERIES so AUDIT_WINDOW names come first (idempotent).
+
+    Names in the window that aren't registered raise — the curated
+    window must never silently shrink below 50.
+    """
+    missing = [n for n in AUDIT_WINDOW if n not in QUERIES]
+    if missing:
+        raise ValueError(f"AUDIT_WINDOW names not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in AUDIT_WINDOW}
+    for name, fn in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = fn
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent).
 
-    ORDER MATTERS: external audits sample the FIRST 50 queries in
-    registration order, and the window rotates every round so each
-    family eventually gets audit signal (CLAUDE.md).
-
-    Round-3 window (exactly 50, all with zero prior audit signal):
-    relational(9) + windows(7) + setops(6) + asof(4) + sources(7) +
-    streaming(10) + similarity(7). Rounds 1-2 confirmed TPC-H
-    workloads/subqueries, joins, dedup, most of pipeline/aggregates,
-    and the scalar-function suites; round 4 should rotate in text,
-    quality, multimodal, analytics, and the function suites that were
-    red in round 1 (arrays/maps/json/math/strings) for re-confirmation.
+    External audits sample the FIRST 50 queries in registration order.
+    Since round 4 the window is the explicit AUDIT_WINDOW list above —
+    _apply_window reorders QUERIES after all modules register, so the
+    window is independent of module import order.  The round-by-round
+    rotation schedule lives in CLAUDE.md.
     """
     # Imports are inside the function so `import hive_task_spark` stays
     # cheap and circular-import-free; modules self-register on import.
@@ -103,7 +186,6 @@ def load_all() -> None:
     from hive_task_spark.streaming import stream_queries  # noqa: F401
     from hive_task_spark.operators import (  # noqa: F401
         similarity,
-        # ---- end of the 50-query audit window ----
         text,
         quality,
         multimodal,
@@ -128,3 +210,4 @@ def load_all() -> None:
     )
 
     _flush_deferred()
+    _apply_window()

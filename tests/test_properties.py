@@ -340,18 +340,25 @@ def test_jl_projection_preserves_norms(spark, sf_dir):
 
 
 def test_audit_window_composition():
-    """The first 50 registered queries ARE the round-3 rotation promise
-    (CLAUDE.md): any drift — e.g. a new operator registered without
-    defer=True in a window module — fails here, not silently in the
-    driver's audit."""
+    """The first 50 registered queries ARE the current rotation promise
+    (registry.AUDIT_WINDOW, schedule in CLAUDE.md): any drift fails
+    here, not silently in the driver's audit. Round 4's row: the 15
+    ever-red-but-fixed names lead, then the never-sampled families."""
     from hive_task_spark import registry
 
     registry.load_all()
     names = list(registry.QUERIES)[:50]
-    assert names[0] == "q1_pricing_summary"
-    assert names[49] == "similarity_quantize_int8", names[45:]
-    fams = {n.split("_")[0] for n in names}
-    assert {"window", "setop", "asof", "source", "stream", "similarity"} <= fams
+    assert len(registry.AUDIT_WINDOW) == 50
+    assert names == list(registry.AUDIT_WINDOW)
+    assert names[0] == "array_basic_suite"
+    assert names[14] == "sql_hiveql_interface"  # last of the 15 ever-red
+    assert names[49] == "analytics_funnel"
+    # every window name must stay oracle-backed except the single
+    # by-design rows-only entry (engine-specific xxhash64)
+    missing = [
+        n for n in names if n not in registry.ORACLES and n != "hash_engine_specific"
+    ]
+    assert not missing, missing
 
 
 def test_session_window_conserves_events(spark, sf_dir):
