@@ -1722,15 +1722,19 @@ def quality_join_cardinality_audit(
             F.countDistinct("o_custkey").alias("d_oc"),
         )
         .crossJoin(
-            li.agg(
-                F.count(F.lit(1)).alias("n_l"),
-                F.countDistinct("l_orderkey").alias("d_lk"),
+            F.broadcast(
+                li.agg(
+                    F.count(F.lit(1)).alias("n_l"),
+                    F.countDistinct("l_orderkey").alias("d_lk"),
+                )
             )
         )
         .crossJoin(
-            c.agg(
-                F.count(F.lit(1)).alias("n_c"),
-                F.countDistinct("c_custkey").alias("d_ck"),
+            F.broadcast(
+                c.agg(
+                    F.count(F.lit(1)).alias("n_c"),
+                    F.countDistinct("c_custkey").alias("d_ck"),
+                )
             )
         )
     )

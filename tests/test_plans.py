@@ -82,6 +82,53 @@ def test_windows_always_partitioned(spark, sf_dir, name):
     assert "windowspecdefinition()" not in plan.lower().replace(" ", "")
 
 
+def test_unpartitioned_windows_are_bounded(spark, sf_dir):
+    """An unpartitioned Window.orderBy funnels its whole input through
+    one task, so it is only allowed above a node that bounds the row
+    count (Aggregate / LocalRelation / Limit / Deduplicate) — the
+    Holt/forecast/OLS family all window pre-aggregated daily series.
+    The explicit exceptions below window document-METADATA cardinality
+    and each docstring records the two-pass plan used at 100 TB; any
+    new query that globally windows a raw table must either bound it
+    or argue its way onto this list."""
+    allowed_raw_input = {
+        "agg_equidepth_histogram",        # global ntile over value sample
+        "analytics_auto_binning_fd",      # Freedman–Diaconis needs global order stats
+        "pipeline_shard_plan",            # running size over shard metadata
+        "pipeline_token_budget",          # budget prefix; SCALE.md two-pass plan
+        "quality_sorted_neighborhood_er", # SNM is global-sort by definition
+        "similarity_hybrid_rrf",          # ranks over filtered candidate set
+    }
+    bounding = {
+        "Aggregate",
+        "LocalRelation",
+        "OneRowRelation",
+        "GlobalLimit",
+        "Deduplicate",
+    }
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    offenders = []
+    for name in sorted(registry.QUERIES):
+        if name.startswith("stream_") or name.startswith("source_"):
+            continue
+        plan = registry.QUERIES[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+        for node in walk(plan):
+            if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+                bounded = any(
+                    any(n.nodeName() in bounding for n in walk(node.children().apply(i)))
+                    for i in range(node.children().size())
+                )
+                if not bounded and name not in allowed_raw_input:
+                    offenders.append(name)
+    assert not offenders, f"unbounded global windows: {sorted(set(offenders))}"
+
+
 def test_tpch_dim_joins_broadcast(spark, sf_dir):
     """The TPC-H shapes added for full Q1-Q22 coverage keep every
     dimension join broadcast (q21's two SortMergeJoins are the
