@@ -4997,3 +4997,471 @@ def analytics_retention_half_life(
             4,
         ).alias("half_life_days_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: robust/rank statistics, time-series diagnostics,
+# and inequality curves. All window after aggregation (bounded inputs,
+# enforced by tests/test_plans.py::test_unpartitioned_windows_are_bounded).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_kendall_tau",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS day_val
+        FROM events
+        GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
+    ),
+    pairs AS (
+        SELECT a.n_events - b.n_events AS dx, a.day_val - b.day_val AS dy
+        FROM daily a JOIN daily b ON a.day_idx < b.day_idx
+    ),
+    s AS (
+        SELECT
+            CAST(count(*) AS BIGINT) AS n0,
+            CAST(sum(CASE WHEN dx <> 0 AND dy <> 0
+                          AND (dx > 0) = (dy > 0) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS concordant,
+            CAST(sum(CASE WHEN dx <> 0 AND dy <> 0
+                          AND (dx > 0) <> (dy > 0) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS discordant,
+            CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied_x,
+            CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied_y
+        FROM pairs
+    )
+    SELECT n0, concordant, discordant,
+           round((concordant - discordant)
+                 / sqrt((n0 - tied_x) * 1.0 * (n0 - tied_y)), 6) AS tau_b_r
+    FROM s
+    """,
+)
+def analytics_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily event volume and
+    daily value total — the robust monotone-association sibling of the
+    Pearson (corr) and Spearman rows. Concordant/discordant/tied pair
+    counts come from the O(days^2) self-join of the DAILY aggregate
+    (bounded: |days| rows regardless of corpus size — the fact table
+    is touched once by the groupBy), so the statistic's numerator is
+    exact integer arithmetic and only the final ratio rounds (6dp
+    stats grain). Day values round to 6dp before differencing so sign
+    comparisons are identical cross-engine."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("day_val"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.day_idx") < F.col("b.day_idx")).select(
+        (F.col("a.n_events") - F.col("b.n_events")).alias("dx"),
+        (F.col("a.day_val") - F.col("b.day_val")).alias("dy"),
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(
+            F.when(
+                (F.col("dx") != 0)
+                & (F.col("dy") != 0)
+                & ((F.col("dx") > 0) == (F.col("dy") > 0)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.sum(
+            F.when(
+                (F.col("dx") != 0)
+                & (F.col("dy") != 0)
+                & ((F.col("dx") > 0) != (F.col("dy") > 0)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("discordant"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0)).cast("long").alias("tied_x"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0)).cast("long").alias("tied_y"),
+    )
+    return s.select(
+        "n0",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / F.sqrt(
+                (F.col("n0") - F.col("tied_x"))
+                * F.lit(1.0)
+                * (F.col("n0") - F.col("tied_y"))
+            ),
+            6,
+        ).alias("tau_b_r"),
+    )
+
+
+@register(
+    "analytics_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
+               round(avg(value), 6) AS y
+        FROM events
+        GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
+    ),
+    slopes AS (
+        SELECT (b.y - a.y) / (b.x - a.x) AS m
+        FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    sl AS (SELECT median(m) AS slope FROM slopes),
+    ic AS (
+        SELECT median(d.y - sl.slope * d.x) AS intercept
+        FROM daily d CROSS JOIN sl
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           round(sl.slope, 6) AS slope_r,
+           round(ic.intercept, 4) AS intercept_r
+    FROM sl CROSS JOIN ic
+    """,
+)
+def analytics_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend — the median of all pairwise slopes of
+    the daily value average, with the median-residual intercept. The
+    pairwise slope set is O(days^2) over the bounded DAILY aggregate
+    (never the raw corpus); both medians interpolate identically in
+    Spark and DuckDB because the slope values are bit-identical IEEE
+    divisions of 6dp-rounded inputs. Robust to the outlier days that
+    wreck the OLS row (analytics_ols_normal_equations): up to 29%
+    contamination leaves the estimate unmoved."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("x")
+    ).agg(F.round(F.avg("value"), 6).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("m")
+    )
+    sl = slopes.agg(F.median("m").alias("slope"))
+    ic = (
+        daily.crossJoin(F.broadcast(sl))
+        .select((F.col("y") - F.col("slope") * F.col("x")).alias("resid"))
+        .agg(F.median("resid").alias("intercept"))
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        sl.crossJoin(F.broadcast(ic))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_days",
+            F.round(F.col("slope"), 6).alias("slope_r"),
+            F.round(F.col("intercept"), 4).alias("intercept_r"),
+        )
+    )
+
+
+@register(
+    "analytics_acf_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               round(sum(value), 6) AS day_val
+        FROM events
+        GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
+    ),
+    lags AS (SELECT * FROM (VALUES (1), (2), (3), (7)) AS t(lag_d))
+    SELECT lag_d,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(a.day_val, b.day_val), 4) AS acf_r
+    FROM lags
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.day_idx = a.day_idx + lags.lag_d
+    GROUP BY lag_d
+    """,
+)
+def analytics_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily value series at lags
+    1/2/3/7 — the seasonality screen run before fitting any forecast
+    (a spike at lag 7 = weekly cycle; slow decay = trend; the Holt row
+    consumes exactly this diagnosis). Each lag is a keyed self-join of
+    the bounded daily aggregate shifted by the lag, so the whole ACF
+    costs one corpus pass + O(|lags| * days) joins; corr is the exact
+    same sample-Pearson in both engines, rounded at the 4dp stats
+    grain. The lag spine is a 4-row literal dimension (broadcast)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx")
+    ).agg(F.round(F.sum("value"), 6).alias("day_val"))
+    lags = spark.createDataFrame([(1,), (2,), (3,), (7,)], "lag_d int").select(
+        F.col("lag_d").cast("int")
+    )
+    a = daily.select(F.col("day_idx"), F.col("day_val").alias("v0"))
+    b = daily.select(
+        F.col("day_idx").alias("day_idx_b"), F.col("day_val").alias("v1")
+    )
+    return (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("day_idx_b") == F.col("day_idx") + F.col("lag_d"))
+        .groupBy("lag_d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.corr("v0", "v1"), 4).alias("acf_r"),
+        )
+    )
+
+
+@register(
+    "analytics_js_divergence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_p,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_q
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT sum(n_p) AS tp, sum(n_q) AS tq FROM cells
+    ),
+    terms AS (
+        SELECT c.event_type,
+               c.n_p / (1.0 * t.tp) AS p,
+               c.n_q / (1.0 * t.tq) AS q
+        FROM cells c CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           round(sum(CASE WHEN p > 0
+                          THEN 0.5 * p * ln(p / ((p + q) / 2)) / ln(2)
+                          ELSE 0 END)
+                 + sum(CASE WHEN q > 0
+                            THEN 0.5 * q * ln(q / ((p + q) / 2)) / ln(2)
+                            ELSE 0 END), 9) AS js_divergence_r
+    FROM terms
+    """,
+)
+def analytics_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the event-type distributions
+    of two user cohorts (even vs odd user_id) — the symmetric,
+    bounded [0,1] drift metric an LLM-data pipeline tracks between
+    data mixes (PSI's bounded cousin: PSI explodes on near-zero bins,
+    JS doesn't). ONE corpus pass builds the (type × cohort) cell
+    census; divergence is a sum over |types| cells. Transcendental
+    edge → 9dp round (CLAUDE.md); log2 phrased as ln/ln(2) so both
+    engines run the same libm composition."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_p"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_q"),
+    )
+    tot = cells.agg(
+        F.sum("n_p").alias("tp"), F.sum("n_q").alias("tq")
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        (F.col("n_p") / (F.lit(1.0) * F.col("tp"))).alias("p"),
+        (F.col("n_q") / (F.lit(1.0) * F.col("tq"))).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("p") > 0,
+                    0.5 * F.col("p") * F.log(F.col("p") / m) / F.log(F.lit(2.0)),
+                ).otherwise(0.0)
+            )
+            + F.sum(
+                F.when(
+                    F.col("q") > 0,
+                    0.5 * F.col("q") * F.log(F.col("q") / m) / F.log(F.lit(2.0)),
+                ).otherwise(0.0)
+            ),
+            9,
+        ).alias("js_divergence_r"),
+    )
+
+
+@register(
+    "analytics_burstiness",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+               / 1000000.0 AS gap_s
+        FROM events
+    ),
+    st AS (
+        SELECT user_id,
+               CAST(count(gap_s) AS BIGINT) AS n_gaps,
+               avg(gap_s) AS mu,
+               stddev_samp(gap_s) AS sigma
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY user_id
+        HAVING count(gap_s) >= 2
+    )
+    SELECT user_id, n_gaps,
+           round(mu, 4) AS mean_gap_s_r,
+           round((sigma - mu) / (sigma + mu), 6) AS burstiness_r
+    FROM st
+    """,
+)
+def analytics_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness index B = (σ−μ)/(σ+μ) of inter-event gaps
+    (Goh–Barabási): −1 = metronome, 0 = Poisson, →1 = heavy-tailed
+    bursts. The signal a rate-limiter or bot-detector keys on, and a
+    direct consumer of the lag-window gap idiom: gaps are exact
+    integer microsecond differences (unix_micros, never fractional
+    epoch()) scaled to seconds, one user-partitioned window + one
+    groupBy — a single shuffle on user_id. σ is sample stddev in both
+    engines; ratio edges round at 6dp, the mean gap at 4dp."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1000000.0
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    st = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("long").alias("n_gaps"),
+            F.avg("gap_s").alias("mu"),
+            F.stddev_samp("gap_s").alias("sigma"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    return st.select(
+        "user_id",
+        "n_gaps",
+        F.round(F.col("mu"), 4).alias("mean_gap_s_r"),
+        F.round(
+            (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")), 6
+        ).alias("burstiness_r"),
+    )
+
+
+@register(
+    "analytics_lorenz_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS s
+        FROM orders GROUP BY o_custkey
+    ),
+    dec AS (
+        SELECT s, CAST(ntile(10) OVER (ORDER BY s, o_custkey) AS BIGINT) AS decile
+        FROM spend
+    ),
+    agg AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(s), 2) AS decile_spend
+        FROM dec GROUP BY decile
+    )
+    SELECT decile, n_customers, decile_spend,
+           round(sum(decile_spend) OVER (ORDER BY decile)
+                 / (sum(decile_spend) OVER ()), 6) AS cum_share_r
+    FROM agg
+    """,
+)
+def analytics_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve by customer-spend decile — the table behind the
+    Gini row (analytics_gini_pareto): ntile(10) over the customer-
+    grain spend aggregate, then each decile's spend and cumulative
+    share. Reads as 'the bottom 50% of customers carry X% of
+    revenue'. The global ntile and cumulative windows run over
+    customer- and decile-grain aggregates (bounded — the fact pass is
+    the one groupBy); spend rounds at the 2dp money grain before
+    ranking so decile boundaries are cross-engine identical."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("s")
+    )
+    dec = spend.select(
+        "s",
+        F.ntile(10).over(Window.orderBy("s", "o_custkey")).cast("long").alias("decile"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("s"), 2).alias("decile_spend"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "decile",
+        "n_customers",
+        "decile_spend",
+        F.round(
+            F.sum("decile_spend").over(w_cum) / F.sum("decile_spend").over(w_all), 6
+        ).alias("cum_share_r"),
+    )
+
+
+@register(
+    "analytics_record_highs",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               round(sum(value), 6) AS day_val
+        FROM events GROUP BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+    ),
+    flagged AS (
+        SELECT user_id, day_val,
+               CASE WHEN max(day_val) OVER (
+                        PARTITION BY user_id ORDER BY day_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL THEN 1
+                    WHEN day_val > max(day_val) OVER (
+                        PARTITION BY user_id ORDER BY day_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_record
+        FROM daily
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(is_record) AS BIGINT) AS n_records
+    FROM flagged GROUP BY user_id
+    """,
+)
+def analytics_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-high days per user: how many days set a new personal
+    maximum of daily value total (first day always counts). The
+    running-max-vs-current idiom every leaderboard/'new ATH' feature
+    uses, as one user-partitioned window over the daily aggregate —
+    daily totals round at 6dp BEFORE comparison so the strict '>' is
+    decided on identical values in both engines. One shuffle keys the
+    daily groupBy, the window, and the final per-user count."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.round(F.sum("value"), 6).alias("day_val"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("day_val").over(w)
+    flagged = daily.select(
+        "user_id",
+        F.when(prev_max.isNull(), 1)
+        .when(F.col("day_val") > prev_max, 1)
+        .otherwise(0)
+        .alias("is_record"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("is_record").cast("long").alias("n_records"),
+    )
