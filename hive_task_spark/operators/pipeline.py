@@ -2269,3 +2269,264 @@ def pipeline_group_fold_assignment(
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: sampling/curriculum operators (rejection sampling,
+# minority oversampling, epoch shuffling, ablation matrix, span-
+# corruption planning). Same determinism discipline as the rest of the
+# module: every draw keys on md5 of stable ids, never rand().
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_rejection_sampling",
+    oracle="""
+    WITH mx AS (SELECT max(n_chars) AS max_chars FROM documents),
+    w AS (
+        SELECT doc_id, lang, n_chars,
+               n_chars / (1.0 * mx.max_chars) AS accept_prob,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) / CAST(281474976710656 AS DOUBLE) AS u
+        FROM documents CROSS JOIN mx
+    )
+    SELECT doc_id, lang, n_chars,
+           round(accept_prob, 6) AS accept_prob_r
+    FROM w WHERE u < accept_prob
+    """,
+)
+def pipeline_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional rejection sampling: keep each document
+    with probability n_chars/max(n_chars) — the one-pass way to turn
+    per-doc quality weights into a subsample WITHOUT computing a
+    global weighted order (contrast pipeline_weighted_sample, which
+    needs a top-k). The uniform is md5-keyed (same draw on every
+    rerun, engine, and partitioning); max(n_chars) is a broadcast
+    one-row aggregate, so the filter runs at scan speed. This is how
+    a 100 TB mix applies importance weights: no shuffle, no state,
+    deterministic audit trail."""
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").alias("max_chars"))
+    u = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    ) / F.lit(281474976710656.0)
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .withColumn("accept_prob", F.col("n_chars") / (F.lit(1.0) * F.col("max_chars")))
+        .filter(u < F.col("accept_prob"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("accept_prob", 6).alias("accept_prob_r"),
+        )
+    )
+
+
+@register(
+    "pipeline_oversample_minority",
+    oracle="""
+    WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    mx AS (SELECT max(n) AS target FROM lc),
+    plan AS (
+        SELECT lang, n,
+               least(CAST(ceil(mx.target / (1.0 * n)) AS BIGINT), 3) AS n_copies
+        FROM lc CROSS JOIN mx
+    )
+    SELECT d.doc_id, d.lang, CAST(c.copy_idx AS BIGINT) AS copy_idx
+    FROM documents d
+    JOIN plan p ON d.lang = p.lang
+    CROSS JOIN LATERAL unnest(range(1, p.n_copies + 1)) AS c(copy_idx)
+    """,
+)
+def pipeline_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minority-class oversampling plan: replicate each document of an
+    under-represented language ceil(target/n) times (capped at 3x to
+    bound epoch inflation), where target is the majority-language
+    count. The per-lang replication factors are a broadcast dimension
+    (|langs| rows from one corpus pass); the replication itself is a
+    generated explode(sequence(1, n_copies)) — rows materialize at
+    the executor, nothing upstream shuffles wider. The class-balance
+    epoch-construction primitive, as declarative algebra."""
+    d = load(spark, sf_dir, "documents")
+    lc = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mx = lc.agg(F.max("n").alias("target"))
+    plan = lc.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        F.least(
+            F.ceil(F.col("target") / (F.lit(1.0) * F.col("n"))).cast("long"),
+            F.lit(3).cast("long"),
+        ).alias("n_copies"),
+    )
+    return (
+        d.join(F.broadcast(plan), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+                "copy_idx"
+            ),
+        )
+        .select("doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx"))
+    )
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    oracle="""
+    WITH epochs AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(epoch)),
+    ranked AS (
+        SELECT e.epoch, d.doc_id,
+               row_number() OVER (
+                   PARTITION BY e.epoch
+                   ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':'
+                               || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rk
+        FROM documents d CROSS JOIN epochs e
+    )
+    SELECT epoch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS docid_sum,
+           CAST(sum(doc_id * rk) AS BIGINT) AS perm_checksum
+    FROM ranked GROUP BY epoch
+    """,
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffling: epoch e orders docs
+    by md5(e:doc_id) — a different but REPRODUCIBLE permutation every
+    epoch, the property data-loader shuffles need for resumable
+    training. The integrity report proves it: each epoch has the same
+    n_docs and docid_sum (same multiset) but a different
+    perm_checksum Σ(doc_id·rank) (different order). Per-epoch ranks
+    partition on epoch (3 partitions here; at scale the rank is
+    per-shard within epoch — same algebra one level down). Exact
+    integer edges throughout."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.createDataFrame([(0,), (1,), (2,)], "epoch int")
+    ranked = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("epoch").orderBy(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("epoch").cast("string"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                "doc_id",
+            )
+        )
+        .alias("rk"),
+    )
+    return ranked.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("docid_sum"),
+        F.sum(F.col("doc_id") * F.col("rk")).cast("long").alias("perm_checksum"),
+    )
+
+
+@register(
+    "pipeline_quality_ablation",
+    oracle="""
+    WITH flags AS (
+        SELECT CAST(n_chars >= 200 AS BOOLEAN) AS f_len,
+               CAST(len(list_distinct(string_split(text, ' ')))
+                    / (1.0 * len(string_split(text, ' '))) >= 0.5
+                    AS BOOLEAN) AS f_ttr,
+               CAST(lang = 'en' AS BOOLEAN) AS f_en,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT f_len, f_ttr, f_en,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM flags
+    GROUP BY CUBE (f_len, f_ttr, f_en)
+    """,
+)
+def pipeline_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ablation matrix: document and token counts under every
+    combination of three quality gates (length ≥ 200 chars, type-
+    token ratio ≥ 0.5, English) via CUBE — the 'how much data does
+    each filter stack cost me' table a pretraining-mix owner reads
+    before committing a cleaning recipe. All flags are in-row
+    expressions; the cube is one partial+final aggregate pass (8
+    grouping sets over 3 booleans, grouping-set expansion happens
+    map-side). NULL rows are the margins (filter off)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    flags = d.select(
+        (F.col("n_chars") >= 200).alias("f_len"),
+        (
+            F.size(F.array_distinct(toks)) / (F.lit(1.0) * F.size(toks)) >= 0.5
+        ).alias("f_ttr"),
+        (F.col("lang") == "en").alias("f_en"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    return flags.cube("f_len", "f_ttr", "f_en").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "pipeline_span_corruption",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    plan AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens >= 3
+                    THEN CAST(floor((n_tokens - 3) / 10.0) AS BIGINT) + 1
+                    ELSE 0 END AS n_spans
+        FROM t
+    )
+    SELECT doc_id, n_tokens, n_spans,
+           round(3.0 * n_spans / n_tokens, 6) AS mask_ratio_r,
+           CASE WHEN n_spans > 0
+                THEN array_to_string(range(0, n_spans * 10, 10), '|')
+                ELSE '' END AS span_starts
+    FROM plan
+    """,
+)
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption plan: for each document, the list of
+    mask-span start offsets (3-token spans every 10 tokens) plus the
+    resulting mask ratio — the denoising-objective prep step, emitted
+    as a PLAN (offsets, not rewritten text) so the expensive token
+    rewrite happens once at materialization, not per experiment. Pure
+    map stage: offsets are a generated sequence serialized '|'-joined
+    at the edge (driver canonicalizer takes no arrays), zero
+    exchanges, scan-speed at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    plan = t.withColumn(
+        "n_spans",
+        F.when(
+            F.col("n_tokens") >= 3,
+            (F.floor((F.col("n_tokens") - 3) / 10.0)).cast("long") + 1,
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return plan.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.round(3.0 * F.col("n_spans") / F.col("n_tokens"), 6).alias("mask_ratio_r"),
+        F.when(
+            F.col("n_spans") > 0,
+            F.expr(
+                "array_join(transform(sequence(0, (n_spans - 1) * 10, 10), "
+                "x -> CAST(x AS STRING)), '|')"
+            ),
+        )
+        .otherwise("")
+        .alias("span_starts"),
+    )

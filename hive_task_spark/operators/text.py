@@ -1336,3 +1336,192 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: lexical-statistics family (hapax/TTR, Heaps' law,
+# n-gram novelty). All are token/shingle-grain shuffles — the same
+# scale class as the TF-IDF and decontamination rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hapax_legomena",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_cnt,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / (1.0 * count(*)), 6)
+               AS hapax_ratio_r,
+           round(count(*) / (1.0 * sum(c)), 6) AS ttr_r
+    FROM tc GROUP BY source
+    """,
+)
+def text_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena audit per source: token count, vocabulary size,
+    singleton-type count, hapax ratio, and type-token ratio. A high
+    hapax ratio flags OCR noise / mojibake / ID-like junk vocabulary;
+    a collapsing TTR flags templated spam — both standard pre-train
+    corpus screens. One explode + (source, token) count + per-source
+    rollup: two map-side-combinable aggregates on the token grain,
+    the same shuffle class as TF-IDF. Ratios round at 6dp."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    tc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax_cnt"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            / (F.lit(1.0) * F.count(F.lit(1))),
+            6,
+        ).alias("hapax_ratio_r"),
+        F.round(F.count(F.lit(1)) / (F.lit(1.0) * F.sum("c")), 6).alias("ttr_r"),
+    )
+
+
+@register(
+    "text_heaps_law",
+    oracle="""
+    WITH tok AS (
+        SELECT CAST(doc_id // 100 AS BIGINT) AS bucket,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    firstb AS (SELECT w, min(bucket) AS fb FROM tok GROUP BY w),
+    newv AS (
+        SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_types
+        FROM firstb GROUP BY fb
+    ),
+    btok AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_tok
+        FROM tok GROUP BY bucket
+    ),
+    cum AS (
+        SELECT b.bucket, b.n_tok, coalesce(n.new_types, 0) AS new_types,
+               CAST(sum(coalesce(n.new_types, 0))
+                    OVER (ORDER BY b.bucket) AS BIGINT) AS cum_vocab,
+               CAST(sum(b.n_tok) OVER (ORDER BY b.bucket) AS BIGINT)
+                   AS cum_tokens
+        FROM btok b LEFT JOIN newv n USING (bucket)
+    ),
+    beta AS (
+        SELECT regr_slope(ln(1.0 * cum_vocab), ln(1.0 * cum_tokens)) AS beta
+        FROM cum
+    )
+    SELECT bucket, n_tok, new_types, cum_vocab, cum_tokens,
+           round(beta.beta, 6) AS heaps_beta_r
+    FROM cum CROSS JOIN beta
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: bucket the corpus into 100-doc
+    chunks (by doc_id), chart cumulative vocabulary vs cumulative
+    tokens, and fit the log-log slope β (V ≈ k·Tᵝ; natural text sits
+    near β≈0.5 — a β drifting toward 0 flags a saturating/templated
+    corpus, toward 1 flags ID-like unbounded vocab). 'New types per
+    bucket' comes from min(bucket) per token — one token-grain
+    aggregate, no cumulative distinct state; the cumulative windows
+    run over the |buckets|-row aggregate. β broadcasts back as a
+    constant column (regr_slope exact in both engines, 6dp)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        F.floor(F.col("doc_id") / 100).cast("long").alias("bucket"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    firstb = tok.groupBy("w").agg(F.min("bucket").alias("fb"))
+    newv = firstb.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    btok = tok.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        btok.join(newv, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tok",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "bucket",
+            "n_tok",
+            "new_types",
+            F.sum("new_types").over(w_cum).cast("long").alias("cum_vocab"),
+            F.sum("n_tok").over(w_cum).cast("long").alias("cum_tokens"),
+        )
+    )
+    beta = cum.agg(
+        F.expr(
+            "regr_slope(ln(1.0 * cum_vocab), ln(1.0 * cum_tokens))"
+        ).alias("beta")
+    )
+    return cum.crossJoin(F.broadcast(beta)).select(
+        "bucket",
+        "n_tok",
+        "new_types",
+        "cum_vocab",
+        "cum_tokens",
+        F.round(F.col("beta"), 6).alias("heaps_beta_r"),
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(w) >= 3
+                      THEN [array_to_string(w[i:i+2], ' ')
+                            FOR i IN range(1, len(w) - 1)]
+                      ELSE [array_to_string(w, ' ')] END) AS shingle
+        FROM w
+    ),
+    fd AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 / (1.0 * count(*)), 6) AS novelty_r
+    FROM sh s JOIN fd f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word-trigrams never seen in any earlier doc (doc_id order) — the
+    incremental-crawl screen that separates fresh content from echo
+    (near-1 = novel, near-0 = recombination of known text). Reuses the
+    codegen shingler from the dedup family (dedup._shingle_rows: lead-
+    window trigrams, short docs emit their raw text); 'seen earlier'
+    is min(doc_id) per shingle — a single shingle-grain aggregate +
+    equi-join, the decontaminate shuffle class, never a scan of past
+    corpus per doc. Ratio rounds at 6dp."""
+    from hive_task_spark.operators.dedup import _shingle_rows
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _shingle_rows(d).distinct()
+    fd = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(fd, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel) / (F.lit(1.0) * F.count(F.lit(1))), 6).alias(
+                "novelty_r"
+            ),
+        )
+    )
