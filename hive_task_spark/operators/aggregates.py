@@ -1364,3 +1364,41 @@ def agg_melt_unpivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="var",
         valueColumnName="val",
     )
+
+
+@register(
+    "agg_deterministic_sample",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT c_mktsegment, c_custkey,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rk
+        FROM customer
+    )
+    WHERE rk <= 5
+    """,
+)
+def agg_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: the 5 customers per market
+    segment with the smallest md5(custkey) — a uniform random-LOOKING
+    draw that is identical on every rerun, engine, and partitioning
+    (the reproducibility contract TABLESAMPLE/rand() cannot give).
+    The rank-limit window compiles to per-partition top-k heaps on
+    the group key (no global sort); this is the 'show me 5 examples
+    from every segment' debugging query made audit-safe."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )

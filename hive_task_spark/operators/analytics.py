@@ -5465,3 +5465,155 @@ def analytics_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.sum("is_record").cast("long").alias("n_records"),
     )
+
+
+@register(
+    "analytics_dow_hour_heatmap",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7
+                    AS BIGINT) AS dow,
+               CAST(floor((epoch_us(ts) % CAST(86400000000 AS BIGINT))
+                          / 3600000000.0) AS BIGINT) AS hour,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS total FROM cells)
+    SELECT dow, hour, CAST(n AS BIGINT) AS n_events,
+           round(n / (1.0 * tot.total), 6) AS share_r
+    FROM cells CROSS JOIN tot
+    """,
+)
+def analytics_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap with share of total
+    — the seasonality fingerprint behind capacity planning and
+    anomaly baselines. The dow key is computed arithmetically from
+    the epoch day ((day+4) mod 7, Sunday=0) rather than an engine
+    dayofweek() (Spark counts Sunday=1, DuckDB Sunday=0 — the
+    calendar-function trap); hour comes from exact integer
+    microseconds-of-day. One map-side-combinable aggregate over ≤168
+    cells + a broadcast total."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    cells = e.groupBy(
+        ((F.floor(F.col("ts").cast("double") / 86400).cast("long") + 4) % 7).alias(
+            "dow"
+        ),
+        F.floor((us % F.lit(86400000000)) / 3600000000.0)
+        .cast("long")
+        .alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("n") / (F.lit(1.0) * F.col("total")), 6).alias("share_r"),
+    )
+
+
+@register(
+    "analytics_kcore",
+    oracle="""
+    WITH edges0 AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                        greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg0 AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges0
+            UNION ALL SELECT v AS node FROM edges0
+        ) GROUP BY node
+    ),
+    kk AS (SELECT CAST(ceil(0.6 * avg(d)) AS BIGINT) AS k FROM deg0),
+    keep1 AS (SELECT node FROM deg0 CROSS JOIN kk WHERE d >= kk.k),
+    edges1 AS (
+        SELECT e.u, e.v FROM edges0 e
+        JOIN keep1 ka ON e.u = ka.node
+        JOIN keep1 kb ON e.v = kb.node
+    ),
+    deg1 AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges1
+            UNION ALL SELECT v AS node FROM edges1
+        ) GROUP BY node
+    ),
+    keep2 AS (SELECT node FROM deg1 CROSS JOIN kk WHERE d >= kk.k),
+    edges2 AS (
+        SELECT e.u, e.v FROM edges1 e
+        JOIN keep2 ka ON e.u = ka.node
+        JOIN keep2 kb ON e.v = kb.node
+    ),
+    deg2 AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges2
+            UNION ALL SELECT v AS node FROM edges2
+        ) GROUP BY node
+    )
+    SELECT d2.node AS part_id,
+           CAST(d2.d AS BIGINT) AS degree_after_peel,
+           kk.k AS core_k
+    FROM deg2 d2 CROSS JOIN kk
+    WHERE d2.d >= kk.k
+    """,
+)
+def analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction on the co-purchase graph (parts sharing an
+    order), two unrolled peel rounds at k = ceil(0.6 x mean degree): each
+    round drops nodes below k and re-filters edges to surviving
+    endpoints — the dense-subgraph screen behind community seeding
+    and fraud-ring detection. Unrolled BSP like the PageRank/label-
+    propagation rows (no driver-side convergence loop; at 100 TB each
+    round is two broadcast-able semi-joins of the edge list against
+    the shrinking keep-set, and the edge list itself comes from the
+    one orderkey self-join). All-integer edges, adaptive k makes the
+    peel meaningful at every SF."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
+    def degrees(edges):
+        return (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    deg0 = degrees(edges0)
+    kk = deg0.agg(F.ceil(0.6 * F.avg("d")).cast("long").alias("k"))
+
+    def peel(edges, deg):
+        keep = deg.crossJoin(F.broadcast(kk)).filter(
+            F.col("d") >= F.col("k")
+        ).select("node")
+        return (
+            edges.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+        )
+
+    edges1 = peel(edges0, deg0)
+    edges2 = peel(edges1, degrees(edges1))
+    deg2 = degrees(edges2)
+    return (
+        deg2.crossJoin(F.broadcast(kk))
+        .filter(F.col("d") >= F.col("k"))
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("d").cast("long").alias("degree_after_peel"),
+            F.col("k").alias("core_k"),
+        )
+    )

@@ -1815,3 +1815,140 @@ def quality_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_mktsegment").cast("long").alias("l_div"),
     )
     return q.filter(F.col("l_div") < 3)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: freshness, key-multiplicity, and cross-field
+# consistency audits.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_freshness_lag",
+    oracle="""
+    WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(epoch_us(ts)) AS tmax,
+               CAST(sum(CASE WHEN epoch_us(ts)
+                             < g.gmax - CAST(604800000000 AS BIGINT)
+                             THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stale_7d
+        FROM events CROSS JOIN g
+        GROUP BY event_type, g.gmax
+    ),
+    gg AS (SELECT gmax FROM g)
+    SELECT event_type, n_events,
+           CAST((gg.gmax - s.tmax) // 1000000 AS BIGINT) AS lag_behind_head_s,
+           n_stale_7d,
+           round(n_stale_7d / (1.0 * n_events), 6) AS stale_ratio_r
+    FROM s CROSS JOIN gg
+    """,
+)
+def quality_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit per event type: how far each type's newest
+    event lags the global high-water mark, and what fraction of its
+    rows are older than a 7-day staleness window — the first page of
+    any ingestion-health dashboard (a type whose lag grows round over
+    round is a dead producer). Timestamps compare as exact integer
+    microseconds (unix_micros, never fractional epoch); the global
+    max is a broadcast one-row aggregate, so the whole audit is one
+    corpus pass + an O(|types|) join."""
+    e = load(spark, sf_dir, "events")
+    g = e.agg(F.max(F.unix_micros("ts")).alias("gmax"))
+    s = (
+        e.crossJoin(F.broadcast(g))
+        .groupBy("event_type", "gmax")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(F.unix_micros("ts")).alias("tmax"),
+            F.sum(
+                F.when(
+                    F.unix_micros("ts")
+                    < F.col("gmax") - F.lit(604800000000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_stale_7d"),
+        )
+    )
+    return s.select(
+        "event_type",
+        "n_events",
+        F.floor((F.col("gmax") - F.col("tmax")) / 1000000).cast("long").alias(
+            "lag_behind_head_s"
+        ),
+        "n_stale_7d",
+        F.round(F.col("n_stale_7d") / (F.lit(1.0) * F.col("n_events")), 6).alias(
+            "stale_ratio_r"
+        ),
+    )
+
+
+@register(
+    "quality_key_multiplicity",
+    oracle="""
+    WITH k AS (
+        SELECT user_id, ts, count(*) AS k_events
+        FROM events GROUP BY user_id, ts
+    )
+    SELECT CAST(k_events AS BIGINT) AS k_events,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(k_events) AS BIGINT) AS n_rows
+    FROM k GROUP BY k_events
+    """,
+)
+def quality_key_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-multiplicity histogram for the natural key (user_id, ts):
+    how many candidate keys occur once, twice, k times — the
+    uniqueness audit run before declaring a primary key or choosing a
+    dedup strategy (a fat k tail says the key is NOT a key, and dedup
+    must pick a winner deterministically). Two stacked map-side-
+    combinable aggregates: key-grain count, then count-of-counts —
+    the classic two-level shuffle that stays tiny because level 2's
+    cardinality is |distinct multiplicities|."""
+    e = load(spark, sf_dir, "events")
+    k = e.groupBy("user_id", "ts").agg(F.count(F.lit(1)).alias("k_events"))
+    return k.groupBy("k_events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("k_events").cast("long").alias("n_rows"),
+    ).select(
+        F.col("k_events").cast("long").alias("k_events"), "n_keys", "n_rows"
+    )
+
+
+@register(
+    "quality_nchars_consistency",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch,
+           CAST(max(abs(n_chars - length(text))) AS BIGINT) AS max_abs_diff,
+           round(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                 / (1.0 * count(*)), 6) AS mismatch_ratio_r
+    FROM documents GROUP BY source
+    """,
+)
+def quality_nchars_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field consistency audit: does the materialized n_chars
+    column agree with length(text)? Denormalized/derived columns
+    drift when upstream writers change (truncation, encoding, late
+    cleaning) — this is the check that catches it, per source, with
+    the max absolute divergence as the triage signal. Pure map
+    predicate + one aggregate; at 100 TB this runs at scan speed and
+    the length() never leaves the executor."""
+    d = load(spark, sf_dir, "documents")
+    mism = F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(mism).cast("long").alias("n_mismatch"),
+        F.max(F.abs(F.col("n_chars") - F.length("text")))
+        .cast("long")
+        .alias("max_abs_diff"),
+        F.round(F.sum(mism) / (F.lit(1.0) * F.count(F.lit(1))), 6).alias(
+            "mismatch_ratio_r"
+        ),
+    )

@@ -2000,3 +2000,148 @@ def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_cos_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: index-health diagnostics over the frozen IVF
+# codebook and the raw embedding space.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_cell_occupancy",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    u AS (SELECT vec_id, list_transform(vec, x -> x / nrm) AS uvec FROM n),
+    c AS (
+        SELECT generate_subscripts(cb, 1) - 1 AS cid, unnest(cb) AS cvec
+        FROM (SELECT {{cb}} AS cb)
+    ),
+    asg AS (
+        SELECT vec_id, cid FROM (
+            SELECT u.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(u.uvec, c.cvec),
+                                               p -> p[1] * p[2])) DESC,
+                       c.cid) AS rn
+            FROM u CROSS JOIN c
+        ) WHERE rn = 1
+    ),
+    occ AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM asg GROUP BY cid
+    ),
+    tot AS (
+        SELECT sum(n_vectors) AS total, max(n_vectors) AS mx,
+               avg(n_vectors) AS av
+        FROM occ
+    )
+    SELECT o.cid, o.n_vectors,
+           round(o.n_vectors / (1.0 * t.total), 6) AS occupancy_share_r,
+           round(t.mx / t.av, 6) AS balance_factor_r
+    FROM occ o CROSS JOIN tot t
+    """.replace("{cb}", _CODEBOOK_SQL),
+)
+def similarity_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: vectors per coarse cell under the
+    frozen codebook, each cell's share, and the balance factor
+    max/avg — the number that predicts ANN tail latency (a factor of
+    k means the hottest posting list is k× the average, so nprobe
+    scans are k× skewed; >2 says retrain or split cells). Assignment
+    is the same broadcast-literal argmax as similarity_ann_ivf (one
+    corpus pass, zero scoring shuffle); the report is a |cells|-row
+    aggregate. Cites similarity.py's frozen-codebook discipline —
+    deterministic, so exact-oracle-checkable."""
+    from pyspark.sql import Window
+
+    cb_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x}D" for x in c) + ")" for c in _IVF_CODEBOOK
+        )
+        + ")"
+    )
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    unit = vecs.select("vec_id", F.expr("transform(vec, x -> x / nrm)").alias("uvec"))
+    centroids = F.broadcast(
+        e.sparkSession.range(1).select(
+            F.posexplode(F.expr(cb_lit)).alias("cid", "cvec")
+        )
+    )
+    asg = (
+        unit.crossJoin(centroids)
+        .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    occ = asg.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    tot = occ.agg(
+        F.sum("n_vectors").alias("total"),
+        F.max("n_vectors").alias("mx"),
+        F.avg("n_vectors").alias("av"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vectors",
+        F.round(F.col("n_vectors") / (F.lit(1.0) * F.col("total")), 6).alias(
+            "occupancy_share_r"
+        ),
+        F.round(F.col("mx") / F.col("av"), 6).alias("balance_factor_r"),
+    )
+
+
+@register(
+    "similarity_norm_profile",
+    oracle="""
+    WITH n AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   x -> x * x))) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(quantile_cont(nrm, 0.25), 6) AS p25_r,
+           round(quantile_cont(nrm, 0.50), 6) AS p50_r,
+           round(quantile_cont(nrm, 0.75), 6) AS p75_r,
+           round(avg(nrm), 6) AS mean_r
+    FROM n GROUP BY label
+    """,
+)
+def similarity_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile (quartiles + mean) of the embedding
+    space — the drift/collapse screen run before any cosine index is
+    trusted: a label whose norm distribution shifts between snapshots
+    signals encoder drift; near-zero norms signal dead vectors that
+    poison normalized search. Norms are in-row JVM folds (aggregate
+    HOF, no UDF); the profile is one groupBy over |labels| with
+    interpolated percentiles (same percentile_cont semantics both
+    engines), 6dp edges."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select(
+        "label", _norm(_vec_d()).alias("nrm")
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.expr("percentile(nrm, 0.25)"), 6).alias("p25_r"),
+        F.round(F.expr("percentile(nrm, 0.50)"), 6).alias("p50_r"),
+        F.round(F.expr("percentile(nrm, 0.75)"), 6).alias("p75_r"),
+        F.round(F.avg("nrm"), 6).alias("mean_r"),
+    )
