@@ -145,3 +145,73 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist_km", 3).alias("dist_km_r"),
         )
     )
+
+
+_EVT_LAT = "((event_id * 41) % 9000) / 100.0 - 45"
+_EVT_LON = "((event_id * 89) % 18000) / 100.0 - 90"
+
+
+@register(
+    "geo_trajectory_stats",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, ts, event_id,
+               {_EVT_LAT} AS lat, {_EVT_LON} AS lon
+        FROM events
+    ),
+    legs AS (
+        SELECT user_id, lat, lon,
+               lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    d AS (
+        SELECT user_id,
+               {_HAV.format(lat1="plat", lon1="plon", lat2="lat", lon2="lon")}
+                   AS leg_km
+        FROM legs WHERE plat IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_legs,
+           round(sum(leg_km), 3) AS total_km_r,
+           round(max(leg_km), 3) AS max_leg_km_r,
+           round(avg(leg_km), 3) AS avg_leg_km_r
+    FROM d GROUP BY user_id
+    """,
+)
+def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trajectory report — total/max/mean haversine leg
+    length over each user's time-ordered point sequence (points
+    synthesized from event ids, module header). The telemetry-mileage
+    / GPS-track summarization pattern: ONE user-partitioned window
+    provides the previous point (no self-join), then one groupBy —
+    a single shuffle keyed on the entity, linear in track points at
+    any fleet size. Distances round at 3dp (meter grain) so libm ulp
+    skew in the trig never reaches the hash."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    pts = e.selectExpr(
+        "user_id", "ts", "event_id", f"{_EVT_LAT} AS lat", f"{_EVT_LON} AS lon"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    leg_km = F.expr(
+        _HAV.format(lat1="plat", lon1="plon", lat2="lat", lon2="lon")
+    )
+    return (
+        legs.select("user_id", leg_km.alias("leg_km"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_legs"),
+            F.round(F.sum("leg_km"), 3).alias("total_km_r"),
+            F.round(F.max("leg_km"), 3).alias("max_leg_km_r"),
+            F.round(F.avg("leg_km"), 3).alias("avg_leg_km_r"),
+        )
+    )

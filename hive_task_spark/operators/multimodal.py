@@ -348,3 +348,85 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_bytes",
         )
     )
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS sig60
+        FROM documents
+    ),
+    bands AS (
+        SELECT doc_id, sig60, b.band_id,
+               (sig60 >> (b.band_id * 15)) & 32767 AS band_key
+        FROM sig CROSS JOIN
+             (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(band_id)) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig60 AS sa, b.sig60 AS sb
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 20
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for binary assets, the
+    image-dedup architecture at lakehouse scale: a 60-bit signature
+    per payload, split into 4×15-bit LSH bands; assets sharing any
+    band collide into candidate pairs (equi-join — never all-pairs),
+    then the exact Hamming distance over the full signature verifies
+    (≤20 bits). The signature here is md5-derived from the payload
+    bytes (the container has no image codecs — a real pHash/aHash
+    drops into the same 60-bit slot via the mapInPandas decode
+    kernel, multimodal.py header), which preserves every structural
+    property of the pipeline: banding math, candidate generation,
+    verify threshold, and the guarantee that identical payloads land
+    at Hamming 0. Integer band keys keep the shuffle 8 bytes/row/band."""
+    d = load(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("sig60"),
+    )
+    bands_dim = F.broadcast(
+        spark.createDataFrame([(0,), (1,), (2,), (3,)], "band_id int")
+    )
+    bands = sig.crossJoin(bands_dim).select(
+        "doc_id",
+        "sig60",
+        "band_id",
+        F.expr("shiftright(sig60, band_id * 15) & 32767").alias("band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig60").alias("sa"),
+        "band_id",
+        "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig60").alias("sb"),
+        "band_id",
+        "band_key",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sa ^ sb)")
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= 20)
+        .select("doc_a", "doc_b", "hamming")
+    )
