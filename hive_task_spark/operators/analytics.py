@@ -5569,7 +5569,12 @@ def analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is two broadcast-able semi-joins of the edge list against
     the shrinking keep-set, and the edge list itself comes from the
     one orderkey self-join). All-integer edges, adaptive k makes the
-    peel meaningful at every SF."""
+    peel meaningful at every SF. The edge lists materialize via
+    localCheckpoint between rounds (the minhash/triangle discipline):
+    each round's plan reads the PREVIOUS round's result, not the
+    whole re-derived lineage — without it the unroll multiplies the
+    lineitem self-join once per downstream reference (~200 exchanges
+    at depth 2)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     edges0 = (
@@ -5582,6 +5587,7 @@ def analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        .localCheckpoint()
     )
 
     def degrees(edges):
@@ -5605,8 +5611,8 @@ def analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
         )
 
-    edges1 = peel(edges0, deg0)
-    edges2 = peel(edges1, degrees(edges1))
+    edges1 = peel(edges0, deg0).localCheckpoint()
+    edges2 = peel(edges1, degrees(edges1)).localCheckpoint()
     deg2 = degrees(edges2)
     return (
         deg2.crossJoin(F.broadcast(kk))
