@@ -1525,3 +1525,126 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_token_entropy",
+    oracle="""
+    WITH tc AS (
+        SELECT doc_id, source, w, count(*) AS c FROM (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ) GROUP BY doc_id, source, w
+    ),
+    pr AS (
+        SELECT doc_id, source,
+               c / (1.0 * sum(c) OVER (PARTITION BY doc_id)) AS p
+        FROM tc
+    ),
+    dt AS (
+        SELECT doc_id, source, sum(-1.0 * p * ln(p) / ln(2)) AS h
+        FROM pr GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(h), 6) AS mean_entropy_r,
+           round(min(h), 6) AS min_entropy_r,
+           round(max(h), 6) AS max_entropy_r
+    FROM dt GROUP BY source
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy rolled up per source — the
+    compression-ratio proxy that flags templated/repetitive documents
+    (low entropy = the doc is a few tokens looping; high = diverse
+    vocabulary), a standard pretrain quality gate next to the gopher
+    and repetition rows. The (doc, token) count and the per-doc
+    probability both come from one token-grain aggregate + one doc-
+    partitioned window SUM (no second corpus pass); entropy is a
+    transcendental edge → 6dp round after the final per-source
+    reduction."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / (F.lit(1.0) * tot)
+    dt = (
+        tc.select("doc_id", "source", (-1.0 * p * F.log(p) / F.log(F.lit(2.0))).alias("term"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("term").alias("h"))
+    )
+    return dt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("h"), 6).alias("mean_entropy_r"),
+        F.round(F.min("h"), 6).alias("min_entropy_r"),
+        F.round(F.max("h"), 6).alias("max_entropy_r"),
+    )
+
+
+@register(
+    "text_source_vocab_overlap",
+    oracle="""
+    WITH sv AS (
+        SELECT DISTINCT source, w FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        )
+    ),
+    vs AS (SELECT source, count(*) AS v FROM sv GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           round(i.n_common / (1.0 * (va.v + vb.v - i.n_common)), 6)
+               AS jaccard_r
+    FROM inter i
+    JOIN vs va ON va.source = i.src_a
+    JOIN vs vb ON vb.source = i.src_b
+    """,
+)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-by-source vocabulary Jaccard matrix — the corpus-mix
+    diagnostic that says which sources are lexical near-clones (merge
+    or deduplicate them) and which add genuinely new vocabulary to the
+    mix. Intersections come from the (source, token) DISTINCT relation
+    self-joined on token — posting-list style, O(Σ df²) not
+    |sources|²·|vocab| — and vocabulary sizes broadcast back onto the
+    |sources|² result. The same shape scales to domain × shard overlap
+    at 100 TB because the join key is the token, never the vocab set."""
+    d = load(spark, sf_dir, "documents")
+    sv = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    vs = sv.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = sv.select(F.col("source").alias("src_a"), "w")
+    b = sv.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    va = vs.select(F.col("source").alias("src_a"), F.col("v").alias("va"))
+    vb = vs.select(F.col("source").alias("src_b"), F.col("v").alias("vb"))
+    return (
+        inter.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.lit(1.0) * (F.col("va") + F.col("vb") - F.col("n_common"))),
+                6,
+            ).alias("jaccard_r"),
+        )
+    )

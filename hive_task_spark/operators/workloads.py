@@ -1127,3 +1127,34 @@ def sql_values_inline_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.tier
         """
     )
+
+
+@register(
+    "sql_order_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price_r
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL — the SQL-dialect convenience (sort by every
+    select-list column left to right, Spark 4 and DuckDB agree on the
+    semantics) paired with GROUP BY ALL for the fully-inferred
+    exploratory rollup. The sort runs over the aggregate's tiny
+    output (|status|×|priority| rows), so the global order is free;
+    the point is surface parity for the dialect feature."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ht_ord_oba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price_r
+        FROM ht_ord_oba
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
