@@ -78,6 +78,13 @@ HEADLINE = [
     "analytics_fifo_inventory_matching",
     "text_inverted_index",
     "analytics_time_weighted_avg",
+    # Round-4 families: the bounded-aggregate pairwise statistic (one
+    # corpus pass + O(days²) on the reduction), the shingle-grain
+    # novelty scorer (decontaminate shuffle class), and the unrolled
+    # k-core peel (BSP with localCheckpoint materialization).
+    "analytics_kendall_tau",
+    "text_ngram_novelty",
+    "analytics_kcore",
 ]
 
 

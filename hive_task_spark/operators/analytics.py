@@ -5606,13 +5606,13 @@ def analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d") >= F.col("k")
         ).select("node")
         return (
-            edges.join(keep.withColumnRenamed("node", "u"), "u")
-            .join(keep.withColumnRenamed("node", "v"), "v")
+            edges.join(F.broadcast(keep.withColumnRenamed("node", "u")), "u")
+            .join(F.broadcast(keep.withColumnRenamed("node", "v")), "v")
             .select("u", "v")
         )
 
     edges1 = peel(edges0, deg0).localCheckpoint()
-    edges2 = peel(edges1, degrees(edges1)).localCheckpoint()
+    edges2 = peel(edges1, degrees(edges1))
     deg2 = degrees(edges2)
     return (
         deg2.crossJoin(F.broadcast(kk))
