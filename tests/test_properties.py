@@ -1974,3 +1974,96 @@ def test_dedup_dashboard_rates_ordered(spark, sf_dir):
 
     for r in QUERIES["dedup_health_dashboard"](spark, sf_dir).collect():
         assert 0.0 <= r["exact_dup_rate_r"] <= r["prefix_dup_rate_r"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operator invariants
+# ---------------------------------------------------------------------------
+
+
+def test_js_divergence_and_tau_bounds(spark, sf_dir):
+    """JS divergence (log2) lives in [0,1]; Kendall tau-b in [-1,1]
+    with concordant+discordant <= n0."""
+    js = registry.QUERIES["analytics_js_divergence"](spark, sf_dir).collect()[0]
+    assert 0.0 <= js["js_divergence_r"] <= 1.0
+    tau = registry.QUERIES["analytics_kendall_tau"](spark, sf_dir).collect()[0]
+    assert -1.0 <= tau["tau_b_r"] <= 1.0
+    assert tau["concordant"] + tau["discordant"] <= tau["n0"]
+
+
+def test_lorenz_monotone_ends_at_one(spark, sf_dir):
+    rows = sorted(
+        registry.QUERIES["analytics_lorenz_deciles"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    shares = [r["cum_share_r"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    # Lorenz curve sits below the diagonal (bottom deciles own less)
+    assert shares[0] <= 1.0 / len(shares) + 1e-6
+
+
+def test_record_highs_bounds(spark, sf_dir):
+    for r in registry.QUERIES["analytics_record_highs"](spark, sf_dir).collect():
+        assert 1 <= r["n_records"] <= r["n_days"]
+
+
+def test_heaps_cumulative_monotone(spark, sf_dir):
+    rows = sorted(
+        registry.QUERIES["text_heaps_law"](spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    vocab = [r["cum_vocab"] for r in rows]
+    toks = [r["cum_tokens"] for r in rows]
+    assert vocab == sorted(vocab) and toks == sorted(toks)
+    assert all(v <= t for v, t in zip(vocab, toks))
+    # sublinear growth: beta in [0, 1) — exactly 0 for this synthetic
+    # corpus (closed 31-token vocabulary saturates in bucket 0)
+    assert 0.0 <= rows[0]["heaps_beta_r"] < 1.0
+
+
+def test_epoch_shuffle_is_permutation_family(spark, sf_dir):
+    rows = registry.QUERIES["pipeline_epoch_shuffle"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    assert len({r["n_docs"] for r in rows}) == 1       # same multiset size
+    assert len({r["docid_sum"] for r in rows}) == 1    # same members
+    assert len({r["perm_checksum"] for r in rows}) == 3  # different orders
+
+
+def test_cell_occupancy_partitions_corpus(spark, sf_dir):
+    rows = registry.QUERIES["similarity_cell_occupancy"](spark, sf_dir).collect()
+    assert abs(sum(r["occupancy_share_r"] for r in rows) - 1.0) < 1e-4
+    assert all(r["balance_factor_r"] >= 1.0 for r in rows)
+
+
+def test_kcore_survivors_meet_threshold(spark, sf_dir):
+    rows = registry.QUERIES["analytics_kcore"](spark, sf_dir).collect()
+    assert rows, "peel emptied the graph — adaptive k too aggressive"
+    k = rows[0]["core_k"]
+    assert all(r["degree_after_peel"] >= k for r in rows)
+
+
+def test_phash_pairs_within_threshold(spark, sf_dir):
+    for r in registry.QUERIES["multimodal_phash_neardup"](spark, sf_dir).collect():
+        assert 0 <= r["hamming"] <= 20
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["text_ngram_novelty"](spark, sf_dir).collect()
+    }
+    first = rows[min(rows)]
+    assert first["novelty_r"] == 1.0  # nothing precedes the first doc
+    assert all(0.0 <= r["novelty_r"] <= 1.0 for r in rows.values())
+
+
+def test_quality_ablation_margins_consistent(spark, sf_dir):
+    rows = registry.QUERIES["pipeline_quality_ablation"](spark, sf_dir).collect()
+    grand = [r for r in rows if r["f_len"] is None and r["f_ttr"] is None
+             and r["f_en"] is None]
+    leaves = [r for r in rows if r["f_len"] is not None
+              and r["f_ttr"] is not None and r["f_en"] is not None]
+    assert len(grand) == 1
+    assert sum(r["n_docs"] for r in leaves) == grand[0]["n_docs"]
