@@ -5623,3 +5623,86 @@ def analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").alias("core_k"),
         )
     )
+
+
+@register(
+    "analytics_two_proportion_ztest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id % 2 AS cohort,
+               user_id,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) / (1.0 * count(*)) > 0.2
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id % 2, user_id
+    ),
+    c AS (
+        SELECT cohort,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM u GROUP BY cohort
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN cohort = 0 THEN n_users END) AS n1,
+            max(CASE WHEN cohort = 0 THEN n_converted END) AS x1,
+            max(CASE WHEN cohort = 1 THEN n_users END) AS n2,
+            max(CASE WHEN cohort = 1 THEN n_converted END) AS x2
+        FROM c
+    )
+    SELECT n1, x1, n2, x2,
+           round(x1 / (1.0 * n1), 6) AS p1_r,
+           round(x2 / (1.0 * n2), 6) AS p2_r,
+           round((x1 / (1.0 * n1) - x2 / (1.0 * n2))
+                 / sqrt(((x1 + x2) / (1.0 * (n1 + n2)))
+                        * (1 - (x1 + x2) / (1.0 * (n1 + n2)))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z_r
+    FROM wide
+    """,
+)
+def analytics_two_proportion_ztest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion z-test on a user-level binary outcome
+    (purchase-heavy: >20% of the user's events are purchases — an
+    outcome with real variance in this fixture; 'ever purchased'
+    saturates at p=1) between the even/odd user cohorts — the A/B readout for
+    binary outcomes, complementing the Welch row (means) and the
+    chi-square row (k×m independence): pooled proportion, both rates,
+    and the z statistic. Sufficient statistics come from one
+    user-grain aggregate + one 2-row rollup; the test itself is
+    O(1) arithmetic on exact integers, rounded at the 6dp stats
+    grain."""
+    e = load(spark, sf_dir, "events")
+    n_purch = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    u = e.groupBy((F.col("user_id") % 2).alias("cohort"), "user_id").agg(
+        F.when(n_purch / (F.lit(1.0) * F.count(F.lit(1))) > 0.2, 1)
+        .otherwise(0)
+        .alias("converted")
+    )
+    c = u.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = c.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 0, F.col("n_converted"))).alias("x1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_users"))).alias("n2"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_converted"))).alias("x2"),
+    )
+    p1 = F.col("x1") / (F.lit(1.0) * F.col("n1"))
+    p2 = F.col("x2") / (F.lit(1.0) * F.col("n2"))
+    pp = (F.col("x1") + F.col("x2")) / (F.lit(1.0) * (F.col("n1") + F.col("n2")))
+    return wide.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(p1, 6).alias("p1_r"),
+        F.round(p2, 6).alias("p2_r"),
+        F.round(
+            (p1 - p2)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+            6,
+        ).alias("z_r"),
+    )

@@ -2530,3 +2530,143 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("")
         .alias("span_starts"),
     )
+
+
+@register(
+    "pipeline_minhash_scurve",
+    oracle="""
+    WITH cfg AS (
+        SELECT * FROM (VALUES (32, 2), (16, 4), (8, 8), (4, 16))
+            AS t(n_bands, rows_per_band)
+    ),
+    s AS (
+        SELECT * FROM (VALUES (0.3), (0.5), (0.7), (0.8), (0.9), (0.95))
+            AS t(jaccard_s)
+    )
+    SELECT n_bands, rows_per_band, jaccard_s,
+           round(1 - pow(1 - pow(jaccard_s, rows_per_band), n_bands), 9)
+               AS p_candidate_r,
+           round(pow(1.0 / n_bands, 1.0 / rows_per_band), 6) AS s_star_r
+    FROM cfg CROSS JOIN s
+    """,
+)
+def pipeline_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding design table: for each (bands b, rows r)
+    split of a 64-hash signature, the S-curve candidate probability
+    1−(1−sʳ)ᵇ at representative Jaccard levels, plus the curve's
+    threshold s* = (1/b)^(1/r) where detection crosses ~50%. This is
+    the tuning artifact behind dedup_minhash_lsh's 16×4 choice
+    (s*≈0.5 — the module's JACCARD_THRESHOLD): before re-banding a
+    100 TB dedup run, you read THIS table, not rerun the corpus. Two
+    literal dimensions cross-joined — zero corpus I/O, exercised as
+    declarative algebra so the planner sees it like any query.
+    Transcendental edge → 9dp."""
+    cfg = spark.createDataFrame(
+        [(32, 2), (16, 4), (8, 8), (4, 16)], "n_bands int, rows_per_band int"
+    )
+    s = spark.createDataFrame(
+        [(0.3,), (0.5,), (0.7,), (0.8,), (0.9,), (0.95,)], "jaccard_s double"
+    )
+    return cfg.crossJoin(s).select(
+        "n_bands",
+        "rows_per_band",
+        "jaccard_s",
+        F.round(
+            1
+            - F.pow(
+                1 - F.pow(F.col("jaccard_s"), F.col("rows_per_band")),
+                F.col("n_bands"),
+            ),
+            9,
+        ).alias("p_candidate_r"),
+        F.round(
+            F.pow(1.0 / F.col("n_bands"), 1.0 / F.col("rows_per_band")), 6
+        ).alias("s_star_r"),
+    )
+
+
+@register(
+    "pipeline_bounce_rate",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN prev_us IS NULL
+                         OR us - prev_us > CAST(1800000000 AS BIGINT)
+                    THEN 1 ELSE 0 END AS new_session
+        FROM o
+    ),
+    islands AS (
+        SELECT user_id, us,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_no,
+               CAST(floor(min(us) / 86400000000.0) AS BIGINT) AS day_idx,
+               count(*) AS n_events
+        FROM islands GROUP BY user_id, session_no
+    )
+    SELECT day_idx,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / (1.0 * count(*)), 6) AS bounce_rate_r
+    FROM sessions GROUP BY day_idx
+    """,
+)
+def pipeline_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — share of sessions containing exactly one
+    event, sessions built with the same 30-minute-gap island
+    numbering as pipeline_sessionize_events (docstring there) keyed
+    by the session's START day. The product-analytics consumer of the
+    sessionizer: one user_id shuffle serves the gap window, the
+    island sum, and the per-session rollup; the daily report is a
+    second tiny aggregate. Exact integer microsecond time math
+    end-to-end."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    flagged = o.select(
+        "user_id",
+        "us",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > F.lit(1800000000)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wi = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "us", F.sum("new_session").over(wi).alias("session_no")
+    )
+    sessions = islands.groupBy("user_id", "session_no").agg(
+        F.floor(F.min("us") / 86400000000.0).cast("long").alias("day_idx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return sessions.groupBy("day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(bounce).cast("long").alias("n_bounce"),
+        F.round(F.sum(bounce) / (F.lit(1.0) * F.count(F.lit(1))), 6).alias(
+            "bounce_rate_r"
+        ),
+    )

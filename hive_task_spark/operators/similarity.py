@@ -2145,3 +2145,65 @@ def similarity_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(nrm, 0.75)"), 6).alias("p75_r"),
         F.round(F.avg("nrm"), 6).alias("mean_r"),
     )
+
+
+@register(
+    "similarity_distance_histogram",
+    oracle="""
+    WITH sample AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+    ),
+    n AS (
+        SELECT vec_id,
+               list_transform(vec, x -> x / sqrt(
+                   list_sum(list_transform(vec, y -> y * y)))) AS uvec
+        FROM sample
+    ),
+    pairs AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               list_sum(list_transform(list_zip(a.uvec, b.uvec),
+                                       z -> z[1] * z[2])) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(floor(cosine * 10) AS BIGINT) AS cos_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(cosine), 6) AS mean_cosine_r
+    FROM pairs GROUP BY CAST(floor(cosine * 10) AS BIGINT)
+    """,
+)
+def similarity_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic ~3/16 md5 sample
+    of the corpus — the similarity-threshold calibration chart: before
+    picking a near-dup cutoff or an ANN probe budget you look at WHERE
+    the mass of pairwise similarities sits (a mode near 0 = healthy
+    spread; mass near 1 = collapsed embeddings). Sample-then-pairwise
+    is the 100 TB shape: the all-pairs join runs on the md5-keyed
+    sample (rerun-stable, same discipline as pipeline_hash_sample),
+    never the corpus; bins are exact integer floors of 6dp-stable
+    cosines."""
+    e = load(spark, sf_dir, "embeddings")
+    sample = e.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+            "0", "1", "2"
+        )
+    ).select("vec_id", _vec_d().alias("vec"))
+    unit = sample.select(
+        "vec_id",
+        F.expr(
+            "transform(vec, x -> x / sqrt(aggregate(vec, 0.0D, (a, y) -> a + y * y)))"
+        ).alias("uvec"),
+    )
+    a = unit.select(F.col("vec_id").alias("ida"), F.col("uvec").alias("ua"))
+    b = unit.select(F.col("vec_id").alias("idb"), F.col("uvec").alias("ub"))
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        _dot(F.col("ua"), F.col("ub")).alias("cosine")
+    )
+    return pairs.groupBy(
+        F.floor(F.col("cosine") * 10).cast("long").alias("cos_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("cosine"), 6).alias("mean_cosine_r"),
+    )

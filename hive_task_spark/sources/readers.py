@@ -980,3 +980,54 @@ def source_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pruned).cast("long").alias("n_pruned"),
         F.round(F.sum(pruned) / F.count(F.lit(1)), 6).alias("prune_frac_r"),
     )
+
+
+@register(
+    "source_csv_quoted_roundtrip",
+    oracle="""
+    SELECT r_regionkey,
+           concat('a,"b', chr(10), 'c\\', r_name, ',end') AS tricky,
+           r_name
+    FROM region
+    """,
+)
+def source_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV fidelity: a column containing the delimiter, a
+    double quote, an embedded NEWLINE, and a backslash survives a
+    CSV write + multiLine read byte-for-byte. Written and read with
+    escape='"' (RFC doubling) — the dialect every warehouse exporter
+    speaks; the default backslash escape would also round-trip in
+    Spark but not interoperate. The oracle reconstructs the expected
+    strings from the source table — it never sees the CSV, so any
+    quoting loss (the classic silently-split-row bug) fails the
+    value-hash, not just a row count."""
+    r = load(spark, sf_dir, "region").select(
+        "r_regionkey",
+        F.concat(
+            F.lit('a,"b'), F.lit("\n"), F.lit("c\\"), F.col("r_name"), F.lit(",end")
+        ).alias("tricky"),
+        "r_name",
+    )
+    path = _scratch("region_csv_quoted")
+    (
+        r.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("tricky", T.StringType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(path)
+    )
