@@ -437,3 +437,38 @@ def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arrow_flag_stats,
         schema="l_returnflag string, n_rows long, sum_qty long, max_price double",
     )
+
+
+@register(
+    "udf_arrow_optimized_python",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_large
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def udf_arrow_optimized_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized row Python UDF (``useArrow=True`` — Spark 3.5+):
+    the third point on the Python-execution spectrum next to pickled
+    row UDFs (never used in this repo) and pandas_udf. The kernel is
+    row-at-a-time Python, but batches cross the JVM boundary as Arrow,
+    cutting (de)serialization ~2×; pandas_udf remains the hot-path
+    choice (vectorized kernel, udfs.py module docstring) — this query
+    exists to prove the surface and its exact semantics. The flag
+    threshold runs in Python; counts aggregate JVM-side."""
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def _is_large(total: float) -> int:
+        return 1 if total > 100000 else 0
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderpriority", _is_large("o_totalprice").alias("lg")
+    ).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("lg").cast("long").alias("n_large"),
+    )

@@ -5706,3 +5706,114 @@ def analytics_two_proportion_ztest(
             6,
         ).alias("z_r"),
     )
+
+
+@register(
+    "analytics_price_elasticity",
+    oracle="""
+    WITH pt AS (
+        SELECT p.p_brand,
+               ln(l.l_quantity) AS ln_q,
+               ln(l.l_extendedprice / l.l_quantity) AS ln_p
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity > 0
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(regr_slope(ln_q, ln_p), 6) AS elasticity_r,
+           round(regr_r2(ln_q, ln_p), 6) AS r2_r
+    FROM pt GROUP BY p_brand
+    """,
+)
+def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand — the textbook
+    econometric readout (elasticity = d ln q / d ln p via regr_slope,
+    with R² as trust): the pricing team's first screen for which
+    brands tolerate a price move. Unit price derives in-row from the
+    line (extendedprice/quantity); the regression consumes exact
+    sufficient statistics inside ONE partial+final aggregate — no
+    per-brand subquery, no second fact pass, identical regr_*
+    semantics in both engines. Transcendental inputs → 6dp edges."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = load(spark, sf_dir, "part")
+    pt = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand",
+        F.log(F.col("l_quantity")).alias("ln_q"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("ln_p"),
+    )
+    return pt.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.expr("regr_slope(ln_q, ln_p)"), 6).alias("elasticity_r"),
+        F.round(F.expr("regr_r2(ln_q, ln_p)"), 6).alias("r2_r"),
+    )
+
+
+@register(
+    "analytics_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey, round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, revenue,
+               sum(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum_rev,
+               sum(revenue) OVER () AS total_rev
+        FROM rev
+    ),
+    classed AS (
+        SELECT CASE WHEN cum_rev <= 0.8 * total_rev THEN 'A'
+                    WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               revenue
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(revenue), 2) AS class_revenue,
+           round(sum(revenue) / max(1.0 * (SELECT sum(revenue) FROM rev)), 6)
+               AS revenue_share_r
+    FROM classed GROUP BY abc_class
+    """,
+)
+def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head covering 80% of cumulative revenue, B to 95%, C the
+    tail — the Pareto cut every supply-chain and SKU-rationalization
+    review starts from (Lorenz/Gini's operational sibling: those
+    report the curve, this assigns the actionable classes). The
+    cumulative window runs over the part-grain aggregate (bounded —
+    one fact pass); revenue rounds at the 2dp money grain BEFORE
+    ranking so class boundaries are cross-engine identical."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+    )
+    w_cum = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("total_rev"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_rev") <= 0.8 * F.col("total_rev"), "A")
+        .when(F.col("cum_rev") <= 0.95 * F.col("total_rev"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "revenue",
+        "total_rev",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        F.round(F.sum("revenue") / F.max(F.lit(1.0) * F.col("total_rev")), 6).alias(
+            "revenue_share_r"
+        ),
+    )

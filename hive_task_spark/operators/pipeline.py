@@ -2670,3 +2670,43 @@ def pipeline_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bounce_rate_r"
         ),
     )
+
+
+@register(
+    "pipeline_label_balance",
+    oracle="""
+    WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    t AS (SELECT sum(n) AS total, count(*) AS k, max(n) AS mx FROM c)
+    SELECT c.label,
+           CAST(c.n AS BIGINT) AS n_examples,
+           round(c.n / (1.0 * t.total), 6) AS share_r,
+           round(t.total / (1.0 * t.k * c.n), 6) AS class_weight_r,
+           round(t.mx / (1.0 * c.n), 6) AS imbalance_vs_max_r
+    FROM c CROSS JOIN t
+    """,
+)
+def pipeline_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balance report with ready-to-use class weights
+    n/(k·n_c) (sklearn's 'balanced' formula) and the per-class
+    imbalance ratio vs the majority class — the table a training run
+    reads to configure its loss reweighting or the oversampler
+    (pipeline_oversample_minority is the row-level actuator of this
+    report). One |labels|-row aggregate + broadcast totals."""
+    e = load(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("n").alias("mx"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        F.col("n").cast("long").alias("n_examples"),
+        F.round(F.col("n") / (F.lit(1.0) * F.col("total")), 6).alias("share_r"),
+        F.round(
+            F.col("total") / (F.lit(1.0) * F.col("k") * F.col("n")), 6
+        ).alias("class_weight_r"),
+        F.round(F.col("mx") / (F.lit(1.0) * F.col("n")), 6).alias(
+            "imbalance_vs_max_r"
+        ),
+    )

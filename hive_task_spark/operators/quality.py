@@ -1952,3 +1952,46 @@ def quality_nchars_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mismatch_ratio_r"
         ),
     )
+
+
+@register(
+    "quality_rare_levels",
+    oracle="""
+    WITH lv AS (
+        SELECT p_type AS level_value, count(*) AS n
+        FROM part GROUP BY p_type
+    ),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_levels FROM lv)
+    SELECT l.level_value,
+           CAST(l.n AS BIGINT) AS n_rows,
+           round(l.n / (1.0 * t.total), 6) AS share_r,
+           (l.n < 0.01 * t.total) AS is_rare,
+           CASE WHEN l.n < 0.01 * t.total THEN 'OTHER'
+                ELSE l.level_value END AS consolidated_level
+    FROM lv l CROSS JOIN tot t
+    """,
+)
+def quality_rare_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-level census for a categorical column (p_type): every
+    level's support, a 1%-of-rows rarity flag, and the consolidated
+    mapping that folds rare levels into 'OTHER' — the feature-
+    engineering prep that stops one-hot/target encoders from
+    exploding on long-tail categories (and the audit that catches
+    typo-levels entering a dimension). One aggregate + a broadcast
+    total; emitting the MAPPING as data is what makes it replayable
+    on the next snapshot."""
+    p = load(spark, sf_dir, "part")
+    lv = p.groupBy(F.col("p_type").alias("level_value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = lv.agg(F.sum("n").alias("total"))
+    rare = F.col("n") < 0.01 * F.col("total")
+    return lv.crossJoin(F.broadcast(tot)).select(
+        "level_value",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.col("n") / (F.lit(1.0) * F.col("total")), 6).alias("share_r"),
+        rare.alias("is_rare"),
+        F.when(rare, "OTHER").otherwise(F.col("level_value")).alias(
+            "consolidated_level"
+        ),
+    )
