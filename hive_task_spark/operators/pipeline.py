@@ -2710,3 +2710,135 @@ def pipeline_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "imbalance_vs_max_r"
         ),
     )
+
+
+@register(
+    "pipeline_token_budget_twopass",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               n_chars
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r WHERE cum_tokens <= 20000
+    """,
+)
+def pipeline_token_budget_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED form of pipeline_token_budget — same 20k-token
+    prefix selection, zero global single-partition window. Pass 1
+    aggregates token sums per priority BUCKET (n_chars decile-ish
+    key); a |buckets|-row running sum (broadcast) finds each bucket's
+    global token offset; pass 2 windows WITHIN buckets only (the
+    partition key bounds every window input) and adds the broadcast
+    offset. Selection is provably identical to the global-window
+    form — the oracle is the SAME SQL as pipeline_token_budget's —
+    and this is the plan SCALE.md promises at 100 TB: the only
+    unpartitioned work is over |buckets| rows."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+    # Priority buckets: high n_chars first. Bucket key = -floor(n_chars/64)
+    # so bucket order matches the global (n_chars DESC) priority order;
+    # ties inside a bucket resolve by the same (n_chars DESC, doc_id).
+    t = t.withColumn("bucket", (-F.floor(F.col("n_chars") / 64)).cast("long"))
+    per_bucket = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.sum("n_tokens").over(w_in) + F.col("offset"))
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= 20000)
+    )
+
+
+@register(
+    "pipeline_range_partition_plan",
+    oracle="""
+    WITH sample AS (
+        SELECT n_chars FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+    ),
+    splits AS (
+        SELECT quantile_cont(n_chars, 0.25) AS s1,
+               quantile_cont(n_chars, 0.50) AS s2,
+               quantile_cont(n_chars, 0.75) AS s3
+        FROM sample
+    ),
+    assigned AS (
+        SELECT d.n_chars,
+               CASE WHEN d.n_chars <= s.s1 THEN 0
+                    WHEN d.n_chars <= s.s2 THEN 1
+                    WHEN d.n_chars <= s.s3 THEN 2
+                    ELSE 3 END AS part_id
+        FROM documents d CROSS JOIN splits s
+    )
+    SELECT part_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_key,
+           CAST(max(n_chars) AS BIGINT) AS max_key
+    FROM assigned GROUP BY part_id
+    """,
+)
+def pipeline_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled range-partitioning plan — what repartitionByRange /
+    TeraSort do internally, surfaced as data: draw a deterministic
+    md5 sample, take its quartiles as split points, assign every row
+    a range partition, report per-partition counts and key bounds.
+    The balance check (n_docs roughly equal) is the audit that says
+    a global sort of this key would not skew. Split points broadcast
+    (3 doubles); assignment is a map expression; the report is one
+    aggregate. Identical interpolated quantiles both engines, and the
+    md5 sample makes the whole plan rerun-stable."""
+    d = load(spark, sf_dir, "documents")
+    sample = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+    splits = sample.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("s1"),
+        F.expr("percentile(n_chars, 0.50)").alias("s2"),
+        F.expr("percentile(n_chars, 0.75)").alias("s3"),
+    )
+    assigned = d.crossJoin(F.broadcast(splits)).select(
+        "n_chars",
+        F.when(F.col("n_chars") <= F.col("s1"), 0)
+        .when(F.col("n_chars") <= F.col("s2"), 1)
+        .when(F.col("n_chars") <= F.col("s3"), 2)
+        .otherwise(3)
+        .alias("part_id"),
+    )
+    return assigned.groupBy("part_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_key"),
+        F.max("n_chars").cast("long").alias("max_key"),
+    )
