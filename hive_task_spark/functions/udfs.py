@@ -472,3 +472,63 @@ def udf_arrow_optimized_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("lg").cast("long").alias("n_large"),
     )
+
+
+@register(
+    "udtf_table_partition_arg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN prev_type IS NOT NULL
+                         AND event_type <> prev_type
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions
+    FROM seq GROUP BY user_id
+    """,
+)
+def udtf_table_partition_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a TABLE argument with PARTITION BY /
+    ORDER BY (Spark 4): the engine feeds each user's events to one
+    UDTF instance in timestamp order; eval() streams rows, terminate()
+    emits the per-user summary (event count + type-transition count).
+    This is the arbitrary-per-group-sequence-logic escape hatch when
+    window functions can't express the state machine — here the logic
+    IS window-expressible, which is exactly what makes it
+    oracle-checkable. Partition routing and ordering are the engine's
+    (shuffle on user_id), Python only ever sees one group at a time."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, n_transitions bigint")
+    class _Transitions:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.trans = 0
+            self.prev = None
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            if self.prev is not None and row["event_type"] != self.prev:
+                self.trans += 1
+            self.prev = row["event_type"]
+
+        def terminate(self):
+            if self.uid is not None:
+                yield self.uid, self.n, self.trans
+
+    spark.udtf.register("ht_transitions_udtf", _Transitions)
+    load(spark, sf_dir, "events").createOrReplaceTempView("ht_evt_udtf")
+    return spark.sql(
+        """
+        SELECT * FROM ht_transitions_udtf(
+            TABLE(SELECT user_id, event_type, ts, event_id FROM ht_evt_udtf)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )

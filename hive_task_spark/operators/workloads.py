@@ -1158,3 +1158,46 @@ def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "sql_scripting_block",
+    oracle="""
+    WITH cut AS (
+        SELECT quantile_cont(o_totalprice, 0.9) AS cutoff FROM orders
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_top_orders,
+           round(sum(o.o_totalprice), 2) AS top_revenue_r,
+           round(max(cut.cutoff), 2) AS cutoff_r
+    FROM orders o CROSS JOIN cut
+    WHERE o.o_totalprice > cut.cutoff
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END): DECLARE a session variable,
+    SET it from a scalar subquery (the P90 price), and use it as a
+    parameter in the final statement — the stored-procedure-style
+    control surface migrations from HiveQL/T-SQL expect. The script's
+    last SELECT is the block's result set. Semantically identical to
+    the CTE form (the oracle); the feature under test is the
+    scripting surface itself, and percentile interpolation matches
+    cross-engine."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ht_ord_script")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff DOUBLE DEFAULT 0.0;
+          SET cutoff = (SELECT percentile(o_totalprice, 0.9)
+                        FROM ht_ord_script);
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_top_orders,
+                 round(sum(o_totalprice), 2) AS top_revenue_r,
+                 round(max(cutoff), 2) AS cutoff_r
+          FROM ht_ord_script
+          WHERE o_totalprice > cutoff
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
