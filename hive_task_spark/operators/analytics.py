@@ -5817,3 +5817,146 @@ def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share_r"
         ),
     )
+
+
+@register(
+    "analytics_funnel_windowed",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) >= s1.t1
+          AND epoch_us(e.ts) < s1.t1 + CAST(604800000000 AS BIGINT)
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) >= s2.t2
+          AND epoch_us(e.ts) < s2.t2 + CAST(604800000000 AS BIGINT)
+        GROUP BY e.user_id
+    ),
+    med AS (
+        SELECT round(quantile_cont((s2.t2 - s1.t1) / 1000000.0, 0.5), 4)
+            AS median_step2_s_r
+        FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+    )
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+        (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_7d,
+        (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_7d,
+        round((SELECT count(*) FROM s2) / (1.0 * (SELECT count(*) FROM s1)), 6)
+            AS rate_click_r,
+        round((SELECT count(*) FROM s3) / (1.0 * (SELECT count(*) FROM s1)), 6)
+            AS rate_purchase_r,
+        (SELECT median_step2_s_r FROM med) AS median_step2_s_r
+    """,
+)
+def analytics_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed ordered funnel: signup → click within 7 days →
+    purchase within 7 days of the qualifying click, plus the median
+    signup→click latency — the deadline-funnel every growth team
+    reports (the unwindowed ordered funnel is the analytics_funnel
+    row; deadlines change the answer and the join shape). Stages stay
+    per-user min-timestamp aggregates with the deadline as a join
+    predicate — event order never materializes, each stage is one
+    keyed aggregate + broadcastable join of user-grain rows. Exact
+    integer microsecond deadlines; the median latency rounds at 4dp
+    seconds."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    week = F.lit(604800000000)
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("us") >= F.col("t1")) & (F.col("us") < F.col("t1") + week))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("us") >= F.col("t2")) & (F.col("us") < F.col("t2") + week))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_click_7d"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_7d"))
+    med = (
+        s2.join(s1, "user_id")
+        .select(((F.col("t2") - F.col("t1")) / 1000000.0).alias("lat_s"))
+        .agg(F.round(F.expr("percentile(lat_s, 0.5)"), 4).alias("median_step2_s_r"))
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_signup",
+            "n_click_7d",
+            "n_purchase_7d",
+            F.round(
+                F.col("n_click_7d") / (F.lit(1.0) * F.col("n_signup")), 6
+            ).alias("rate_click_r"),
+            F.round(
+                F.col("n_purchase_7d") / (F.lit(1.0) * F.col("n_signup")), 6
+            ).alias("rate_purchase_r"),
+            "median_step2_s_r",
+        )
+    )
+
+
+@register(
+    "analytics_poisson_rate_ci",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                    AS BIGINT) AS n_days
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_days,
+           round(n_events / (1.0 * n_days), 6) AS rate_per_day_r,
+           round(n_events / (1.0 * n_days)
+                 - 1.96 * sqrt(n_events) / n_days, 6) AS ci_lo_r,
+           round(n_events / (1.0 * n_days)
+                 + 1.96 * sqrt(n_events) / n_days, 6) AS ci_hi_r
+    FROM s
+    """,
+)
+def analytics_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily event rate with a 95% Poisson CI (normal
+    approximation, se = √n/days) — the SLO/ops-report statistic that
+    turns raw counts into 'is today's rate outside the band'. One
+    partial+final aggregate (count + distinct-day count per type);
+    the CI is O(1) arithmetic on exact integers, 6dp edges."""
+    e = load(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(day).cast("long").alias("n_days"),
+    )
+    rate = F.col("n_events") / (F.lit(1.0) * F.col("n_days"))
+    half = 1.96 * F.sqrt(F.col("n_events")) / F.col("n_days")
+    return s.select(
+        "event_type",
+        "n_events",
+        "n_days",
+        F.round(rate, 6).alias("rate_per_day_r"),
+        F.round(rate - half, 6).alias("ci_lo_r"),
+        F.round(rate + half, 6).alias("ci_hi_r"),
+    )
