@@ -2567,7 +2567,7 @@ def pipeline_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = spark.createDataFrame(
         [(0.3,), (0.5,), (0.7,), (0.8,), (0.9,), (0.95,)], "jaccard_s double"
     )
-    return cfg.crossJoin(s).select(
+    return cfg.crossJoin(F.broadcast(s)).select(
         "n_bands",
         "rows_per_band",
         "jaccard_s",
