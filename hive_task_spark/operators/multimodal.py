@@ -430,3 +430,64 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 20)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "multimodal_crossmodal_integrity",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    v AS (SELECT vec_id FROM embeddings),
+    j AS (SELECT d.doc_id FROM d JOIN v ON d.doc_id = v.vec_id)
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+        (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_vectors,
+        (SELECT CAST(count(*) AS BIGINT) FROM j) AS n_paired,
+        (SELECT CAST(count(*) AS BIGINT) FROM d
+         WHERE doc_id NOT IN (SELECT vec_id FROM v)) AS n_docs_unembedded,
+        (SELECT CAST(count(*) AS BIGINT) FROM v
+         WHERE vec_id NOT IN (SELECT doc_id FROM d)) AS n_orphan_vectors,
+        round((SELECT count(*) FROM j)
+              / (1.0 * (SELECT count(*) FROM d)), 6) AS coverage_r
+    """,
+)
+def multimodal_crossmodal_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal referential integrity: every document should have
+    an embedding (doc_id ↔ vec_id) — the pairing audit a multimodal/
+    RAG pipeline runs after each embedding batch, where unembedded
+    docs mean retrieval blind spots and orphan vectors mean the index
+    serves deleted content. Anti-joins give both orphan directions;
+    at 100 TB each is a broadcastable-or-shuffled semi-join on the id
+    (the same key both tables are naturally bucketed by), and the
+    report is one row."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    v = load(spark, sf_dir, "embeddings").select("vec_id")
+    j = d.join(v, d["doc_id"] == v["vec_id"])
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_vecs = v.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    n_pair = j.agg(F.count(F.lit(1)).cast("long").alias("n_paired"))
+    n_unemb = (
+        d.join(v, d["doc_id"] == v["vec_id"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_unembedded"))
+    )
+    n_orph = (
+        v.join(d, d["doc_id"] == v["vec_id"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphan_vectors"))
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_vecs))
+        .crossJoin(F.broadcast(n_pair))
+        .crossJoin(F.broadcast(n_unemb))
+        .crossJoin(F.broadcast(n_orph))
+        .select(
+            "n_docs",
+            "n_vectors",
+            "n_paired",
+            "n_docs_unembedded",
+            "n_orphan_vectors",
+            F.round(
+                F.col("n_paired") / (F.lit(1.0) * F.col("n_docs")), 6
+            ).alias("coverage_r"),
+        )
+    )
