@@ -1402,3 +1402,34 @@ def agg_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 5)
     )
+
+
+@register(
+    "agg_distinct_rewrite_twolevel",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_distinct_rewrite_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct via the explicit two-level rewrite:
+    groupBy(key, value) first (map-side combinable — the shuffle
+    carries one row per distinct pair, not per input row), then count
+    rows and sum counts per key. This is what Catalyst's
+    distinct-aggregate Expand rewrite does internally, written out —
+    and the form you reach for when a single query needs MANY
+    distincts or when distinct values per key are huge (the pair
+    grain shards; a distinct-set in one aggregation buffer doesn't).
+    Oracle is the plain count(DISTINCT) — identical answers, proving
+    the rewrite."""
+    c = load(spark, sf_dir, "customer")
+    pairs = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return pairs.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.sum("n_rows").cast("long").alias("n_customers"),
+    )

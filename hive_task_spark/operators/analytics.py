@@ -5960,3 +5960,80 @@ def analytics_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate - half, 6).alias("ci_lo_r"),
         F.round(rate + half, 6).alias("ci_hi_r"),
     )
+
+
+@register(
+    "analytics_conversion_curve",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT e.user_id,
+               floor((min(epoch_us(e.ts)) - s1.t1)
+                     / CAST(86400000000 AS BIGINT)) AS days_to_convert
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.t1
+        GROUP BY e.user_id, s1.t1
+    ),
+    ks AS (
+        SELECT unnest(range(1, 15)) AS k
+    ),
+    tot AS (SELECT count(*) AS n_cohort FROM s1)
+    SELECT CAST(ks.k AS BIGINT) AS day_k,
+           CAST(sum(CASE WHEN c.days_to_convert < ks.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted_by_k,
+           round(sum(CASE WHEN c.days_to_convert < ks.k THEN 1 ELSE 0 END)
+                 / (1.0 * max(t.n_cohort)), 6) AS share_converted_r
+    FROM ks CROSS JOIN tot t LEFT JOIN conv c ON TRUE
+    GROUP BY ks.k
+    """,
+)
+def analytics_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative conversion curve — share of the signup cohort that
+    purchased within k days, for k = 1..14: the CDF the windowed
+    funnel samples at one point, drawn in full (where the curve
+    plateaus tells you the attribution window to use). Per-user
+    latency is one keyed aggregate; the day spine is a broadcast
+    14-row literal crossed against the BOUNDED latency relation
+    (never the raw corpus), so the curve costs |users|×14 cheap rows
+    after one fact pass. Exact integer day floors."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(us >= F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(
+            F.floor((F.min(us) - F.col("t1")) / F.lit(86400000000)).alias(
+                "days_to_convert"
+            )
+        )
+    )
+    ks = F.broadcast(
+        spark.range(1, 15).select(F.col("id").cast("long").alias("day_k"))
+    )
+    tot = s1.agg(F.count(F.lit(1)).alias("n_cohort"))
+    curve = (
+        ks.crossJoin(F.broadcast(tot))
+        .join(conv, F.col("days_to_convert") < F.col("day_k"), "left")
+        .groupBy("day_k")
+        .agg(
+            F.sum(F.when(F.col("user_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_converted_by_k"),
+            F.round(
+                F.sum(F.when(F.col("user_id").isNotNull(), 1).otherwise(0))
+                / (F.lit(1.0) * F.max("n_cohort")),
+                6,
+            ).alias("share_converted_r"),
+        )
+    )
+    return curve
