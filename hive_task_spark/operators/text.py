@@ -1648,3 +1648,70 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_r"),
         )
     )
+
+
+@register(
+    "text_source_drift_js",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    sc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w),
+    st AS (SELECT source, sum(c) AS t FROM sc GROUP BY source),
+    gc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    gt AS (SELECT sum(c) AS t FROM gc),
+    terms AS (
+        SELECT sc.source,
+               sc.c / (1.0 * st.t) AS p,
+               gc.c / (1.0 * gt.t) AS q
+        FROM sc
+        JOIN st ON sc.source = st.source
+        JOIN gc ON sc.w = gc.w
+        CROSS JOIN gt
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_shared_types,
+           round(sum(0.5 * p * ln(p / ((p + q) / 2)) / ln(2))
+                 + sum(0.5 * q * ln(q / ((p + q) / 2)) / ln(2)), 9)
+               AS js_vs_corpus_r
+    FROM terms GROUP BY source
+    """,
+)
+def text_source_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift of each source against the corpus mix:
+    Jensen–Shannon divergence between the source's unigram
+    distribution and the global one — the LLM-data-mix monitor that
+    flags a source whose language shifted (scraper broke, domain
+    pivoted) before it pollutes the next training mix. Every source
+    token appears in the corpus distribution, so the support-of-P ⊆
+    support-of-Q term structure is exact with no smoothing; one
+    token-grain census feeds both distributions (two aggregates, one
+    explode). Transcendental edge → 9dp. Note q is the FULL-corpus
+    probability of tokens shared with the source — sums over the
+    source's support, the standard estimator when P's support is a
+    subset."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    sc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("t"))
+    gc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cg"))
+    gt = gc.agg(F.sum("cg").alias("tg"))
+    terms = (
+        sc.join(st, "source")
+        .join(F.broadcast(gc), "w")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            (F.col("c") / (F.lit(1.0) * F.col("t"))).alias("p"),
+            (F.col("cg") / (F.lit(1.0) * F.col("tg"))).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_types"),
+        F.round(
+            F.sum(0.5 * F.col("p") * F.log(F.col("p") / m) / F.log(F.lit(2.0)))
+            + F.sum(0.5 * F.col("q") * F.log(F.col("q") / m) / F.log(F.lit(2.0))),
+            9,
+        ).alias("js_vs_corpus_r"),
+    )

@@ -2067,3 +2067,14 @@ def test_quality_ablation_margins_consistent(spark, sf_dir):
               and r["f_ttr"] is not None and r["f_en"] is not None]
     assert len(grand) == 1
     assert sum(r["n_docs"] for r in leaves) == grand[0]["n_docs"]
+
+
+def test_bench_headline_names_registered():
+    """bench.py silently skips unknown names — pin that every headline
+    row actually exists in the registry so a rename can't quietly
+    shrink the bench set."""
+    import bench
+
+    registry.load_all()
+    missing = [n for n in bench.HEADLINE if n not in registry.QUERIES]
+    assert not missing, missing
