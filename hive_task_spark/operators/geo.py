@@ -215,3 +215,64 @@ def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("leg_km"), 3).alias("avg_leg_km_r"),
         )
     )
+
+
+@register(
+    "geo_nearest_supplier",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey, {_CUST_LAT} AS clat, {_CUST_LON} AS clon
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey, {_SUPP_LAT} AS slat, {_SUPP_LON} AS slon
+        FROM supplier
+    ),
+    d AS (
+        SELECT c_custkey, s_suppkey,
+               {_HAV.format(lat1="clat", lon1="clon",
+                            lat2="slat", lon2="slon")} AS km
+        FROM c CROSS JOIN s
+    ),
+    best AS (
+        SELECT c_custkey, s_suppkey, km,
+               row_number() OVER (
+                   PARTITION BY c_custkey ORDER BY km, s_suppkey) AS rn
+        FROM d
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey,
+           round(km, 3) AS dist_km_r
+    FROM best WHERE rn = 1
+    """,
+)
+def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility assignment (1-NN): each customer's closest
+    supplier by haversine. The supplier side is TINY (a facility list
+    is always dim-sized), so the right plan is broadcast-all +
+    per-customer argmin — |customers|×|facilities| map-side rows, no
+    shuffle of the big side and no stencil bookkeeping; the
+    cell-stencil rewrite (geo_radius_join) takes over only when BOTH
+    sides are large. Deterministic tie-break on supplier key; meter-
+    grain rounding."""
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{_CUST_LAT} AS clat", f"{_CUST_LON} AS clon"
+    )
+    supp = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", f"{_SUPP_LAT} AS slat", f"{_SUPP_LON} AS slon"
+    )
+    km = F.expr(_HAV.format(lat1="clat", lon1="clon", lat2="slat", lon2="slon"))
+    d = cust.crossJoin(F.broadcast(supp)).select(
+        "c_custkey", "s_suppkey", km.alias("km")
+    )
+    w = Window.partitionBy("c_custkey").orderBy("km", "s_suppkey")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            F.round("km", 3).alias("dist_km_r"),
+        )
+    )
