@@ -6037,3 +6037,103 @@ def analytics_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return curve
+
+
+@register(
+    "analytics_uplift_by_decile",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               user_id % 2 AS treated,
+               count(*) AS n_events,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) / (1.0 * count(*)) > 0.2
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    dec AS (
+        SELECT treated, converted,
+               CAST(ntile(5) OVER (ORDER BY n_events DESC, user_id)
+                    AS BIGINT) AS activity_quintile
+        FROM u
+    ),
+    cell AS (
+        SELECT activity_quintile,
+               CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_treat,
+               CAST(sum(CASE WHEN treated = 1 AND converted = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x_treat,
+               CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ctrl,
+               CAST(sum(CASE WHEN treated = 0 AND converted = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x_ctrl
+        FROM dec GROUP BY activity_quintile
+    )
+    SELECT activity_quintile, n_treat, x_treat, n_ctrl, x_ctrl,
+           CASE WHEN n_treat > 0
+                THEN round(x_treat / (1.0 * n_treat), 6) END AS rate_treat_r,
+           CASE WHEN n_ctrl > 0
+                THEN round(x_ctrl / (1.0 * n_ctrl), 6) END AS rate_ctrl_r,
+           CASE WHEN n_treat > 0 AND n_ctrl > 0
+                THEN round(x_treat / (1.0 * n_treat)
+                           - x_ctrl / (1.0 * n_ctrl), 6) END AS uplift_r
+    FROM cell
+    """,
+)
+def analytics_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift by activity quintile — the heterogeneous-treatment-
+    effect table behind Qini curves: users binned by engagement
+    (event count), treatment = even/odd cohort, outcome = the same
+    purchase-heavy flag the z-test row uses; each bin reports
+    treatment/control conversion and their difference. Where the
+    z-test answers 'did it work on average', this shows WHERE it
+    worked. One user-grain aggregate, one bounded ntile window, one
+    bin rollup — a single fact pass. Rates NULL out when a tiny
+    quintile holds only one arm (possible at the smallest SF)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    n_purch = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    u = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("treated"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.when(n_purch / (F.lit(1.0) * F.count(F.lit(1))) > 0.2, 1)
+        .otherwise(0)
+        .alias("converted"),
+    )
+    dec = u.select(
+        "treated",
+        "converted",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("n_events").desc(), "user_id"))
+        .cast("long")
+        .alias("activity_quintile"),
+    )
+    cell = dec.groupBy("activity_quintile").agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_treat"),
+        F.sum(F.when((F.col("treated") == 1) & (F.col("converted") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("x_treat"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ctrl"),
+        F.sum(F.when((F.col("treated") == 0) & (F.col("converted") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("x_ctrl"),
+    )
+    rt = F.col("x_treat") / (F.lit(1.0) * F.col("n_treat"))
+    rc = F.col("x_ctrl") / (F.lit(1.0) * F.col("n_ctrl"))
+    has_t = F.col("n_treat") > 0
+    has_c = F.col("n_ctrl") > 0
+    return cell.select(
+        "activity_quintile",
+        "n_treat",
+        "x_treat",
+        "n_ctrl",
+        "x_ctrl",
+        F.when(has_t, F.round(rt, 6)).alias("rate_treat_r"),
+        F.when(has_c, F.round(rc, 6)).alias("rate_ctrl_r"),
+        F.when(has_t & has_c, F.round(rt - rc, 6)).alias("uplift_r"),
+    )
