@@ -683,3 +683,132 @@ def dedup_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - F.col("n_prefix")) / F.col("n_docs"), 6
         ).alias("prefix_dup_rate_r"),
     )
+
+
+@register(
+    "dedup_minhash_portable_eval",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    hashed AS (
+        SELECT sh.doc_id, seeds.seed,
+               min(CAST('0x' || substr(md5(sh.shingle || ':'
+                        || CAST(seeds.seed AS VARCHAR)), 1, 15) AS BIGINT))
+                   AS mh
+        FROM sh CROSS JOIN seeds
+        GROUP BY sh.doc_id, seeds.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
+        FROM hashed GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+        SELECT doc_a, doc_b FROM ({_ORACLE_JACCARD_PAIRS.format(thr="0.5")})
+    ),
+    hits AS (
+        SELECT c.doc_a FROM cand c
+        JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ),
+    m AS (
+        SELECT
+            (SELECT count(*) FROM cand) AS n_cand,
+            (SELECT count(*) FROM truth) AS n_truth,
+            (SELECT count(*) FROM hits) AS n_hits
+    )
+    SELECT CAST(n_cand AS BIGINT) AS n_candidates,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_cand > 0
+                THEN round(n_hits / (1.0 * n_cand), 6) END AS precision_r,
+           CASE WHEN n_truth > 0
+                THEN round(n_hits / (1.0 * n_truth), 6) END AS recall_r
+    FROM m
+    """,
+)
+def dedup_minhash_portable_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation of a MinHash-LSH design, oracle-checked
+    END-TO-END: a fully portable 16-hash/4-band minhash (hashes are
+    md5-derived, so DuckDB reproduces the exact signatures — the
+    production row dedup_minhash_lsh uses xxhash64 for speed, whose
+    values no oracle can recompute) generates banding candidates,
+    which are scored against exact Jaccard≥0.5 ground truth as
+    precision/recall. This is the offline eval a dedup owner runs
+    before changing band geometry (pipeline_minhash_scurve predicts
+    the curve; THIS measures it on real data). Same scale shape as
+    the production path: shingle → per-(doc,seed) min → band-key
+    equi-join; truth is feasible at test SF precisely because the
+    banded index is the product."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingle_rows(d).distinct().localCheckpoint()
+    seeds = F.broadcast(
+        spark.range(0, 16).select(F.col("id").cast("int").alias("seed"))
+    )
+    hashed = (
+        sh.crossJoin(seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.expr(
+                "CAST(conv(substr(md5(concat(shingle, ':', CAST(seed AS STRING))),"
+                " 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        hashed.withColumn("band", F.expr("seed div 4"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seed"), F.col("mh")))
+                    ),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_sig"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_sig"
+    )
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    truth = _jaccard_pairs(spark, sf_dir, 0.5).select("doc_a", "doc_b")
+    hits = cand.join(truth, ["doc_a", "doc_b"])
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_cand.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            F.col("n_cand").cast("long").alias("n_candidates"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.when(
+                F.col("n_cand") > 0,
+                F.round(F.col("n_hits") / (F.lit(1.0) * F.col("n_cand")), 6),
+            ).alias("precision_r"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_hits") / (F.lit(1.0) * F.col("n_truth")), 6),
+            ).alias("recall_r"),
+        )
+    )
