@@ -532,3 +532,67 @@ def udtf_table_partition_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "udf_grouped_ols_fit",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               round(sum(value), 6) AS day_val
+        FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(regr_slope(day_val, day_idx), 4) AS slope_r,
+           round(regr_intercept(day_val, day_idx), 4) AS intercept_r
+    FROM daily GROUP BY event_type
+    """,
+)
+def udf_grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fitting via applyInPandas — the canonical
+    grouped-map pattern (each group's daily series arrives as one
+    pandas DataFrame; the kernel fits OLS with numpy normal
+    equations and emits one coefficient row). The oracle is the
+    regr_slope/regr_intercept SQL twin, which is exactly the point:
+    when the model IS expressible as SQL sufficient statistics,
+    prefer the aggregate (one pass, no Python); applyInPandas is the
+    pattern you graduate to for models that aren't — and this query
+    pins that the two agree to 4dp
+    (different summation orders diverge at the 1e-6 place on 1e4-scale
+    intercepts — round at the magnitude-aware grain). Input is the bounded per-type
+    daily aggregate, so each group is small regardless of corpus
+    size."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx"),
+    ).agg(F.round(F.sum("value"), 6).alias("day_val"))
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["day_idx"].to_numpy(dtype=float)
+        y = pdf["day_val"].to_numpy(dtype=float)
+        n = len(x)
+        # centered normal equations: epoch-day x values are ~2e4, so the
+        # raw n*Sxx - Sx**2 form cancels catastrophically; centering
+        # matches the engines' stable covariance formulation.
+        mx, my = x.mean(), y.mean()
+        dx = x - mx
+        slope = float((dx * (y - my)).sum() / (dx * dx).sum())
+        intercept = float(my - slope * mx)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [n],
+                "slope_r": [round(slope, 4)],
+                "intercept_r": [round(intercept, 4)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        _fit,
+        schema="event_type string, n_days bigint, slope_r double, intercept_r double",
+    )
