@@ -6137,3 +6137,150 @@ def analytics_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(has_c, F.round(rc, 6)).alias("rate_ctrl_r"),
         F.when(has_t & has_c, F.round(rt - rc, 6)).alias("uplift_r"),
     )
+
+
+@register(
+    "analytics_order_lead_time",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               floor((min(epoch_us(l.l_shipdate)) - epoch_us(o.o_orderdate))
+                     / CAST(86400000000 AS BIGINT)) AS first_ship_days,
+               floor((max(epoch_us(l.l_shipdate)) - epoch_us(o.o_orderdate))
+                     / CAST(86400000000 AS BIGINT)) AS last_ship_days
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, epoch_us(o.o_orderdate)
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(quantile_cont(first_ship_days, 0.5), 4) AS p50_first_ship_r,
+           round(quantile_cont(last_ship_days, 0.9), 4) AS p90_complete_r,
+           round(sum(CASE WHEN last_ship_days <= 30 THEN 1 ELSE 0 END)
+                 / (1.0 * count(*)), 6) AS within_30d_r
+    FROM per_order GROUP BY o_orderpriority
+    """,
+)
+def analytics_order_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfilment lead time by priority: days from order to
+    first shipment (responsiveness p50) and to the LAST line shipped
+    (completion p90), plus the 30-day completion SLA rate — the
+    supply-chain table that answers 'do urgent orders actually move
+    faster'. One fact join + order-grain aggregate, then a bounded
+    per-priority percentile rollup; day arithmetic is exact integer
+    microsecond floors."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ous"))
+        .agg(
+            F.floor(
+                (F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp"))) - F.col("ous"))
+                / F.lit(86400000000)
+            ).alias("first_ship_days"),
+            F.floor(
+                (F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))) - F.col("ous"))
+                / F.lit(86400000000)
+            ).alias("last_ship_days"),
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.expr("percentile(first_ship_days, 0.5)"), 4).alias(
+            "p50_first_ship_r"
+        ),
+        F.round(F.expr("percentile(last_ship_days, 0.9)"), 4).alias(
+            "p90_complete_r"
+        ),
+        F.round(
+            F.sum(F.when(F.col("last_ship_days") <= 30, 1).otherwise(0))
+            / (F.lit(1.0) * F.count(F.lit(1))),
+            6,
+        ).alias("within_30d_r"),
+    )
+
+
+@register(
+    "analytics_growth_accounting",
+    oracle="""
+    WITH um AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 604800) AS BIGINT) AS m
+        FROM events
+    ),
+    flags AS (
+        SELECT user_id, m,
+               min(m) OVER (PARTITION BY user_id) AS first_m,
+               lag(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m,
+               lead(m) OVER (PARTITION BY user_id ORDER BY m) AS next_m
+        FROM um
+    ),
+    classed AS (
+        SELECT m,
+               CASE WHEN m = first_m THEN 'new'
+                    WHEN prev_m = m - 1 THEN 'retained'
+                    ELSE 'resurrected' END AS status
+        FROM flags
+    ),
+    churn AS (
+        SELECT m + 1 AS m, 'churned' AS status
+        FROM flags
+        WHERE next_m IS NULL OR next_m > m + 1
+    ),
+    all_rows AS (
+        SELECT m, status FROM classed
+        UNION ALL SELECT m, status FROM churn
+    ),
+    bounds AS (SELECT max(m) AS max_m FROM um)
+    SELECT a.m AS week_idx, a.status,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM all_rows a CROSS JOIN bounds b
+    WHERE a.m <= b.max_m
+    GROUP BY a.m, a.status
+    """,
+)
+def analytics_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — every active user classified as
+    new (first week), retained (also active last week), or
+    resurrected (returning after a gap), plus churned counted into
+    the week after the user went quiet: the four flows whose sum
+    explains every MAU delta (the standard Social-Capital growth
+    table; retention_cohorts shows decay, THIS shows composition).
+    One distinct user-month census + one user-partitioned window
+    pass derives all four classes; churn rows are generated from
+    activity-run ends, clipped to the observation window. All
+    integer month arithmetic."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    um = e.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 604800).cast("long").alias("m"),
+    ).distinct()
+    w_all = Window.partitionBy("user_id")
+    w_ord = Window.partitionBy("user_id").orderBy("m")
+    flags = um.select(
+        "user_id",
+        "m",
+        F.min("m").over(w_all).alias("first_m"),
+        F.lag("m").over(w_ord).alias("prev_m"),
+        F.lead("m").over(w_ord).alias("next_m"),
+    )
+    classed = flags.select(
+        "m",
+        F.when(F.col("m") == F.col("first_m"), "new")
+        .when(F.col("prev_m") == F.col("m") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    churn = flags.filter(
+        F.col("next_m").isNull() | (F.col("next_m") > F.col("m") + 1)
+    ).select((F.col("m") + 1).alias("m"), F.lit("churned").alias("status"))
+    bounds = um.agg(F.max("m").alias("max_m"))
+    return (
+        classed.unionAll(churn)
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("m") <= F.col("max_m"))
+        .groupBy(F.col("m").alias("week_idx"), "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
