@@ -247,3 +247,39 @@ def math_try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             " try_multiply(l_partkey, CAST(l_quantity AS BIGINT)) END"
         ).alias("try_mult"),
     )
+
+
+@register(
+    "math_hyperbolic_suite",
+    oracle="""
+    SELECT l_linenumber,
+           round((exp(l_discount) - exp(-l_discount)) / 2, 9) AS sinh_r,
+           round((exp(l_discount) + exp(-l_discount)) / 2, 9) AS cosh_r,
+           round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 9)
+               AS tanh_r,
+           round(atan2(l_discount, l_tax + 0.01), 9) AS atan2_r,
+           round(ln(l_discount + sqrt(l_discount * l_discount + 1)), 9)
+               AS asinh_via_ln_r
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    """,
+)
+def math_hyperbolic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperbolic/inverse-trig scalar coverage: sinh/cosh/tanh +
+    atan2, and asinh phrased via its ln identity. DuckDB 1.0 has no
+    hyperbolics at all, so the oracle computes them from exp
+    identities — agreement at 9dp doubles as a check that Spark's
+    native implementations match the defining identities. The
+    tanh row is the one activation-function shape a feature pipeline
+    actually ships. Transcendental edges → 9dp; pushed-down key
+    filter bounds the output."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    d = F.col("l_discount")
+    return li.select(
+        "l_linenumber",
+        F.round(F.sinh(d), 9).alias("sinh_r"),
+        F.round(F.cosh(d), 9).alias("cosh_r"),
+        F.round(F.tanh(d), 9).alias("tanh_r"),
+        F.round(F.atan2(d, F.col("l_tax") + 0.01), 9).alias("atan2_r"),
+        F.round(F.log(d + F.sqrt(d * d + 1)), 9).alias("asinh_via_ln_r"),
+    )

@@ -181,3 +181,32 @@ def str_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_name_ci").cast("string"),
         )
     )
+
+
+@register(
+    "str_split_part_suite",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_type, ' ', 1) AS first_word,
+           split_part(p_type, ' ', -1) AS last_word,
+           array_to_string(string_split(p_type, ' ')[1:2], ' ')
+               AS first_two_words,
+           CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words
+    FROM part
+    """,
+)
+def str_split_part_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-field extraction: split_part with positive and
+    NEGATIVE indices (both engines count -1 as the last field) and
+    substring_index for the leading-k-fields prefix — the idioms for
+    picking apart type codes, paths, and dotted identifiers without
+    regex. DuckDB lacks substring_index, so its twin is the
+    list-slice equivalent — same strings out. Pure map stage."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("split_part(p_type, ' ', 1)").alias("first_word"),
+        F.expr("split_part(p_type, ' ', -1)").alias("last_word"),
+        F.expr("substring_index(p_type, ' ', 2)").alias("first_two_words"),
+        F.size(F.split("p_type", " ")).cast("long").alias("n_words"),
+    )
