@@ -1433,3 +1433,56 @@ def agg_distinct_rewrite_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_nations"),
         F.sum("n_rows").cast("long").alias("n_customers"),
     )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    WITH pairs AS (
+        SELECT 'quantity' AS var_a, 'extendedprice' AS var_b,
+               corr(l_quantity, l_extendedprice) AS c FROM lineitem
+        UNION ALL
+        SELECT 'quantity', 'discount', corr(l_quantity, l_discount)
+        FROM lineitem
+        UNION ALL
+        SELECT 'quantity', 'tax', corr(l_quantity, l_tax) FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', 'discount',
+               corr(l_extendedprice, l_discount) FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', 'tax', corr(l_extendedprice, l_tax)
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount', 'tax', corr(l_discount, l_tax) FROM lineitem
+    )
+    SELECT var_a, var_b, round(c, 4) AS corr_r FROM pairs
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix (upper triangle) over the four
+    lineitem measures — the multicollinearity screen run before any
+    regression or feature selection. ALL six correlations compute in
+    ONE aggregate pass (six corr() expressions over one scan — not
+    six queries; the unpivot to (var_a, var_b, corr) rows happens on
+    the 1-row result), which is the sufficient-statistics discipline:
+    at 100 TB the matrix costs exactly one corpus read regardless of
+    how many pairs you add. 4dp stats grain."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qe"),
+        F.corr("l_quantity", "l_discount").alias("qd"),
+        F.corr("l_quantity", "l_tax").alias("qt"),
+        F.corr("l_extendedprice", "l_discount").alias("ed"),
+        F.corr("l_extendedprice", "l_tax").alias("et"),
+        F.corr("l_discount", "l_tax").alias("dt"),
+    )
+    return wide.selectExpr(
+        """stack(6,
+            'quantity', 'extendedprice', round(qe, 4),
+            'quantity', 'discount', round(qd, 4),
+            'quantity', 'tax', round(qt, 4),
+            'extendedprice', 'discount', round(ed, 4),
+            'extendedprice', 'tax', round(et, 4),
+            'discount', 'tax', round(dt, 4)
+        ) AS (var_a, var_b, corr_r)"""
+    )
