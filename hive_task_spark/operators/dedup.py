@@ -812,3 +812,127 @@ def dedup_minhash_portable_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_r"),
         )
     )
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    cut AS (
+        SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS c FROM documents
+    ),
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    hashed AS (
+        SELECT sh.doc_id, seeds.seed,
+               min(CAST('0x' || substr(md5(sh.shingle || ':'
+                        || CAST(seeds.seed AS VARCHAR)), 1, 15) AS BIGINT))
+                   AS mh
+        FROM sh CROSS JOIN seeds
+        GROUP BY sh.doc_id, seeds.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
+        FROM hashed GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+        FROM bands n
+        JOIN bands o ON n.band = o.band AND n.band_sig = o.band_sig
+        CROSS JOIN cut
+        WHERE n.doc_id > cut.c AND o.doc_id <= cut.c
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_new, c.doc_old, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_new
+        JOIN sh b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
+        GROUP BY c.doc_new, c.doc_old
+    )
+    SELECT m.doc_new, m.doc_old,
+           round(m.n_common / (1.0 * (sa.n + sb.n - m.n_common)), 6)
+               AS jaccard_r
+    FROM common m
+    JOIN sizes sa ON sa.doc_id = m.doc_new
+    JOIN sizes sb ON sb.doc_id = m.doc_old
+    WHERE m.n_common / (1.0 * (sa.n + sb.n - m.n_common)) >= 0.5
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup ingest — the production shape: a NEW batch
+    (top 20% of doc_ids as the arriving snapshot) is signed and
+    joined against the EXISTING band index only (new×old candidates,
+    never old×old — the whole point of keeping the index), then
+    exact-verified at Jaccard ≥ 0.5. Uses the portable md5 minhash
+    (16 hashes / 4 bands, same geometry as the eval row) so the
+    entire incremental path — signatures, band join, verify — is one
+    DuckDB twin. At 100 TB the old side's signatures are a stored
+    table; per-ingest cost is |batch| signatures + one band-key
+    equi-join against the index."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingle_rows(d).distinct().localCheckpoint()
+    cut = d.agg(F.floor(F.max("doc_id") * 0.8).cast("long").alias("c"))
+    seeds = F.broadcast(
+        spark.range(0, 16).select(F.col("id").cast("int").alias("seed"))
+    )
+    hashed = (
+        sh.crossJoin(seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.expr(
+                "CAST(conv(substr(md5(concat(shingle, ':', CAST(seed AS STRING))),"
+                " 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        hashed.withColumn("band", F.expr("seed div 4"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seed"), F.col("mh")))
+                    ),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+        .crossJoin(F.broadcast(cut))
+    )
+    new_side = bands.filter(F.col("doc_id") > F.col("c")).select(
+        F.col("doc_id").alias("doc_new"), "band", "band_sig"
+    )
+    old_side = bands.filter(F.col("doc_id") <= F.col("c")).select(
+        F.col("doc_id").alias("doc_old"), "band", "band_sig"
+    )
+    cand = (
+        new_side.join(old_side, ["band", "band_sig"])
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_new"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_old"), "shingle")
+    common = (
+        cand.join(a, "doc_new")
+        .join(b, ["doc_old", "shingle"])
+        .groupBy("doc_new", "doc_old")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_old"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (
+        F.lit(1.0) * (F.col("na") + F.col("nb") - F.col("n_common"))
+    )
+    return (
+        common.join(sa, "doc_new")
+        .join(sb, "doc_old")
+        .filter(jac >= 0.5)
+        .select("doc_new", "doc_old", F.round(jac, 6).alias("jaccard_r"))
+    )
