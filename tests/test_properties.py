@@ -2078,3 +2078,78 @@ def test_bench_headline_names_registered():
     registry.load_all()
     missing = [n for n in bench.HEADLINE if n not in registry.QUERIES]
     assert not missing, missing
+
+
+def test_minhash_portable_eval_bounds(spark, sf_dir):
+    row = registry.QUERIES["dedup_minhash_portable_eval"](spark, sf_dir).collect()[0]
+    assert row["n_hits"] <= min(row["n_candidates"], row["n_truth"])
+    if row["precision_r"] is not None:
+        assert 0.0 <= row["precision_r"] <= 1.0
+    if row["recall_r"] is not None:
+        assert 0.0 <= row["recall_r"] <= 1.0
+
+
+def test_incremental_ingest_direction(spark, sf_dir):
+    """Every emitted pair must cross the cutoff: new strictly above,
+    old at or below — old×old pairs would mean the index is being
+    rebuilt, not probed."""
+    rows = registry.QUERIES["dedup_incremental_ingest"](spark, sf_dir).collect()
+    import duckdb
+
+    cut = duckdb.sql(
+        f"SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    for r in rows:
+        assert r["doc_new"] > cut >= r["doc_old"]
+        assert 0.5 <= r["jaccard_r"] <= 1.0
+
+
+def test_growth_accounting_flows_consistent(spark, sf_dir):
+    """Week w's active count must equal new+retained+resurrected, and
+    retained(w) == active(w-1) - churned(w)."""
+    rows = registry.QUERIES["analytics_growth_accounting"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    cells = defaultdict(dict)
+    for r in rows:
+        cells[r["week_idx"]][r["status"]] = r["n_users"]
+    weeks = sorted(cells)
+    for w in weeks[1:]:
+        prev_active = sum(
+            cells[w - 1].get(k, 0) for k in ("new", "retained", "resurrected")
+        )
+        assert cells[w].get("retained", 0) == prev_active - cells[w].get(
+            "churned", 0
+        )
+
+
+def test_abc_classes_cover_all_parts(spark, sf_dir):
+    rows = registry.QUERIES["analytics_abc_classification"](spark, sf_dir).collect()
+    import duckdb
+
+    n_parts = duckdb.sql(
+        f"SELECT count(DISTINCT l_partkey) FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    shares = {r["abc_class"]: r["revenue_share_r"] for r in rows}
+    assert abs(sum(shares.values()) - 1.0) < 1e-4
+    if "A" in shares and "C" in shares:
+        assert shares["A"] > shares["C"]
+
+
+def test_token_budget_twopass_equals_global(spark, sf_dir):
+    """The distributed two-pass form must select EXACTLY the same
+    prefix as the single-window form — same doc set, same cum_tokens."""
+    a = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in registry.QUERIES["pipeline_token_budget_twopass"](
+            spark, sf_dir
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in registry.QUERIES["pipeline_token_budget"](spark, sf_dir).collect()
+    }
+    assert a == b
