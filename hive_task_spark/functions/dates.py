@@ -398,3 +398,44 @@ def date_multiformat_parse_dispatch(
         F.unix_micros(F.min(best)).alias("min_us"),
         F.unix_micros(F.max(best)).alias("max_us"),
     )
+
+
+@register(
+    "date_calendar_spine",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(floor(min(epoch(ts)) / 86400) AS BIGINT) AS d0,
+               CAST(floor(max(epoch(ts)) / 86400) AS BIGINT) AS d1
+        FROM events
+    )
+    SELECT CAST(t.day_idx AS BIGINT) AS day_idx,
+           CAST((t.day_idx + 4) % 7 AS BIGINT) AS dow,
+           ((t.day_idx + 4) % 7) IN (0, 6) AS is_weekend,
+           CAST((t.day_idx - b.d0) // 7 AS BIGINT) AS week_in_span
+    FROM bounds b, unnest(range(b.d0, b.d1 + 1)) AS t(day_idx)
+    """,
+)
+def date_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation: a dense day spine spanning the
+    observed data (min..max event day) with derived attributes — dow
+    via the engine-neutral (epoch_day+4) mod 7, weekend flag, week
+    number within the span. The generated dimension every gap-fill,
+    seasonality, and business-day query joins against; rows are
+    exploded from a sequence AT the executor (the spine is never
+    stored or shuffled upstream), and the bounds are one broadcast
+    aggregate."""
+    e = load(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    bounds = e.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    spine = bounds.select(
+        "d0", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_idx")
+    )
+    dow = (F.col("day_idx") + 4) % 7
+    return spine.select(
+        F.col("day_idx").cast("long").alias("day_idx"),
+        dow.cast("long").alias("dow"),
+        dow.isin(0, 6).alias("is_weekend"),
+        F.floor((F.col("day_idx") - F.col("d0")) / 7)
+        .cast("long")
+        .alias("week_in_span"),
+    )

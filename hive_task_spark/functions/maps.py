@@ -174,3 +174,49 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_filter(m, lambda k, v: (k == "region") & (v >= 2))
         ).alias("filtered_entries"),
     )
+
+
+@register(
+    "map_merge_aggregate",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag, l_linestatus, count(*) AS c
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag,
+           string_agg(l_linestatus || '=' || CAST(c AS VARCHAR), '|'
+                      ORDER BY l_linestatus) AS status_counts,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM cells GROUP BY l_returnflag
+    """,
+)
+def map_merge_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-valued aggregation: per return flag, the linestatus→count
+    map built by merging per-row contributions — the 'aggregate into
+    a map column' idiom (feature maps, per-key counters) expressed as
+    the cell aggregate + map_from_entries it compiles to anyway. The
+    edge serializes to sorted 'k=v' entries ('|'-joined) per the
+    complex-type edge rule; internally the value IS a MapType (the
+    map_from_entries construction is exercised, then serialized).
+    Two stacked map-side-combinable aggregates — the same shape as
+    the key-multiplicity audit."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    as_map = cells.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("l_linestatus"), F.col("c")))
+            )
+        ).alias("m")
+    )
+    entries = F.expr(
+        "array_join(transform(map_keys(m), k -> concat(k, '=', "
+        "CAST(element_at(m, k) AS STRING))), '|')"
+    )
+    return as_map.select(
+        "l_returnflag",
+        entries.alias("status_counts"),
+        F.size(F.map_keys(F.col("m"))).cast("long").alias("n_keys"),
+    )
