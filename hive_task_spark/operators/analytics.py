@@ -6284,3 +6284,121 @@ def analytics_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("m").alias("week_idx"), "status")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@register(
+    "analytics_band_breach",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               round(sum(value), 6) AS day_val
+        FROM events GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
+    ),
+    banded AS (
+        SELECT day_idx, day_val,
+               quantile_cont(day_val, 0.1) OVER w AS p10,
+               quantile_cont(day_val, 0.9) OVER w AS p90,
+               count(*) OVER w AS n_window
+        FROM daily
+        WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day_idx, day_val,
+           round(p10, 4) AS band_lo_r,
+           round(p90, 4) AS band_hi_r,
+           CASE WHEN day_val < p10 THEN 'below'
+                WHEN day_val > p90 THEN 'above'
+                ELSE 'in_band' END AS breach
+    FROM banded
+    WHERE n_window >= 5
+    """,
+)
+def analytics_band_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-percentile band monitoring: each day's value total vs
+    the p10–p90 band of the PREVIOUS 7 days (current row excluded —
+    no self-contamination), flagged below/in/above once 5 trailing
+    points exist. The nonparametric anomaly band ops dashboards
+    prefer over z-scores when the metric is skewed (the MAD row is
+    the robust-center sibling; this is the robust-envelope one).
+    Percentiles run as window aggregates over the bounded daily
+    series with identical interpolation in both engines; band edges
+    round at 4dp."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx")
+    ).agg(F.round(F.sum("value"), 6).alias("day_val"))
+    w = Window.orderBy("day_idx").rowsBetween(-7, -1)
+    banded = daily.select(
+        "day_idx",
+        "day_val",
+        F.expr("percentile(day_val, 0.1)").over(w).alias("p10"),
+        F.expr("percentile(day_val, 0.9)").over(w).alias("p90"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+    return (
+        banded.filter(F.col("n_window") >= 5)
+        .select(
+            "day_idx",
+            "day_val",
+            F.round(F.col("p10"), 4).alias("band_lo_r"),
+            F.round(F.col("p90"), 4).alias("band_hi_r"),
+            F.when(F.col("day_val") < F.col("p10"), "below")
+            .when(F.col("day_val") > F.col("p90"), "above")
+            .otherwise("in_band")
+            .alias("breach"),
+        )
+    )
+
+
+@register(
+    "analytics_wilson_ci",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, x,
+           round(x / (1.0 * n), 6) AS p_hat_r,
+           round((x / (1.0 * n) + 1.9208 / n
+                  - 1.96 * sqrt((x / (1.0 * n)) * (1 - x / (1.0 * n)) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lo_r,
+           round((x / (1.0 * n) + 1.9208 / n
+                  + 1.96 * sqrt((x / (1.0 * n)) * (1 - x / (1.0 * n)) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_hi_r
+    FROM s
+    """,
+)
+def analytics_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for a per-type binomial share (fraction
+    of events from the even-user cohort) — the CI that stays inside
+    [0,1] and behaves at small n or extreme p where the normal
+    approximation (the z-test row) collapses; what ranking-by-rating
+    and conversion dashboards should use. Closed form on exact
+    integer counts from one aggregate; z=1.96 constants are spelled
+    out (1.9208 = z²/2, 3.8416 = z², 0.9604 = z²/4) so both engines
+    evaluate the identical expression tree. 6dp edges."""
+    e = load(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    p = F.col("x") / (F.lit(1.0) * F.col("n"))
+    n = F.col("n")
+    half = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    denom = 1 + 3.8416 / n
+    return s.select(
+        "event_type",
+        "n",
+        "x",
+        F.round(p, 6).alias("p_hat_r"),
+        F.round((p + 1.9208 / n - half) / denom, 6).alias("wilson_lo_r"),
+        F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi_r"),
+    )
