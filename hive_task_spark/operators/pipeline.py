@@ -2842,3 +2842,92 @@ def pipeline_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("n_chars").cast("long").alias("min_key"),
         F.max("n_chars").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "pipeline_training_manifest",
+    oracle="""
+    WITH gated AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         BETWEEN '0' AND 'b' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('c', 'd') THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents WHERE n_chars >= 100
+    ),
+    placed AS (
+        SELECT doc_id, split, n_chars,
+               coalesce(sum(n_chars) OVER (
+                   PARTITION BY split ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM gated
+    )
+    SELECT doc_id, split,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cum_before // 50000 AS BIGINT) AS shard_id,
+           CAST(cum_before % 50000 AS BIGINT) AS offset_in_shard
+    FROM placed
+    """,
+)
+def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone assembly: a training-data MANIFEST — every
+    quality-gated document with its md5-keyed split (75/12.5/12.5)
+    and its exact (shard_id, byte_offset) placement under 50 KB
+    shards. Writers consume this to lay out tfrecord/arrow shards;
+    determinism means a re-run resumes instead of re-sharding.
+    Placement = running size before each doc, computed with the
+    TWO-PASS discipline (pipeline_token_budget_twopass): per-bucket
+    size sums → broadcast per-bucket offsets → windows partitioned by
+    (split, bucket) only — no split-wide single-task window even
+    though the ORACLE is the straightforward per-split window (the
+    rewrite is again provably identical)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    gated = d.select(
+        "doc_id",
+        "n_chars",
+        F.when(hx.between("0", "b"), "train")
+        .when(hx.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    # two-pass placement: bucket by doc_id blocks within each split
+    t = gated.withColumn("bucket", F.floor(F.col("doc_id") / 64).cast("long"))
+    per_bucket = t.groupBy("split", "bucket").agg(
+        F.sum("n_chars").alias("bucket_chars")
+    )
+    w_off = (
+        Window.partitionBy("split")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "split",
+        "bucket",
+        F.coalesce(F.sum("bucket_chars").over(w_off), F.lit(0)).alias("base"),
+    )
+    w_in = (
+        Window.partitionBy("split", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        t.join(F.broadcast(offsets), ["split", "bucket"])
+        .select(
+            "doc_id",
+            "split",
+            "n_chars",
+            (
+                F.coalesce(F.sum("n_chars").over(w_in), F.lit(0)) + F.col("base")
+            ).alias("cum_before"),
+        )
+    )
+    return placed.select(
+        "doc_id",
+        "split",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.floor(F.col("cum_before") / 50000).cast("long").alias("shard_id"),
+        (F.col("cum_before") % 50000).cast("long").alias("offset_in_shard"),
+    )

@@ -1995,3 +1995,57 @@ def quality_rare_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "consolidated_level"
         ),
     )
+
+
+@register(
+    "quality_rowcount_reconciliation",
+    oracle="""
+    WITH om AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS month_idx,
+               o_orderkey
+        FROM orders
+    ),
+    lo AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    j AS (
+        SELECT om.month_idx,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN lo.l_orderkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_lineless
+        FROM om LEFT JOIN lo ON om.o_orderkey = lo.l_orderkey
+        GROUP BY om.month_idx
+    )
+    SELECT month_idx, n_orders, n_lineless,
+           round(n_lineless / (1.0 * n_orders), 6) AS lineless_rate_r
+    FROM j
+    """,
+)
+def quality_rowcount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation by period: orders per month and how
+    many have NO lineitem rows — the month-over-month 'did the child
+    feed drop data' control that referential-integrity totals hide (a
+    0.1% global orphan rate can be one month 100% broken). Left join
+    against the DISTINCT child keys (the child fact is reduced to its
+    key set before joining — at 100 TB that semi-join shape is the
+    whole trick), then one month rollup."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    om = o.select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month_idx"),
+        "o_orderkey",
+    )
+    lo = li.select("l_orderkey").distinct()
+    j = om.join(lo, om["o_orderkey"] == lo["l_orderkey"], "left")
+    return j.groupBy("month_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lineless"),
+        F.round(
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+            / (F.lit(1.0) * F.count(F.lit(1))),
+            6,
+        ).alias("lineless_rate_r"),
+    )
