@@ -6402,3 +6402,59 @@ def analytics_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p + 1.9208 / n - half) / denom, 6).alias("wilson_lo_r"),
         F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi_r"),
     )
+
+
+@register(
+    "analytics_new_vs_repeat_revenue",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_totalprice,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS month_idx,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS order_seq
+        FROM orders
+    )
+    SELECT month_idx,
+           round(sum(CASE WHEN order_seq = 1 THEN o_totalprice ELSE 0 END), 2)
+               AS new_revenue,
+           round(sum(CASE WHEN order_seq > 1 THEN o_totalprice ELSE 0 END), 2)
+               AS repeat_revenue,
+           CAST(sum(CASE WHEN order_seq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first_orders,
+           round(sum(CASE WHEN order_seq > 1 THEN o_totalprice ELSE 0 END)
+                 / sum(o_totalprice), 6) AS repeat_share_r
+    FROM seq GROUP BY month_idx
+    """,
+)
+def analytics_new_vs_repeat_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """New-vs-repeat revenue split per month: each order ranked within
+    its customer (first order = acquisition revenue, the rest =
+    retention revenue) — the one chart every commerce business review
+    opens with, and the growth-accounting sibling in money terms. One
+    customer-partitioned window ranks orders, one month rollup splits
+    the sums; money at 2dp exact-decimal grain, share at 6dp."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_totalprice",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month_idx"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+    first = F.when(F.col("order_seq") == 1, F.col("o_totalprice")).otherwise(0.0)
+    rep = F.when(F.col("order_seq") > 1, F.col("o_totalprice")).otherwise(0.0)
+    return seq.groupBy("month_idx").agg(
+        F.round(F.sum(first), 2).alias("new_revenue"),
+        F.round(F.sum(rep), 2).alias("repeat_revenue"),
+        F.sum(F.when(F.col("order_seq") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_first_orders"),
+        F.round(F.sum(rep) / F.sum("o_totalprice"), 6).alias("repeat_share_r"),
+    )

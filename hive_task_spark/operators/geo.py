@@ -276,3 +276,88 @@ def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("km", 3).alias("dist_km_r"),
         )
     )
+
+
+@register(
+    "geo_trajectory_similarity",
+    oracle=f"""
+    WITH cells AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(({_EVT_LAT}) / 10) AS BIGINT) AS cy,
+               CAST(floor(({_EVT_LON}) / 10) AS BIGINT) AS cx
+        FROM events
+    ),
+    sizes AS (SELECT user_id, count(*) AS n FROM cells GROUP BY user_id),
+    inter AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_common
+        FROM cells a JOIN cells b
+          ON a.cy = b.cy AND a.cx = b.cx AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    ),
+    scored AS (
+        SELECT i.user_a, i.user_b,
+               CAST(i.n_common AS BIGINT) AS n_common,
+               round(i.n_common / (1.0 * (sa.n + sb.n - i.n_common)), 6)
+                   AS footprint_jaccard_r
+        FROM inter i
+        JOIN sizes sa ON sa.user_id = i.user_a
+        JOIN sizes sb ON sb.user_id = i.user_b
+    )
+    SELECT user_a, user_b, n_common, footprint_jaccard_r
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY footprint_jaccard_r DESC, user_a, user_b) AS rk
+        FROM scored
+    ) WHERE rk <= 25
+    """,
+)
+def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity search by spatial footprint — the top-25
+    most similar user pairs by Jaccard of visited 10-degree grid
+    cells (the cell-set sketch that distributed trajectory-similarity
+    systems use for candidate pruning, cf. REPOSE ICDE'21 reference-
+    point tries — same idea: discretize, then set-intersect). The
+    pairwise intersection comes from a posting-list join ON THE CELL
+    (candidates ~ Σ per-cell-occupancy², never |users|²); footprints
+    are bounded by the grid, so the shuffle carries (user, cell)
+    pairs only. Global top-k compiles to per-partition heaps."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    cells = e.selectExpr(
+        "user_id",
+        f"CAST(floor(({_EVT_LAT}) / 10) AS BIGINT) AS cy",
+        f"CAST(floor(({_EVT_LON}) / 10) AS BIGINT) AS cx",
+    ).distinct()
+    sizes = cells.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a = cells.select(F.col("user_id").alias("user_a"), "cy", "cx")
+    b = cells.select(F.col("user_id").alias("user_b"), "cy", "cx")
+    inter = (
+        a.join(b, ["cy", "cx"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (
+        F.lit(1.0) * (F.col("na") + F.col("nb") - F.col("n_common"))
+    )
+    scored = (
+        inter.join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(jac, 6).alias("footprint_jaccard_r"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("footprint_jaccard_r").desc(), "user_a", "user_b"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .drop("rk")
+    )
