@@ -2207,3 +2207,94 @@ def similarity_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.avg("cosine"), 6).alias("mean_cosine_r"),
     )
+
+
+@register(
+    "similarity_incremental_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id,
+               list_transform(vec, x -> x / sqrt(
+                   list_sum(list_transform(vec, y -> y * y)))) AS uvec
+        FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, uvec AS qvec FROM n
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.qvec, n.uvec),
+                                       z -> z[1] * z[2])) AS cosine
+        FROM q JOIN n ON q.query_id <> n.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           round(cosine, 6) AS cosine_r
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance — the interactive-session pattern
+    (cf. the EDBT'20 incremental top-k similarity framework in
+    PAPERS.md): when a new batch of vectors arrives (top 20% of
+    vec_ids), each query's stored top-k is merged with scores against
+    the NEW batch only, then re-truncated — the old corpus is never
+    rescored. The oracle is the FULL brute-force recompute over
+    everything, so the driver hash PROVES the incremental merge is
+    exactly equivalent (true because cosine top-k admits monotone
+    merge: the true top-k is a subset of old-top-k ∪ new-batch
+    scores). Per-update cost: |queries|×|batch| dots + a k-row merge,
+    independent of corpus size."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    unit = vecs.select(
+        "vec_id", F.expr("transform(vec, x -> x / nrm)").alias("uvec")
+    )
+    cut = unit.agg(F.floor(F.max("vec_id") * 0.8).cast("long").alias("c"))
+    unit_c = unit.crossJoin(F.broadcast(cut))
+    old = unit_c.filter(F.col("vec_id") <= F.col("c")).select("vec_id", "uvec")
+    new = unit_c.filter(F.col("vec_id") > F.col("c")).select("vec_id", "uvec")
+    queries = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("uvec").alias("qvec")
+    )
+
+    def score(corpus):
+        return (
+            queries.crossJoin(F.broadcast(corpus.withColumnRenamed("vec_id", "neighbor_id")))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                _dot(F.col("qvec"), F.col("uvec")).alias("cosine"),
+            )
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    stored_topk = (
+        score(old)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .drop("rnk")
+    )
+    merged = stored_topk.unionAll(score(new))
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+    )
