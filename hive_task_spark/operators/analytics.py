@@ -6458,3 +6458,90 @@ def analytics_new_vs_repeat_revenue(
         .alias("n_first_orders"),
         F.round(F.sum(rep) / F.sum("o_totalprice"), 6).alias("repeat_share_r"),
     )
+
+
+@register(
+    "analytics_price_index",
+    oracle="""
+    WITH cut AS (
+        SELECT CAST((min(year(o_orderdate) * 12 + month(o_orderdate))
+                     + max(year(o_orderdate) * 12 + month(o_orderdate))) // 2
+                    AS BIGINT) AS c
+        FROM orders
+    ),
+    li AS (
+        SELECT l.l_partkey,
+               CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                    AS BIGINT) AS m,
+               l.l_quantity,
+               l.l_extendedprice / l.l_quantity AS unit_price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity > 0
+    ),
+    per AS (
+        SELECT l_partkey,
+               CASE WHEN li.m < cut.c THEN 0 ELSE 1 END AS period,
+               sum(l_quantity) AS q,
+               sum(unit_price * l_quantity) / sum(l_quantity) AS p
+        FROM li CROSS JOIN cut
+        GROUP BY l_partkey, CASE WHEN li.m < cut.c THEN 0 ELSE 1 END
+    ),
+    paired AS (
+        SELECT a.l_partkey, a.p AS p0, a.q AS q0, b.p AS p1, b.q AS q1
+        FROM per a JOIN per b
+          ON a.l_partkey = b.l_partkey AND a.period = 0 AND b.period = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_common_parts,
+           round(sum(p1 * q0) / sum(p0 * q0), 6) AS laspeyres_r,
+           round(sum(p1 * q1) / sum(p0 * q1), 6) AS paasche_r,
+           round(sqrt((sum(p1 * q0) / sum(p0 * q0))
+                      * (sum(p1 * q1) / sum(p0 * q1))), 6) AS fisher_r
+    FROM paired
+    """,
+)
+def analytics_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between the first
+    and second half of the observation window — the inflation-
+    measurement triple over parts transacted in BOTH periods
+    (base-quantity weighted, current-quantity weighted, and their
+    geometric mean). Per-(part, period) quantity-weighted average
+    unit prices come from one fact pass; the index is a ratio of
+    sums over the common-parts join (dim-sized). The half-way cut
+    derives from the data (broadcast one-row aggregate), so the
+    query is fixture-scale-proof. 6dp stats edges."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    cut = o.agg(F.floor((F.min(m) + F.max(m)) / 2).cast("long").alias("c"))
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "l_partkey",
+            F.when(m < F.col("c"), 0).otherwise(1).alias("period"),
+            "l_quantity",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+    )
+    per = j.groupBy("l_partkey", "period").agg(
+        F.sum("l_quantity").alias("q"),
+        (
+            F.sum(F.col("unit_price") * F.col("l_quantity"))
+            / F.sum("l_quantity")
+        ).alias("p"),
+    )
+    a = per.filter(F.col("period") == 0).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    b = per.filter(F.col("period") == 1).select(
+        "l_partkey", F.col("p").alias("p1"), F.col("q").alias("q1")
+    )
+    paired = a.join(b, "l_partkey")
+    lasp = F.sum(F.col("p1") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+    paas = F.sum(F.col("p1") * F.col("q1")) / F.sum(F.col("p0") * F.col("q1"))
+    return paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_parts"),
+        F.round(lasp, 6).alias("laspeyres_r"),
+        F.round(paas, 6).alias("paasche_r"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher_r"),
+    )
