@@ -6545,3 +6545,77 @@ def analytics_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche_r"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher_r"),
     )
+
+
+@register(
+    "analytics_stl_lite",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               round(sum(value), 6) AS day_val
+        FROM events GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
+    ),
+    tr AS (
+        SELECT day_idx, day_val,
+               CASE WHEN count(*) OVER w = 7
+                    THEN avg(day_val) OVER w END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT day_idx, day_val, trend,
+               CAST((day_idx + 4) % 7 AS BIGINT) AS dow,
+               day_val - trend AS detrended
+        FROM tr WHERE trend IS NOT NULL
+    ),
+    seas AS (
+        SELECT dow, avg(detrended) AS seasonal FROM det GROUP BY dow
+    )
+    SELECT d.day_idx, d.day_val,
+           round(d.trend, 4) AS trend_r,
+           round(s.seasonal, 4) AS seasonal_r,
+           round(d.day_val - d.trend - s.seasonal, 4) AS residual_r
+    FROM det d JOIN seas s ON d.dow = s.dow
+    """,
+)
+def analytics_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition (STL-lite): trend = the
+    centered 7-day moving average (emitted only where the full window
+    exists — no edge bias), seasonal = mean detrended value per
+    day-of-week, residual = the rest. The decomposition behind every
+    'is this dip seasonal or real' judgement; the seasonal-index row
+    gives the multiplicative ratio, THIS gives the additive
+    components per day. Bounded daily aggregate feeds one centered
+    window + one dow aggregate + one broadcast join; dow is the
+    engine-neutral arithmetic form. 4dp component edges."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx")
+    ).agg(F.round(F.sum("value"), 6).alias("day_val"))
+    w = Window.orderBy("day_idx").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day_idx",
+        "day_val",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7, F.avg("day_val").over(w)
+        ).alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    det = tr.select(
+        "day_idx",
+        "day_val",
+        "trend",
+        ((F.col("day_idx") + 4) % 7).cast("long").alias("dow"),
+        (F.col("day_val") - F.col("trend")).alias("detrended"),
+    )
+    seas = det.groupBy("dow").agg(F.avg("detrended").alias("seasonal"))
+    return det.join(F.broadcast(seas), "dow").select(
+        "day_idx",
+        "day_val",
+        F.round(F.col("trend"), 4).alias("trend_r"),
+        F.round(F.col("seasonal"), 4).alias("seasonal_r"),
+        F.round(
+            F.col("day_val") - F.col("trend") - F.col("seasonal"), 4
+        ).alias("residual_r"),
+    )

@@ -2931,3 +2931,42 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cum_before") / 50000).cast("long").alias("shard_id"),
         (F.col("cum_before") % 50000).cast("long").alias("offset_in_shard"),
     )
+
+
+@register(
+    "pipeline_mix_rebalance_plan",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+    SELECT c.source,
+           CAST(c.n AS BIGINT) AS current_docs,
+           CAST(t.total // t.k AS BIGINT) AS target_docs,
+           CAST(t.total // t.k - c.n AS BIGINT) AS delta_docs,
+           CASE WHEN c.n > t.total // t.k THEN 'sample_down'
+                WHEN c.n < t.total // t.k THEN 'replicate_up'
+                ELSE 'keep' END AS action
+    FROM c CROSS JOIN t
+    """,
+)
+def pipeline_mix_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalance plan: per source, the document delta to reach
+    a uniform target mix and the action to take — the PLAN emitted as
+    data before any rows move (the actuators are
+    pipeline_oversample_minority / rejection sampling / hash_sample;
+    planning-then-acting keeps a 100 TB rebalance auditable and
+    resumable). One |sources|-row aggregate + broadcast totals;
+    integer-floor targets so the plan is exact."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("k"))
+    target = F.floor(F.col("total") / F.col("k")).cast("long")
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n").cast("long").alias("current_docs"),
+        target.alias("target_docs"),
+        (target - F.col("n")).cast("long").alias("delta_docs"),
+        F.when(F.col("n") > target, "sample_down")
+        .when(F.col("n") < target, "replicate_up")
+        .otherwise("keep")
+        .alias("action"),
+    )
