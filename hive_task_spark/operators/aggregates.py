@@ -1486,3 +1486,40 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             'discount', 'tax', round(dt, 4)
         ) AS (var_a, var_b, corr_r)"""
     )
+
+
+@register(
+    "agg_weighted_mean_var",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4)
+               AS w_mean_r,
+           round(sum(l_quantity * l_extendedprice * l_extendedprice)
+                 / sum(l_quantity)
+                 - pow(sum(l_quantity * l_extendedprice) / sum(l_quantity), 2),
+                 2) AS w_var_r
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_mean_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean and population variance of price per
+    return flag — the weighted-moment pair (avg() treats a 1-unit and
+    a 50-unit line identically; weighting by quantity answers 'what
+    does a unit actually cost'). Phrased as the sufficient-statistic
+    sums Σwx, Σwx², Σw inside ONE partial+final aggregate — the
+    mergeable form that survives any partitioning — with the moment
+    algebra applied after. The variance edge rounds at 2dp (its scale
+    is price², so 2dp ≈ 6 significant decimals of the underlying
+    std)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity")
+    x = F.col("l_extendedprice")
+    sw = F.sum(w)
+    swx = F.sum(w * x)
+    swxx = F.sum(w * x * x)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(swx / sw, 4).alias("w_mean_r"),
+        F.round(swxx / sw - F.pow(swx / sw, 2), 2).alias("w_var_r"),
+    )
