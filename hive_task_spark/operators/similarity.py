@@ -2298,3 +2298,118 @@ def similarity_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine_r"),
         )
     )
+
+
+@register(
+    "similarity_pca_power_iteration",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    nn AS (SELECT count(*) AS n FROM v),
+    comp AS (
+        SELECT generate_subscripts(e, 1) - 1 AS i, unnest(e) AS x, vec_id
+        FROM v
+    ),
+    mean AS (SELECT i, avg(x) AS m FROM comp GROUP BY i),
+    centered AS (
+        SELECT c.vec_id, c.i, c.x - m.m AS cx
+        FROM comp c JOIN mean m ON c.i = m.i
+    ),
+    cov AS (
+        SELECT a.i AS i, b.i AS j,
+               sum(a.cx * b.cx) / max(nn.n) AS cij
+        FROM centered a
+        JOIN centered b ON a.vec_id = b.vec_id
+        CROSS JOIN nn
+        GROUP BY a.i, b.i
+    ),
+    v0 AS (SELECT i, 0.125 AS vi FROM mean),
+    w1 AS (SELECT cov.i, sum(cov.cij * v0.vi) AS wi
+           FROM cov JOIN v0 ON cov.j = v0.i GROUP BY cov.i),
+    n1 AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w1),
+    v1 AS (SELECT i, wi / n1.nrm AS vi FROM w1 CROSS JOIN n1),
+    w2 AS (SELECT cov.i, sum(cov.cij * v1.vi) AS wi
+           FROM cov JOIN v1 ON cov.j = v1.i GROUP BY cov.i),
+    n2 AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w2),
+    v2 AS (SELECT i, wi / n2.nrm AS vi FROM w2 CROSS JOIN n2),
+    w3 AS (SELECT cov.i, sum(cov.cij * v2.vi) AS wi
+           FROM cov JOIN v2 ON cov.j = v2.i GROUP BY cov.i),
+    n3 AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w3),
+    v3 AS (SELECT i, wi / n3.nrm AS vi FROM w3 CROSS JOIN n3),
+    sgn AS (
+        SELECT CASE WHEN vi < 0 THEN -1.0 ELSE 1.0 END AS s
+        FROM v3 ORDER BY abs(vi) DESC, i LIMIT 1
+    )
+    SELECT CAST(v3.i AS BIGINT) AS dim_idx,
+           round(v3.vi * sgn.s, 6) AS loading_r,
+           round(n3.nrm, 9) AS eigenvalue_r
+    FROM v3 CROSS JOIN sgn CROSS JOIN n3
+    WHERE v3.i < 8
+    """,
+)
+def similarity_pca_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed PCA: the covariance matrix's top eigenvector via
+    THREE unrolled power iterations, entirely as DataFrame algebra —
+    the linear-algebra workload pattern (embedding whitening,
+    drift-direction detection, JL-vs-PCA comparisons) without any
+    driver-side matrix. Covariance = one (vec, i)-exploded
+    centered-component relation self-joined per vector and reduced
+    to 64×64 cells; each iteration is a matvec = one equi-join on j
+    + one groupBy on i with the 64-row vector broadcast; the
+    eigenvalue estimate is the final pre-normalization norm. The
+    eigenvector's sign is canonicalized by its largest-|.| component
+    so both engines emit the same orientation. At 100 TB the ONLY
+    corpus-sized stages are the mean and covariance passes (the
+    iterations run on the d² cell table); d² cells at d=4096 is
+    16M rows — still a small DataFrame. First 8 loadings emitted,
+    6dp; eigenvalue 9dp."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _vec_d().alias("e"))
+    n = v.agg(F.count(F.lit(1)).alias("n"))
+    comp = v.select("vec_id", F.posexplode("e").alias("i", "x"))
+    mean = comp.groupBy("i").agg(F.avg("x").alias("m"))
+    centered = comp.join(F.broadcast(mean), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("m")).alias("cx")
+    )
+    a = centered.select("vec_id", F.col("i").alias("i"), F.col("cx").alias("ca"))
+    b = centered.select("vec_id", F.col("i").alias("j"), F.col("cx").alias("cb"))
+    cov = (
+        a.join(b, "vec_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy("i", "j")
+        .agg((F.sum(F.col("ca") * F.col("cb")) / F.max("n")).alias("cij"))
+        .localCheckpoint()
+    )
+    vec = mean.select("i", F.lit(0.125).alias("vi"))
+    nrm_df = None
+    for _ in range(3):
+        w = (
+            cov.join(
+                F.broadcast(vec.select(F.col("i").alias("j"), "vi")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("cij") * F.col("vi")).alias("wi"))
+        )
+        nrm_df = w.agg(F.sqrt(F.sum(F.col("wi") * F.col("wi"))).alias("nrm"))
+        vec = w.crossJoin(F.broadcast(nrm_df)).select(
+            "i", (F.col("wi") / F.col("nrm")).alias("vi")
+        )
+    sgn = (
+        vec.orderBy(F.abs(F.col("vi")).desc(), "i")
+        .limit(1)
+        .select(F.when(F.col("vi") < 0, -1.0).otherwise(1.0).alias("s"))
+    )
+    return (
+        vec.filter(F.col("i") < 8)
+        .crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(nrm_df))
+        .select(
+            F.col("i").cast("long").alias("dim_idx"),
+            F.round(F.col("vi") * F.col("s"), 6).alias("loading_r"),
+            F.round(F.col("nrm"), 9).alias("eigenvalue_r"),
+        )
+    )
