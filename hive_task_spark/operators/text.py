@@ -1715,3 +1715,73 @@ def text_source_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("js_vs_corpus_r"),
     )
+
+
+@register(
+    "text_conditional_entropy",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bi AS (
+        SELECT unnest(CASE WHEN len(w) >= 2
+                      THEN [struct_pack(w1 := w[i], w2 := w[i+1])
+                            FOR i IN range(1, len(w))]
+                      ELSE [] END) AS b
+        FROM w
+    ),
+    bc AS (
+        SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c FROM bi GROUP BY 1, 2
+    ),
+    uc AS (SELECT w1, sum(c) AS cu FROM bc GROUP BY w1),
+    tot AS (SELECT sum(c) AS t FROM bc),
+    terms AS (
+        SELECT bc.c / (1.0 * tot.t) AS pxy,
+               bc.c / (1.0 * uc.cu) AS pcond
+        FROM bc JOIN uc ON bc.w1 = uc.w1 CROSS JOIN tot
+    )
+    SELECT (SELECT CAST(sum(c) AS BIGINT) FROM bc) AS n_bigrams,
+           (SELECT CAST(count(*) AS BIGINT) FROM bc) AS n_distinct_bigrams,
+           round(-sum(pxy * ln(pcond) / ln(2)), 9) AS cond_entropy_bits_r
+    FROM terms
+    """,
+)
+def text_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy H(w₂|w₁) of the corpus in bits —
+    the information-theoretic predictability ceiling a bigram LM can
+    reach (the text_bigram_lm_score row scores docs against such a
+    model; THIS says how predictable the corpus is at all — near 0 =
+    deterministic/templated text, near log₂|V| = no sequential
+    structure). One bigram census (lead window per doc) feeds joint
+    and conditional probabilities; H = −Σ p(w₁,w₂)·log₂ p(w₂|w₁)
+    reduces over |distinct bigrams| cells. Transcendental edge →
+    9dp."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bi = words.select(
+        "w1", F.lead("w1", 1).over(win).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = bc.groupBy("w1").agg(F.sum("c").alias("cu"))
+    tot = bc.agg(F.sum("c").alias("t"))
+    terms = (
+        bc.join(F.broadcast(uc), "w1")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("c") / (F.lit(1.0) * F.col("t"))).alias("pxy"),
+            (F.col("c") / (F.lit(1.0) * F.col("cu"))).alias("pcond"),
+        )
+    )
+    stats = bc.agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+    )
+    h = terms.agg(
+        F.round(
+            -F.sum(F.col("pxy") * F.log(F.col("pcond")) / F.log(F.lit(2.0))), 9
+        ).alias("cond_entropy_bits_r")
+    )
+    return stats.crossJoin(F.broadcast(h))
