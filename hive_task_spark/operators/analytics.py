@@ -6170,18 +6170,26 @@ def analytics_order_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond floors."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # Date-native arithmetic (datediff), NOT unix_micros of a DATE→
+    # TIMESTAMP cast: the cast is session-timezone-dependent and a DST
+    # zone whose offset changes between orderdate and shipdate would
+    # skew the midnight-to-midnight diff by ±1h (ADVICE r4). Both
+    # columns are midnight-aligned, so whole-day datediff equals the
+    # oracle's exact-µs floor division.
     per_order = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("o_orderkey", "o_orderpriority", F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ous"))
+        .groupBy(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("odate"),
+        )
         .agg(
-            F.floor(
-                (F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp"))) - F.col("ous"))
-                / F.lit(86400000000)
-            ).alias("first_ship_days"),
-            F.floor(
-                (F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))) - F.col("ous"))
-                / F.lit(86400000000)
-            ).alias("last_ship_days"),
+            F.datediff(F.min(F.col("l_shipdate").cast("date")), F.col("odate"))
+            .cast("long")
+            .alias("first_ship_days"),
+            F.datediff(F.max(F.col("l_shipdate").cast("date")), F.col("odate"))
+            .cast("long")
+            .alias("last_ship_days"),
         )
     )
     return per_order.groupBy("o_orderpriority").agg(

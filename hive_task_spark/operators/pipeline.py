@@ -2589,13 +2589,13 @@ def pipeline_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_bounce_rate",
     oracle="""
     WITH o AS (
-        SELECT user_id, epoch_us(ts) AS us,
+        SELECT user_id, event_id, epoch_us(ts) AS us,
                lag(epoch_us(ts)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         FROM events
     ),
     flagged AS (
-        SELECT user_id, us,
+        SELECT user_id, event_id, us,
                CASE WHEN prev_us IS NULL
                          OR us - prev_us > CAST(1800000000 AS BIGINT)
                     THEN 1 ELSE 0 END AS new_session
@@ -2604,7 +2604,7 @@ def pipeline_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands AS (
         SELECT user_id, us,
                sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY us
+                   PARTITION BY user_id ORDER BY us, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_no
         FROM flagged
     ),
@@ -2636,11 +2636,13 @@ def pipeline_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     o = e.select(
         "user_id",
+        "event_id",
         F.unix_micros("ts").alias("us"),
         F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
     )
     flagged = o.select(
         "user_id",
+        "event_id",
         "us",
         F.when(
             F.col("prev_us").isNull()
@@ -2650,9 +2652,12 @@ def pipeline_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_session"),
     )
+    # (us, event_id) tiebreak matches the gap window above and the
+    # sessionize pattern — without it, duplicate (user_id, ts) rows at
+    # a session boundary could split nondeterministically (ADVICE r4).
     wi = (
         Window.partitionBy("user_id")
-        .orderBy("us")
+        .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.select(

@@ -2413,3 +2413,107 @@ def similarity_pca_power_iteration(
             F.round(F.col("nrm"), 9).alias("eigenvalue_r"),
         )
     )
+
+
+_ORACLE_SILHOUETTE = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    u AS (SELECT vec_id, list_transform(vec, x -> x / nrm) AS uvec FROM n),
+    scored AS (
+        SELECT vec_id,
+               [list_sum(list_transform(list_zip(uvec, cb[c]), p -> p[1] * p[2]))
+                FOR c IN range(1, 17)] AS dots
+        FROM u CROSS JOIN (SELECT __CB__ AS cb)
+    ),
+    ranked AS (
+        SELECT vec_id, dots, list_sort(dots) AS s FROM scored
+    ),
+    sil AS (
+        SELECT vec_id,
+               list_position(dots, s[16]) - 1 AS cid,
+               CASE WHEN greatest(1.0 - s[16], 1.0 - s[15]) <= 0 THEN 0.0
+                    ELSE (s[16] - s[15]) / greatest(1.0 - s[16], 1.0 - s[15])
+               END AS sil
+        FROM ranked
+    )
+    SELECT CAST(cid AS BIGINT)                         AS cid,
+           CAST(count(*) AS BIGINT)                    AS n_vecs,
+           round(avg(sil), 6)                          AS avg_sil_r,
+           round(min(sil), 6)                          AS min_sil_r,
+           CAST(sum(CASE WHEN sil < 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS n_ambiguous
+    FROM sil GROUP BY cid
+""".replace("__CB__", _CODEBOOK_SQL)
+
+
+@register("similarity_silhouette_simplified", oracle=_ORACLE_SILHOUETTE)
+def similarity_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette clustering diagnostic against the frozen
+    codebook (`_IVF_CODEBOOK`): per vector, a = cosine distance to its
+    own (nearest) centroid and b = distance to the second-nearest,
+    s = (b - a) / max(a, b) in [0, 1) — the standard O(NK) silhouette
+    approximation (Hruschka et al.) that replaces the O(N^2) pairwise
+    definition with centroid distances, which is the only form that
+    survives 100 TB. Per-cluster report: cohesion (avg s), worst
+    member (min s), and the count of ambiguous members (s < 0.1) —
+    the table that tells you which clusters to split or merge.
+
+    Scale shape: identical to similarity_kmeans_assign — the codebook
+    is a plan literal, scoring is one map stage (16 in-row dot
+    columns, staged projections, no scoring shuffle), then ONE
+    shuffle on cid for the <= K-row report. The second-best distance
+    comes from array_sort over the 16 dot columns in-row — no window,
+    no self-join."""
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    unit = vecs.select(
+        "vec_id", F.expr("transform(vec, x -> x / nrm)").alias("uvec")
+    )
+    cent_lits = [
+        F.expr("array(" + ",".join(f"{x}D" for x in c) + ")")
+        for c in _IVF_CODEBOOK
+    ]
+    dotted = unit.select(
+        "vec_id",
+        *[_dot(F.col("uvec"), cl).alias(f"d{i}") for i, cl in enumerate(cent_lits)],
+    )
+    k = len(cent_lits)
+    ranked = dotted.select(
+        "vec_id",
+        *[F.col(f"d{i}") for i in range(k)],
+        F.array_sort(F.array(*[F.col(f"d{i}") for i in range(k)])).alias("s"),
+    )
+    best = F.element_at(F.col("s"), k)
+    second = F.element_at(F.col("s"), k - 1)
+    cid = F.lit(None).cast("int")
+    for i in range(k - 1, -1, -1):
+        cid = F.when(F.col(f"d{i}") == best, i).otherwise(cid)
+    a_d = F.lit(1.0) - best
+    b_d = F.lit(1.0) - second
+    sil = (
+        F.when(F.greatest(a_d, b_d) <= 0, F.lit(0.0))
+        .otherwise((best - second) / F.greatest(a_d, b_d))
+    )
+    per_vec = ranked.select("vec_id", cid.alias("cid"), sil.alias("sil"))
+    return per_vec.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("sil"), 6).alias("avg_sil_r"),
+        F.round(F.min("sil"), 6).alias("min_sil_r"),
+        F.sum(F.when(F.col("sil") < 0.1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ambiguous"),
+    ).select(
+        F.col("cid").cast("long").alias("cid"),
+        "n_vecs",
+        "avg_sil_r",
+        "min_sil_r",
+        "n_ambiguous",
+    )

@@ -1785,3 +1785,108 @@ def text_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cond_entropy_bits_r")
     )
     return stats.crossJoin(F.broadcast(h))
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    h AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 3
+                    THEN [CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' '
+                                || ws[i+2]), 1, 7) AS BIGINT)
+                          FOR i IN range(1, len(ws) - 1)]
+                    ELSE [] END AS hs
+        FROM t
+    ),
+    w AS (
+        SELECT doc_id, hs,
+               CASE WHEN len(hs) >= 4
+                    THEN [list_min(hs[j:j+3]) FOR j IN range(1, len(hs) - 2)]
+                    ELSE [] END AS wins
+        FROM h
+    ),
+    f AS (
+        SELECT doc_id, len(hs) AS n_kgrams, len(wins) AS n_windows,
+               list_distinct(wins) AS fps
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(n_kgrams AS BIGINT)                                AS n_kgrams,
+           CAST(n_windows AS BIGINT)                               AS n_windows,
+           CAST(len(fps) AS BIGINT)                                AS n_fingerprints,
+           round(len(fps) / (1.0 * greatest(n_windows, 1)), 6)     AS density_r,
+           CAST(coalesce(list_min(fps), 0) AS BIGINT)              AS fp_min,
+           CAST(coalesce(list_max(fps), 0) AS BIGINT)              AS fp_max,
+           CAST(coalesce(list_sum(fps), 0) AS BIGINT)              AS fp_sum
+    FROM f
+    """,
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k=3-word shingle, slide a w=4 window over
+    the hash sequence, keep each window's minimum — the selected set
+    is guaranteed to share fingerprints with any document that shares
+    a long-enough substring, at an expected density of 2/(w+1) of the
+    shingle count (vs MinHash, which has no positional guarantee).
+
+    Pure map stage: per-row array HOFs (transform/slice/array_min/
+    array_distinct over md5-derived shingle hashes), zero shuffles —
+    at 100 TB this is scan-bound, and the fingerprint summary columns
+    (min/max/sum/count) are what a downstream band-join would key on.
+    Arrays are materialized in staged projections so the interpreted
+    HOF evaluator computes each exactly once; the edge is scalar-only
+    (fp_sum bounded: 7 hex digits < 2^28, x500 fps < 2^37 — no
+    overflow)."""
+    d = load(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    hs = ws.select(
+        "doc_id",
+        F.expr(
+            """
+            CASE WHEN size(ws) >= 3 THEN
+              transform(sequence(1, size(ws) - 2),
+                i -> CAST(conv(substr(md5(concat(
+                       element_at(ws, i), ' ',
+                       element_at(ws, i + 1), ' ',
+                       element_at(ws, i + 2))), 1, 7), 16, 10) AS BIGINT))
+            ELSE array() END
+            """
+        ).alias("hs"),
+    )
+    wins = hs.select(
+        "doc_id",
+        F.size("hs").alias("n_kgrams"),
+        F.expr(
+            """
+            CASE WHEN size(hs) >= 4 THEN
+              transform(sequence(1, size(hs) - 3),
+                        j -> array_min(slice(hs, j, 4)))
+            ELSE array(CAST(NULL AS BIGINT)) END
+            """
+        ).alias("wins"),
+    )
+    fps = wins.select(
+        "doc_id",
+        "n_kgrams",
+        F.expr(
+            "size(filter(wins, x -> x IS NOT NULL))"
+        ).alias("n_windows"),
+        F.expr("array_distinct(filter(wins, x -> x IS NOT NULL))").alias("fps"),
+    )
+    return fps.select(
+        "doc_id",
+        F.col("n_kgrams").cast("long").alias("n_kgrams"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.round(
+            F.size("fps") / (F.lit(1.0) * F.greatest(F.col("n_windows"), F.lit(1))),
+            6,
+        ).alias("density_r"),
+        F.coalesce(F.array_min("fps"), F.lit(0)).cast("long").alias("fp_min"),
+        F.coalesce(F.array_max("fps"), F.lit(0)).cast("long").alias("fp_max"),
+        F.coalesce(
+            F.expr("aggregate(fps, 0L, (acc, x) -> acc + x)"), F.lit(0)
+        ).cast("long").alias("fp_sum"),
+    )

@@ -45,70 +45,73 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 4's row: the 15 names
-# that were ever red in a driver window (12 round-1 function/agg
-# suites + 3 round-2 events-ts casualties, all since fixed and green
-# locally but never driver-reconfirmed), then 35 never-sampled names
-# spanning dates/strings/math/json/arrays, the Arrow UDF surface,
-# aggregates, SQL dialect, rolling windows, text, and quality.
+# schedule lives in CLAUDE.md; this is round 5's row: the never-
+# sampled text/quality/multimodal/geo/dedup families (the families
+# round 4 grew).  All of multimodal+geo+dedup (18 names, three
+# families with zero driver signal so far) plus the 18 oldest-
+# registered never-sampled text and 14 oldest never-sampled quality
+# names; the text/quality remainder rolls into the r6+ windows.
+# Round 4's window (the 15 ever-red reconfirmations + 35 function/
+# agg/SQL/UDF names) came back 48 green + 1 no-oracle-by-design;
+# the lone red, math_suite, was a dtype-repr mismatch (DOUBLE vs
+# TINYINT sign()) fixed this round and guarded by tests/compare.py's
+# dtype-kind check.
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- ever-red, fixed, awaiting driver reconfirmation (15) --
-    "array_basic_suite",
-    "array_higher_order",
-    "array_zip_flatten",
-    "agg_approx_count_distinct",
-    "agg_approx_quantiles",
-    "agg_collect_array",
-    "map_keys_values_entries",
-    "map_higher_order",
-    "json_schema_inference",
-    "math_suite",
-    "str_extract_all_map",
-    "hash_engine_specific",
-    "join_null_safe_eq",
-    "pipeline_sessionize_events",
-    "sql_hiveql_interface",
-    # -- never-sampled: scalar-function suites (11) --
-    "date_calendar_arithmetic",
-    "date_order_gaps",
-    "date_timezone_suite",
-    "date_business_days",
-    "date_multiformat_parse_dispatch",
-    "str_collation_suite",
-    "math_decimal_exact_money",
-    "math_try_arithmetic_suite",
-    "json_variant_extract",
-    "array_mutation_suite",
-    "array_nested_struct_rollup",
-    # -- never-sampled: Arrow/pandas UDF surface (5) --
-    "udf_mapinarrow",
-    "udf_pandas_iterator",
-    "udtf_polymorphic",
-    "udf_cogrouped_map",
-    "udf_grouped_arrow",
-    # -- never-sampled: aggregates (6) --
-    "agg_higher_moments",
-    "agg_minmax_by",
-    "agg_weighted_median",
-    "agg_percentile_cont_disc",
-    "agg_crosstab_contingency",
-    "agg_melt_unpivot_api",
-    # -- never-sampled: SQL dialect (4) --
-    "sql_native_pivot",
-    "sql_native_unpivot",
-    "sql_group_by_all",
-    "sql_ctas_insert",
-    # -- never-sampled: rolling windows (3) --
-    "window_rolling_regression",
-    "window_time_range_frame",
-    "window_running_distinct",
-    # -- never-sampled: text + quality + analytics heads (6) --
-    "text_quality_scores",
-    "text_language_id",
-    "text_token_counts",
-    "quality_winsorize",
-    "quality_column_profiler",
-    "analytics_funnel",
+    # -- multimodal: never driver-sampled as a family (8) --
+    "multimodal_metadata_profile",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "multimodal_audio_windows",
+    "multimodal_shard_manifest",
+    "multimodal_phash_neardup",
+    "multimodal_crossmodal_integrity",
+    # -- geo: never driver-sampled as a family (5) --
+    "geo_grid_density",
+    "geo_radius_join",
+    "geo_trajectory_stats",
+    "geo_nearest_supplier",
+    "geo_trajectory_similarity",
+    # -- dedup: round-2+ additions never sampled (5) --
+    "dedup_prefix_hash",
+    "dedup_asymmetric_containment",
+    "dedup_health_dashboard",
+    "dedup_minhash_portable_eval",
+    "dedup_incremental_ingest",
+    # -- text: 18 oldest never-sampled --
+    "text_fingerprint",
+    "text_stats_by_lang_source",
+    "text_redact_patterns",
+    "text_bigram_lm_score",
+    "text_boilerplate_ngrams",
+    "text_zipf_slope",
+    "text_bpe_apply",
+    "text_bm25_scoring",
+    "text_ndcg_eval",
+    "text_langid_confusion",
+    "text_bpe_train_step",
+    "text_pmi_collocations",
+    "text_inverted_index",
+    "text_kwic_concordance",
+    "text_blocklist_leet_filter",
+    "text_log_template_mining",
+    "text_tokenizer_fertility",
+    "text_vocab_coverage_curve",
+    # -- quality: 14 oldest never-sampled --
+    "quality_percentile_filter",
+    "quality_expectations_audit",
+    "quality_drift_report",
+    "quality_referential_integrity",
+    "quality_snapshot_diff",
+    "quality_entity_resolution",
+    "quality_sorted_neighborhood_er",
+    "quality_k_anonymity_audit",
+    "quality_retry_storm_census",
+    "quality_column_size_profile",
+    "quality_partition_fingerprint",
+    "quality_fellegi_sunter_scoring",
+    "quality_encoding_advisor",
+    "quality_cdc_column_attribution",
 )
 
 

@@ -1031,3 +1031,61 @@ def source_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("multiLine", "true")
         .csv(path)
     )
+
+
+@register(
+    "source_parquet_bloom_filter",
+    oracle="""
+    SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(count(*) AS BIGINT)  AS n_rows,
+           round(sum(l_extendedprice), 2) AS revenue_r
+    FROM lineitem
+    WHERE l_suppkey IN (7, 42, 99)
+    GROUP BY l_suppkey
+    """,
+)
+def source_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter write + point-lookup read-back: lineitem
+    rewritten with a split-block bloom filter on l_suppkey
+    (`parquet.bloom.filter.enabled#col`, expected NDV sized to the
+    supplier count), then probed with a 3-key IN filter.
+
+    At 100 TB this is the needle-in-haystack pattern: min/max row-
+    group stats are useless for a high-cardinality key scattered
+    uniformly through every row group, but the bloom filter lets the
+    reader skip row groups with NO candidate rows at ~1% false-
+    positive cost — the difference between scanning 100 TB and
+    scanning the handful of row groups that matter. The write sorts
+    by the filtered key so row groups are also min/max-prunable
+    (bloom + sort compose). Values must survive the round trip
+    bit-exactly — the intact-table oracle checks that, and
+    tests/test_plans.py asserts the bloom actually landed on disk
+    (the bloom-enabled file must be bigger than an identical
+    no-bloom write — an option typo would silently write none;
+    neither pyarrow 16 nor DuckDB 1.0 expose the footer's
+    bloom_filter_offset, so the size delta is the observable)."""
+    li = load(spark, sf_dir, "lineitem")
+    path = _scratch("lineitem_bloom")
+    # NOTE: the per-column `parquet.bloom.filter.enabled#col` writer
+    # option is silently ignored by this Spark/parquet-mr 1.16 write
+    # path (probed: file size identical to a no-bloom write); the
+    # GLOBAL enable does take effect, so this uses global-on with a
+    # per-column NDV hint — on a real lakehouse you'd scope the write
+    # to the probe columns (as done here: key + measure only).
+    (
+        li.select("l_suppkey", "l_extendedprice")
+        .sort("l_suppkey")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_suppkey", "4096")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("l_suppkey").isin(7, 42, 99))
+        .groupBy(F.col("l_suppkey").cast("long").alias("l_suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue_r"),
+        )
+    )

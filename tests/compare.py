@@ -83,6 +83,17 @@ def _is_null(v) -> bool:
     return v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT
 
 
+def _kind(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the representation class the driver's
+    value hash distinguishes: int widths are interchangeable (str(5) is
+    '5' for int8 and int64 alike) but int vs float is NOT (str(5) vs
+    str(5.0) hash differently — bit us on math_suite's sign() edge,
+    Spark DOUBLE vs DuckDB TINYINT, red in the r1 AND r4 driver windows
+    while value-equality passed locally)."""
+    k = s.dtype.kind
+    return "i" if k in "iu" else k
+
+
 def assert_frames_match_strict(
     spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str
 ) -> None:
@@ -91,6 +102,12 @@ def assert_frames_match_strict(
     b = _canon_strict(oracle_pdf, name)
     assert list(a.columns) == list(b.columns), (
         f"{name}: column mismatch spark={list(a.columns)} oracle={list(b.columns)}"
+    )
+    kinds_a = {c: _kind(a[c]) for c in a.columns}
+    kinds_b = {c: _kind(b[c]) for c in b.columns}
+    assert kinds_a == kinds_b, (
+        f"{name}: dtype-kind mismatch (driver hash distinguishes int/float repr): "
+        f"{ {c: (kinds_a[c], kinds_b[c]) for c in a.columns if kinds_a[c] != kinds_b[c]} }"
     )
     assert len(a) == len(b), f"{name}: row count spark={len(a)} oracle={len(b)}"
     for c in a.columns:

@@ -94,6 +94,8 @@ def test_unpartitioned_windows_are_bounded(spark, sf_dir):
     allowed_raw_input = {
         "agg_equidepth_histogram",        # global ntile over value sample
         "analytics_auto_binning_fd",      # Freedman–Diaconis needs global order stats
+        "analytics_lift_gains_table",     # decile ntile IS a global sort (range-partitioned at scale)
+        "analytics_woe_iv_bins",          # same: exact equal-frequency bins need global order
         "pipeline_shard_plan",            # running size over shard metadata
         "pipeline_token_budget",          # budget prefix; SCALE.md two-pass plan
         "quality_sorted_neighborhood_er", # SNM is global-sort by definition
@@ -113,6 +115,19 @@ def test_unpartitioned_windows_are_bounded(spark, sf_dir):
         for i in range(ch.size()):
             yield from walk(ch.apply(i))
 
+    def is_bounded(node):
+        """True iff EVERY path from this node down to a relation scan
+        passes through a bounding node — 'an Aggregate exists somewhere
+        in the subtree' is not enough (a raw fact table cross-joined
+        with a broadcast 1-row aggregate contains an Aggregate yet
+        keeps the fact table's cardinality; ADVICE r4)."""
+        if node.nodeName() in bounding:
+            return True
+        ch = node.children()
+        if ch.size() == 0:
+            return False  # leaf relation scan: unbounded by definition
+        return all(is_bounded(ch.apply(i)) for i in range(ch.size()))
+
     offenders = []
     for name in sorted(registry.QUERIES):
         if name.startswith("stream_") or name.startswith("source_"):
@@ -120,8 +135,8 @@ def test_unpartitioned_windows_are_bounded(spark, sf_dir):
         plan = registry.QUERIES[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan()
         for node in walk(plan):
             if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
-                bounded = any(
-                    any(n.nodeName() in bounding for n in walk(node.children().apply(i)))
+                bounded = all(
+                    is_bounded(node.children().apply(i))
                     for i in range(node.children().size())
                 )
                 if not bounded and name not in allowed_raw_input:
@@ -339,3 +354,42 @@ def test_join_hints_land_their_operators(spark, sf_dir):
     assert "ShuffledHashJoin" in plan_of("SHUFFLE_HASH(c)")
     assert "SortMergeJoin" in plan_of("MERGE(c)")
     assert "BroadcastHashJoin" in plan_of("BROADCAST(c)")
+
+
+def test_parquet_bloom_filter_lands_on_disk(spark, sf_dir):
+    """source_parquet_bloom_filter's writer options must actually
+    produce bloom filters: the bloom-enabled file is written alongside
+    an option-free but otherwise identical write, and must be bigger
+    by at least one bloom's worth of bytes. (pyarrow 16 / DuckDB 1.0
+    don't expose bloom_filter_offset, so the size delta is the
+    observable — an option typo would make the two writes equal.)"""
+    import os
+
+    from hive_task_spark.sources.readers import _scratch
+    from hive_task_spark.tables import load as _load
+
+    # run the registered query (writes _scratch/lineitem_bloom)
+    registry.QUERIES["source_parquet_bloom_filter"](spark, sf_dir).collect()
+
+    li = _load(spark, sf_dir, "lineitem")
+    plain = _scratch("lineitem_bloom_control")
+    (
+        li.select("l_suppkey", "l_extendedprice")
+        .sort("l_suppkey")
+        .write.mode("overwrite")
+        .parquet(plain)
+    )
+
+    def _bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    bloom_b = _bytes(_scratch("lineitem_bloom"))
+    plain_b = _bytes(plain)
+    assert bloom_b > plain_b + 1000, (
+        f"bloom-enabled write ({bloom_b} B) not larger than control "
+        f"({plain_b} B): bloom filter options did not take effect"
+    )
