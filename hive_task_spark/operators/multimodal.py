@@ -491,3 +491,103 @@ def multimodal_crossmodal_integrity(
             ).alias("coverage_r"),
         )
     )
+
+
+def _frame_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one row per 64-byte pseudo-frame carrying
+    its mean byte value — the stand-in for a per-frame embedding.
+    Exactness note: each frame mean is sum(<=64 uint8)/64, a dyadic
+    rational that float64 represents exactly, so the DuckDB twin
+    (ascii() arithmetic over the same chars) reproduces it bit-for-bit.
+    Swap the uint8 view for a real frame decode + feature net and the
+    plan shape is unchanged."""
+    import numpy as np
+
+    if USE_REAL_DECODER:
+        raise NotImplementedError(
+            "real video decoding requires ffmpeg/torchvision, absent here"
+        )
+    for pdf in it:
+        rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "fmean": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            for w in range(len(arr) // 64):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(w)
+                rows["fmean"].append(float(arr[w * 64 : (w + 1) * 64].mean()))
+        yield pd.DataFrame(rows).astype(
+            {"doc_id": "int64", "frame_idx": "int64", "fmean": "float64"}
+        )
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, text, octet_length(encode(text)) // 64 AS n_frames
+        FROM documents
+        WHERE doc_id % 3 + 1 = 3 AND octet_length(encode(text)) // 64 > 0
+    ),
+    w AS (
+        SELECT doc_id, text, unnest(range(0, n_frames)) AS frame_idx FROM v
+    ),
+    f AS (
+        SELECT doc_id, frame_idx,
+               list_avg([ascii(substr(text, CAST(frame_idx * 64 + i AS INT), 1))
+                         FOR i IN range(1, 65)]) AS fmean
+        FROM w
+    ),
+    d AS (
+        SELECT doc_id, frame_idx, fmean,
+               abs(fmean - lag(fmean) OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                          AS n_frames,
+           CAST(coalesce(sum(CASE WHEN delta > 1.5 THEN 1 ELSE 0 END), 0)
+                AS BIGINT)                                   AS n_cuts,
+           CAST(coalesce(min(CASE WHEN delta > 1.5 THEN frame_idx END), -1)
+                AS BIGINT)                                   AS first_cut_idx,
+           round(coalesce(max(delta), 0.0), 6)               AS max_delta_r
+    FROM d GROUP BY doc_id
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over 'video' assets: per-frame features
+    from an Arrow-batched mapInPandas kernel (mean byte value of each
+    64-byte pseudo-frame — the deterministic stand-in for a frame
+    embedding), then a per-video lag window marks a cut wherever the
+    feature jumps by more than 1.5 between adjacent frames. Report
+    per video: frame count, cut count, first cut position, and the
+    largest inter-frame delta — the shot-boundary table a video
+    training pipeline uses to pick clip boundaries.
+
+    Scale shape: the kernel is a pure map stage (payload bytes never
+    shuffle; rows out = frames, 1:N like the audio windows); the only
+    shuffle is the per-video window + aggregate on doc_id. The frame
+    means are dyadic rationals (sum(uint8)/64) so both engines agree
+    bit-exactly and the 1.5 threshold can never sit on a boundary
+    (deltas are multiples of 1/64)."""
+    a = _assets(spark, sf_dir)
+    video = a.filter(F.col("meta.modality") == "video").select("doc_id", "payload")
+    frames = video.mapInPandas(
+        _frame_feature_batches, "doc_id long, frame_idx long, fmean double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = frames.withColumn(
+        "delta", F.abs(F.col("fmean") - F.lag("fmean").over(w))
+    )
+    cut = F.when(F.col("delta") > 1.5, 1).otherwise(0)
+    return d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.coalesce(F.sum(cut), F.lit(0)).cast("long").alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("delta") > 1.5, F.col("frame_idx"))), F.lit(-1)
+        )
+        .cast("long")
+        .alias("first_cut_idx"),
+        F.round(F.coalesce(F.max("delta"), F.lit(0.0)), 6).alias("max_delta_r"),
+    )

@@ -2517,3 +2517,200 @@ def similarity_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFr
         "min_sil_r",
         "n_ambiguous",
     )
+
+
+_ORACLE_NPROBE_SWEEP = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    u AS (SELECT vec_id, list_transform(vec, x -> x / nrm) AS uvec FROM n),
+    c AS (
+        SELECT generate_subscripts(cb, 1) - 1 AS cid, unnest(cb) AS cvec
+        FROM (SELECT __CB__ AS cb)
+    ),
+    inv AS (
+        SELECT vec_id, cid FROM (
+            SELECT u.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(u.uvec, c.cvec),
+                                               p -> p[1] * p[2])) DESC,
+                       c.cid) AS rn
+            FROM u CROSS JOIN c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cid, rn AS probe_rank FROM (
+            SELECT u.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(u.uvec, c.cvec),
+                                               p -> p[1] * p[2])) DESC,
+                       c.cid) AS rn
+            FROM u CROSS JOIN c
+            WHERE u.vec_id < {N_QUERIES}
+        ) WHERE rn <= 8
+    ),
+    cand AS (
+        SELECT p.query_id, i.vec_id AS neighbor_id, min(p.probe_rank) AS mpr
+        FROM probes p JOIN inv i USING (cid)
+        WHERE p.query_id <> i.vec_id
+        GROUP BY p.query_id, i.vec_id
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(q.uvec, i.uvec),
+                                               z -> z[1] * z[2])) DESC,
+                       i.vec_id) AS rnk
+            FROM u q JOIN u i ON q.vec_id < {N_QUERIES} AND q.vec_id <> i.vec_id
+        ) WHERE rnk <= {TOP_K}
+    ),
+    pv AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+    hits AS (
+        SELECT pv.nprobe,
+               CASE WHEN c.mpr IS NOT NULL AND c.mpr <= pv.nprobe
+                    THEN 1.0 ELSE 0.0 END AS hit
+        FROM truth t
+        CROSS JOIN pv
+        LEFT JOIN cand c
+          ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+    ),
+    sizes AS (SELECT cid, count(*) AS sz FROM inv GROUP BY cid),
+    scans AS (
+        SELECT pv.nprobe, sum(s.sz) / ({N_QUERIES} * 1.0) AS avg_scanned
+        FROM probes p JOIN sizes s USING (cid) CROSS JOIN pv
+        WHERE p.probe_rank <= pv.nprobe
+        GROUP BY pv.nprobe
+    )
+    SELECT CAST(h.nprobe AS BIGINT)      AS nprobe,
+           CAST(count(*) AS BIGINT)      AS n_truth_pairs,
+           round(avg(h.hit), 6)          AS recall_at_5_r,
+           round(any_value(s.avg_scanned), 6) AS avg_scanned_r
+    FROM hits h JOIN scans s ON h.nprobe = s.nprobe
+    GROUP BY h.nprobe
+""".replace("__CB__", _CODEBOOK_SQL)
+
+
+@register("similarity_ivf_nprobe_sweep", oracle=_ORACLE_NPROBE_SWEEP)
+def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning table: recall@5 vs brute-force ground truth AND the
+    average number of candidates scanned per query, for nprobe in
+    {1, 2, 4, 8} — the curve an operator reads to pick the accuracy/
+    cost point before launching a 100 TB ANN job (the whole reason IVF
+    has a knob). One pass computes all four points: every candidate
+    pair keeps the MINIMUM probe rank that discovers it, so
+    "recall at nprobe=p" is just `min_probe_rank <= p` — no per-p
+    re-join, no re-scan.
+
+    Scale shape: the corpus shuffles once on cluster id (inv) and once
+    for the candidate dedup; ground truth is the N_QUERIES-row
+    broadcast brute-force (small by construction — at 100 TB you'd
+    compute truth on a held-out sample exactly like this); the 4-row
+    nprobe spine joins broadcast. Deterministic throughout, full
+    DuckDB twin."""
+    from pyspark.sql import Window
+
+    cb_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x}D" for x in c) + ")" for c in _IVF_CODEBOOK
+        )
+        + ")"
+    )
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    unit = vecs.select(
+        "vec_id", F.expr("transform(vec, x -> x / nrm)").alias("uvec")
+    )
+    centroids = F.broadcast(
+        e.sparkSession.range(1).select(
+            F.posexplode(F.expr(cb_lit)).alias("cid", "cvec")
+        )
+    )
+
+    def _ranked(df, keep_n):
+        return (
+            df.crossJoin(centroids)
+            .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("dot").desc(), F.col("cid")
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= keep_n)
+        )
+
+    inv = _ranked(unit, 1).select("vec_id", "cid")
+    queries = unit.filter(F.col("vec_id") < N_QUERIES)
+    probes = _ranked(queries, 8).select(
+        F.col("vec_id").alias("query_id"), "cid", F.col("rn").alias("probe_rank")
+    )
+    cand = (
+        probes.join(inv.select(F.col("vec_id").alias("neighbor_id"), "cid"), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("probe_rank").alias("mpr"))
+    )
+    truth = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("uvec").alias("qvec"))
+        .join(unit.select(F.col("vec_id").alias("neighbor_id"), "uvec"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("qvec"), F.col("uvec")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    pv = F.broadcast(
+        spark.range(1).select(F.explode(F.array(*[F.lit(p) for p in (1, 2, 4, 8)])).alias("nprobe"))
+    )
+    hits = (
+        truth.crossJoin(pv)
+        .join(cand, ["query_id", "neighbor_id"], "left")
+        .select(
+            "nprobe",
+            F.when(
+                F.col("mpr").isNotNull() & (F.col("mpr") <= F.col("nprobe")), 1.0
+            )
+            .otherwise(0.0)
+            .alias("hit"),
+        )
+    )
+    sizes = inv.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    scans = (
+        probes.join(sizes, "cid")
+        .crossJoin(pv)
+        .filter(F.col("probe_rank") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg((F.sum("sz") / F.lit(float(N_QUERIES))).alias("avg_scanned"))
+    )
+    return (
+        hits.groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth_pairs"),
+            F.round(F.avg("hit"), 6).alias("recall_at_5_r"),
+        )
+        .join(scans, "nprobe")
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "n_truth_pairs",
+            "recall_at_5_r",
+            F.round("avg_scanned", 6).alias("avg_scanned_r"),
+        )
+    )

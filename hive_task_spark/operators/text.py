@@ -1787,9 +1787,7 @@ def text_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(h))
 
 
-@register(
-    "text_winnowing_fingerprint",
-    oracle="""
+_WINNOW_ORACLE = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     h AS (
         SELECT doc_id,
@@ -1821,8 +1819,49 @@ def text_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(list_max(fps), 0) AS BIGINT)              AS fp_max,
            CAST(coalesce(list_sum(fps), 0) AS BIGINT)              AS fp_sum
     FROM f
-    """,
-)
+    """
+
+
+def _winnow_rows(d: DataFrame):
+    """(doc_id, pos, h, wmin, valid) rows: md5-derived k=3-word shingle
+    hashes via posexplode + lead (the codegen shingle formulation —
+    see _shingle_rows in dedup.py), then the winnowing minimum as a
+    4-row sliding-frame window min. `valid` marks positions where a
+    full w=4 window exists. Everything runs in whole-stage codegen on
+    ONE doc_id exchange (the in-row HOF formulation — transform over
+    sequence with array_min(slice(hs, j, 4)) — interpreted the lambda
+    per element and re-inlined the hs-building expression inside it:
+    measured 106 s vs ~2 s at sf0.001 for the downstream pair join)."""
+    from pyspark.sql import Window
+
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = F.when(
+        F.lead("w", 2).over(win).isNotNull(),
+        F.concat_ws(
+            " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+        ),
+    )
+    k = words.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(sh), 1, 7), 16, 10).cast("long").alias("h"),
+    ).filter(F.col("h").isNotNull())
+    win4 = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return k.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.min("h").over(win4).alias("wmin"),
+        F.lead("h", 3)
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .isNotNull()
+        .alias("valid"),
+    )
+
+
 def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03): hash every k=3-word shingle, slide a w=4 window over
@@ -1831,62 +1870,52 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a long-enough substring, at an expected density of 2/(w+1) of the
     shingle count (vs MinHash, which has no positional guarantee).
 
-    Pure map stage: per-row array HOFs (transform/slice/array_min/
-    array_distinct over md5-derived shingle hashes), zero shuffles —
-    at 100 TB this is scan-bound, and the fingerprint summary columns
-    (min/max/sum/count) are what a downstream band-join would key on.
-    Arrays are materialized in staged projections so the interpreted
-    HOF evaluator computes each exactly once; the edge is scalar-only
+    Shape: posexplode + lead/sliding-min windows + one grouped
+    aggregate, all sharing a single doc_id exchange (sessionize
+    pattern) and all whole-stage codegen — see _winnow_rows for why
+    the in-row HOF formulation was rejected. The edge is scalar-only
     (fp_sum bounded: 7 hex digits < 2^28, x500 fps < 2^37 — no
-    overflow)."""
+    overflow); docs too short for any shingle still emit a zero row
+    via the left join."""
     d = load(spark, sf_dir, "documents")
-    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
-    hs = ws.select(
-        "doc_id",
-        F.expr(
-            """
-            CASE WHEN size(ws) >= 3 THEN
-              transform(sequence(1, size(ws) - 2),
-                i -> CAST(conv(substr(md5(concat(
-                       element_at(ws, i), ' ',
-                       element_at(ws, i + 1), ' ',
-                       element_at(ws, i + 2))), 1, 7), 16, 10) AS BIGINT))
-            ELSE array() END
-            """
-        ).alias("hs"),
+    rows = _winnow_rows(d)
+    vmin = F.when(F.col("valid"), F.col("wmin"))
+    stats = rows.groupBy("doc_id").agg(
+        F.count("h").cast("long").alias("n_kgrams"),
+        F.sum(F.when(F.col("valid"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_windows"),
+        F.countDistinct(vmin).cast("long").alias("n_fingerprints"),
+        F.min(vmin).alias("fp_min_raw"),
+        F.max(vmin).alias("fp_max_raw"),
+        F.sum_distinct(vmin).alias("fp_sum_raw"),
     )
-    wins = hs.select(
-        "doc_id",
-        F.size("hs").alias("n_kgrams"),
-        F.expr(
-            """
-            CASE WHEN size(hs) >= 4 THEN
-              transform(sequence(1, size(hs) - 3),
-                        j -> array_min(slice(hs, j, 4)))
-            ELSE array(CAST(NULL AS BIGINT)) END
-            """
-        ).alias("wins"),
+    return (
+        d.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kgrams", F.lit(0)).cast("long").alias("n_kgrams"),
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_fingerprints", F.lit(0))
+            .cast("long")
+            .alias("n_fingerprints"),
+            F.round(
+                F.coalesce("n_fingerprints", F.lit(0))
+                / (
+                    F.lit(1.0)
+                    * F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1))
+                ),
+                6,
+            ).alias("density_r"),
+            F.coalesce("fp_min_raw", F.lit(0)).cast("long").alias("fp_min"),
+            F.coalesce("fp_max_raw", F.lit(0)).cast("long").alias("fp_max"),
+            F.coalesce("fp_sum_raw", F.lit(0)).cast("long").alias("fp_sum"),
+        )
     )
-    fps = wins.select(
-        "doc_id",
-        "n_kgrams",
-        F.expr(
-            "size(filter(wins, x -> x IS NOT NULL))"
-        ).alias("n_windows"),
-        F.expr("array_distinct(filter(wins, x -> x IS NOT NULL))").alias("fps"),
-    )
-    return fps.select(
-        "doc_id",
-        F.col("n_kgrams").cast("long").alias("n_kgrams"),
-        F.col("n_windows").cast("long").alias("n_windows"),
-        F.size("fps").cast("long").alias("n_fingerprints"),
-        F.round(
-            F.size("fps") / (F.lit(1.0) * F.greatest(F.col("n_windows"), F.lit(1))),
-            6,
-        ).alias("density_r"),
-        F.coalesce(F.array_min("fps"), F.lit(0)).cast("long").alias("fp_min"),
-        F.coalesce(F.array_max("fps"), F.lit(0)).cast("long").alias("fp_max"),
-        F.coalesce(
-            F.expr("aggregate(fps, 0L, (acc, x) -> acc + x)"), F.lit(0)
-        ).cast("long").alias("fp_sum"),
-    )
+
+
+text_winnowing_fingerprint = register(
+    "text_winnowing_fingerprint",
+    oracle=_WINNOW_ORACLE,
+)(text_winnowing_fingerprint)
