@@ -85,6 +85,12 @@ HEADLINE = [
     "analytics_kendall_tau",
     "text_ngram_novelty",
     "analytics_kcore",
+    # Round-6 additions: the no-iteration graph metric (edge-labeling
+    # joins + two aggregates over the co-purchase edge list) and the
+    # VAD gaps-and-islands path (Arrow kernel + single-exchange window
+    # algebra).
+    "analytics_graph_modularity",
+    "multimodal_vad_segments",
 ]
 
 
@@ -110,19 +116,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "cpus": cpus,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf else None,
+            "cpus": cpus,
+        }
     )
+    # Tear the session down BEFORE emitting the JSON line: the streaming
+    # replays leave a StateStore maintenance timer alive, and its
+    # "SparkEnv not active" WARN stack trace landed AFTER the JSON in
+    # round 5's captured output, breaking the driver's tail-line parse
+    # (BENCH_r05 rc=0 but parsed=null). Stopping streams + the session
+    # first — then a short grace for any in-flight daemon log lines —
+    # guarantees the JSON is the true final stdout line.
+    for sq in spark.streams.active:
+        sq.stop()
     spark.stop()
+    time.sleep(2.0)
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -361,3 +361,218 @@ def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 25)
         .drop("rk")
     )
+
+
+# --- round 6 additions -------------------------------------------------
+
+# Grid-DBSCAN: cluster DENSE CELLS, not points.  The cell universe is
+# bounded by grid geometry (9x18 at 10 degrees), independent of row
+# count, so every per-cell structure here is broadcast-safe at any SF —
+# the opposite situation from a data-scaled keep-set (cf. the
+# analytics_kcore peel, where forcing broadcast would be wrong).
+_DBSCAN_ROUNDS = 4
+
+
+def _dbscan_cells_sql() -> str:
+    return f"""
+    cells AS (
+        SELECT CAST(floor(({_CUST_LAT}) / 10) AS BIGINT) AS cy,
+               CAST(floor(({_CUST_LON}) / 10) AS BIGINT) AS cx,
+               count(*) AS n
+        FROM customer
+        GROUP BY 1, 2
+    ),
+    thr AS (SELECT avg(n) AS t FROM cells),
+    dense AS (
+        SELECT cy, cx, n, (cy + 10) * 1000 + (cx + 20) AS lbl0
+        FROM cells CROSS JOIN thr WHERE n > t
+    )"""
+
+
+def _dbscan_round_sql(i: int) -> str:
+    prev, cur = f"l{i - 1}", f"l{i}"
+    src = "dense" if i == 1 else prev
+    lbl = "lbl0" if i == 1 else "lbl"
+    return f"""
+    {cur} AS (
+        SELECT a.cy, a.cx, a.n, min(b.{lbl}) AS lbl
+        FROM {src} a JOIN {src} b
+          ON b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+        GROUP BY a.cy, a.cx, a.n
+    )"""
+
+
+@register(
+    "geo_dbscan_grid",
+    oracle=(
+        "WITH "
+        + _dbscan_cells_sql()
+        + ","
+        + ",".join(_dbscan_round_sql(i) for i in range(1, _DBSCAN_ROUNDS + 1))
+        + f"""
+    SELECT CAST(lbl AS BIGINT)          AS cluster_id,
+           CAST(count(*) AS BIGINT)     AS n_cells,
+           CAST(sum(n) AS BIGINT)       AS n_points,
+           min(cy)                      AS min_cy,
+           max(cy)                      AS max_cy,
+           min(cx)                      AS min_cx,
+           max(cx)                      AS max_cx
+    FROM l{_DBSCAN_ROUNDS} GROUP BY lbl
+    """
+    ),
+)
+def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based DBSCAN (DBSCAN's grid approximation, cf. GriDBSCAN /
+    NG-DBSCAN): bucket points into 10-degree cells, keep cells denser
+    than the average occupied-cell count (corpus-adaptive minPts), and
+    merge 8-adjacent dense cells into clusters by {rounds} unrolled
+    rounds of min-label propagation — the same bounded-round BSP
+    discipline as analytics_pagerank_lite (no driver convergence
+    loop; both engines run the identical rounds, so the labels agree
+    by construction even for components wider than the round budget).
+
+    Scale shape: points reduce to cells in ONE map-side-combinable
+    aggregate; everything after operates on the CELL table, whose size
+    is bounded by the grid resolution (<=162 cells here) independent
+    of data volume — so the neighbor self-join and the label rounds
+    cost O(grid), not O(rows), and at 100 TB the only full-data pass
+    is the first aggregate. Cluster report: id, cell count, point
+    count, bounding box.""".format(rounds=_DBSCAN_ROUNDS)
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        c.selectExpr(
+            f"CAST(floor(({_CUST_LAT}) / 10) AS BIGINT) AS cy",
+            f"CAST(floor(({_CUST_LON}) / 10) AS BIGINT) AS cx",
+        )
+        .groupBy("cy", "cx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    thr = cells.agg(F.avg("n").alias("t"))
+    dense = (
+        cells.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") > F.col("t"))
+        .select(
+            "cy", "cx", "n",
+            ((F.col("cy") + 10) * 1000 + (F.col("cx") + 20)).alias("lbl"),
+        )
+    )
+    cur = dense
+    for _ in range(_DBSCAN_ROUNDS):
+        a = cur.select("cy", "cx", "n")
+        b = cur.select(
+            F.col("cy").alias("bcy"), F.col("cx").alias("bcx"), F.col("lbl")
+        )
+        cur = (
+            a.join(
+                F.broadcast(b),
+                (F.col("bcy") >= F.col("cy") - 1)
+                & (F.col("bcy") <= F.col("cy") + 1)
+                & (F.col("bcx") >= F.col("cx") - 1)
+                & (F.col("bcx") <= F.col("cx") + 1),
+            )
+            .groupBy("cy", "cx", "n")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return cur.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_points"),
+        F.min("cy").alias("min_cy"),
+        F.max("cy").alias("max_cy"),
+        F.min("cx").alias("min_cx"),
+        F.max("cx").alias("max_cx"),
+    ).select(
+        F.col("lbl").cast("long").alias("cluster_id"),
+        "n_cells", "n_points", "min_cy", "max_cy", "min_cx", "max_cx",
+    )
+
+
+# Geohash encoding: pure integer bit-interleave, generated once in
+# Python and rendered into each dialect (Spark `shiftright`, DuckDB
+# `>>`), so both engines evaluate the identical arithmetic.  The
+# quantization floor acts on bit-identical doubles (same IEEE add/div/
+# mul sequence on both engines), so the 15-bit lat/lon codes agree
+# exactly.
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_expr(lat: str, lon: str, shift: str) -> str:
+    """30-bit geohash integer code from 15-bit lat/lon quantizations.
+
+    shift: dialect right-shift — "shiftright({v}, {k})" for Spark SQL,
+    "({v} >> {k})" for DuckDB.
+    """
+    latb = f"CAST(floor((({lat}) + 90.0) / 180.0 * 32768) AS BIGINT)"
+    lonb = f"CAST(floor((({lon}) + 180.0) / 360.0 * 32768) AS BIGINT)"
+    terms = []
+    for i in range(15):
+        terms.append(
+            f"(({shift.format(v='lonc', k=i)}) & 1) * {1 << (2 * i + 1)}"
+        )
+        terms.append(
+            f"(({shift.format(v='latc', k=i)}) & 1) * {1 << (2 * i)}"
+        )
+    return latb, lonb, " + ".join(terms)
+
+
+def _geohash_chars(shift: str, n: int = 6) -> str:
+    parts = []
+    for j in range(n):
+        k = 5 * (n - 1 - j)
+        parts.append(
+            f"substr('{_GEOHASH32}', "
+            f"CAST((({shift.format(v='code', k=k)}) & 31) AS INT) + 1, 1)"
+        )
+    return " || ".join(parts)
+
+
+def _geohash_oracle() -> str:
+    shift = "({v} >> {k})"
+    latb, lonb, code = _geohash_expr(_CUST_LAT, _CUST_LON, shift)
+    chars = _geohash_chars(shift)
+    return f"""
+    WITH q AS (
+        SELECT c_custkey, {latb} AS latc, {lonb} AS lonc FROM customer
+    ),
+    coded AS (SELECT c_custkey, {code} AS code FROM q),
+    hashed AS (SELECT c_custkey, {chars} AS gh6 FROM coded)
+    SELECT substr(gh6, 1, 4)            AS geohash4,
+           CAST(count(*) AS BIGINT)     AS n_points,
+           min(gh6)                     AS min_geohash6,
+           max(gh6)                     AS max_geohash6,
+           CAST(min(c_custkey) AS BIGINT) AS sample_custkey
+    FROM hashed GROUP BY 1
+    """
+
+
+@register("geo_geohash_encode", oracle=_geohash_oracle())
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding (public base32 geohash: 30-bit lon/lat bit
+    interleave, lon first) of the synthesized customer points, rolled
+    up by 4-char prefix — the spatial-key scheme whose shared-prefix
+    property gives range-scannable locality (a geohash prefix IS a
+    bounding box), so a partition/sort by geohash4 co-locates spatial
+    neighbors for pruned scans.
+
+    Scale shape: encoding is a pure per-row integer expression (one
+    whole-stage-codegen map, no UDF — the interleave unrolls to 30
+    masked shifts generated once in Python and shared textually with
+    the DuckDB twin), then ONE map-side-combinable aggregate on the
+    prefix. min/max geohash6 per prefix bound each tile's occupied
+    sub-range — the zone-map a writer would record per file."""
+    c = load(spark, sf_dir, "customer")
+    shift = "shiftright({v}, {k})"
+    latb, lonb, code = _geohash_expr(_CUST_LAT, _CUST_LON, shift)
+    chars = _geohash_chars(shift)
+    q = c.selectExpr("c_custkey", f"{latb} AS latc", f"{lonb} AS lonc")
+    coded = q.selectExpr("c_custkey", f"{code} AS code")
+    hashed = coded.selectExpr("c_custkey", f"{chars} AS gh6")
+    return (
+        hashed.groupBy(F.substring("gh6", 1, 4).alias("geohash4"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min("gh6").alias("min_geohash6"),
+            F.max("gh6").alias("max_geohash6"),
+            F.min("c_custkey").cast("long").alias("sample_custkey"),
+        )
+    )

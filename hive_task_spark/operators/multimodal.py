@@ -34,7 +34,17 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fabricate a multimodal asset table from `documents`: the utf-8
     bytes of `text` stand in for an encoded payload; typed metadata
     (modality, width, height, sample_rate) derives deterministically
-    from doc_id so both engines can rebuild it."""
+    from doc_id so both engines can rebuild it.
+
+    ASCII-only corpus invariant: several oracles in this module
+    (decode_features' unicode(c) checksum, scene_cuts' ascii(substr)
+    frame means) index `text` by CHARACTER while the Spark kernels
+    slice raw UTF-8 BYTES — identical only when every document is
+    pure ASCII (octet_length == char length).  The driver-generated
+    corpus satisfies this; tests/test_properties.py::
+    test_documents_corpus_is_pure_ascii pins it per SF so a corpus
+    change fails loudly there instead of desyncing frame boundaries
+    silently."""
     d = load(spark, sf_dir, "documents")
     modality = F.element_at(
         F.lit(["image", "audio", "video"]), (F.col("doc_id") % 3 + 1).cast("int")
@@ -511,10 +521,14 @@ def _frame_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "fmean": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-            for w in range(len(arr) // 64):
-                rows["doc_id"].append(doc_id)
-                rows["frame_idx"].append(w)
-                rows["fmean"].append(float(arr[w * 64 : (w + 1) * 64].mean()))
+            n = len(arr) // 64
+            # Vectorized windowing: reshape to (n_frames, 64) and mean
+            # along axis 1 — the only per-row work left is the decode
+            # stand-in itself (inherently per-item).
+            means = arr[: n * 64].reshape(-1, 64).mean(axis=1, dtype=np.float64)
+            rows["doc_id"].extend([doc_id] * n)
+            rows["frame_idx"].extend(range(n))
+            rows["fmean"].extend(means.tolist())
         yield pd.DataFrame(rows).astype(
             {"doc_id": "int64", "frame_idx": "int64", "fmean": "float64"}
         )
@@ -590,4 +604,97 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_cut_idx"),
         F.round(F.coalesce(F.max("delta"), F.lit(0.0)), 6).alias("max_delta_r"),
+    )
+
+
+@register(
+    "multimodal_vad_segments",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, text, octet_length(encode(text)) // 64 AS n_frames
+        FROM documents
+        WHERE doc_id % 3 + 1 = 2 AND octet_length(encode(text)) // 64 > 0
+    ),
+    w AS (
+        SELECT doc_id, text, unnest(range(0, n_frames)) AS frame_idx FROM v
+    ),
+    f AS (
+        SELECT doc_id, frame_idx,
+               list_avg([ascii(substr(text, CAST(frame_idx * 64 + i AS INT), 1))
+                         FOR i IN range(1, 65)]) AS fmean
+        FROM w
+    ),
+    act AS (
+        SELECT doc_id, frame_idx
+        FROM (SELECT doc_id, frame_idx, fmean,
+                     avg(fmean) OVER (PARTITION BY doc_id) AS doc_avg
+              FROM f)
+        WHERE fmean > doc_avg
+    ),
+    isl AS (
+        SELECT doc_id, frame_idx,
+               frame_idx - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx) AS grp
+        FROM act
+    ),
+    seg AS (
+        SELECT doc_id, grp,
+               min(frame_idx) AS seg_start,
+               count(*) AS seg_len
+        FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)        AS n_segments,
+           CAST(sum(seg_len) AS BIGINT)    AS n_active_frames,
+           CAST(max(seg_len) AS BIGINT)    AS max_seg_len,
+           CAST(min(seg_start) AS BIGINT)  AS first_seg_start
+    FROM seg GROUP BY doc_id
+    """,
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection segmentation over 'audio' assets: the
+    mapInPandas kernel emits one energy value per 64-byte pseudo-frame
+    (mean byte value — the stand-in for RMS energy of a real PCM
+    window), a frame is ACTIVE when its energy exceeds the asset's own
+    mean energy (the classic adaptive-threshold VAD), and adjacent
+    active frames merge into segments via the gaps-and-islands
+    rewrite (frame_idx - row_number is constant within a run — pure
+    window algebra, no iteration). Per asset: segment count, active
+    frame count, longest segment, first segment start — the clip
+    table an ASR pipeline cuts training utterances from.
+
+    Exactness: frame energies are dyadic rationals (sum(uint8)/64)
+    and their per-doc sum stays far below 2^52, so BOTH engines'
+    avg() is bit-exact regardless of partial-aggregation order — the
+    strict > threshold can never straddle an ulp.  Scale shape: the
+    payload never shuffles (kernel is a map stage); one doc_id window
+    for the threshold + islands, one aggregate — all keyed on doc_id,
+    so the whole query is a single exchange."""
+    a = _assets(spark, sf_dir)
+    audio = a.filter(F.col("meta.modality") == "audio").select("doc_id", "payload")
+    frames = audio.mapInPandas(
+        _frame_feature_batches, "doc_id long, frame_idx long, fmean double"
+    )
+    from pyspark.sql import Window
+
+    doc_w = Window.partitionBy("doc_id")
+    act = (
+        frames.withColumn("doc_avg", F.avg("fmean").over(doc_w))
+        .filter(F.col("fmean") > F.col("doc_avg"))
+        .select("doc_id", "frame_idx")
+    )
+    rn_w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    seg = (
+        act.withColumn("grp", F.col("frame_idx") - F.row_number().over(rn_w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("frame_idx").alias("seg_start"),
+            F.count(F.lit(1)).alias("seg_len"),
+        )
+    )
+    return seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("seg_len").cast("long").alias("n_active_frames"),
+        F.max("seg_len").cast("long").alias("max_seg_len"),
+        F.min("seg_start").cast("long").alias("first_seg_start"),
     )

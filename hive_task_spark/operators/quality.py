@@ -2049,3 +2049,76 @@ def quality_rowcount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("lineless_rate_r"),
     )
+
+
+# Candidate functional dependencies for the discovery profiler: a
+# deliberate mix of true FDs (keys) and violated ones, so the report
+# exercises both verdicts at every SF.
+_FD_CANDIDATES = [
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_orderkey", "o_orderdate"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("supplier", "s_suppkey", "s_nationkey"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{tbl}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
+           CAST(count(*) AS BIGINT)                          AS n_groups,
+           CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_violating,
+           CAST(max(d) AS BIGINT)                            AS max_rhs_distinct,
+           CAST(CASE WHEN max(d) = 1 THEN 1 ELSE 0 END AS BIGINT) AS holds
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS d FROM {tbl} GROUP BY {lhs})""")
+    return " UNION ALL ".join(parts)
+
+
+@register("quality_functional_dependency_discovery", oracle=_fd_oracle())
+def quality_functional_dependency_discovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency discovery over a curated candidate set
+    (the TANE/metanome-style profiling primitive, restricted to the
+    candidates a schema reviewer actually asks about): for each
+    X -> Y candidate, the number of X groups, how many X groups see
+    more than one distinct Y (violations), the worst multiplicity,
+    and the verdict.  True FDs here are the declared keys; the
+    violated candidates (nationkey -> mktsegment etc.) show real
+    violation counts — the report that catches a silently-broken
+    "unique" column after a bad backfill.
+
+    Scale shape: each candidate is ONE two-column pruned scan +
+    partial/final hash aggregate on the LHS, then a 1-row reduction —
+    candidates are independent (no shared shuffle), so the whole
+    report parallelizes trivially and the union is k one-row frames.
+    count(DISTINCT) per group is exact (the contract is an audit,
+    not an estimate)."""
+    out = None
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = load(spark, sf_dir, tbl)
+        per_group = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("d"))
+        row = per_group.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.max("d").cast("long").alias("max_rhs_distinct"),
+            F.when(F.max("d") == 1, 1).otherwise(0).cast("long").alias("holds"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            "n_groups",
+            "n_violating",
+            "max_rhs_distinct",
+            "holds",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -2428,28 +2428,36 @@ _ORACLE_SILHOUETTE = """
     scored AS (
         SELECT vec_id,
                [list_sum(list_transform(list_zip(uvec, cb[c]), p -> p[1] * p[2]))
-                FOR c IN range(1, 17)] AS dots
+                FOR c IN range(1, __K__ + 1)] AS dots
         FROM u CROSS JOIN (SELECT __CB__ AS cb)
     ),
     ranked AS (
         SELECT vec_id, dots, list_sort(dots) AS s FROM scored
     ),
+    -- Per-vector sil is floor-canonicalized at the 1e-6 grain BEFORE
+    -- aggregating (identical IEEE computation on both engines), so the
+    -- group avg sums identically-quantized values — and the avg itself
+    -- gets the same floor form, never round() (half-boundary lottery).
     sil AS (
         SELECT vec_id,
-               list_position(dots, s[16]) - 1 AS cid,
-               CASE WHEN greatest(1.0 - s[16], 1.0 - s[15]) <= 0 THEN 0.0
-                    ELSE (s[16] - s[15]) / greatest(1.0 - s[16], 1.0 - s[15])
-               END AS sil
+               list_position(dots, s[__K__]) - 1 AS cid,
+               floor(CASE WHEN greatest(1.0 - s[__K__], 1.0 - s[__K1__]) <= 0
+                          THEN 0.0
+                          ELSE (s[__K__] - s[__K1__])
+                               / greatest(1.0 - s[__K__], 1.0 - s[__K1__])
+                     END * 1e6 + 0.5) / 1e6 AS sil
         FROM ranked
     )
     SELECT CAST(cid AS BIGINT)                         AS cid,
            CAST(count(*) AS BIGINT)                    AS n_vecs,
-           round(avg(sil), 6)                          AS avg_sil_r,
-           round(min(sil), 6)                          AS min_sil_r,
+           floor(avg(sil) * 1e6 + 0.5) / 1e6           AS avg_sil_r,
+           min(sil)                                    AS min_sil_r,
            CAST(sum(CASE WHEN sil < 0.1 THEN 1 ELSE 0 END) AS BIGINT)
                                                        AS n_ambiguous
     FROM sil GROUP BY cid
-""".replace("__CB__", _CODEBOOK_SQL)
+""".replace("__CB__", _CODEBOOK_SQL).replace(
+    "__K1__", str(len(_IVF_CODEBOOK) - 1)
+).replace("__K__", str(len(_IVF_CODEBOOK)))
 
 
 @register("similarity_silhouette_simplified", oracle=_ORACLE_SILHOUETTE)
@@ -2498,15 +2506,23 @@ def similarity_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFr
         cid = F.when(F.col(f"d{i}") == best, i).otherwise(cid)
     a_d = F.lit(1.0) - best
     b_d = F.lit(1.0) - second
-    sil = (
+    sil_raw = (
         F.when(F.greatest(a_d, b_d) <= 0, F.lit(0.0))
         .otherwise((best - second) / F.greatest(a_d, b_d))
     )
+    # floor(x*1e6+0.5)/1e6 BEFORE aggregating: identical IEEE ops on
+    # both engines quantize per-vector sil bit-equally, so the group
+    # sums operate on the same values; the avg output gets the same
+    # floor form (round() sits on the HALF_UP-vs-scaled-round boundary
+    # lottery CLAUDE.md documents for transcendental aggregates).
+    sil = F.floor(sil_raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     per_vec = ranked.select("vec_id", cid.alias("cid"), sil.alias("sil"))
     return per_vec.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.round(F.avg("sil"), 6).alias("avg_sil_r"),
-        F.round(F.min("sil"), 6).alias("min_sil_r"),
+        (F.floor(F.avg("sil") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "avg_sil_r"
+        ),
+        F.min("sil").alias("min_sil_r"),
         F.sum(F.when(F.col("sil") < 0.1, 1).otherwise(0))
         .cast("long")
         .alias("n_ambiguous"),

@@ -878,7 +878,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
     c1 = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
     tot = bg.agg(F.count(F.lit(1)).alias("n_b")).crossJoin(
-        words.agg(F.count(F.lit(1)).alias("n_u"))
+        F.broadcast(words.agg(F.count(F.lit(1)).alias("n_u")))
     )
     return (
         c2.filter(F.col("n_ab") >= 5)

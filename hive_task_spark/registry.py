@@ -45,73 +45,69 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 5's row: the never-
-# sampled text/quality/multimodal/geo/dedup families (the families
-# round 4 grew).  All of multimodal+geo+dedup (18 names, three
-# families with zero driver signal so far) plus the 18 oldest-
-# registered never-sampled text and 14 oldest never-sampled quality
-# names; the text/quality remainder rolls into the r6+ windows.
-# Round 4's window (the 15 ever-red reconfirmations + 35 function/
-# agg/SQL/UDF names) came back 48 green + 1 no-oracle-by-design;
-# the lone red, math_suite, was a dtype-repr mismatch (DOUBLE vs
-# TINYINT sign()) fixed this round and guarded by tests/compare.py's
-# dtype-kind check.
+# schedule lives in CLAUDE.md; this is round 6's row: math_suite
+# first (the only query ever red in a driver window — r1 and r4,
+# both the same DOUBLE-vs-TINYINT dtype-repr mismatch, fixed in r5
+# via floor-canonicalization + BIGINT sign() + tests/compare.py's
+# dtype-kind guard — but never driver-reconfirmed; VERDICT r5 item 2
+# promotes its reconfirmation from r10+ to now), then the 49 oldest-
+# registered never-sampled analytics names.  The analytics remainder
+# (~41) rolls into r7 per the schedule.  Round 5's window (all of
+# multimodal/geo/dedup never-sampled + 18 text + 14 quality) came
+# back 50/50 green.
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- multimodal: never driver-sampled as a family (8) --
-    "multimodal_metadata_profile",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "multimodal_audio_windows",
-    "multimodal_shard_manifest",
-    "multimodal_phash_neardup",
-    "multimodal_crossmodal_integrity",
-    # -- geo: never driver-sampled as a family (5) --
-    "geo_grid_density",
-    "geo_radius_join",
-    "geo_trajectory_stats",
-    "geo_nearest_supplier",
-    "geo_trajectory_similarity",
-    # -- dedup: round-2+ additions never sampled (5) --
-    "dedup_prefix_hash",
-    "dedup_asymmetric_containment",
-    "dedup_health_dashboard",
-    "dedup_minhash_portable_eval",
-    "dedup_incremental_ingest",
-    # -- text: 18 oldest never-sampled --
-    "text_fingerprint",
-    "text_stats_by_lang_source",
-    "text_redact_patterns",
-    "text_bigram_lm_score",
-    "text_boilerplate_ngrams",
-    "text_zipf_slope",
-    "text_bpe_apply",
-    "text_bm25_scoring",
-    "text_ndcg_eval",
-    "text_langid_confusion",
-    "text_bpe_train_step",
-    "text_pmi_collocations",
-    "text_inverted_index",
-    "text_kwic_concordance",
-    "text_blocklist_leet_filter",
-    "text_log_template_mining",
-    "text_tokenizer_fertility",
-    "text_vocab_coverage_curve",
-    # -- quality: 14 oldest never-sampled --
-    "quality_percentile_filter",
-    "quality_expectations_audit",
-    "quality_drift_report",
-    "quality_referential_integrity",
-    "quality_snapshot_diff",
-    "quality_entity_resolution",
-    "quality_sorted_neighborhood_er",
-    "quality_k_anonymity_audit",
-    "quality_retry_storm_census",
-    "quality_column_size_profile",
-    "quality_partition_fingerprint",
-    "quality_fellegi_sunter_scoring",
-    "quality_encoding_advisor",
-    "quality_cdc_column_attribution",
+    # -- the only ever-red query: r5 fix needs driver confirmation --
+    "math_suite",
+    # -- analytics: 49 oldest never-sampled --
+    "analytics_retention_cohorts",
+    "analytics_copurchase_pairs",
+    "analytics_pagerank_lite",
+    "analytics_skyline_2d",
+    "analytics_outlier_zscore",
+    "analytics_markov_transitions",
+    "analytics_triangle_count",
+    "analytics_sequence_pattern",
+    "analytics_ab_welch_ttest",
+    "analytics_hypertable_rollup",
+    "analytics_rfm_segmentation",
+    "analytics_attribution_models",
+    "analytics_dau_mau",
+    "analytics_anomaly_mad",
+    "analytics_label_propagation",
+    "analytics_association_rules",
+    "analytics_chi_square",
+    "analytics_mann_whitney",
+    "analytics_ks_test",
+    "analytics_gini_pareto",
+    "analytics_ewma_horizon",
+    "analytics_shortest_path_bfs",
+    "analytics_anova_f",
+    "analytics_benford",
+    "analytics_period_over_period",
+    "analytics_cohort_ltv",
+    "analytics_survival_km",
+    "analytics_path_flows",
+    "analytics_streak_longest",
+    "analytics_bootstrap_ci",
+    "analytics_ols_normal_equations",
+    "analytics_changepoint_cusum",
+    "analytics_proration_largest_remainder",
+    "analytics_fifo_inventory_matching",
+    "analytics_lift_gains_table",
+    "analytics_peak_concurrency",
+    "analytics_bom_explosion",
+    "analytics_interval_day_split",
+    "analytics_forecast_backtest",
+    "analytics_ohlc_candles",
+    "analytics_time_weighted_avg",
+    "analytics_woe_iv_bins",
+    "analytics_markov_absorption",
+    "analytics_diff_in_diff",
+    "analytics_seasonal_index",
+    "analytics_rle_event_runs",
+    "analytics_hhi_concentration",
+    "analytics_clock_repair",
+    "analytics_first_per_hour_throttle",
 )
 
 

@@ -342,17 +342,17 @@ def test_jl_projection_preserves_norms(spark, sf_dir):
 def test_audit_window_composition():
     """The first 50 registered queries ARE the current rotation promise
     (registry.AUDIT_WINDOW, schedule in CLAUDE.md): any drift fails
-    here, not silently in the driver's audit. Round 4's row: the 15
-    ever-red-but-fixed names lead, then the never-sampled families."""
+    here, not silently in the driver's audit.  Rotation-invariant on
+    purpose — the expected composition is read from AUDIT_WINDOW
+    itself, never from hardcoded last-round names (the literal pins
+    this test used to carry went stale at every rotation)."""
     from hive_task_spark import registry
 
     registry.load_all()
     names = list(registry.QUERIES)[:50]
     assert len(registry.AUDIT_WINDOW) == 50
+    assert len(set(registry.AUDIT_WINDOW)) == 50  # no duplicate slots
     assert names == list(registry.AUDIT_WINDOW)
-    assert names[0] == "array_basic_suite"
-    assert names[14] == "sql_hiveql_interface"  # last of the 15 ever-red
-    assert names[49] == "analytics_funnel"
     # every window name must stay oracle-backed except the single
     # by-design rows-only entry (engine-specific xxhash64)
     missing = [
@@ -2153,3 +2153,89 @@ def test_token_budget_twopass_equals_global(spark, sf_dir):
         for r in registry.QUERIES["pipeline_token_budget"](spark, sf_dir).collect()
     }
     assert a == b
+
+def test_documents_corpus_is_pure_ascii(sf_dir):
+    """The multimodal oracles (decode_features checksum, scene_cuts
+    frame means) index documents.text by CHARACTER while the Spark
+    kernels slice UTF-8 BYTES — byte-identical only on a pure-ASCII
+    corpus.  Pin that invariant (octet_length == char length for every
+    doc) so a corpus regeneration with multibyte text fails here
+    loudly instead of silently desyncing frame boundaries."""
+    import duckdb
+
+    n_bad = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')
+            WHERE octet_length(encode(text)) <> length(text)"""
+    ).fetchone()[0]
+    assert n_bad == 0, f"{n_bad} non-ASCII documents break multimodal oracles"
+
+
+def test_dbscan_grid_conserves_dense_points(spark, sf_dir):
+    """Grid-DBSCAN invariants: every cluster's point count is positive,
+    cluster bboxes stay inside the synthesized coordinate grid, and the
+    sum of clustered points never exceeds the customer count (dense
+    cells are a subset of all cells)."""
+    rows = registry.QUERIES["geo_dbscan_grid"](spark, sf_dir).collect()
+    assert rows
+    total = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.n_points for r in rows) <= total
+    for r in rows:
+        assert r.n_points > 0 and r.n_cells > 0
+        assert -5 <= r.min_cy <= r.max_cy <= 4
+        assert -9 <= r.min_cx <= r.max_cx <= 8
+
+
+def test_geohash_partition_of_customers(spark, sf_dir):
+    """Geohash prefix rollup partitions the customer set exactly, and
+    every min/max geohash6 carries its row's 4-char prefix (the
+    prefix-is-a-bbox property the operator exists for)."""
+    rows = registry.QUERIES["geo_geohash_encode"](spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.n_points for r in rows) == total
+    for r in rows:
+        assert r.min_geohash6.startswith(r.geohash4)
+        assert r.max_geohash6.startswith(r.geohash4)
+        assert len(r.min_geohash6) == 6
+
+
+def test_vad_segments_internal_consistency(spark, sf_dir):
+    """VAD report invariants: segment counts and frame counts cohere
+    (max_seg_len <= n_active_frames <= total frames of the doc;
+    n_segments >= 1 for every emitted doc; adaptive threshold means
+    strictly-below-average frames exist, so never ALL frames active
+    for docs with >= 2 frames of unequal energy)."""
+    rows = registry.QUERIES["multimodal_vad_segments"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_segments >= 1
+        assert r.max_seg_len <= r.n_active_frames
+        assert r.first_seg_start >= 0
+
+
+def test_fd_discovery_verdict_consistency(spark, sf_dir):
+    """FD audit: holds <=> zero violating groups <=> max multiplicity 1;
+    the known key dependencies must hold at every SF."""
+    rows = registry.QUERIES["quality_functional_dependency_discovery"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert (r.holds == 1) == (r.n_violating == 0) == (r.max_rhs_distinct == 1)
+    verdicts = {(r.tbl, r.lhs, r.rhs): r.holds for r in rows}
+    assert verdicts[("customer", "c_custkey", "c_nationkey")] == 1
+    assert verdicts[("nation", "n_nationkey", "n_regionkey")] == 1
+    assert verdicts[("supplier", "s_suppkey", "s_nationkey")] == 1
+
+
+def test_modularity_identities(spark, sf_dir):
+    """Newman modularity identities: degree mass sums to 2m, within-
+    community edges never exceed m, and total Q stays in the
+    theoretical [-0.5, 1) band."""
+    rows = registry.QUERIES["analytics_graph_modularity"](spark, sf_dir).collect()
+    assert rows
+    two_m = sum(r.deg_sum for r in rows)
+    e_within = sum(r.e_within for r in rows)
+    assert two_m % 2 == 0
+    assert e_within <= two_m // 2
+    q = sum(r.q_contrib_r for r in rows)
+    assert -0.5 <= q < 1.0, q
