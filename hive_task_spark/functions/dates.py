@@ -439,3 +439,64 @@ def date_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("week_in_span"),
     )
+
+
+@register(
+    "date_fiscal_calendar",
+    oracle="""
+    WITH f AS (
+        SELECT o_totalprice,
+               CAST(year(o_orderdate)
+                    + CASE WHEN month(o_orderdate) >= 2 THEN 1 ELSE 0 END
+                    AS BIGINT)                                   AS fiscal_year,
+               CAST(((month(o_orderdate) + 10) % 12) AS BIGINT) // 3 + 1
+                                                                 AS fq,
+               CAST(((month(o_orderdate) + 10) % 12) + 1 AS BIGINT)
+                                                                 AS fiscal_month
+        FROM orders
+    )
+    SELECT fiscal_year,
+           CAST(fq AS BIGINT)                    AS fiscal_quarter,
+           CAST(min(fiscal_month) AS BIGINT)     AS first_fm,
+           CAST(max(fiscal_month) AS BIGINT)     AS last_fm,
+           CAST(count(*) AS BIGINT)              AS n_orders,
+           round(sum(o_totalprice), 2)           AS revenue_r
+    FROM f GROUP BY fiscal_year, fq
+    """,
+)
+def date_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiscal-calendar rollup for a February-start fiscal year (the
+    4-5-4-retail / government pattern): fiscal month = ((m+10) mod
+    12)+1 (Feb=1 ... Jan=12), fiscal year labeled by its ENDING
+    year, fiscal quarter = (fm-1) div 3 + 1 — all pure integer month
+    arithmetic, deliberately avoiding add_months/interval shifting
+    whose end-of-month clamping differs subtly across engines.
+    Revenue and order counts per (fiscal year, fiscal quarter), with
+    the first/last fiscal month as a self-check that each quarter
+    spans exactly its three months.
+
+    Scale shape: one map expression + one map-side-combinable
+    aggregate — the fiscal key is an arithmetic function of the date
+    column, so partition pruning on a date-partitioned layout still
+    applies to fiscal-window queries (a fiscal quarter is a
+    contiguous date range)."""
+    o = load(spark, sf_dir, "orders")
+    m = F.month("o_orderdate")
+    fm = (m + 10) % 12 + 1
+    fy = F.year("o_orderdate") + F.when(m >= 2, 1).otherwise(0)
+    fq = F.floor((fm - 1) / 3) + 1
+    return (
+        o.select(
+            fy.cast("long").alias("fiscal_year"),
+            fq.cast("long").alias("fiscal_quarter"),
+            fm.cast("long").alias("fiscal_month"),
+            "o_totalprice",
+        )
+        .groupBy("fiscal_year", "fiscal_quarter")
+        .agg(
+            F.min("fiscal_month").cast("long").alias("first_fm"),
+            F.max("fiscal_month").cast("long").alias("last_fm"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue_r"),
+        )
+    )

@@ -6750,3 +6750,172 @@ def analytics_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "analytics_louvain_one_level",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+        SELECT u AS i, v AS j FROM edges
+        UNION ALL SELECT v AS i, u AS j FROM edges
+    ),
+    deg AS (SELECT i AS node, count(*) AS k FROM und GROUP BY i),
+    m AS (SELECT count(*) AS m FROM edges),
+    gains AS (
+        SELECT und.i, und.j,
+               1.0 / m.m - (di.k * dj.k) / (2.0 * m.m * m.m) AS gain
+        FROM und
+        JOIN deg di ON di.node = und.i
+        JOIN deg dj ON dj.node = und.j
+        CROSS JOIN m
+    ),
+    best AS (
+        SELECT i, j AS new_com
+        FROM (SELECT i, j, gain, row_number() OVER (
+                  PARTITION BY i ORDER BY gain DESC, j) AS rk
+              FROM gains WHERE gain > 0)
+        WHERE rk = 1
+    ),
+    lab AS (
+        SELECT d.node, coalesce(b.new_com, d.node) AS com
+        FROM deg d LEFT JOIN best b ON b.i = d.node
+    ),
+    rel AS (
+        SELECT lu.com AS cu, lv.com AS cv
+        FROM edges e
+        JOIN lab lu ON lu.node = e.u
+        JOIN lab lv ON lv.node = e.v
+    ),
+    ends AS (
+        SELECT cu AS com FROM rel UNION ALL SELECT cv AS com FROM rel
+    ),
+    dc AS (SELECT com, count(*) AS deg_sum FROM ends GROUP BY com),
+    nn AS (SELECT com, count(*) AS n_nodes FROM lab GROUP BY com),
+    ec AS (SELECT cu AS com, count(*) AS e_within FROM rel
+           WHERE cu = cv GROUP BY cu)
+    SELECT CAST(dc.com AS BIGINT)                     AS community_id,
+           CAST(nn.n_nodes AS BIGINT)                 AS n_nodes,
+           CAST(dc.deg_sum AS BIGINT)                 AS deg_sum,
+           CAST(coalesce(ec.e_within, 0) AS BIGINT)   AS e_within,
+           floor((coalesce(ec.e_within, 0) / (1.0 * m.m)
+                  - (dc.deg_sum / (2.0 * m.m)) * (dc.deg_sum / (2.0 * m.m)))
+                 * 1e6 + 0.5) / 1e6                   AS q_contrib_r
+    FROM dc
+    JOIN nn ON nn.com = dc.com
+    LEFT JOIN ec ON ec.com = dc.com
+    CROSS JOIN m
+    """,
+)
+def analytics_louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain sweep (Blondel et al. 2008, phase 1,
+    single round from singleton communities) on the co-purchase graph:
+    every node simultaneously evaluates moving into each neighbor's
+    community with the standard gain dQ = A_ij/m - k_i*k_j/(2m^2) and
+    takes the best strictly-positive move (ranking reduces to integer
+    order — min k_j, then min j — so the float never decides a tie);
+    the report scores the RESULTING partition with the same
+    per-community modularity contributions as
+    analytics_graph_modularity, so the pair shows Q before/after one
+    optimization step.
+
+    Scale shape: the synchronous round is exactly the BSP formulation
+    distributed Louvain uses (no sequential node order — the classic
+    parallelization of the inherently-sequential original): gains are
+    one edge-list pass joined twice against the degree table, the
+    argmax is one window on i, relabeling is two joins against the
+    (node, com) map, then the same two aggregates as the modularity
+    scorer. Nothing iterates on the driver; repeated rounds would
+    localCheckpoint between sweeps like kcore."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    und = edges.select(F.col("u").alias("i"), F.col("v").alias("j")).unionAll(
+        edges.select(F.col("v").alias("i"), F.col("u").alias("j"))
+    )
+    deg = und.groupBy(F.col("i").alias("node")).agg(F.count(F.lit(1)).alias("k"))
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    gains = (
+        und.join(deg.select(F.col("node").alias("i"), F.col("k").alias("ki")), "i")
+        .join(deg.select(F.col("node").alias("j"), F.col("k").alias("kj")), "j")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "i",
+            "j",
+            (
+                F.lit(1.0) / F.col("m")
+                - (F.col("ki") * F.col("kj"))
+                / (F.lit(2.0) * F.col("m") * F.col("m"))
+            ).alias("gain"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("i").orderBy(F.col("gain").desc(), "j")
+    best = (
+        gains.filter(F.col("gain") > 0)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("i", F.col("j").alias("new_com"))
+    )
+    lab = (
+        deg.join(best.withColumnRenamed("i", "node"), "node", "left")
+        .select(
+            "node", F.coalesce(F.col("new_com"), F.col("node")).alias("com")
+        )
+        .localCheckpoint()
+    )
+    rel = (
+        edges.join(
+            lab.select(F.col("node").alias("u"), F.col("com").alias("cu")), "u"
+        )
+        .join(lab.select(F.col("node").alias("v"), F.col("com").alias("cv")), "v")
+        .select("cu", "cv")
+        .localCheckpoint()
+    )
+    dc = (
+        rel.select(F.col("cu").alias("com"))
+        .unionAll(rel.select(F.col("cv").alias("com")))
+        .groupBy("com")
+        .agg(F.count(F.lit(1)).alias("deg_sum"))
+    )
+    nn = lab.groupBy("com").agg(F.count(F.lit(1)).alias("n_nodes"))
+    ec = (
+        rel.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("com"))
+        .agg(F.count(F.lit(1)).alias("e_within"))
+    )
+    ew = F.coalesce(F.col("e_within"), F.lit(0))
+    q = (
+        ew / (F.lit(1.0) * F.col("m"))
+        - (F.col("deg_sum") / (F.lit(2.0) * F.col("m")))
+        * (F.col("deg_sum") / (F.lit(2.0) * F.col("m")))
+    )
+    return (
+        dc.join(nn, "com")
+        .join(ec, "com", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("com").cast("long").alias("community_id"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            ew.cast("long").alias("e_within"),
+            (F.floor(q * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "q_contrib_r"
+            ),
+        )
+    )

@@ -2122,3 +2122,61 @@ def quality_functional_dependency_discovery(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "quality_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                       AS n_orders,
+           round(sum(o_totalprice), 2)                    AS revenue_r,
+           CAST(min(year(o_orderdate)) AS BIGINT)         AS min_year,
+           CAST(max(year(o_orderdate)) AS BIGINT)         AS max_year,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT)                                AS n_finished
+    FROM orders
+    """,
+)
+def quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline health metrics via the ``Observation`` API (Spark's
+    accumulator-backed `df.observe`): the counters piggyback on the
+    SAME job that materializes the observed frame — row count,
+    revenue total, date range, status split are collected as the rows
+    stream through the noop sink, with NO second scan.  This is the
+    per-batch data-quality hook production pipelines attach to every
+    write (the batch-side analog of streaming's
+    StreamingQueryListener observed metrics).
+
+    Scale shape: observe compiles to accumulators inside the existing
+    plan — zero extra shuffle, zero extra pass; the returned frame is
+    the 1-row metrics literal.  Cross-engine check: the oracle
+    recomputes the same aggregates declaratively, so a metric that
+    drifted from its SQL definition (the classic silent-accumulator
+    bug) fails the hash."""
+    from pyspark.sql import Observation
+
+    o = load(spark, sf_dir, "orders")
+    obs = Observation("health")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue_r"),
+        F.min(F.year("o_orderdate")).alias("min_year"),
+        F.max(F.year("o_orderdate")).alias("max_year"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "n_finished"
+        ),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_orders"]),
+                float(m["revenue_r"]),
+                int(m["min_year"]),
+                int(m["max_year"]),
+                int(m["n_finished"]),
+            )
+        ],
+        "n_orders long, revenue_r double, min_year long, max_year long, n_finished long",
+    )

@@ -2730,3 +2730,131 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("avg_scanned", 6).alias("avg_scanned_r"),
         )
     )
+
+
+_MRL_DIMS = [8, 16, 32, 64]
+
+_ORACLE_MATRYOSHKA = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    dims AS (SELECT unnest([{", ".join(str(d) for d in _MRL_DIMS)}]) AS pd),
+    scored AS (
+        SELECT d.pd AS prefix_dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.vec[1:d.pd], c.vec[1:d.pd]),
+                                       p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q.vec[1:d.pd], x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.vec[1:d.pd], x -> x * x))))
+                   AS cosine
+        FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+        CROSS JOIN dims d
+    ),
+    ranked AS (
+        SELECT prefix_dim, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY prefix_dim, query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rnk <= {TOP_K}),
+    truth AS (
+        SELECT query_id, neighbor_id FROM topk WHERE prefix_dim = {_MRL_DIMS[-1]}
+    )
+    SELECT CAST(t.prefix_dim AS BIGINT)  AS prefix_dim,
+           CAST(count(tr.neighbor_id) AS BIGINT) AS n_hits,
+           floor(count(tr.neighbor_id) / ({N_QUERIES} * {TOP_K} * 1.0)
+                 * 1e6 + 0.5) / 1e6      AS recall_at_k_r
+    FROM topk t
+    LEFT JOIN truth tr
+      ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
+    GROUP BY t.prefix_dim
+"""
+
+
+@register("similarity_matryoshka_eval", oracle=_ORACLE_MATRYOSHKA)
+def similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) prefix-dimension retrieval eval: recall@k of
+    cosine top-k computed on embedding PREFIXES (8/16/32/64 dims)
+    against the full-dimension truth — the table that tells you how
+    far you can truncate stored vectors (4-8x index shrink) before
+    retrieval quality drops, cf. Kusupati et al., "Matryoshka
+    Representation Learning" (NeurIPS'22).
+
+    Scale shape: ONE pass scores every (query, candidate) pair for
+    ALL prefix dims — the pair row explodes into |dims| rows via an
+    inline dims array (no re-scan per dim), prefix dots/norms are
+    slice + aggregate JVM expressions, and the per-(dim, query)
+    ranking is one window over the exploded frame. Truth is the
+    full-dim slice of the same ranking (no second scoring pass), and
+    the hit-join runs against a broadcast-size truth set (N_QUERIES x
+    TOP_K rows). Recall edges are exact rational divisions,
+    floor-canonicalized at 1e-6."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _vec_d().alias("vec"))
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(vecs)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qvec", "vec")
+    )
+    dims_arr = F.array(*[F.lit(d) for d in _MRL_DIMS])
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(dims_arr).alias("prefix_dim"),
+        "qvec",
+        "vec",
+    ).select(
+        "prefix_dim",
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.slice("qvec", 1, F.col("prefix_dim")),
+                 F.slice("vec", 1, F.col("prefix_dim")))
+            / (_norm(F.slice("qvec", 1, F.col("prefix_dim")))
+               * _norm(F.slice("vec", 1, F.col("prefix_dim"))))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("prefix_dim", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("prefix_dim", "query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    truth = topk.filter(F.col("prefix_dim") == _MRL_DIMS[-1]).select(
+        "query_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    return (
+        topk.join(
+            F.broadcast(truth),
+            (topk.query_id == truth.query_id)
+            & (topk.neighbor_id == truth.true_neighbor),
+            "left",
+        )
+        .groupBy("prefix_dim")
+        .agg(
+            F.count("true_neighbor").cast("long").alias("n_hits"),
+            (
+                F.floor(
+                    F.count("true_neighbor")
+                    / F.lit(float(N_QUERIES * TOP_K))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("recall_at_k_r"),
+        )
+        .select(
+            F.col("prefix_dim").cast("long").alias("prefix_dim"),
+            "n_hits",
+            "recall_at_k_r",
+        )
+    )

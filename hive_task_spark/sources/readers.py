@@ -1089,3 +1089,96 @@ def source_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue_r"),
         )
     )
+
+
+_RG_ROWS = 100  # explicit pyarrow row_group_size — the determinism knob
+
+
+def _rowgroup_stats_batches(it):
+    """mapInPandas kernel: write the incoming (sorted) batch stream as
+    ONE parquet file with explicit row_group_size, then read the
+    footer back and emit per-row-group column-chunk statistics — a
+    real footer round-trip (pyarrow metadata API), not a simulation.
+    Runs as a single task here (one shard); the production shape is
+    one such task per shard, embarrassingly parallel."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.concat(list(it), ignore_index=True)
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    path = _scratch("rowgroup_stats_demo.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        path,
+        row_group_size=_RG_ROWS,
+    )
+    md = pq.ParquetFile(path).metadata
+    cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    rows: dict[str, list] = {
+        "rg_idx": [], "column": [], "n_values": [], "min_v": [], "max_v": []
+    }
+    for rg in range(md.num_row_groups):
+        for name in ("doc_id", "n_chars"):
+            cc = md.row_group(rg).column(cols[name])
+            st = cc.statistics
+            rows["rg_idx"].append(rg)
+            rows["column"].append(name)
+            rows["n_values"].append(cc.num_values)
+            rows["min_v"].append(int(st.min))
+            rows["max_v"].append(int(st.max))
+    yield pd.DataFrame(rows).astype(
+        {"rg_idx": "int64", "n_values": "int64", "min_v": "int64", "max_v": "int64"}
+    )
+
+
+@register(
+    "source_parquet_rowgroup_stats",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, n_chars,
+               (row_number() OVER (ORDER BY doc_id) - 1) // {_RG_ROWS} AS rg_idx
+        FROM documents
+    ),
+    stats AS (
+        SELECT rg_idx, 'doc_id' AS "column",
+               count(*) AS n_values, min(doc_id) AS min_v, max(doc_id) AS max_v
+        FROM g GROUP BY rg_idx
+        UNION ALL
+        SELECT rg_idx, 'n_chars' AS "column",
+               count(*) AS n_values, min(n_chars) AS min_v, max(n_chars) AS max_v
+        FROM g GROUP BY rg_idx
+    )
+    SELECT CAST(rg_idx AS BIGINT)   AS rg_idx,
+           "column",
+           CAST(n_values AS BIGINT) AS n_values,
+           CAST(min_v AS BIGINT)    AS min_v,
+           CAST(max_v AS BIGINT)    AS max_v
+    FROM stats
+    """,
+    defer=True,
+)
+def source_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group statistics manifest: write a doc_id-sorted shard with
+    an EXPLICIT row_group_size ({rg} rows), read the parquet footer
+    back with the metadata API, and emit per-row-group column-chunk
+    stats (num_values, min, max) for the integer columns — the
+    physical zone map that predicate pushdown actually consults, as a
+    queryable DataFrame.  The DuckDB twin reconstructs the same
+    zones logically (sequential {rg}-row chunks of the sorted order —
+    exactly how the writer splits row groups), so footer content is
+    value-checked end-to-end: a writer that mis-chunked, dropped
+    stats, or wrote wrong min/max fails the hash.
+
+    Complements source_zone_map_pruning (logical what-if layout
+    comparison) with the REAL footer path, and source_parquet_bloom_
+    filter (the other physical index). Scale shape: one kernel task
+    per shard, no shuffle; the manifest (shards x row-groups x
+    columns) is the small table layout optimizers join against.""".format(
+        rg=_RG_ROWS
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return d.repartition(1).mapInPandas(
+        _rowgroup_stats_batches,
+        "rg_idx long, column string, n_values long, min_v long, max_v long",
+    )

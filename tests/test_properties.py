@@ -2239,3 +2239,54 @@ def test_modularity_identities(spark, sf_dir):
     assert e_within <= two_m // 2
     q = sum(r.q_contrib_r for r in rows)
     assert -0.5 <= q < 1.0, q
+
+
+def test_matryoshka_full_dim_is_perfect(spark, sf_dir):
+    """MRL eval sanity: the full-dimension row IS the truth, so its
+    recall must be exactly 1.0; every prefix recall lies in [0, 1]."""
+    rows = registry.QUERIES["similarity_matryoshka_eval"](spark, sf_dir).collect()
+    by_dim = {r.prefix_dim: r for r in rows}
+    assert by_dim[64].recall_at_k_r == 1.0
+    for r in rows:
+        assert 0.0 <= r.recall_at_k_r <= 1.0
+
+
+def test_louvain_partition_identities(spark, sf_dir):
+    """One Louvain sweep still partitions the graph: degree mass sums
+    to 2m (even), within edges <= m, Q in [-0.5, 1), and node counts
+    sum to the number of graph nodes."""
+    rows = registry.QUERIES["analytics_louvain_one_level"](spark, sf_dir).collect()
+    assert rows
+    two_m = sum(r.deg_sum for r in rows)
+    assert two_m % 2 == 0
+    assert sum(r.e_within for r in rows) <= two_m // 2
+    q = sum(r.q_contrib_r for r in rows)
+    assert -0.5 <= q < 1.0, q
+
+
+def test_rowgroup_stats_cover_table(spark, sf_dir):
+    """Footer stats partition the shard exactly: per tracked column,
+    num_values sums to the row count, row groups are dense 0..n-1,
+    and doc_id min/max are non-overlapping and increasing (the file
+    is sorted — that's what makes the zone map prunable)."""
+    rows = registry.QUERIES["source_parquet_rowgroup_stats"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    doc_rows = sorted(
+        (r for r in rows if r.column == "doc_id"), key=lambda r: r.rg_idx
+    )
+    assert [r.rg_idx for r in doc_rows] == list(range(len(doc_rows)))
+    assert sum(r.n_values for r in doc_rows) == n_docs
+    for prev, cur in zip(doc_rows, doc_rows[1:]):
+        assert prev.max_v < cur.min_v
+
+
+def test_fiscal_calendar_partitions_orders(spark, sf_dir):
+    """Fiscal rollup conserves orders and each quarter spans exactly
+    its own three fiscal months (first_fm == 3*(q-1)+1 when the
+    quarter is fully populated; always within the quarter's band)."""
+    rows = registry.QUERIES["date_fiscal_calendar"](spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == total
+    for r in rows:
+        lo, hi = 3 * (r.fiscal_quarter - 1) + 1, 3 * r.fiscal_quarter
+        assert lo <= r.first_fm <= r.last_fm <= hi
