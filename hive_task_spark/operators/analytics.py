@@ -6919,3 +6919,296 @@ def analytics_louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "analytics_jaccard_link_prediction",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+        SELECT u AS i, v AS j FROM edges
+        UNION ALL SELECT v AS i, u AS j FROM edges
+    ),
+    deg AS (SELECT i AS node, count(*) AS k FROM und GROUP BY i),
+    common AS (
+        SELECT a.i AS u, b.i AS v, count(*) AS n_common
+        FROM und a JOIN und b ON a.j = b.j AND a.i < b.i
+        GROUP BY a.i, b.i
+    ),
+    cand AS (
+        SELECT c.u, c.v, c.n_common
+        FROM common c
+        LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+        WHERE e.u IS NULL
+    )
+    SELECT cand.u, cand.v,
+           CAST(cand.n_common AS BIGINT) AS n_common,
+           floor(cand.n_common
+                 / (1.0 * (du.k + dv.k - cand.n_common))
+                 * 1e6 + 0.5) / 1e6      AS jaccard_r
+    FROM cand
+    JOIN deg du ON du.node = cand.u
+    JOIN deg dv ON dv.node = cand.v
+    ORDER BY jaccard_r DESC, cand.u, cand.v
+    LIMIT 20
+    """,
+)
+def analytics_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor Jaccard (Liben-Nowell &
+    Kleinberg 2003) on the co-purchase graph: for every NON-adjacent
+    pair at distance 2, score = |N(u) n N(v)| / |N(u) u N(v)|; the
+    top-20 predicted links are the 'parts that should co-occur but
+    don't yet' — the complement-the-basket recommendation seed.
+
+    Scale shape: candidate pairs come from a POSTING-LIST join on the
+    shared neighbor (one (i,j) self-join keyed on j — candidates ~
+    sum of per-node degree^2, never |V|^2; the same wedge join as
+    triangle counting), existing edges drop out via one anti-join,
+    union sizes come from the degree table (|N(u) u N(v)| =
+    k_u + k_v - common, no second set pass).  Jaccard is an exact
+    integer ratio, floor-canonicalized; global top-20 compiles to
+    per-partition heaps (TakeOrderedAndProject)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    und = edges.select(F.col("u").alias("i"), F.col("v").alias("j")).unionAll(
+        edges.select(F.col("v").alias("i"), F.col("u").alias("j"))
+    )
+    deg = und.groupBy(F.col("i").alias("node")).agg(F.count(F.lit(1)).alias("k"))
+    wa, wb = und.alias("wa"), und.alias("wb")
+    common = (
+        wa.join(
+            wb,
+            (F.col("wa.j") == F.col("wb.j")) & (F.col("wa.i") < F.col("wb.i")),
+        )
+        .groupBy(F.col("wa.i").alias("u"), F.col("wb.i").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = common.join(edges, ["u", "v"], "left_anti")
+    jac = F.col("n_common") / (
+        F.lit(1.0) * (F.col("ku") + F.col("kv") - F.col("n_common"))
+    )
+    return (
+        cand.join(deg.select(F.col("node").alias("u"), F.col("k").alias("ku")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("k").alias("kv")), "v")
+        .select(
+            "u",
+            "v",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.floor(jac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("jaccard_r"),
+        )
+        .orderBy(F.col("jaccard_r").desc(), "u", "v")
+        .limit(20)
+    )
+
+
+def _canon6(c):
+    """Cross-engine float canonicalization at the 1e-6 grain: identical
+    IEEE ops (mul, add, floor, div) on both engines, no engine round()."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+@register(
+    "analytics_partial_correlation",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT)                       AS n,
+               corr(CAST(l_quantity AS DOUBLE),
+                    CAST(l_extendedprice AS DOUBLE))          AS rxy,
+               corr(CAST(l_quantity AS DOUBLE),
+                    CAST(l_discount AS DOUBLE))               AS rxz,
+               corr(CAST(l_extendedprice AS DOUBLE),
+                    CAST(l_discount AS DOUBLE))               AS ryz
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (
+        SELECT l_returnflag, n,
+               floor(rxy * 1e6 + 0.5) / 1e6 AS rxy_c,
+               floor(rxz * 1e6 + 0.5) / 1e6 AS rxz_c,
+               floor(ryz * 1e6 + 0.5) / 1e6 AS ryz_c
+        FROM r
+    )
+    SELECT l_returnflag, n,
+           rxy_c AS r_xy_r, rxz_c AS r_xz_r, ryz_c AS r_yz_r,
+           floor((rxy_c - rxz_c * ryz_c)
+                 / sqrt((1 - rxz_c * rxz_c) * (1 - ryz_c * ryz_c))
+                 * 1e6 + 0.5) / 1e6 AS partial_r
+    FROM c
+    ORDER BY l_returnflag
+    """,
+)
+def analytics_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation r_xy.z per return-flag segment:
+    quantity vs extended price, controlling for discount — the
+    'does the raw association survive removing the confounder' check
+    every experimentation/causal readout runs before trusting a corr.
+    r_xy.z = (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)).
+
+    Determinism: the three Pearson r's are canonicalized at the 1e-6
+    grain FIRST (each engine's partial-aggregation order yields ulp
+    noise), then the partial formula runs on identical doubles on
+    both engines — mul/sub/sqrt/div are correctly-rounded IEEE ops,
+    so the derived value is bit-equal before its own canon.
+
+    Scale shape: one map-side-combinable agg pass (corr is an
+    algebraic aggregate: sums/products accumulate per partition,
+    merge at 3 groups); no second pass, no join."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+        F.col("l_discount").cast("double").alias("z"),
+    )
+    r = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _canon6(F.corr("x", "y")).alias("rxy_c"),
+        _canon6(F.corr("x", "z")).alias("rxz_c"),
+        _canon6(F.corr("y", "z")).alias("ryz_c"),
+    )
+    partial = (F.col("rxy_c") - F.col("rxz_c") * F.col("ryz_c")) / F.sqrt(
+        (F.lit(1) - F.col("rxz_c") * F.col("rxz_c"))
+        * (F.lit(1) - F.col("ryz_c") * F.col("ryz_c"))
+    )
+    return r.select(
+        "l_returnflag",
+        "n",
+        F.col("rxy_c").alias("r_xy_r"),
+        F.col("rxz_c").alias("r_xz_r"),
+        F.col("ryz_c").alias("r_yz_r"),
+        _canon6(partial).alias("partial_r"),
+    ).orderBy("l_returnflag")
+
+
+_CRAMER_PAIRS = [
+    ("l_returnflag", "l_linestatus"),
+    ("l_returnflag", "l_linenumber"),
+    ("l_linestatus", "l_linenumber"),
+]
+
+
+def _cramer_pair_sql(a: str, b: str) -> str:
+    """One UNION-ALL branch of the Cramér's V oracle: chi-square from
+    the integer contingency table, canon at 1e-6, then the (exactly
+    reproducible) Cramér / Bergsma-bias-corrected transforms."""
+    return f"""
+    SELECT '{a}~{b}' AS pair, n, r, c,
+           chi2_c AS chi2_r,
+           floor(sqrt(chi2_c / (n * least(r - 1, c - 1))) * 1e6 + 0.5) / 1e6
+               AS cramers_v_r,
+           floor(sqrt(
+               greatest(0, chi2_c / n - (r - 1) * (c - 1) * 1.0 / (n - 1))
+               / least(r - (r - 1) * (r - 1) * 1.0 / (n - 1) - 1,
+                       c - (c - 1) * (c - 1) * 1.0 / (n - 1) - 1)
+           ) * 1e6 + 0.5) / 1e6 AS v_corrected_r
+    FROM (
+        SELECT CAST(any_value(n) AS BIGINT) AS n,
+               CAST(any_value(r) AS BIGINT) AS r,
+               CAST(any_value(c) AS BIGINT) AS c,
+               floor(sum((cnt - rt * ct * 1.0 / n) * (cnt - rt * ct * 1.0 / n)
+                         / (rt * ct * 1.0 / n)) * 1e6 + 0.5) / 1e6 AS chi2_c
+        FROM (
+            SELECT cnt,
+                   sum(cnt) OVER (PARTITION BY av) AS rt,
+                   sum(cnt) OVER (PARTITION BY bv) AS ct,
+                   sum(cnt) OVER ()                AS n,
+                   count(DISTINCT av) OVER ()      AS r,
+                   count(DISTINCT bv) OVER ()      AS c
+            FROM (
+                SELECT {a} AS av, {b} AS bv, count(*) AS cnt
+                FROM lineitem GROUP BY {a}, {b}
+            )
+        )
+    )"""
+
+
+@register(
+    "analytics_cramers_v",
+    oracle=" UNION ALL ".join(
+        _cramer_pair_sql(a, b) for a, b in _CRAMER_PAIRS
+    )
+    + " ORDER BY pair",
+)
+def analytics_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-association matrix: chi-square, Cramér's V, and the
+    Bergsma (2013) bias-corrected V for three lineitem attribute
+    pairs (return flag, line status, line number) — the standard
+    'which categorical columns are redundant / leaking' screen run
+    before feature selection or stratification.
+
+    Determinism: the contingency table is pure integer counts; the
+    chi-square sum (<=28 cells, each engine's own aggregation order)
+    is canonicalized at 1e-6, after which every downstream transform
+    (sqrt/div on exact-int-derived doubles) is a correctly-rounded
+    IEEE op — bit-equal on both engines before its own canon.
+
+    Scale shape: per pair ONE map-side-combinable count aggregate at
+    (a,b) grain (cells bounded by |dom(a)|x|dom(b)|, never data-sized)
+    feeds window totals over the tiny cell table; the three pairs
+    union. At 100 TB the only data-sized pass is the grouped count."""
+    li = load(spark, sf_dir, "lineitem")
+    outs = []
+    for a, b in _CRAMER_PAIRS:
+        cells = li.groupBy(
+            F.col(a).alias("av"), F.col(b).alias("bv")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        w_all = Window.partitionBy()
+        t = cells.select(
+            "cnt",
+            F.sum("cnt").over(Window.partitionBy("av")).alias("rt"),
+            F.sum("cnt").over(Window.partitionBy("bv")).alias("ct"),
+            F.sum("cnt").over(w_all).alias("n"),
+            F.size(F.collect_set("av").over(w_all)).alias("r"),
+            F.size(F.collect_set("bv").over(w_all)).alias("c"),
+        )
+        e = F.col("rt") * F.col("ct") * F.lit(1.0) / F.col("n")
+        agg = t.agg(
+            F.first("n").cast("long").alias("n"),
+            F.first("r").cast("long").alias("r"),
+            F.first("c").cast("long").alias("c"),
+            _canon6(
+                F.sum((F.col("cnt") - e) * (F.col("cnt") - e) / e)
+            ).alias("chi2_c"),
+        )
+        nn, rr, cc = F.col("n"), F.col("r"), F.col("c")
+        phi2corr = F.greatest(
+            F.lit(0),
+            F.col("chi2_c") / nn - (rr - 1) * (cc - 1) * F.lit(1.0) / (nn - 1),
+        )
+        kcorr = F.least(
+            rr - (rr - 1) * (rr - 1) * F.lit(1.0) / (nn - 1) - 1,
+            cc - (cc - 1) * (cc - 1) * F.lit(1.0) / (nn - 1) - 1,
+        )
+        outs.append(
+            agg.select(
+                F.lit(f"{a}~{b}").alias("pair"),
+                "n",
+                "r",
+                "c",
+                F.col("chi2_c").alias("chi2_r"),
+                _canon6(
+                    F.sqrt(
+                        F.col("chi2_c") / (nn * F.least(rr - 1, cc - 1))
+                    )
+                ).alias("cramers_v_r"),
+                _canon6(F.sqrt(phi2corr / kcorr)).alias("v_corrected_r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("pair")

@@ -1182,3 +1182,55 @@ def source_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         _rowgroup_stats_batches,
         "rg_idx long, column string, n_values long, min_v long, max_v long",
     )
+
+
+@register(
+    "source_csv_multichar_delimiter",
+    oracle="""
+    SELECT n_nationkey,
+           n_name,
+           n_regionkey,
+           concat(n_name, ' | region ', CAST(n_regionkey AS VARCHAR)) AS label
+    FROM nation
+    """,
+    defer=True,
+)
+def source_csv_multichar_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-character CSV delimiter roundtrip (Spark 3.x+ `sep` may be
+    any string, here '||' — the de-facto format of mainframe/export
+    feeds whose fields legally contain commas): write nation with the
+    two-char separator, read it back with an explicit schema and the
+    same separator, and rebuild a computed label so the value path —
+    not just the row count — is hash-checked against the original
+    table.  A reader that split on single '|' would shear every row;
+    PERMISSIVE would silently null the tail columns — both fail the
+    oracle hash.
+
+    Scale shape: same as every CSV scan — splittable per-file, schema
+    explicit (no inference pass), one map projection."""
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _scratch("nation_csv_multichar")
+    n.write.mode("overwrite").option("sep", "||").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("sep", "||")
+        .option("header", "true")
+        .csv(path)
+    )
+    return back.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.concat(
+            F.col("n_name"), F.lit(" | region "), F.col("n_regionkey").cast("string")
+        ).alias("label"),
+    )

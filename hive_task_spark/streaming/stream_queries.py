@@ -1073,3 +1073,62 @@ def stream_lambda_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value_r",
     )
     return batch.unionByName(tail_out)
+
+
+@register(
+    "stream_observe_progress",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)      AS n_events,
+           round(sum(value), 2)          AS total_value_r,
+           CAST(min(user_id) AS BIGINT)  AS min_user,
+           CAST(max(user_id) AS BIGINT)  AS max_user
+    FROM events
+    """,
+)
+def stream_observe_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observed metrics (`df.observe` on a streaming frame +
+    StreamingQueryProgress.observedMetrics): the per-micro-batch
+    health counters every production stream exports to its metrics
+    system, here collected from the query's progress events after an
+    AvailableNow replay and MERGED across batches with each metric's
+    own combiner (counts/sums add, min/max take extrema) — the merge
+    discipline that makes the numbers correct regardless of how the
+    source chops files into batches.  The final row is hash-checked
+    against the batch SQL definition of the same metrics, so a
+    counter that drifts from its declarative meaning fails.
+
+    Scale shape: observe compiles to accumulators inside the
+    micro-batch plan — no extra pass, no extra state; metrics ride
+    the existing progress-event stream."""
+    sdf = _events_stream(spark, sf_dir).observe(
+        "health",
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+    name = "observe_progress_sink"
+    cp = os.path.join(_SCRATCH, f"cp_{name}")
+    shutil.rmtree(cp, ignore_errors=True)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    q.awaitTermination()
+    n_events, total, mn, mx = 0, 0.0, None, None
+    for p in q.recentProgress:
+        m = p["observedMetrics"].get("health") if p["observedMetrics"] else None
+        if m is None or m["n_events"] == 0:
+            continue
+        n_events += m["n_events"]
+        total += m["total_value"]
+        mn = m["min_user"] if mn is None else min(mn, m["min_user"])
+        mx = m["max_user"] if mx is None else max(mx, m["max_user"])
+    return spark.createDataFrame(
+        [(int(n_events), round(float(total), 2), int(mn), int(mx))],
+        "n_events long, total_value_r double, min_user long, max_user long",
+    )

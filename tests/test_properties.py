@@ -2290,3 +2290,41 @@ def test_fiscal_calendar_partitions_orders(spark, sf_dir):
     for r in rows:
         lo, hi = 3 * (r.fiscal_quarter - 1) + 1, 3 * r.fiscal_quarter
         assert lo <= r.first_fm <= r.last_fm <= hi
+
+
+def test_link_prediction_candidates_are_nonedges(spark, sf_dir):
+    """Predicted links must be genuinely new: no candidate pair may be
+    an existing co-purchase edge, scores lie in (0, 1], and u < v."""
+    from hive_task_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = registry.QUERIES["analytics_jaccard_link_prediction"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = set(
+        (r.u, r.v)
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .collect()
+    )
+    for r in rows:
+        assert r.u < r.v
+        assert (r.u, r.v) not in edges
+        assert 0.0 < r.jaccard_r <= 1.0
+
+
+def test_stream_observe_matches_batch_count(spark, sf_dir):
+    """Streaming observed metrics must equal the batch ground truth
+    regardless of micro-batch chopping (the merge discipline)."""
+    row = registry.QUERIES["stream_observe_progress"](spark, sf_dir).collect()[0]
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert row.n_events == n
+    assert row.min_user <= row.max_user
