@@ -7212,3 +7212,120 @@ def analytics_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("pair")
+
+
+@register(
+    "analytics_levene_test",
+    oracle="""
+    WITH z AS (
+        SELECT o.o_orderpriority AS grp,
+               abs(CAST(o.o_totalprice AS DOUBLE) - m.med) AS z
+        FROM orders o
+        JOIN (
+            SELECT o_orderpriority,
+                   median(CAST(o_totalprice AS DOUBLE)) AS med
+            FROM orders GROUP BY o_orderpriority
+        ) m ON m.o_orderpriority = o.o_orderpriority
+    ),
+    g AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_j,
+               sum(z) AS s1, sum(z * z) AS s2
+        FROM z GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(sum(n_j) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT)  AS k,
+               sum(s1) / sum(n_j)        AS zbar,
+               sum(s2 - s1 * s1 / n_j)   AS den
+        FROM g
+    ),
+    w AS (
+        SELECT any_value(t.n) AS n, any_value(t.k) AS k,
+               floor((any_value(t.n) - any_value(t.k)) * 1.0
+                     / (any_value(t.k) - 1)
+                     * sum(g.n_j * (g.s1 / g.n_j - t.zbar)
+                                 * (g.s1 / g.n_j - t.zbar))
+                     / any_value(t.den) * 1e6 + 0.5) / 1e6 AS w_stat_r
+        FROM g, tot t
+    )
+    SELECT g.grp, g.n_j,
+           floor(m.med * 1e6 + 0.5) / 1e6        AS med_r,
+           floor(g.s1 / g.n_j * 1e6 + 0.5) / 1e6 AS zbar_j_r,
+           w.n, w.k, w.w_stat_r
+    FROM g
+    JOIN (
+        SELECT o_orderpriority AS grp,
+               median(CAST(o_totalprice AS DOUBLE)) AS med
+        FROM orders GROUP BY o_orderpriority
+    ) m ON m.grp = g.grp
+    CROSS JOIN w
+    ORDER BY g.grp
+    """,
+)
+def analytics_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe robust variance-homogeneity test (Levene with
+    median centering, the scipy default): are order totals equally
+    dispersed across the five order priorities?  W =
+    (N-k)/(k-1) * sum n_j (zbar_j - zbar)^2 / sum (z_ij - zbar_j)^2
+    with z = |x - group median| — the assumption check run before
+    any pooled-variance ANOVA / t-test readout.
+
+    Determinism: group medians interpolate the same two middle
+    doubles on both engines (exact); the order-dependent double sums
+    (s1, s2) feed ratio statistics whose relative noise is ~1e-13,
+    then every emitted float is canonicalized at 1e-6.
+
+    Scale shape: exact median needs a per-group sort — at 100 TB swap
+    in approx_percentile(0.5) (same algebra downstream); everything
+    after is two map-side-combinable aggregates over (group) grain
+    and a 5-row broadcast join back."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("x"),
+    )
+    med = o.groupBy("grp").agg(F.median("x").alias("med"))
+    z = o.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+        F.sum("z").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum("s1") / F.sum("n_j")).alias("zbar"),
+        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_j")).alias(
+            "den"
+        ),
+    )
+    dev = F.col("s1") / F.col("n_j") - F.col("zbar")
+    w = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("k").alias("k"),
+            _canon6(
+                (F.first("n") - F.first("k"))
+                * F.lit(1.0)
+                / (F.first("k") - 1)
+                * F.sum(F.col("n_j") * dev * dev)
+                / F.first("den")
+            ).alias("w_stat_r"),
+        )
+    )
+    return (
+        g.join(F.broadcast(med), "grp")
+        .crossJoin(F.broadcast(w))
+        .select(
+            "grp",
+            "n_j",
+            _canon6(F.col("med")).alias("med_r"),
+            _canon6(F.col("s1") / F.col("n_j")).alias("zbar_j_r"),
+            "n",
+            "k",
+            "w_stat_r",
+        )
+        .orderBy("grp")
+    )

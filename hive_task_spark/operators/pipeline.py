@@ -2975,3 +2975,126 @@ def pipeline_mix_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("action"),
     )
+
+
+@register(
+    "pipeline_dsir_importance",
+    oracle="""
+    WITH tok AS (
+        SELECT d.doc_id, d.lang,
+               CAST(CAST('0x' || substr(md5(t.w), 1, 4) AS BIGINT) % 64
+                    AS BIGINT) AS f
+        FROM documents d,
+             unnest(string_split(lower(d.text), ' ')) AS t(w)
+        WHERE t.w <> ''
+    ),
+    model AS (
+        SELECT f,
+               count(*)                                        AS n_r,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)    AS n_t
+        FROM tok GROUP BY f
+    ),
+    tot AS (
+        SELECT sum(n_r) AS big_r, sum(n_t) AS big_t FROM model
+    ),
+    lr AS (
+        SELECT m.f,
+               floor((ln((m.n_t + 1) / (t.big_t + 64.0))
+                      - ln((m.n_r + 1) / (t.big_r + 64.0)))
+                     * 1e6 + 0.5) / 1e6 AS lr_c
+        FROM model m, tot t
+    ),
+    per_doc AS (
+        SELECT tok.doc_id,
+               CAST(count(*) AS BIGINT)    AS n_tokens,
+               sum(lr.lr_c)                AS logw
+        FROM tok JOIN lr ON lr.f = tok.f
+        GROUP BY tok.doc_id
+    )
+    SELECT CAST(row_number() OVER (
+               ORDER BY floor(logw * 1e6 + 0.5) / 1e6 DESC, doc_id)
+           AS BIGINT)                                   AS rnk,
+           doc_id, n_tokens,
+           floor(logw * 1e6 + 0.5) / 1e6                AS logw_r
+    FROM per_doc
+    ORDER BY rnk
+    LIMIT 100
+    """,
+)
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every raw document by its hashed-n-gram importance
+    log-weight log w(d) = sum over features of c_f(d) *
+    (ln p_target(f) - ln p_raw(f)), with unigram features hashed to
+    64 buckets (the hashing trick keeps the model fixed-size at any
+    corpus scale) and Laplace-smoothed bag-of-words probabilities;
+    target = the English slice, raw = the full corpus. The top-100
+    shortlist is what importance RESAMPLING would draw first — the
+    standard 'make the pretraining mix look like the target domain'
+    selector.
+
+    Determinism: feature ids are md5-derived integers; the 64-row
+    model's log-ratios are canonicalized at 1e-6 BEFORE the per-doc
+    weighted sum (killing libm-vs-StrictMath ulp divergence at the
+    model, where it's cheap), so the doc sum operates on identical
+    doubles; the final edge re-canonicalizes.
+
+    Scale shape: one explode+hash pass (map-side combinable at
+    (doc,f) implicitly via the model agg), a 64-row broadcast model,
+    and one per-doc aggregate — importance scoring at 100 TB costs
+    one corpus scan, exactly the DSIR paper's design point."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    f = (
+        F.expr("CAST(conv(substr(md5(w), 1, 4), 16, 10) AS BIGINT)") % 64
+    ).cast("long")
+    tok = tok.select("doc_id", "lang", f.alias("f"))
+    model = tok.groupBy("f").agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_t"),
+    )
+    tot = model.agg(
+        F.sum("n_r").alias("big_r"), F.sum("n_t").alias("big_t")
+    )
+    lr = model.crossJoin(F.broadcast(tot)).select(
+        "f",
+        (
+            F.floor(
+                (
+                    F.log((F.col("n_t") + 1) / (F.col("big_t") + F.lit(64.0)))
+                    - F.log(
+                        (F.col("n_r") + 1) / (F.col("big_r") + F.lit(64.0))
+                    )
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("lr_c"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(lr), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr_c").alias("logw"),
+        )
+    )
+    logw_c = F.floor(F.col("logw") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    from pyspark.sql import Window
+
+    win = Window.orderBy(logw_c.desc(), "doc_id")
+    return (
+        per_doc.select(
+            F.row_number().over(win).cast("long").alias("rnk"),
+            "doc_id",
+            "n_tokens",
+            logw_c.alias("logw_r"),
+        )
+        .orderBy("rnk")
+        .limit(100)
+    )

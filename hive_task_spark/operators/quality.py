@@ -2180,3 +2180,197 @@ def quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_orders long, revenue_r double, min_year long, max_year long, n_finished long",
     )
+
+
+@register(
+    "quality_t_closeness_audit",
+    oracle="""
+    WITH b AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 'DEBT'
+                    WHEN c_acctbal < 5000 THEN 'LOW'
+                    ELSE 'HIGH' END AS band
+        FROM customer
+    ),
+    g AS (
+        SELECT CAST(sum(CASE WHEN band = 'DEBT' THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS q_debt,
+               CAST(sum(CASE WHEN band = 'LOW'  THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS q_low,
+               CAST(sum(CASE WHEN band = 'HIGH' THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS q_high
+        FROM b
+    ),
+    cl AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_c,
+               CAST(sum(CASE WHEN band = 'DEBT' THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS p_debt,
+               CAST(sum(CASE WHEN band = 'LOW'  THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS p_low,
+               CAST(sum(CASE WHEN band = 'HIGH' THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS p_high
+        FROM b GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT cl.c_nationkey, cl.c_mktsegment, cl.n_c,
+           floor(0.5 * (abs(cl.p_debt - g.q_debt)
+                        + abs(cl.p_low - g.q_low)
+                        + abs(cl.p_high - g.q_high)) * 1e6 + 0.5) / 1e6
+               AS t_dist_r,
+           floor(0.5 * (abs(cl.p_debt - g.q_debt)
+                        + abs(cl.p_low - g.q_low)
+                        + abs(cl.p_high - g.q_high)) * 1e6 + 0.5) / 1e6
+               > 0.15 AS violates
+    FROM cl, g
+    ORDER BY cl.c_nationkey, cl.c_mktsegment
+    """,
+)
+def quality_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007),
+    completing the k-anonymity / l-diversity anonymization trio: per
+    quasi-identifier class (nation x market segment), the variational
+    distance (equal-ground-distance EMD = 0.5 * L1) between the
+    class's sensitive-attribute distribution (account-balance band
+    DEBT/LOW/HIGH) and the global distribution; classes with
+    t > 0.15 leak the sensitive attribute through the QI.
+
+    Determinism: all probabilities are exact integer ratios; the L1
+    sum is a FIXED three-term expression (not an aggregate over
+    categories), so both engines evaluate identical IEEE ops in
+    identical order — bit-equal before the canon; violates compares
+    the canonical value on both sides.
+
+    Scale shape: one conditional-aggregate pass at QI grain (classes
+    bounded by |QI domain|, never data-sized) plus a broadcast 1-row
+    global distribution — the same single-shuffle island as the
+    sibling k-anonymity / l-diversity audits."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "DEBT")
+        .when(F.col("c_acctbal") < 5000, "LOW")
+        .otherwise("HIGH")
+        .alias("band"),
+    )
+
+    def _dist(df, keys, pfx):
+        aggs = [
+            (
+                F.sum(F.when(F.col("band") == bnd, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias(f"{pfx}_{bnd.lower()}")
+            for bnd in ("DEBT", "LOW", "HIGH")
+        ]
+        if keys:
+            return df.groupBy(*keys).agg(
+                F.count(F.lit(1)).cast("long").alias("n_c"), *aggs
+            )
+        return df.agg(*aggs)
+
+    cl = _dist(c, ["c_nationkey", "c_mktsegment"], "p")
+    g = _dist(c, [], "q")
+    t_raw = F.lit(0.5) * (
+        F.abs(F.col("p_debt") - F.col("q_debt"))
+        + F.abs(F.col("p_low") - F.col("q_low"))
+        + F.abs(F.col("p_high") - F.col("q_high"))
+    )
+    t_c = F.floor(t_raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        cl.crossJoin(F.broadcast(g))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_c",
+            t_c.alias("t_dist_r"),
+            (t_c > F.lit(0.15)).alias("violates"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@register(
+    "quality_ece_calibration",
+    oracle="""
+    WITH p AS (
+        SELECT percent_rank() OVER (ORDER BY o_totalprice) AS score,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1.0 ELSE 0.0 END AS label
+        FROM orders
+    ),
+    b AS (
+        SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+               CAST(count(*) AS BIGINT)                    AS n_b,
+               floor(avg(score) * 1e6 + 0.5) / 1e6         AS conf_r,
+               floor(avg(label) * 1e6 + 0.5) / 1e6         AS acc_r
+        FROM p GROUP BY 1
+    )
+    SELECT bin, n_b, conf_r, acc_r,
+           abs(acc_r - conf_r) AS gap_r,
+           floor(sum(n_b * abs(acc_r - conf_r)) OVER ()
+                 / sum(n_b) OVER () * 1e6 + 0.5) / 1e6 AS ece_r
+    FROM b
+    ORDER BY bin
+    """,
+)
+def quality_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-calibration-error report (Naeini et al. 2015 /
+    Guo et al. 2017): reliability diagram over 10 equal-width score
+    bins plus the weighted ECE — the standard audit applied to any
+    quality-classifier scores before they gate corpus admission.
+    Score here is the percent-rank of order total (an exact,
+    engine-identical rational in [0,1]); label = order is
+    urgent/high priority.
+
+    Determinism: percent_rank = (rank-1)/(n-1) is the same exact
+    double on both engines (identical sort, identical integer
+    arithmetic), so binning is exact; per-bin conf/acc carry only
+    summation-order noise, canonicalized at 1e-6, and the ECE is
+    recombined FROM the canonical per-bin values.
+
+    Scale shape: the global percent-rank is the honest small-N
+    formulation; at 100 TB replace it with approx-quantile bin edges
+    (same downstream algebra) — documented, like the sibling exact
+    medians. Everything else is one 10-group aggregate."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice")
+    p = o.select(
+        F.percent_rank().over(w).alias("score"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        )
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    b = p.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        (F.floor(F.avg("score") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "conf_r"
+        ),
+        (F.floor(F.avg("label") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "acc_r"
+        ),
+    )
+    wall = Window.partitionBy()
+    gap = F.abs(F.col("acc_r") - F.col("conf_r"))
+    return b.select(
+        "bin",
+        "n_b",
+        "conf_r",
+        "acc_r",
+        gap.alias("gap_r"),
+        (
+            F.floor(
+                F.sum(F.col("n_b") * gap).over(wall)
+                / F.sum("n_b").over(wall)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("ece_r"),
+    ).orderBy("bin")

@@ -2858,3 +2858,94 @@ def similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k_r",
         )
     )
+
+
+_ORACLE_HAMMING_TOPK = f"""
+    WITH x AS (
+        SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, embedding[i] AS v
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    packed AS (
+        SELECT vec_id, pos // 32 AS w,
+               sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(pos % 32 AS INT))
+                        ELSE 0 END) AS bits
+        FROM x GROUP BY vec_id, pos // 32
+    ),
+    ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               CAST(sum(bit_count(xor(q.bits, c.bits))) AS BIGINT) AS hamming
+        FROM packed q
+        JOIN packed c ON q.w = c.w AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, c.vec_id
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, hamming
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY hamming, cand_id) AS rnk
+        FROM ham
+    )
+    WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+"""
+
+
+@register("similarity_binary_hamming_topk", oracle=_ORACLE_HAMMING_TOPK, defer=True)
+def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding search: sign-binarize each vector (bit i = dim
+    i > 0), pack 32 bits per BIGINT word, and rank candidates per
+    query by Hamming distance = sum over words of popcount(q XOR c) —
+    the 32-64x-compressed first-pass retrieval (Charikar 2002 sign
+    hashing / 'binary passage retriever') that modern pipelines run
+    before exact rescoring on the shortlist.
+
+    Everything is integer-exact end to end: packing, XOR, popcount,
+    ranking — no float edge at all, so the cross-engine hash needs no
+    canonicalization.
+
+    Scale shape: packing is one map-side-combinable aggregate at
+    (vec_id, word) grain (D/32 longs per vector, 32x smaller than the
+    float corpus); the scoring join keys on the word index with the
+    tiny query side broadcast, so the corpus streams through one
+    stage.  At 100 TB the shortlist feeds the exact-cosine rescorer
+    (`similarity_topk_bruteforce` formulation) over candidates only;
+    per-query cost is a popcount scan, the memory-bandwidth-bound
+    regime binary codes exist for."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    packed = x.groupBy(
+        "vec_id", (F.col("pos") / 32).cast("long").alias("w")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("bits")
+    )
+    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "w",
+        F.col("bits").alias("qbits"),
+    )
+    ham = (
+        packed.join(F.broadcast(q), "w")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum(F.bit_count(F.expr("bits ^ qbits")))
+            .cast("long")
+            .alias("hamming")
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    return (
+        ham.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "cand_id", "hamming")
+        .orderBy("query_id", "rnk")
+    )

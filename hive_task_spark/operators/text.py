@@ -2025,3 +2025,100 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_textrank_keywords",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT w[i] AS a, w[i+1] AS b
+        FROM t, unnest(range(1, len(w))) AS r(i)
+        UNION ALL
+        SELECT w[i] AS a, w[i+2] AS b
+        FROM t, unnest(range(1, len(w) - 1)) AS r(i)
+    ),
+    edges AS (
+        SELECT least(a, b) AS u, greatest(a, b) AS v, count(*) AS wt
+        FROM bg WHERE a <> b GROUP BY 1, 2
+    ),
+    und AS (
+        SELECT u AS src, v AS dst, wt FROM edges
+        UNION ALL SELECT v AS src, u AS dst, wt FROM edges
+    ),
+    deg AS (SELECT src, sum(wt) AS wdeg FROM und GROUP BY src)
+    SELECT und.dst AS word,
+           CAST(any_value(dd.wdeg) AS BIGINT)    AS wdeg,
+           floor((0.15 + 0.85 * sum(und.wt * 1.0 / ds.wdeg))
+                 * 1e6 + 0.5) / 1e6              AS score_r
+    FROM und
+    JOIN deg ds ON ds.src = und.src
+    JOIN deg dd ON dd.src = und.dst
+    GROUP BY und.dst
+    ORDER BY score_r DESC, word
+    LIMIT 20
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004), one damped
+    PageRank iteration from uniform init over the corpus word
+    co-occurrence graph (window = 2 tokens, undirected, edge weight =
+    corpus co-occurrence count): score(w) = 0.15 + 0.85 * sum over
+    neighbors u of wt(u,w)/wdeg(u).  The unsupervised keyword signal
+    used to tag corpora before mixture construction.
+
+    Determinism: edge weights and weighted degrees are exact integer
+    counts; the per-word sum of exact rationals carries ~1e-15 order
+    noise, canonicalized at 1e-6; top-20 ties break on the word.
+
+    Scale shape: co-occurrence pairs come from two lead() windows per
+    doc (no self-join), the edge/degree model is vocab^2-bounded and
+    tiny next to the corpus, and the scoring join is model-sized —
+    at 100 TB the only data-sized pass is the pair emission."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    prs = []
+    for dist in (1, 2):
+        prs.append(
+            words.select(
+                F.col("w").alias("a"),
+                F.lead("w", dist).over(win).alias("b"),
+            ).filter(F.col("b").isNotNull())
+        )
+    bg = prs[0].unionAll(prs[1]).filter(F.col("a") != F.col("b"))
+    edges = bg.groupBy(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).agg(F.count(F.lit(1)).alias("wt"))
+    und = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "wt"
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "wt"))
+    deg = und.groupBy("src").agg(F.sum("wt").alias("wdeg"))
+    ds = deg.select(F.col("src"), F.col("wdeg").alias("src_deg"))
+    dd = deg.select(F.col("src").alias("dst"), F.col("wdeg").alias("dst_deg"))
+    return (
+        und.join(F.broadcast(ds), "src")
+        .join(F.broadcast(dd), "dst")
+        .groupBy(F.col("dst").alias("word"))
+        .agg(
+            F.first("dst_deg").cast("long").alias("wdeg"),
+            (
+                F.floor(
+                    (
+                        F.lit(0.15)
+                        + F.lit(0.85)
+                        * F.sum(F.col("wt") * F.lit(1.0) / F.col("src_deg"))
+                    )
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("score_r"),
+        )
+        .orderBy(F.col("score_r").desc(), "word")
+        .limit(20)
+    )

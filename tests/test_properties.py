@@ -2328,3 +2328,55 @@ def test_stream_observe_matches_batch_count(spark, sf_dir):
     n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert row.n_events == n
     assert row.min_user <= row.max_user
+
+
+def test_hamming_topk_matches_direct_recompute(spark, sf_dir):
+    """The packed-XOR-popcount Hamming distance must equal a direct
+    per-dimension sign-mismatch count recomputed from the floats."""
+    from pyspark.sql import functions as F
+
+    rows = registry.QUERIES["similarity_binary_hamming_topk"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 50 and all(0 <= r.hamming <= 64 for r in rows)
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id").isin([rows[0].query_id, rows[0].cand_id]))
+        .collect()
+    }
+    q, c = emb[rows[0].query_id], emb[rows[0].cand_id]
+    direct = sum((a > 0) != (b > 0) for a, b in zip(q, c))
+    assert rows[0].hamming == direct
+
+
+def test_ece_bins_partition_orders(spark, sf_dir):
+    """Reliability bins must partition the orders table exactly and
+    the ECE must equal the n-weighted mean of the per-bin gaps."""
+    rows = registry.QUERIES["quality_ece_calibration"](spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_b for r in rows) == n
+    assert sorted(r.bin for r in rows) == list(range(10))
+    ece = sum(r.n_b * r.gap_r for r in rows) / n
+    assert abs(ece - rows[0].ece_r) < 1e-5
+
+
+def test_t_closeness_bounds_and_trio_consistency(spark, sf_dir):
+    """t-distance is a variational distance: in [0,1]; and the
+    customer-count over classes must reconcile with the table."""
+    rows = registry.QUERIES["quality_t_closeness_audit"](spark, sf_dir).collect()
+    assert all(0.0 <= r.t_dist_r <= 1.0 for r in rows)
+    assert all(r.violates == (r.t_dist_r > 0.15) for r in rows)
+    n = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.n_c for r in rows) == n
+
+
+def test_dsir_shortlist_is_sorted_and_scored(spark, sf_dir):
+    """DSIR shortlist: ranks contiguous, log-weights non-increasing,
+    every doc tokenized."""
+    rows = registry.QUERIES["pipeline_dsir_importance"](spark, sf_dir).collect()
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(
+        rows[i].logw_r >= rows[i + 1].logw_r for i in range(len(rows) - 1)
+    )
+    assert all(r.n_tokens > 0 for r in rows)
