@@ -7329,3 +7329,221 @@ def analytics_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "analytics_tukey_fences",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT)                       AS n,
+           floor(any_value(q.q1) * 1e6 + 0.5) / 1e6       AS q1_r,
+           floor(any_value(q.q3) * 1e6 + 0.5) / 1e6       AS q3_r,
+           floor((any_value(q.q3) - any_value(q.q1)) * 1e6 + 0.5) / 1e6
+                                                          AS iqr_r,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT)    AS n_low,
+           CAST(sum(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT)    AS n_high
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def analytics_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot outlier screen per event type: fences at
+    Q1 - 1.5*IQR and Q3 + 1.5*IQR, counting values beyond each —
+    the third member of the outlier-family (z-score and MAD siblings
+    exist) and the one robust to BOTH non-normality and the 50%
+    breakdown point of the quartiles.
+
+    Determinism: exact interpolated quartiles are the same two-middle
+    interpolation on both engines (identical input doubles), fence
+    arithmetic is fixed-order IEEE on those values, and the outlier
+    counts are strict comparisons of identical doubles — integers
+    cross the edge; the displayed quartiles are canonicalized.
+
+    Scale shape: at 100 TB swap quantile_cont for approx_percentile
+    (same downstream algebra, documented like the sibling exact
+    medians); the count pass is one map-side-combinable conditional
+    aggregate against a groups-sized broadcast."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _canon6(F.first("q1")).alias("q1_r"),
+            _canon6(F.first("q3")).alias("q3_r"),
+            _canon6(F.first("q3") - F.first("q1")).alias("iqr_r"),
+            F.sum(F.when(F.col("value") < lo, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("value") > hi, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "analytics_cohens_kappa",
+    oracle="""
+    WITH med AS (SELECT median(o_totalprice) AS m FROM orders),
+    r AS (
+        SELECT CASE WHEN o.o_totalprice > med.m THEN 1 ELSE 0 END AS a,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS b
+        FROM orders o, med
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a * b) AS BIGINT)                 AS n11,
+               CAST(sum(a * (1 - b)) AS BIGINT)           AS n10,
+               CAST(sum((1 - a) * b) AS BIGINT)           AS n01,
+               CAST(sum((1 - a) * (1 - b)) AS BIGINT)     AS n00
+        FROM r
+    )
+    SELECT n, n11, n10, n01, n00,
+           floor((n11 + n00) * 1.0 / n * 1e6 + 0.5) / 1e6 AS po_r,
+           floor(((n11 + n10) * 1.0 / n * ((n11 + n01) * 1.0 / n)
+                  + (n01 + n00) * 1.0 / n * ((n10 + n00) * 1.0 / n))
+                 * 1e6 + 0.5) / 1e6                       AS pe_r,
+           floor(((n11 + n00) * 1.0 / n
+                  - ((n11 + n10) * 1.0 / n * ((n11 + n01) * 1.0 / n)
+                     + (n01 + n00) * 1.0 / n * ((n10 + n00) * 1.0 / n)))
+                 / (1 - ((n11 + n10) * 1.0 / n * ((n11 + n01) * 1.0 / n)
+                         + (n01 + n00) * 1.0 / n * ((n10 + n00) * 1.0 / n)))
+                 * 1e6 + 0.5) / 1e6                       AS kappa_r
+    FROM c
+    """,
+)
+def analytics_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two binary labelers
+    derived from orders — rater A: 'high-value' (total above the
+    corpus median), rater B: 'urgent' (priority 1-2) — the
+    chance-corrected agreement score every labeling/annotation
+    pipeline reports before trusting a silver label.
+    kappa = (p_o - p_e) / (1 - p_e).
+
+    Determinism: the 2x2 contingency is exact integers; p_o/p_e/kappa
+    are FIXED-order rational expressions evaluated identically by
+    both engines, canonicalized at 1e-6.
+
+    Scale shape: one median (exact here; approx_percentile at 100 TB)
+    broadcast into one conditional-aggregate pass — the whole
+    statistic is a 1-row reduction."""
+    o = load(spark, sf_dir, "orders")
+    med = o.agg(F.median("o_totalprice").alias("m"))
+    r = o.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("o_totalprice") > F.col("m"), 1).otherwise(0).alias("a"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    nn = F.col("n")
+    po = (F.col("n11") + F.col("n00")) * F.lit(1.0) / nn
+    pa1 = (F.col("n11") + F.col("n10")) * F.lit(1.0) / nn
+    pb1 = (F.col("n11") + F.col("n01")) * F.lit(1.0) / nn
+    pa0 = (F.col("n01") + F.col("n00")) * F.lit(1.0) / nn
+    pb0 = (F.col("n10") + F.col("n00")) * F.lit(1.0) / nn
+    pe = pa1 * pb1 + pa0 * pb0
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        _canon6(po).alias("po_r"),
+        _canon6(pe).alias("pe_r"),
+        _canon6((po - pe) / (F.lit(1) - pe)).alias("kappa_r"),
+    )
+
+
+@register(
+    "analytics_degree_assortativity",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+        SELECT u AS i, v AS j FROM edges
+        UNION ALL SELECT v AS i, u AS j FROM edges
+    ),
+    deg AS (SELECT i AS node, count(*) AS d FROM und GROUP BY i)
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT)  AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT)    AS n_nodes,
+           floor(corr(CAST(di.d AS DOUBLE), CAST(dj.d AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6                      AS assortativity_r
+    FROM und
+    JOIN deg di ON di.node = und.i
+    JOIN deg dj ON dj.node = und.j
+    """,
+)
+def analytics_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-purchase graph:
+    the Pearson correlation of endpoint degrees over all directed
+    edge stubs — negative means hubs attach to leaves (the typical
+    retail/dependency shape), positive means hub-hub cliques; the
+    one-number summary that predicts whether degree-based
+    partitioning will skew.
+
+    Determinism: degrees are exact integers; corr carries each
+    engine's partial-aggregation order noise, canonicalized at 1e-6.
+
+    Scale shape: the same degree-bounded wedge geometry as kcore /
+    link prediction (<=7 lines per order caps the self-join blowup);
+    degrees are one count aggregate joined back to the stub list, and
+    corr is a single map-side-combinable algebraic aggregate."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    und = edges.select(F.col("u").alias("i"), F.col("v").alias("j")).unionAll(
+        edges.select(F.col("v").alias("i"), F.col("u").alias("j"))
+    )
+    deg = und.groupBy(F.col("i").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    n_edges = edges.count()
+    n_nodes = deg.count()
+    return (
+        und.join(deg.select(F.col("node").alias("i"), F.col("d").alias("di")), "i")
+        .join(deg.select(F.col("node").alias("j"), F.col("d").alias("dj")), "j")
+        .agg(
+            F.lit(n_edges).cast("long").alias("n_edges"),
+            F.lit(n_nodes).cast("long").alias("n_nodes"),
+            _canon6(
+                F.corr(F.col("di").cast("double"), F.col("dj").cast("double"))
+            ).alias("assortativity_r"),
+        )
+    )

@@ -576,3 +576,95 @@ def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_custkey").cast("long").alias("sample_custkey"),
         )
     )
+
+
+# Convex-ish hexagon in (lon, lat) space for the point-in-polygon op;
+# fixed literal so both engines evaluate identical edge tests.
+_POLY = [(-40.0, 0.0), (-10.0, 20.0), (30.0, 15.0), (45.0, -5.0),
+         (20.0, -25.0), (-25.0, -20.0)]
+
+
+def _ray_cast_sql(px: str, py: str) -> str:
+    """Even-odd ray-casting crossing count as ONE fixed-order SQL
+    expression shared verbatim by Spark SQL and DuckDB: for each
+    polygon edge, does a ray going right from the point cross it?
+    Inside = odd number of crossings."""
+    terms = []
+    n = len(_POLY)
+    for k in range(n):
+        x1, y1 = _POLY[k]
+        x2, y2 = _POLY[(k + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > {py}) <> ({y2} > {py}))"
+            f" AND {px} < ({x2} - {x1}) * ({py} - {y1})"
+            f" / ({y2} - {y1}) + {x1} THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+@register(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_mktsegment,
+               ({_CUST_LON}) AS lon,
+               ({_CUST_LAT}) AS lat,
+               c_acctbal
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN {_ray_cast_sql('lon', 'lat')}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+           floor(sum(CASE WHEN {_ray_cast_sql('lon', 'lat')}
+                          THEN 1 ELSE 0 END) * 1.0 / count(*)
+                 * 1e6 + 0.5) / 1e6 AS share_r,
+           round(sum(CASE WHEN {_ray_cast_sql('lon', 'lat')}
+                          THEN c_acctbal ELSE 0 END), 2) AS inside_acctbal
+    FROM pts
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment (even-odd ray casting) of the
+    synthesized customer points against a fixed hexagonal region —
+    the geofencing primitive behind territory assignment and
+    region-scoped rollups.  The crossing test is generated as ONE
+    fixed-order SQL expression from the polygon literal and shared
+    verbatim by both engines, so every comparison runs on identical
+    doubles (strict inequalities; boundary points resolve identically).
+
+    Scale shape: a pure per-row predicate inside whole-stage codegen —
+    no join, no shuffle beyond the 5-group rollup. For polygon SETS at
+    100 TB, pair this per-edge test with the sibling grid-bucketed
+    join (`geo_radius_join`) so candidates hit only their cell's
+    polygons."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.expr(_CUST_LON).alias("lon"),
+        F.expr(_CUST_LAT).alias("lat"),
+        "c_acctbal",
+    )
+    inside = F.expr(_ray_cast_sql("lon", "lat"))
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(inside, 1).otherwise(0)).cast("long").alias("n_inside"),
+            (
+                F.floor(
+                    F.sum(F.when(inside, 1).otherwise(0))
+                    * F.lit(1.0)
+                    / F.count(F.lit(1))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("share_r"),
+            F.round(
+                F.sum(F.when(inside, F.col("c_acctbal")).otherwise(0)), 2
+            ).alias("inside_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

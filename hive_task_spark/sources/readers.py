@@ -1234,3 +1234,52 @@ def source_csv_multichar_delimiter(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("n_name"), F.lit(" | region "), F.col("n_regionkey").cast("string")
         ).alias("label"),
     )
+
+
+@register(
+    "source_json_multiline",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    defer=True,
+)
+def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line JSON reader (`multiLine=true`): one pretty-printed
+    JSON ARRAY file — the shape config payloads, API dumps, and
+    exported fixtures arrive in, which the default JSONL reader
+    rejects as corrupt.  The file is produced engine-side
+    (to_json over a collect_list struct — a 1-row aggregate, no
+    driver loop) and read back with an explicit schema.
+
+    Scale shape: a multiLine JSON file is NOT splittable (one record
+    spans lines, so one task reads the whole file) — this reader is
+    the dim/config path by design; the splittable corpus path is
+    JSONL (`source_json_roundtrip`). The write is a 1-row reduce of a
+    25-row dim."""
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    payload = n.orderBy("n_nationkey").agg(
+        F.to_json(
+            F.collect_list(
+                F.struct("n_nationkey", "n_name", "n_regionkey")
+            )
+        ).alias("value")
+    )
+    path = _scratch("nation_json_multiline")
+    payload.coalesce(1).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", "true")
+        .json(path)
+        .orderBy("n_nationkey")
+    )

@@ -2380,3 +2380,38 @@ def test_dsir_shortlist_is_sorted_and_scored(spark, sf_dir):
         rows[i].logw_r >= rows[i + 1].logw_r for i in range(len(rows) - 1)
     )
     assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_point_in_polygon_matches_shapely_free_check(spark, sf_dir):
+    """Ray casting must agree with a pure-Python even-odd recompute
+    for a sample of customers (independent implementation)."""
+    from hive_task_spark.operators.geo import _POLY
+    from pyspark.sql import functions as F
+
+    rows = registry.QUERIES["geo_point_in_polygon"](spark, sf_dir).collect()
+    n_total = sum(r.n_total for r in rows)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey").collect()
+    assert n_total == len(c)
+
+    def inside(px, py):
+        cnt, n = 0, len(_POLY)
+        for k in range(n):
+            x1, y1 = _POLY[k]
+            x2, y2 = _POLY[(k + 1) % n]
+            if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+                cnt += 1
+        return cnt % 2 == 1
+
+    expected = sum(
+        inside(((r.c_custkey * 73) % 18000) / 100.0 - 90,
+               ((r.c_custkey * 37) % 9000) / 100.0 - 45)
+        for r in c
+    )
+    assert sum(r.n_inside for r in rows) == expected
+
+
+def test_cohens_kappa_contingency_partitions(spark, sf_dir):
+    """2x2 cells must partition orders; kappa in [-1, 1]."""
+    r = registry.QUERIES["analytics_cohens_kappa"](spark, sf_dir).collect()[0]
+    assert r.n11 + r.n10 + r.n01 + r.n00 == r.n
+    assert -1.0 <= r.kappa_r <= 1.0
