@@ -7547,3 +7547,166 @@ def analytics_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("assortativity_r"),
         )
     )
+
+
+@register(
+    "analytics_cochran_armitage",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(month(o_orderdate) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT)           AS n_k,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r_k
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(sum(n_k) AS BIGINT) AS n,
+               CAST(sum(r_k) AS BIGINT) AS r,
+               CAST(sum(t * r_k) AS BIGINT)     AS str_,
+               CAST(sum(t * n_k) AS BIGINT)     AS stn,
+               CAST(sum(t * t * n_k) AS BIGINT) AS sttn
+        FROM g
+    )
+    SELECT n, r,
+           floor((str_ - r * 1.0 / n * stn) * 1e6 + 0.5) / 1e6 AS t_stat_r,
+           floor((str_ - r * 1.0 / n * stn)
+                 / sqrt(r * 1.0 / n * (1 - r * 1.0 / n)
+                        * (sttn - stn * 1.0 * stn / n))
+                 * 1e6 + 0.5) / 1e6                            AS z_r
+    FROM s
+    """,
+)
+def analytics_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is the urgent-order share trending
+    across the ordered month buckets (scores t = 1..12)?
+    T = sum t_k (r_k - n_k R/N), z = T / sqrt(p(1-p)(sum t^2 n -
+    (sum t n)^2 / N)) — the dose-response test behind 'is this rate
+    drifting with the ordered exposure' readouts.
+
+    Determinism: every aggregate (n_k, r_k, t*r_k, t^2*n_k) is an
+    exact integer sum; T and z are fixed-order rational expressions
+    over those integers, identical on both engines before the 1e-6
+    canon.
+
+    Scale shape: one month-grain conditional aggregate (12 cells)
+    then a 1-row reduction — fully map-side combinable."""
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy(F.month("o_orderdate").cast("long").alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("r_k"),
+    )
+    s = g.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("r_k").cast("long").alias("r"),
+        F.sum(F.col("t") * F.col("r_k")).cast("long").alias("str_"),
+        F.sum(F.col("t") * F.col("n_k")).cast("long").alias("stn"),
+        F.sum(F.col("t") * F.col("t") * F.col("n_k")).cast("long").alias("sttn"),
+    )
+    p = F.col("r") * F.lit(1.0) / F.col("n")
+    t_stat = F.col("str_") - p * F.col("stn")
+    var = p * (F.lit(1) - p) * (
+        F.col("sttn") - F.col("stn") * F.lit(1.0) * F.col("stn") / F.col("n")
+    )
+    return s.select(
+        "n",
+        "r",
+        _canon6(t_stat).alias("t_stat_r"),
+        _canon6(t_stat / F.sqrt(var)).alias("z_r"),
+    )
+
+
+@register(
+    "analytics_sax_symbols",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    base AS (
+        SELECT day_idx - (SELECT min(day_idx) FROM daily) AS d, cnt
+        FROM daily
+    ),
+    stats AS (
+        SELECT sum(cnt) * 1.0 / count(*) AS mu,
+               sqrt((sum(cnt * cnt) - sum(cnt) * 1.0 * sum(cnt) / count(*))
+                    / (count(*) - 1)) AS sigma
+        FROM base
+    ),
+    paa AS (
+        SELECT d // 7 AS seg,
+               CAST(count(*) AS BIGINT) AS n_days,
+               sum(cnt) * 1.0 / count(*) AS m
+        FROM base GROUP BY d // 7
+    )
+    SELECT paa.seg, paa.n_days,
+           floor(paa.m * 1e6 + 0.5) / 1e6 AS paa_r,
+           CASE WHEN (paa.m - s.mu) / s.sigma < -0.6745 THEN 'a'
+                WHEN (paa.m - s.mu) / s.sigma < 0       THEN 'b'
+                WHEN (paa.m - s.mu) / s.sigma < 0.6745  THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM paa, stats s
+    ORDER BY paa.seg
+    """,
+)
+def analytics_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh 2003) of the daily event-count
+    series: Piecewise Aggregate Approximation over 7-day segments,
+    z-normalization, then Gaussian-equiprobable breakpoints
+    (+-0.6745, 0) map each segment to one of 4 symbols — the
+    time-series-to-string transform that makes motif discovery and
+    similarity indexable (iSAX) at scale.
+
+    Determinism: daily counts are integers, so every sum (s1, s2,
+    per-segment means) is EXACT in doubles; mu/sigma come from a
+    fixed-order closed form over those exact sums, z-scores are
+    identical doubles on both engines, and breakpoint comparisons are
+    strict — the symbol column is deterministic without tolerance.
+
+    Scale shape: one day-grain count aggregate, a broadcast 1-row
+    stats reduction, one segment-grain aggregate — each map-side
+    combinable; symbols per series are |days|/7, a 50x reduction
+    before any motif join."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mind = daily.agg(F.min("day_idx").alias("d0"))
+    base = daily.crossJoin(F.broadcast(mind)).select(
+        (F.col("day_idx") - F.col("d0")).alias("d"), "cnt"
+    )
+    stats = base.agg(
+        (F.sum("cnt") * F.lit(1.0) / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("cnt") * F.col("cnt"))
+                - F.sum("cnt") * F.lit(1.0) * F.sum("cnt") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sigma"),
+    )
+    paa = base.groupBy(F.floor(F.col("d") / 7).cast("long").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.sum("cnt") * F.lit(1.0) / F.count(F.lit(1))).alias("m"),
+    )
+    z = (F.col("m") - F.col("mu")) / F.col("sigma")
+    return (
+        paa.crossJoin(F.broadcast(stats))
+        .select(
+            "seg",
+            "n_days",
+            _canon6(F.col("m")).alias("paa_r"),
+            F.when(z < -0.6745, "a")
+            .when(z < 0, "b")
+            .when(z < 0.6745, "c")
+            .otherwise("d")
+            .alias("symbol"),
+        )
+        .orderBy("seg")
+    )

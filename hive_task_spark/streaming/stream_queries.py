@@ -1132,3 +1132,64 @@ def stream_observe_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n_events), round(float(total), 2), int(mn), int(mx))],
         "n_events long, total_value_r double, min_user long, max_user long",
     )
+
+
+@register(
+    "stream_windowed_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE                     AS p50_ok,
+           TRUE                     AS p95_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_windowed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latency-percentile dashboard: percentile_approx is a
+    partial-aggregable sketch, so it runs INSIDE a streaming
+    aggregation (complete mode) — the p50/p95-per-key panel every
+    observability stack keeps over its event stream, with the sketch
+    merged across micro-batches by the state store rather than
+    recomputed.
+
+    The sketch value is engine-specific, so (like the batch sibling
+    `agg_approx_quantiles`) the edge emits deterministic sandwich
+    bounds: the streaming approx p50/p95 must land inside the exact
+    batch [p40,p60]/[p90,p99] windows.
+
+    Scale shape: state is one quantile sketch per key (bounded by the
+    accuracy parameter), not per-value — the whole point of sketch
+    aggregates under unbounded streams."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile_approx("value", 0.5, 10000).alias("a50"),
+        F.percentile_approx("value", 0.95, 10000).alias("a95"),
+    )
+    got = _run_to_table(
+        spark, agg, "stream_windowed_percentiles", "complete"
+    )
+    from hive_task_spark.tables import load
+
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.4)).alias("e40"),
+            F.percentile("value", F.lit(0.6)).alias("e60"),
+            F.percentile("value", F.lit(0.90)).alias("e90"),
+            F.percentile("value", F.lit(0.99)).alias("e99"),
+        )
+    )
+    return (
+        got.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.col("a50").between(F.col("e40"), F.col("e60")).alias("p50_ok"),
+            F.col("a95").between(F.col("e90"), F.col("e99")).alias("p95_ok"),
+        )
+        .orderBy("event_type")
+    )
