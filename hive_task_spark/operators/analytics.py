@@ -7710,3 +7710,186 @@ def analytics_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@register(
+    "analytics_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+        FROM daily a JOIN daily b ON a.day_idx < b.day_idx
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+        SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS tie_term
+        FROM (SELECT count(*) AS t FROM daily GROUP BY x HAVING count(*) > 1)
+    )
+    SELECT nn.n, s.s_stat,
+           floor((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term)
+                 / 18.0 * 1e6 + 0.5) / 1e6 AS var_s_r,
+           floor((CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                       WHEN s.s_stat < 0 THEN s.s_stat + 1
+                       ELSE 0 END)
+                 / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term)
+                        / 18.0) * 1e6 + 0.5) / 1e6 AS z_r,
+           CASE WHEN s.s_stat > 0 THEN 'increasing'
+                WHEN s.s_stat < 0 THEN 'decreasing'
+                ELSE 'no trend' END AS direction
+    FROM s, nn, ties
+    """,
+)
+def analytics_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall non-parametric trend test on the daily event-count
+    series: S = sum over ordered day pairs of sign(x_j - x_i),
+    tie-corrected variance, and the continuity-corrected z — the
+    distribution-free 'is this metric drifting' test monitoring
+    stacks run where OLS slopes are invalid.
+
+    Determinism: S and the tie term are exact integers; var and z are
+    fixed-order rationals over them (sqrt is correctly-rounded IEEE),
+    canonicalized at 1e-6.
+
+    Scale shape: the all-pairs S is quadratic in the SERIES length
+    (days, not events — bounded by the calendar, ~365 rows/year), so
+    the self-join is model-sized; daily aggregation is the only
+    data-sized pass. For multi-year spans at 100 TB, compute S per
+    year-segment and merge (S is additive over disjoint pair sets
+    within segments plus a cross-segment term of the same form)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, F.col("a.day_idx") < F.col("b.day_idx"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties))
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / F.lit(18.0)
+    s_adj = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    return j.select(
+        "n",
+        "s_stat",
+        _canon6(var_s).alias("var_s_r"),
+        _canon6(s_adj / F.sqrt(var_s)).alias("z_r"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("no trend")
+        .alias("direction"),
+    )
+
+
+@register(
+    "analytics_gumbel_block_maxima",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    blocks AS (
+        SELECT day_idx // 30 AS blk, max(cnt) AS mx
+        FROM daily GROUP BY day_idx // 30
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+               sum(mx) * 1.0 / count(*) AS mean_mx,
+               sqrt((sum(mx * mx) - sum(mx) * 1.0 * sum(mx) / count(*))
+                    / (count(*) - 1)) AS sd_mx
+        FROM blocks
+    )
+    SELECT n_blocks,
+           floor(mean_mx * 1e6 + 0.5) / 1e6 AS mean_max_r,
+           floor(sd_mx * 1e6 + 0.5) / 1e6   AS sd_max_r,
+           floor((sd_mx * sqrt(6) / pi()) * 1e6 + 0.5) / 1e6 AS sigma_r,
+           floor((mean_mx - 0.5772156649015329 * sd_mx * sqrt(6) / pi())
+                 * 1e6 + 0.5) / 1e6         AS mu_r,
+           floor((mean_mx - 0.5772156649015329 * sd_mx * sqrt(6) / pi()
+                  - sd_mx * sqrt(6) / pi() * ln(-ln(1 - 1.0 / 12)))
+                 * 1e6 + 0.5) / 1e6         AS return_level_12_r
+    FROM mom
+    """,
+)
+def analytics_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value capacity planning: fit a Gumbel distribution to
+    30-day block maxima of the daily event count by method of moments
+    (sigma = sd*sqrt(6)/pi, mu = mean - gamma*sigma) and report the
+    12-block return level mu - sigma*ln(-ln(1 - 1/12)) — 'the daily
+    peak you should expect once a year', the standard EVT answer to
+    provisioning questions that percentiles underestimate.
+
+    Determinism: block maxima are exact integers, so the moment sums
+    are exact; pi() and the Euler-Mascheroni literal are the same
+    doubles on both engines; the one ln(-ln(.)) of a shared rational
+    carries only libm-vs-StrictMath ulp, absorbed by the 1e-6 canon.
+
+    Scale shape: day-grain count, block-grain max, 1-row moment
+    reduction — all map-side combinable."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    blocks = daily.groupBy(
+        F.floor(F.col("day_idx") / 30).cast("long").alias("blk")
+    ).agg(F.max("cnt").alias("mx"))
+    mom = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        (F.sum("mx") * F.lit(1.0) / F.count(F.lit(1))).alias("mean_mx"),
+        F.sqrt(
+            (
+                F.sum(F.col("mx") * F.col("mx"))
+                - F.sum("mx") * F.lit(1.0) * F.sum("mx") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd_mx"),
+    )
+    sigma = F.col("sd_mx") * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    mu = F.col("mean_mx") - F.lit(0.5772156649015329) * sigma
+    rl = mu - sigma * F.log(-F.log(F.lit(1) - F.lit(1.0) / 12))
+    return mom.select(
+        "n_blocks",
+        _canon6(F.col("mean_mx")).alias("mean_max_r"),
+        _canon6(F.col("sd_mx")).alias("sd_max_r"),
+        _canon6(sigma).alias("sigma_r"),
+        _canon6(mu).alias("mu_r"),
+        _canon6(rl).alias("return_level_12_r"),
+    )

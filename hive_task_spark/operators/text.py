@@ -2122,3 +2122,133 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_r").desc(), "word")
         .limit(20)
     )
+
+
+@register(
+    "text_rouge_n_pairs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    uni AS (
+        SELECT doc_id, w[i] AS g, count(*) AS c
+        FROM t, unnest(range(1, len(w) + 1)) AS r(i)
+        GROUP BY doc_id, w[i]
+    ),
+    bi AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS g, count(*) AS c
+        FROM t, unnest(range(1, len(w))) AS r(i)
+        GROUP BY doc_id, w[i] || ' ' || w[i+1]
+    ),
+    pairs AS (
+        SELECT a.doc_id AS ref_id, b.doc_id AS cand_id
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ),
+    r1 AS (
+        SELECT p.ref_id,
+               sum(r.c)                          AS n_ref,
+               sum(least(r.c, COALESCE(c.c, 0))) AS n_match
+        FROM pairs p
+        JOIN uni r ON r.doc_id = p.ref_id
+        LEFT JOIN uni c ON c.doc_id = p.cand_id AND c.g = r.g
+        GROUP BY p.ref_id
+    ),
+    r2 AS (
+        SELECT p.ref_id,
+               sum(r.c)                          AS n_ref,
+               sum(least(r.c, COALESCE(c.c, 0))) AS n_match
+        FROM pairs p
+        JOIN bi r ON r.doc_id = p.ref_id
+        LEFT JOIN bi c ON c.doc_id = p.cand_id AND c.g = r.g
+        GROUP BY p.ref_id
+    )
+    SELECT r1.ref_id, CAST(r1.ref_id + 1 AS BIGINT) AS cand_id,
+           CAST(r1.n_ref AS BIGINT)   AS n_ref_uni,
+           floor(r1.n_match * 1.0 / r1.n_ref * 1e6 + 0.5) / 1e6 AS rouge1_r,
+           CAST(r2.n_ref AS BIGINT)   AS n_ref_bi,
+           floor(r2.n_match * 1.0 / r2.n_ref * 1e6 + 0.5) / 1e6 AS rouge2_r
+    FROM r1 JOIN r2 ON r2.ref_id = r1.ref_id
+    ORDER BY r1.ref_id
+    """,
+)
+def text_rouge_n_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 recall (Lin 2004) with clipped n-gram counts
+    for consecutive-doc_id (reference, candidate) pairs — the
+    n-gram-overlap eval every summarization / generation pipeline
+    reports, expressed as pure relational algebra: per-doc n-gram
+    count tables, a pair-keyed left join, and
+    sum(min(c_ref, c_cand)) / sum(c_ref).
+
+    Determinism: counts and clipped matches are exact integers; the
+    recall ratio is a single rational, canonicalized at 1e-6.
+
+    Scale shape: n-gram tables are (doc, gram)-grain aggregates
+    (map-side combinable); the scoring join keys on (doc_id, gram) —
+    at 100 TB candidate/reference pairing is an equi-join, never a
+    cross product, and the gram join co-partitions both sides."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    uni = words.groupBy("doc_id", F.col("w").alias("g")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bi = (
+        words.select(
+            "doc_id",
+            F.concat_ws(" ", "w", F.lead("w", 1).over(win)).alias("g"),
+            F.lead("w", 1).over(win).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ids = d.select("doc_id")
+    pairs = ids.alias("a").join(
+        ids.alias("b"),
+        F.col("b.doc_id") == F.col("a.doc_id") + 1,
+    ).select(
+        F.col("a.doc_id").alias("ref_id"), F.col("b.doc_id").alias("cand_id")
+    )
+
+    def _recall(grams, n_ref_name, score_name):
+        r = grams.select(
+            F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("rc")
+        )
+        cnd = grams.select(
+            F.col("doc_id").alias("cand_id"), "g", F.col("c").alias("cc")
+        )
+        return (
+            pairs.join(r, "ref_id")
+            .join(cnd, ["cand_id", "g"], "left")
+            .groupBy("ref_id")
+            .agg(
+                F.sum("rc").cast("long").alias(n_ref_name),
+                (
+                    F.floor(
+                        F.sum(F.least(F.col("rc"), F.coalesce(F.col("cc"), F.lit(0))))
+                        * F.lit(1.0)
+                        / F.sum("rc")
+                        * F.lit(1e6)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).alias(score_name),
+            )
+        )
+
+    r1 = _recall(uni, "n_ref_uni", "rouge1_r")
+    r2 = _recall(bi, "n_ref_bi", "rouge2_r")
+    return (
+        r1.join(r2, "ref_id")
+        .select(
+            "ref_id",
+            (F.col("ref_id") + 1).cast("long").alias("cand_id"),
+            "n_ref_uni",
+            "rouge1_r",
+            "n_ref_bi",
+            "rouge2_r",
+        )
+        .orderBy("ref_id")
+    )
