@@ -2091,9 +2091,18 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).filter(F.col("b").isNotNull())
         )
     bg = prs[0].unionAll(prs[1]).filter(F.col("a") != F.col("b"))
-    edges = bg.groupBy(
-        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-    ).agg(F.count(F.lit(1)).alias("wt"))
+    # The edge model is vocab^2-bounded (tiny next to the corpus) but
+    # feeds FOUR downstream references (und x2, deg via und, scoring
+    # join): materialize it once so the corpus-sized pair emission
+    # runs a single time instead of per-reference (same discipline as
+    # the kcore / link-prediction edge lists).
+    edges = (
+        bg.groupBy(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .localCheckpoint()
+    )
     und = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "wt"
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "wt"))
