@@ -596,3 +596,46 @@ def udf_grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fit,
         schema="event_type string, n_days bigint, slope_r double, intercept_r double",
     )
+
+
+@register(
+    "udf_arrow_python_scalar",
+    oracle="""
+    SELECT CAST(CAST(substr(c_name, 10) AS BIGINT) % 7 AS BIGINT)
+               AS cust_bucket,
+           CAST(count(*) AS BIGINT)      AS n_customers,
+           round(sum(c_acctbal), 2)      AS balance
+    FROM customer
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def udf_arrow_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (`F.udf(..., useArrow=True)`, Spark
+    3.5+): the third Python-kernel surface next to row-at-a-time
+    F.udf (absent from this repo by design) and pandas_udf — same
+    row-wise author experience, but arguments arrive via Arrow
+    batches, ~2x the pickled path. The kernel parses the customer id
+    ('Customer#000000123' -> 123 % 7), pure integer/string work, so
+    the edge is exact.
+
+    100 TB posture: like every Python kernel here, this exists to
+    pin the surface — the same parse is one JVM substr/cast (the
+    oracle literally is that), and production hot paths should use
+    it; the op value-checks the Arrow (de)serialization round trip.
+    """
+    parse = F.udf(
+        lambda name: int(name[9:]) % 7 if name else None,
+        "long",
+        useArrow=True,
+    )
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.withColumn("cust_bucket", parse(F.col("c_name")))
+        .groupBy("cust_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("balance"),
+        )
+        .orderBy("cust_bucket")
+    )

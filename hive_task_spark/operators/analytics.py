@@ -7893,3 +7893,151 @@ def analytics_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame
         _canon6(mu).alias("mu_r"),
         _canon6(rl).alias("return_level_12_r"),
     )
+
+
+_SHAPLEY_SETS = [
+    "",
+    "click",
+    "signup",
+    "view",
+    "click|signup",
+    "click|view",
+    "signup|view",
+    "click|signup|view",
+]
+
+
+def _shapley_v_sql() -> str:
+    """Per-coalition conversion rates v(S) as one conditional-agg row
+    (columns v_0..v_7 in _SHAPLEY_SETS order), from per-user exposure
+    sets — shared structure between the two engines' plans."""
+    cols = []
+    for i, s in enumerate(_SHAPLEY_SETS):
+        cols.append(
+            f"COALESCE(sum(CASE WHEN cset = '{s}' AND conv THEN 1 ELSE 0 END)"
+            f" * 1.0 / nullif(sum(CASE WHEN cset = '{s}' THEN 1 ELSE 0 END),"
+            f" 0), 0.0) AS v_{i}"
+        )
+    return ", ".join(cols)
+
+
+@register(
+    "analytics_shapley_attribution",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+    ),
+    u AS (
+        SELECT e.user_id,
+               COALESCE(array_to_string(list_sort(list_distinct(
+                   list(e.event_type) FILTER (WHERE
+                       e.event_type IN ('view', 'click', 'signup')
+                       AND e.ts < w.t0 + INTERVAL 2 DAY))), '|'), '')
+                   AS cset,
+               bool_or(e.event_type = 'purchase'
+                       AND e.ts < w.t0 + INTERVAL 2 DAY) AS conv
+        FROM events e JOIN w USING (user_id) GROUP BY e.user_id
+    ),
+    v AS (SELECT {{V_COLS}} FROM u)
+    SELECT channel,
+           floor(shap * 1e6 + 0.5) / 1e6 AS shapley_r
+    FROM (
+        SELECT 'click' AS channel,
+               (v_1 - v_0) / 3 + ((v_4 - v_2) + (v_5 - v_3)) / 6
+               + (v_7 - v_6) / 3 AS shap
+        FROM v
+        UNION ALL
+        SELECT 'signup',
+               (v_2 - v_0) / 3 + ((v_4 - v_1) + (v_6 - v_3)) / 6
+               + (v_7 - v_5) / 3
+        FROM v
+        UNION ALL
+        SELECT 'view',
+               (v_3 - v_0) / 3 + ((v_5 - v_1) + (v_6 - v_2)) / 6
+               + (v_7 - v_4) / 3
+        FROM v
+    )
+    ORDER BY channel
+    """.replace("{V_COLS}", _shapley_v_sql()),
+)
+def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution (Shapley 1953 as applied by
+    Zhao et al. 2018): with channels C = {{view, click, signup}} and
+    the empirical characteristic function v(S) = conversion rate
+    (within each user's first-2-day onboarding window) of users whose
+    exposure set over that window is exactly S, each channel's credit is
+    phi_c = sum over S not containing c of |S|!(|C|-|S|-1)!/|C|! *
+    (v(S+c) - v(S)) — the coalition-fair alternative to the
+    first/last/linear heuristics in `analytics_attribution_models`.
+
+    Determinism: the 8 coalition rates are exact integer ratios from
+    one conditional aggregate; phi is a fixed-order rational
+    expression over them (weights 1/3, 1/6, 1/3 for |S| = 0, 1, 2),
+    identical on both engines before the 1e-6 canon.
+
+    Scale shape: one user-grain aggregate builds exposure sets (set
+    size bounded by |C|, the collect is per-user tiny), one 1-row
+    conditional aggregate over the 8 coalitions, then constant-size
+    arithmetic — the heavy pass is user-grain, exactly once."""
+    ev = load(spark, sf_dir, "events")
+    w = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    in_win = F.col("ts") < F.col("t0") + F.expr("INTERVAL 2 DAYS")
+    u = (
+        ev.join(w, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.sort_array(
+                    F.collect_set(
+                        F.when(
+                            F.col("event_type").isin(
+                                "view", "click", "signup"
+                            )
+                            & in_win,
+                            F.col("event_type"),
+                        )
+                    )
+                ),
+            ).alias("cset"),
+            F.max(
+                (F.col("event_type") == "purchase") & in_win
+            ).alias("conv"),
+        )
+    )
+    v_aggs = []
+    for i, s in enumerate(_SHAPLEY_SETS):
+        in_set = F.col("cset") == s
+        v_aggs.append(
+            F.coalesce(
+                F.sum(F.when(in_set & F.col("conv"), 1).otherwise(0))
+                * F.lit(1.0)
+                / F.nullif(
+                    F.sum(F.when(in_set, 1).otherwise(0)), F.lit(0)
+                ),
+                F.lit(0.0),
+            ).alias(f"v_{i}")
+        )
+    v = u.agg(*v_aggs)
+    vc = {i: F.col(f"v_{i}") for i in range(8)}
+    phi = {
+        "click": (vc[1] - vc[0]) / 3
+        + ((vc[4] - vc[2]) + (vc[5] - vc[3])) / 6
+        + (vc[7] - vc[6]) / 3,
+        "signup": (vc[2] - vc[0]) / 3
+        + ((vc[4] - vc[1]) + (vc[6] - vc[3])) / 6
+        + (vc[7] - vc[5]) / 3,
+        "view": (vc[3] - vc[0]) / 3
+        + ((vc[5] - vc[1]) + (vc[6] - vc[2])) / 6
+        + (vc[7] - vc[4]) / 3,
+    }
+    outs = [
+        v.select(
+            F.lit(ch).alias("channel"), _canon6(expr).alias("shapley_r")
+        )
+        for ch, expr in phi.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("channel")
