@@ -8041,3 +8041,269 @@ def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("channel")
+
+
+def _hurst_scale_sql(size: int) -> str:
+    """One rescaled-range scale: partition the daily series into
+    complete blocks of `size` days, compute R/S per block (range of
+    cumulative mean-deviations over the in-block stddev), and average
+    over blocks."""
+    return f"""
+        SELECT {size} AS scale, avg(r / s) AS rs
+        FROM (
+            SELECT blk,
+                   max(cdev) - min(cdev) AS r,
+                   sqrt((any_value(s2) - any_value(s1) * 1.0 * any_value(s1)
+                         / {size}) / {size}) AS s
+            FROM (
+                SELECT blk, cnt,
+                       sum(cnt - mu) OVER (
+                           PARTITION BY blk ORDER BY d
+                           ROWS UNBOUNDED PRECEDING) AS cdev,
+                       s1, s2
+                FROM (
+                    SELECT d, cnt, d // {size} AS blk,
+                           sum(cnt) OVER (PARTITION BY d // {size}) AS s1,
+                           sum(cnt * cnt) OVER (PARTITION BY d // {size})
+                               AS s2,
+                           sum(cnt) OVER (PARTITION BY d // {size}) * 1.0
+                               / {size} AS mu,
+                           count(*) OVER (PARTITION BY d // {size}) AS bn
+                    FROM base
+                ) WHERE bn = {size}
+            ) GROUP BY blk
+        ) WHERE s > 0
+    """
+
+
+@register(
+    "analytics_hurst_exponent",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    base AS (
+        SELECT day_idx - (SELECT min(day_idx) FROM daily) AS d, cnt
+        FROM daily
+    ),
+    scales AS ({_hurst_scale_sql(7)} UNION ALL {_hurst_scale_sql(14)})
+    SELECT CAST(max(CASE WHEN scale = 7 THEN scale END) AS BIGINT)
+               AS scale_lo,
+           CAST(max(CASE WHEN scale = 14 THEN scale END) AS BIGINT)
+               AS scale_hi,
+           floor(max(CASE WHEN scale = 7 THEN rs END) * 1e6 + 0.5) / 1e6
+               AS rs_lo_r,
+           floor(max(CASE WHEN scale = 14 THEN rs END) * 1e6 + 0.5) / 1e6
+               AS rs_hi_r,
+           floor((ln(max(CASE WHEN scale = 14 THEN rs END))
+                  - ln(max(CASE WHEN scale = 7 THEN rs END)))
+                 / (ln(14) - ln(7)) * 1e6 + 0.5) / 1e6 AS hurst_r
+    FROM scales
+    """,
+)
+def analytics_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis over the daily
+    event-count series at two dyadic scales (7- and 14-day blocks):
+    H = dln(R/S)/dln(scale) — H around 0.5 means the load series is
+    memoryless, H > 0.5 long-range dependent (bursts cluster, so
+    capacity planning can't assume Poisson).
+
+    Determinism: daily counts are integers (block moment sums exact),
+    cumulative deviations are identical doubles on both engines, the
+    per-scale block average carries only tiny order noise, and the
+    two ln() calls land on shared doubles — canon at 1e-6.
+
+    Scale shape: one day-grain aggregate, then per-scale window work
+    over the SERIES (calendar-bounded, never event-sized); scales are
+    a 2-branch union of block-grain reductions."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    mind = daily.agg(F.min("day_idx").alias("d0"))
+    base = daily.crossJoin(F.broadcast(mind)).select(
+        (F.col("day_idx") - F.col("d0")).alias("d"), "cnt"
+    )
+
+    def scale_rs(size: int) -> DataFrame:
+        blk = F.floor(F.col("d") / size).cast("long")
+        wb = Window.partitionBy("blk")
+        wo = (
+            Window.partitionBy("blk")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        t = base.select(
+            "d",
+            "cnt",
+            blk.alias("blk"),
+            F.sum("cnt").over(Window.partitionBy(blk)).alias("s1"),
+            F.sum(F.col("cnt") * F.col("cnt"))
+            .over(Window.partitionBy(blk))
+            .alias("s2"),
+            (F.sum("cnt").over(Window.partitionBy(blk)) * F.lit(1.0) / size).alias(
+                "mu"
+            ),
+            F.count(F.lit(1)).over(Window.partitionBy(blk)).alias("bn"),
+        ).filter(F.col("bn") == size)
+        t = t.withColumn(
+            "cdev", F.sum(F.col("cnt") - F.col("mu")).over(wo)
+        )
+        per_blk = t.groupBy("blk").agg(
+            (F.max("cdev") - F.min("cdev")).alias("r"),
+            F.sqrt(
+                (
+                    F.first("s2")
+                    - F.first("s1") * F.lit(1.0) * F.first("s1") / size
+                )
+                / size
+            ).alias("s"),
+        )
+        return per_blk.filter(F.col("s") > 0).agg(
+            F.lit(size).alias("scale"),
+            F.avg(F.col("r") / F.col("s")).alias("rs"),
+        )
+
+    scales = scale_rs(7).unionByName(scale_rs(14))
+    agg = scales.agg(
+        F.max(F.when(F.col("scale") == 7, F.col("scale")))
+        .cast("long")
+        .alias("scale_lo"),
+        F.max(F.when(F.col("scale") == 14, F.col("scale")))
+        .cast("long")
+        .alias("scale_hi"),
+        F.max(F.when(F.col("scale") == 7, F.col("rs"))).alias("rs_lo"),
+        F.max(F.when(F.col("scale") == 14, F.col("rs"))).alias("rs_hi"),
+    )
+    return agg.select(
+        "scale_lo",
+        "scale_hi",
+        _canon6(F.col("rs_lo")).alias("rs_lo_r"),
+        _canon6(F.col("rs_hi")).alias("rs_hi_r"),
+        _canon6(
+            (F.log(F.col("rs_hi")) - F.log(F.col("rs_lo")))
+            / (F.log(F.lit(14.0)) - F.log(F.lit(7.0)))
+        ).alias("hurst_r"),
+    )
+
+
+@register(
+    "analytics_regression_influence",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(l_quantity AS DOUBLE))   AS sx,
+               sum(CAST(l_quantity AS DOUBLE)
+                   * CAST(l_quantity AS DOUBLE)) AS sxx_raw,
+               sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+               sum(CAST(l_quantity AS DOUBLE)
+                   * CAST(l_extendedprice AS DOUBLE)) AS sxy
+        FROM lineitem
+    ),
+    beta AS (
+        SELECT n, sx, sxx_raw,
+               floor((sxy - sx * sy / n) / (sxx_raw - sx * sx / n)
+                     * 100 + 0.5) / 100 AS b1,
+               floor((sy / n
+                      - (floor((sxy - sx * sy / n) / (sxx_raw - sx * sx / n)
+                               * 100 + 0.5) / 100) * sx / n)
+                     * 100 + 0.5) / 100 AS b0
+        FROM s
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS x,
+           l_extendedprice            AS y,
+           floor((l_extendedprice - (b.b0 + b.b1 * l_quantity)) * 1e2 + 0.5)
+               / 1e2 AS resid_r,
+           floor((1.0 / b.n
+                  + (l_quantity - b.sx / b.n) * (l_quantity - b.sx / b.n)
+                    / (b.sxx_raw - b.sx * b.sx / b.n)) * 1e9 + 0.5) / 1e9
+               AS leverage_r,
+           CAST(floor(pow(l_extendedprice - (b.b0 + b.b1 * l_quantity), 2)
+                 * (1.0 / b.n
+                    + (l_quantity - b.sx / b.n) * (l_quantity - b.sx / b.n)
+                      / (b.sxx_raw - b.sx * b.sx / b.n))
+                 / pow(1 - (1.0 / b.n
+                            + (l_quantity - b.sx / b.n)
+                              * (l_quantity - b.sx / b.n)
+                              / (b.sxx_raw - b.sx * b.sx / b.n)), 2)
+                 + 0.5) AS BIGINT) AS influence_r
+    FROM lineitem, beta b
+    ORDER BY influence_r DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def analytics_regression_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression influence diagnostics (Cook's-distance numerator
+    e_i^2 h_i / (1-h_i)^2, the per-point part of Cook's D — the s^2
+    scaling is a global constant that cannot change the ranking): the
+    20 lineitems that most distort the price-on-quantity OLS fit, the
+    screen run before trusting any fitted slope on raw data.
+
+    Determinism: x = quantity is integer, so x-side moments and every
+    leverage h_i are EXACT; the slope/intercept from the noisy y-side
+    sums are canonicalized at 1e-2 FIRST (coarse is fine — beta canon
+    defines the reference line, exactly reproducibly), after which
+    residuals and influences are identical doubles; the influence
+    edge rounds to integer units (values O(1e9), where 1e-6 grain
+    would be below the doubles' resolution anyway).
+
+    Scale shape: one 5-sum moment aggregate (map-side combinable),
+    broadcast back for a per-row projection, global top-20 via
+    per-partition heaps."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_raw"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    c2 = lambda col: F.floor(col * F.lit(100) + F.lit(0.5)) / F.lit(100)
+    b1 = c2(
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+        / (F.col("sxx_raw") - F.col("sx") * F.col("sx") / F.col("n"))
+    )
+    beta = s.select(
+        "n",
+        "sx",
+        "sxx_raw",
+        b1.alias("b1"),
+        c2(F.col("sy") / F.col("n") - b1 * F.col("sx") / F.col("n")).alias(
+            "b0"
+        ),
+    )
+    j = li.crossJoin(F.broadcast(beta))
+    resid = F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))
+    lev = F.lit(1.0) / F.col("n") + (
+        F.col("x") - F.col("sx") / F.col("n")
+    ) * (F.col("x") - F.col("sx") / F.col("n")) / (
+        F.col("sxx_raw") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    infl = F.floor(
+        F.pow(resid, 2) * lev / F.pow(F.lit(1) - lev, 2) + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("x").cast("long").alias("x"),
+            F.col("y").alias("y"),
+            (F.floor(resid * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).alias(
+                "resid_r"
+            ),
+            (F.floor(lev * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias(
+                "leverage_r"
+            ),
+            infl.alias("influence_r"),
+        )
+        .orderBy(F.col("influence_r").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )

@@ -2261,3 +2261,118 @@ def text_rouge_n_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ref_id")
     )
+
+
+@register(
+    "text_burrows_delta",
+    oracle="""
+    WITH tok AS (
+        SELECT d.source, t.w
+        FROM documents d, unnest(string_split(d.text, ' ')) AS t(w)
+        WHERE t.w <> ''
+    ),
+    totals AS (SELECT source, count(*) AS tot FROM tok GROUP BY source),
+    top_w AS (
+        SELECT w FROM tok GROUP BY w
+        ORDER BY count(*) DESC, w LIMIT 15
+    ),
+    grid AS (
+        SELECT totals.source, totals.tot, top_w.w FROM totals, top_w
+    ),
+    f AS (
+        SELECT g.source, g.w,
+               COALESCE(c.c, 0) * 1.0 / g.tot AS f
+        FROM grid g
+        LEFT JOIN (SELECT source, w, count(*) AS c
+                   FROM tok GROUP BY source, w) c
+          ON c.source = g.source AND c.w = g.w
+    ),
+    stats AS (
+        SELECT w,
+               floor(avg(f) * 1e9 + 0.5) / 1e9 AS mu,
+               floor(stddev_samp(f) * 1e9 + 0.5) / 1e9 AS sd
+        FROM f GROUP BY w
+    ),
+    z AS (
+        SELECT f.source, f.w, (f.f - s.mu) / s.sd AS z
+        FROM f JOIN stats s ON s.w = f.w
+        WHERE s.sd > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           floor(avg(abs(a.z - b.z)) * 1e6 + 0.5) / 1e6 AS delta_r
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY delta_r, source_a, source_b
+    LIMIT 10
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometry (Burrows 2002): z-normalize the
+    relative frequencies of the 15 most common words across sources,
+    then Delta(a,b) = mean |z_a - z_b| — the attribution distance
+    used to detect same-author / same-generator text; the 10 closest
+    source pairs are the 'stylistically indistinguishable' ones a
+    contamination review flags.
+
+    Determinism: frequencies are exact rationals on a DENSE
+    (source x top-word) grid (missing counts coalesce to 0 — without
+    it the per-word mean/std silently drop sources); mu/sd are
+    canonicalized at 1e-9 BEFORE z so both engines divide identical
+    doubles; the final mean-of-15 carries only ulp order noise under
+    the 1e-6 canon.
+
+    Scale shape: the corpus pass is one (source, word) count; the
+    model (sources x 15) is tiny; the pair join is |sources|^2 over a
+    15-row-per-pair grid — bounded by the catalog, never the corpus."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    totals = tok.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    top_w = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(15)
+        .select("w")
+    )
+    grid = totals.crossJoin(F.broadcast(top_w))
+    counts = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    f = grid.join(counts, ["source", "w"], "left").select(
+        "source",
+        "w",
+        (F.coalesce(F.col("c"), F.lit(0)) * F.lit(1.0) / F.col("tot")).alias(
+            "f"
+        ),
+    )
+    c9 = lambda col: F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    stats = f.groupBy("w").agg(
+        c9(F.avg("f")).alias("mu"), c9(F.stddev_samp("f")).alias("sd")
+    )
+    z = (
+        f.join(F.broadcast(stats), "w")
+        .filter(F.col("sd") > 0)
+        .select(
+            "source", "w", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")
+        )
+    )
+    a = z.select(F.col("source").alias("source_a"), "w", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "w", F.col("z").alias("zb"))
+    return (
+        a.join(
+            b,
+            (a["w"] == b["w"]) & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            (
+                F.floor(
+                    F.avg(F.abs(F.col("za") - F.col("zb"))) * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("delta_r")
+        )
+        .orderBy("delta_r", "source_a", "source_b")
+        .limit(10)
+    )
