@@ -3098,3 +3098,112 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
         .limit(100)
     )
+
+
+@register(
+    "pipeline_ab_srm_check",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id,
+               CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, 1) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               count(*)   AS n_events,
+               sum(value) AS user_value
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm,
+               CAST(count(*) AS BIGINT)      AS n_users,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               round(sum(user_value), 2)     AS total_value_r
+        FROM assign GROUP BY arm
+    ),
+    srm AS (
+        SELECT floor((pow(max(CASE WHEN arm = 'A' THEN n_users END)
+                          - sum(n_users) / 2.0, 2)
+                      + pow(max(CASE WHEN arm = 'B' THEN n_users END)
+                            - sum(n_users) / 2.0, 2))
+                     / (sum(n_users) / 2.0) * 1e6 + 0.5) / 1e6 AS chi2_r
+        FROM arms
+    )
+    SELECT arms.arm, arms.n_users, arms.n_events, arms.total_value_r,
+           srm.chi2_r, srm.chi2_r > 3.841459 AS srm_violation
+    FROM arms, srm
+    ORDER BY arms.arm
+    """,
+)
+def pipeline_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B bucket assignment + sample-ratio-mismatch
+    guardrail: users hash to arms by an md5 nibble (the reproducible
+    50/50 splitter — never rand(), per the module's determinism
+    rule), and the 1-df chi-square against the designed split is the
+    SRM check every experimentation platform runs BEFORE reading any
+    metric (a biased assignment invalidates the whole experiment).
+
+    Determinism: assignment is md5-exact; counts are integers; chi2
+    is a fixed-order rational over them, canonicalized at 1e-6; the
+    violation flag compares the canonical value to the chi-square
+    95% critical literal on both engines.
+
+    Scale shape: one user-grain aggregate (the assignment is a
+    projection, no shuffle of its own), a 2-row arm rollup, and a
+    1-row chi-square — the data-sized pass happens exactly once."""
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 1), 16, 10)"
+            " AS BIGINT)"
+        )
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assign = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("user_value"),
+        )
+        .select(arm.alias("arm"), "n_events", "user_value")
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.sum("user_value"), 2).alias("total_value_r"),
+    )
+    half = F.sum("n_users") / F.lit(2.0)
+    srm = arms.agg(
+        (
+            F.floor(
+                (
+                    F.pow(
+                        F.max(F.when(F.col("arm") == "A", F.col("n_users")))
+                        - half,
+                        2,
+                    )
+                    + F.pow(
+                        F.max(F.when(F.col("arm") == "B", F.col("n_users")))
+                        - half,
+                        2,
+                    )
+                )
+                / half
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("chi2_r")
+    )
+    return (
+        arms.crossJoin(F.broadcast(srm))
+        .select(
+            "arm",
+            "n_users",
+            "n_events",
+            "total_value_r",
+            "chi2_r",
+            (F.col("chi2_r") > F.lit(3.841459)).alias("srm_violation"),
+        )
+        .orderBy("arm")
+    )

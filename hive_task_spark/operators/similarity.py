@@ -2949,3 +2949,102 @@ def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .select("query_id", "rnk", "cand_id", "hamming")
         .orderBy("query_id", "rnk")
     )
+
+
+_ORACLE_RNN_PAIRS = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_sum(list_transform(list_zip(a.vec, b.vec),
+                                       p -> p[1] * p[2]))
+                   / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+        SELECT src, dst, cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
+            FROM scored
+        ) WHERE rnk = 1
+    )
+    SELECT a.src AS vec_a, a.dst AS vec_b,
+           round(a.cosine, 6) AS cosine_r
+    FROM nn a JOIN nn b ON a.dst = b.src AND b.dst = a.src
+    WHERE a.src < a.dst
+    ORDER BY vec_a
+"""
+
+
+@register("similarity_reciprocal_nn_pairs", oracle=_ORACLE_RNN_PAIRS, defer=True)
+def similarity_reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs: (a, b) where each is the
+    other's cosine top-1 — the high-precision alignment/pairing
+    criterion (RNN matching in bitext mining and SemDeDup-style
+    pair confirmation): one-directional NN is noisy, mutual NN is the
+    standard precision filter.
+
+    Determinism: cosines are in-row sequential-sum dot products
+    (identical doubles on both engines); argmax ranking ties break on
+    neighbor id; only the displayed cosine is rounded.
+
+    Scale shape: the all-pairs NN here is the exact small-N reference
+    (like `similarity_topk_bruteforce`, explicitly labeled); at
+    100 TB the NN candidates come from the sibling LSH / IVF bucket
+    joins and the reciprocity check is one self-join of the
+    (src -> top1) table on (dst, src) = (src, dst) — model-sized,
+    since it is one row per vector."""
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("src"),
+        F.col("vec").alias("avec"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("dst"),
+        F.col("vec").alias("bvec"),
+        F.col("nrm").alias("bnrm"),
+    )
+    scored = (
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (
+                _dot(F.col("avec"), F.col("bvec"))
+                / (F.col("anrm") * F.col("bnrm"))
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    nn = (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") == 1)
+        .select("src", "dst", "cosine")
+        .localCheckpoint()
+    )
+    rev = nn.select(
+        F.col("src").alias("dst"), F.col("dst").alias("src2")
+    )
+    return (
+        nn.join(rev, (nn["dst"] == rev["dst"]) & (nn["src"] == rev["src2"]))
+        .filter(F.col("src") < nn["dst"])
+        .select(
+            F.col("src").alias("vec_a"),
+            nn["dst"].alias("vec_b"),
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+        .orderBy("vec_a")
+    )
