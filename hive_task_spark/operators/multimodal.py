@@ -698,3 +698,82 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seg_len").cast("long").alias("max_seg_len"),
         F.min("seg_start").cast("long").alias("first_seg_start"),
     )
+
+
+@register(
+    "multimodal_patch_grid_plan",
+    oracle="""
+    WITH assets AS (
+        SELECT doc_id,
+               CAST(64 + doc_id % 448 AS BIGINT)       AS width,
+               CAST(64 + (doc_id * 7) % 448 AS BIGINT) AS height
+        FROM documents
+        WHERE doc_id % 3 = 0  -- image modality
+    ),
+    g AS (
+        SELECT doc_id, width, height,
+               CAST(ceil(width / 16.0) AS BIGINT)  AS px,
+               CAST(ceil(height / 16.0) AS BIGINT) AS py
+        FROM assets
+    )
+    SELECT px * 16 AS padded_w, py * 16 AS padded_h,
+           CAST(px * py AS BIGINT)          AS n_patches,
+           CAST(count(*) AS BIGINT)         AS n_images,
+           CAST(sum(px * 16 * py * 16 - width * height) AS BIGINT)
+                                            AS wasted_pixels,
+           CAST(min(doc_id) AS BIGINT)      AS sample_doc
+    FROM g
+    GROUP BY px, py
+    ORDER BY n_patches, padded_w
+    """,
+)
+def multimodal_patch_grid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch-grid planning over the image assets: for a
+    16x16 patch size, the padded dimensions, patch count (= sequence
+    length a vision encoder would see), and padding waste per
+    distinct grid shape — the batching/bucketing plan a multimodal
+    training pipeline builds BEFORE decoding a single image, so
+    same-shape assets co-batch and padding is budgeted up front.
+
+    Pure integer geometry from the deterministic metadata (width =
+    64 + id % 448, height = 64 + 7*id % 448; reference: _assets) —
+    exact on both engines.
+
+    Scale shape: metadata-only (the payload column is never read —
+    the same blob-pruned scan as `multimodal_metadata_profile`); one
+    grid-shape aggregate whose cardinality is bounded by the
+    (patch-grid) shape universe, ~29^2, never the asset count."""
+    a = _assets(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    g = a.select(
+        "doc_id",
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        F.ceil(F.col("width") / 16.0).cast("long").alias("px"),
+        F.ceil(F.col("height") / 16.0).cast("long").alias("py"),
+    )
+    return (
+        g.groupBy("px", "py")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum(
+                F.col("px") * 16 * F.col("py") * 16
+                - F.col("width") * F.col("height")
+            )
+            .cast("long")
+            .alias("wasted_pixels"),
+            F.min("doc_id").cast("long").alias("sample_doc"),
+        )
+        .select(
+            (F.col("px") * 16).alias("padded_w"),
+            (F.col("py") * 16).alias("padded_h"),
+            (F.col("px") * F.col("py")).cast("long").alias("n_patches"),
+            "n_images",
+            "wasted_pixels",
+            "sample_doc",
+        )
+        .orderBy("n_patches", "padded_w")
+    )

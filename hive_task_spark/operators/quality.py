@@ -2374,3 +2374,94 @@ def quality_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("ece_r"),
     ).orderBy("bin")
+
+
+@register(
+    "quality_order_total_reconciliation",
+    oracle="""
+    WITH lines AS (
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+                     2) AS line_total,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderkey, o.o_totalprice, l.line_total, l.n_lines,
+               CASE WHEN l.l_orderkey IS NULL THEN 'NO_LINES'
+                    WHEN abs(l.line_total - o.o_totalprice)
+                         <= 0.01 * o.o_totalprice THEN 'OK'
+                    ELSE 'MISMATCH' END AS status
+        FROM orders o LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT)                   AS n_orders,
+           round(sum(o_totalprice), 2)                AS book_total,
+           round(sum(COALESCE(line_total, 0)), 2)     AS line_total,
+           round(sum(COALESCE(line_total, 0) - o_totalprice), 2)
+                                                      AS drift_total
+    FROM j
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def quality_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: does each order's booked
+    total agree (within 1%) with the sum of its line-item net
+    amounts?  The classic ledger-vs-detail audit — the first report a
+    finance data team builds, and the canary for partial loads
+    (orders without lines) and double-applied discounts.
+
+    Determinism: per-order line sums are money — rounded to the exact
+    2dp decimal grain (CLAUDE.md money rule) BEFORE the tolerance
+    comparison, so the OK/MISMATCH classification compares identical
+    doubles; all rollup sums are 2dp-rounded at the edge.
+
+    Scale shape: one orderkey-grain aggregate of lineitem (map-side
+    combinable), one co-keyed LEFT join (both sides shuffle on the
+    same key — bucketable), a status-grain rollup. No broadcast
+    needed and none hinted: both sides are data-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("line_total"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    o = load(spark, sf_dir, "orders")
+    j = o.join(lines, o["o_orderkey"] == lines["l_orderkey"], "left").select(
+        "o_orderkey",
+        "o_totalprice",
+        "line_total",
+        F.when(F.col("l_orderkey").isNull(), "NO_LINES")
+        .when(
+            F.abs(F.col("line_total") - F.col("o_totalprice"))
+            <= 0.01 * F.col("o_totalprice"),
+            "OK",
+        )
+        .otherwise("MISMATCH")
+        .alias("status"),
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("book_total"),
+            F.round(F.sum(F.coalesce(F.col("line_total"), F.lit(0))), 2).alias(
+                "line_total"
+            ),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("line_total"), F.lit(0))
+                    - F.col("o_totalprice")
+                ),
+                2,
+            ).alias("drift_total"),
+        )
+        .orderBy("status")
+    )
