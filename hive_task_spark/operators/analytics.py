@@ -8307,3 +8307,148 @@ def analytics_regression_influence(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("influence_r").desc(), "l_orderkey", "l_linenumber")
         .limit(20)
     )
+
+
+@register(
+    "analytics_var_cvar",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               round(sum(value), 2) AS day_value
+        FROM events GROUP BY 1
+    ),
+    q AS (
+        SELECT quantile_cont(day_value, 0.95) AS var95,
+               quantile_cont(day_value, 0.99) AS var99
+        FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_days,
+           floor(any_value(q.var95) * 1e6 + 0.5) / 1e6    AS var95_r,
+           floor(any_value(q.var99) * 1e6 + 0.5) / 1e6    AS var99_r,
+           CAST(sum(CASE WHEN d.day_value > q.var95 THEN 1 ELSE 0 END)
+                AS BIGINT)                                AS n_tail95,
+           floor(COALESCE(sum(CASE WHEN d.day_value > q.var95
+                                   THEN d.day_value END)
+                          / nullif(sum(CASE WHEN d.day_value > q.var95
+                                            THEN 1 ELSE 0 END), 0), 0)
+                 * 1e6 + 0.5) / 1e6                       AS cvar95_r
+    FROM daily d, q
+    """,
+)
+def analytics_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and conditional VaR (expected shortfall) of the
+    daily aggregate event value: VaR95/99 are the exact interpolated
+    quantiles of the daily series, CVaR95 is the mean of days beyond
+    VaR95 — the tail-risk pair used for capacity and exposure
+    planning where a single percentile hides the tail's weight.
+
+    Determinism: daily sums are money-rounded to 2dp first (exact
+    decimal grain), quantile interpolation picks the same middle
+    doubles on both engines, the tail comparison is strict on
+    identical doubles, and the tail mean over <=few terms is
+    canonicalized at 1e-6.
+
+    Scale shape: day-grain rollup (calendar-bounded series), exact
+    quantile on the series (approx_percentile is the documented
+    swap at multi-year scale), one conditional aggregate."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    q = daily.agg(
+        F.percentile("day_value", F.lit(0.95)).alias("var95"),
+        F.percentile("day_value", F.lit(0.99)).alias("var99"),
+    )
+    tail = F.col("day_value") > F.col("var95")
+    return (
+        daily.crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            _canon6(F.first("var95")).alias("var95_r"),
+            _canon6(F.first("var99")).alias("var99_r"),
+            F.sum(F.when(tail, 1).otherwise(0)).cast("long").alias("n_tail95"),
+            _canon6(
+                F.coalesce(
+                    F.sum(F.when(tail, F.col("day_value")))
+                    / F.nullif(
+                        F.sum(F.when(tail, 1).otherwise(0)), F.lit(0)
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias("cvar95_r"),
+        )
+    )
+
+
+@register(
+    "analytics_entropy_rate_markov",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS s,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t
+        FROM events
+    ),
+    trans AS (
+        SELECT s, t, count(*) AS n FROM seq WHERE t IS NOT NULL GROUP BY s, t
+    ),
+    row_tot AS (SELECT s, sum(n) AS ns FROM trans GROUP BY s),
+    tot AS (SELECT sum(n) AS total FROM trans),
+    cell AS (
+        SELECT tr.s, tr.t,
+               tr.n * 1.0 / rt.ns                           AS p_cond,
+               rt.ns * 1.0 / tt.total                       AS pi_s,
+               floor(-(rt.ns * 1.0 / tt.total)
+                     * (tr.n * 1.0 / rt.ns)
+                     * ln(tr.n * 1.0 / rt.ns) / ln(2)
+                     * 1e9 + 0.5) / 1e9                     AS term
+        FROM trans tr JOIN row_tot rt ON rt.s = tr.s CROSS JOIN tot tt
+    )
+    SELECT CAST(count(*) AS BIGINT)               AS n_cells,
+           floor(sum(term) * 1e6 + 0.5) / 1e6     AS entropy_rate_bits_r
+    FROM cell
+    """,
+)
+def analytics_entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain: H = -sum_s
+    pi(s) sum_t p(t|s) log2 p(t|s) with pi the empirical state
+    occupancy — 'how many bits does the next action carry given the
+    current one', the sequence-predictability number that bounds any
+    next-event model's achievable log-loss (companion to
+    `analytics_markov_transitions`, which emits the matrix itself).
+
+    Determinism: transition counts are exact integers; each cell's
+    -pi p log2 p term is canonicalized at 1e-9 (killing ln ulp
+    divergence at the cell, where it's cheap — |cells| <=
+    |event_types|^2), then the cell sum re-canonicalizes at 1e-6.
+
+    Scale shape: one lead() window per user (the same single shuffle
+    as the sibling Markov op), then state-grain aggregates bounded by
+    the event-type universe."""
+    ev = load(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(win).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    trans = seq.groupBy("s", "t").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = trans.groupBy("s").agg(F.sum("n").alias("ns"))
+    tot = trans.agg(F.sum("n").alias("total"))
+    p_cond = F.col("n") * F.lit(1.0) / F.col("ns")
+    pi_s = F.col("ns") * F.lit(1.0) / F.col("total")
+    term = (
+        F.floor(
+            -pi_s * p_cond * F.log(p_cond) / F.log(F.lit(2.0)) * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        / F.lit(1e9)
+    )
+    cell = (
+        trans.join(F.broadcast(row_tot), "s")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term"))
+    )
+    return cell.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        _canon6(F.sum("term")).alias("entropy_rate_bits_r"),
+    )
