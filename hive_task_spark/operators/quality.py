@@ -2293,11 +2293,20 @@ def quality_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_ece_calibration",
     oracle="""
-    WITH p AS (
-        SELECT percent_rank() OVER (ORDER BY o_totalprice) AS score,
-               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1.0 ELSE 0.0 END AS label
+    WITH m AS (
+        SELECT floor(sum(o_totalprice) / count(*) * 1e2 + 0.5) / 1e2 AS mu,
+               floor(sqrt((sum(o_totalprice * o_totalprice)
+                           - sum(o_totalprice) * 1.0 * sum(o_totalprice)
+                             / count(*)) / (count(*) - 1)) * 1e2 + 0.5)
+                   / 1e2 AS sd
         FROM orders
+    ),
+    p AS (
+        SELECT floor(1.0 / (1.0 + exp(-((o.o_totalprice - m.mu) / m.sd)))
+                     * 1e6 + 0.5) / 1e6 AS score,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1.0 ELSE 0.0 END AS label
+        FROM orders o, m
     ),
     b AS (
         SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
@@ -2319,24 +2328,45 @@ def quality_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guo et al. 2017): reliability diagram over 10 equal-width score
     bins plus the weighted ECE — the standard audit applied to any
     quality-classifier scores before they gate corpus admission.
-    Score here is the percent-rank of order total (an exact,
-    engine-identical rational in [0,1]); label = order is
-    urgent/high priority.
+    Score here is a logistic of the z-scored order total (the
+    stand-in for any model probability); label = order is urgent/high
+    priority.
 
-    Determinism: percent_rank = (rank-1)/(n-1) is the same exact
-    double on both engines (identical sort, identical integer
-    arithmetic), so binning is exact; per-bin conf/acc carry only
-    summation-order noise, canonicalized at 1e-6, and the ECE is
-    recombined FROM the canonical per-bin values.
+    Determinism: mu/sd are canonicalized at 1e-2 (coarse on purpose —
+    they only DEFINE the score; 1e-6 would sit inside the big sums'
+    order noise), making z identical doubles on both engines; the
+    logistic is canonicalized at 1e-6 before the 0.1-grid binning;
+    per-bin conf/acc canon at 1e-6; ECE recombines FROM the canonical
+    per-bin values.
 
-    Scale shape: the global percent-rank is the honest small-N
-    formulation; at 100 TB replace it with approx-quantile bin edges
-    (same downstream algebra) — documented, like the sibling exact
-    medians. Everything else is one 10-group aggregate."""
+    Scale shape: score is a broadcast-stats projection — NO global
+    sort/window anywhere (the repo's bounded-window plan guard
+    enforces it); binning + reliability is one 10-group aggregate."""
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice")
-    p = o.select(
-        F.percent_rank().over(w).alias("score"),
+    c2 = lambda col: F.floor(col * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)
+    m = o.agg(
+        c2(F.sum("o_totalprice") / F.count(F.lit(1))).alias("mu"),
+        c2(
+            F.sqrt(
+                (
+                    F.sum(F.col("o_totalprice") * F.col("o_totalprice"))
+                    - F.sum("o_totalprice")
+                    * F.lit(1.0)
+                    * F.sum("o_totalprice")
+                    / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            )
+        ).alias("sd"),
+    )
+    z = (F.col("o_totalprice") - F.col("mu")) / F.col("sd")
+    p = o.crossJoin(F.broadcast(m)).select(
+        (
+            F.floor(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) * F.lit(1e6) + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("score"),
         F.when(
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
         )
