@@ -8452,3 +8452,183 @@ def analytics_entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         _canon6(F.sum("term")).alias("entropy_rate_bits_r"),
     )
+
+
+@register(
+    "analytics_tukey_hsd",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(o_totalprice AS DOUBLE)) AS s1,
+               sum(CAST(o_totalprice AS DOUBLE)
+                   * CAST(o_totalprice AS DOUBLE)) AS s2
+        FROM orders GROUP BY o_orderpriority
+    ),
+    mse AS (
+        SELECT sum(s2 - s1 * s1 / n) / (sum(n) - count(*)) AS mse
+        FROM g
+    )
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           floor((a.s1 / a.n - b.s1 / b.n) * 1e4 + 0.5) / 1e4 AS mean_diff_r,
+           floor(3.858 * sqrt(m.mse / 2 * (1.0 / a.n + 1.0 / b.n))
+                 * 1e4 + 0.5) / 1e4                           AS hsd_crit_r,
+           abs(floor((a.s1 / a.n - b.s1 / b.n) * 1e4 + 0.5) / 1e4)
+               > floor(3.858 * sqrt(m.mse / 2 * (1.0 / a.n + 1.0 / b.n))
+                       * 1e4 + 0.5) / 1e4                     AS significant
+    FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN mse m
+    ORDER BY grp_a, grp_b
+    """,
+)
+def analytics_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparison after ANOVA: for every
+    pair of order priorities, the mean-total difference vs the HSD
+    critical value q * sqrt(MSE/2 * (1/n_a + 1/n_b)) with the
+    studentized-range q(k=5, df=inf, alpha=.05) = 3.858 literal —
+    the 'WHICH groups differ' readout the omnibus F-test
+    (`analytics_anova_f`) can't give, with the family-wise error
+    control that repeated t-tests lose.
+
+    Determinism: group moment sums carry order noise; mean diffs and
+    the critical value are canonicalized at 1e-4 (both O(1e3-1e5)),
+    and significance compares the two canonical values.
+
+    Scale shape: one group-grain moment aggregate, a k^2 pair join of
+    the 5-row group table, a broadcast 1-row MSE."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("x"),
+    )
+    g = o.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    mse = g.agg(
+        (
+            F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("mse")
+    )
+    a = g.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n").alias("na"),
+        F.col("s1").alias("sa"),
+    )
+    b = g.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n").alias("nb"),
+        F.col("s1").alias("sb"),
+    )
+    c4 = lambda col: F.floor(col * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+    diff = c4(F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"))
+    crit = c4(
+        F.lit(3.858)
+        * F.sqrt(
+            F.col("mse")
+            / 2
+            * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+        )
+    )
+    return (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            "grp_a",
+            "grp_b",
+            diff.alias("mean_diff_r"),
+            crit.alias("hsd_crit_r"),
+            (F.abs(diff) > crit).alias("significant"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )
+
+
+@register(
+    "analytics_friedman_test",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS blk,
+               event_type AS trt,
+               avg(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    full_blocks AS (
+        SELECT blk FROM cell GROUP BY blk
+        HAVING count(*) = (SELECT count(DISTINCT event_type) FROM events)
+    ),
+    ranked AS (
+        SELECT c.blk, c.trt,
+               rank() OVER (PARTITION BY c.blk ORDER BY c.v) AS r
+        FROM cell c JOIN full_blocks f ON f.blk = c.blk
+    ),
+    sums AS (
+        SELECT trt, CAST(sum(r) AS BIGINT) AS rsum,
+               CAST(count(*) AS BIGINT) AS n_blk
+        FROM ranked GROUP BY trt
+    ),
+    stat AS (
+        SELECT CAST(any_value(n_blk) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT)         AS k,
+               floor((12.0 / (any_value(n_blk) * count(*) * (count(*) + 1))
+                      * sum(rsum * rsum)
+                      - 3 * any_value(n_blk) * (count(*) + 1))
+                     * 1e6 + 0.5) / 1e6         AS chi2_r
+        FROM sums
+    )
+    SELECT s.trt, s.rsum, st.n, st.k, st.chi2_r
+    FROM sums s CROSS JOIN stat st
+    ORDER BY s.trt
+    """,
+)
+def analytics_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the event types maintain a consistent
+    value ordering across day blocks?  Within each complete day, the
+    per-type mean values are ranked (a PARTITIONED window — never a
+    global sort); chi2_F = 12/(n k (k+1)) * sum R_j^2 - 3 n (k+1) —
+    the repeated-measures companion to Kruskal-Wallis, for when the
+    same treatments are observed in every block.
+
+    Determinism: per-cell means are identical doubles on both engines
+    (same sums of the same values within a (day, type) cell — the
+    cell aggregate is the grain, not a sample), ranks are integers
+    with dense tie semantics shared by both engines, rank sums are
+    exact integers, and the statistic is a fixed-order rational over
+    them.
+
+    Scale shape: one (day, type) cell aggregate, day-partitioned
+    windows over a calendar-bounded cell table, type-grain rank sums."""
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("blk"),
+        F.col("event_type").alias("trt"),
+    ).agg(F.avg("value").alias("v"))
+    k_types = ev.select("event_type").distinct().count()
+    full_blocks = (
+        cell.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == k_types)
+        .select("blk")
+    )
+    ranked = cell.join(F.broadcast(full_blocks), "blk").withColumn(
+        "r", F.rank().over(Window.partitionBy("blk").orderBy("v"))
+    )
+    sums = ranked.groupBy("trt").agg(
+        F.sum("r").cast("long").alias("rsum"),
+        F.count(F.lit(1)).cast("long").alias("n_blk"),
+    )
+    stat = sums.agg(
+        F.first("n_blk").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        _canon6(
+            F.lit(12.0)
+            / (F.first("n_blk") * F.count(F.lit(1)) * (F.count(F.lit(1)) + 1))
+            * F.sum(F.col("rsum") * F.col("rsum"))
+            - 3 * F.first("n_blk") * (F.count(F.lit(1)) + 1)
+        ).alias("chi2_r"),
+    )
+    return (
+        sums.select("trt", "rsum")
+        .crossJoin(F.broadcast(stat))
+        .orderBy("trt")
+    )
