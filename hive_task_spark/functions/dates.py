@@ -500,3 +500,91 @@ def date_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue_r"),
         )
     )
+
+
+@register(
+    "date_business_days_between",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(month(o.o_orderdate) AS BIGINT) AS order_month,
+               CAST(datediff('day', DATE '1969-12-29',
+                             CAST(o.o_orderdate AS DATE)) AS BIGINT) AS mo,
+               CAST(datediff('day', DATE '1969-12-29',
+                             CAST(l.l_shipdate AS DATE)) AS BIGINT) AS ms
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    bd AS (
+        SELECT order_month,
+               (5 * (ms // 7) + least(ms % 7 + 1, 5))
+               - (5 * (mo // 7) + least(mo % 7 + 1, 5)) AS business_days,
+               ms - mo AS calendar_days
+        FROM base
+    )
+    SELECT order_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           floor(avg(business_days) * 1e6 + 0.5) / 1e6 AS avg_business_r,
+           floor(avg(calendar_days) * 1e6 + 0.5) / 1e6 AS avg_calendar_r
+    FROM bd
+    GROUP BY order_month
+    ORDER BY order_month
+    """,
+)
+def date_business_days_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day lead time (order date -> line ship date), skipping
+    weekends via pure integer calendar algebra: with Monday-anchored
+    day numbers m = days since Monday 1969-12-29 (date-native
+    datediff on the NTZ timestamps — no epoch/timezone surface at
+    all, the r4-ADVICE lead-time discipline), the cumulative-weekday
+    function
+    W(m) = 5*(m div 7) + min(m mod 7 + 1, 5) turns 'weekdays in
+    (a, b]' into W(m_b) - W(m_a) — no calendar table, no iteration,
+    no timezone surface (epoch arithmetic only), exact on both
+    engines.  Reported next to the calendar-day lead so the
+    weekend-inflation is visible per order month.
+
+    Scale shape: a co-keyed fact-fact join (orderkey on both sides,
+    bucketable) and one month-grain aggregate; the weekday algebra is
+    whole-stage-codegen integer ops."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1969-12-29").cast("date")
+        )
+        .cast("long")
+        .alias("mo"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1969-12-29").cast("date")
+        )
+        .cast("long")
+        .alias("ms"),
+    )
+
+    def w(col):
+        return 5 * F.expr(f"{col} DIV 7") + F.least(
+            F.col(col) % 7 + 1, F.lit(5)
+        )
+
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "order_month",
+        (w("ms") - w("mo")).alias("business_days"),
+        (F.col("ms") - F.col("mo")).alias("calendar_days"),
+    )
+    return (
+        j.groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (
+                F.floor(F.avg("business_days") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("avg_business_r"),
+            (
+                F.floor(F.avg("calendar_days") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("avg_calendar_r"),
+        )
+        .orderBy("order_month")
+    )

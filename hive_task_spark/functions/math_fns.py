@@ -296,3 +296,60 @@ def math_hyperbolic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.atan2(d, F.col("l_tax") + 0.01), 9).alias("atan2_r"),
         F.round(F.log(d + F.sqrt(d * d + 1)), 9).alias("asinh_via_ln_r"),
     )
+
+
+@register(
+    "math_logsumexp_grouped",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, max(value) AS mx, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           any_value(m.n)                               AS n,
+           floor(any_value(m.mx) * 1e6 + 0.5) / 1e6     AS max_r,
+           floor((any_value(m.mx)
+                  + ln(sum(exp(e.value - m.mx)))) * 1e6 + 0.5) / 1e6
+                                                        AS lse_r,
+           floor((any_value(m.mx) + ln(sum(exp(e.value - m.mx)))
+                  - ln(any_value(m.n))) * 1e6 + 0.5) / 1e6
+                                                        AS log_mean_exp_r
+    FROM events e JOIN m ON m.event_type = e.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def math_logsumexp_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerically-stable grouped log-sum-exp via the max-shift
+    identity LSE(x) = max + ln(sum exp(x - max)) — the reduction
+    behind softmax normalizers, log-likelihood accumulation, and
+    log-domain mixture weights, where the naive form overflows the
+    moment any x exceeds ~709.  Also emits log-mean-exp (LSE - ln n),
+    the log-domain average.
+
+    Determinism: the max is exact; exp terms are engine-identical
+    doubles whose SUM carries order noise (~1e-13 rel), absorbed by
+    the 1e-6 canon after the final ln.
+
+    Scale shape: two map-side-combinable aggregates over the same
+    grouping key (max pass, then shifted-sum pass against the
+    broadcast max) — the standard two-pass stable reduction; a
+    single-pass streaming LSE (running max with rescale) is the
+    applyInPandasWithState variant if ever needed."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    m = ev.groupBy("event_type").agg(
+        F.max("value").alias("mx"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    c6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    lse = F.first("mx") + F.log(F.sum(F.exp(F.col("value") - F.col("mx"))))
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            c6(F.first("mx")).alias("max_r"),
+            c6(lse).alias("lse_r"),
+            c6(lse - F.log(F.first("n"))).alias("log_mean_exp_r"),
+        )
+        .orderBy("event_type")
+    )

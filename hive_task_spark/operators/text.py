@@ -2376,3 +2376,105 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("delta_r", "source_a", "source_b")
         .limit(10)
     )
+
+
+@register(
+    "text_stupid_backoff",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM t, unnest(range(1, len(w))) AS r(i)
+        WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+    uni AS (
+        SELECT w2 AS w, count(*) AS nu FROM bg GROUP BY w2
+    ),
+    tot AS (SELECT sum(nu) AS total FROM uni),
+    heldout AS (
+        SELECT bg.doc_id, bg.w1, bg.w2,
+               CASE WHEN c2.n2 IS NOT NULL AND c2.n2 > 1
+                    THEN (c2.n2 - 1.0) / (c1.n1 - 1.0)
+                    ELSE 0.4 * uni.nu / tot.total END AS p,
+               CASE WHEN c2.n2 IS NOT NULL AND c2.n2 > 1
+                    THEN 0 ELSE 1 END AS backed_off
+        FROM bg
+        LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+        JOIN c1 ON c1.w1 = bg.w1
+        JOIN uni ON uni.w = bg.w2
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)        AS n_bigrams,
+           CAST(sum(backed_off) AS BIGINT) AS n_backoff,
+           floor(avg(floor(ln(p) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) / 1e6
+               AS avg_logprob_r
+    FROM heldout
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff bigram scoring (Brants et al. 2007, 'Large
+    Language Models in Machine Translation'): score each bigram with
+    its leave-one-out MLE when the discounted count survives
+    (n2-1)/(n1-1), else back off to 0.4 * unigram relative frequency
+    — the web-scale smoothing that skips normalization entirely
+    because at corpus scale a cheap score beats an exact probability.
+    The leave-one-out discount makes the score honest for bigrams
+    seen exactly once (they back off instead of scoring 1.0).
+
+    Determinism: counts exact; each bigram's ln(p) canonicalized at
+    1e-9 before the per-doc average, edge canon 1e-6 — the same
+    cell-then-edge discipline as the Markov entropy rate.
+
+    Scale shape: identical geometry to `text_bigram_lm_score` /
+    `text_kneser_ney_bigram` — vocab^2-bounded count models broadcast
+    against one corpus bigram pass. (The 0.4 literal is Brants'
+    recommended backoff weight.)"""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bg = words.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w", 1).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    uni = bg.groupBy(F.col("w2").alias("w")).agg(
+        F.count(F.lit(1)).alias("nu")
+    )
+    tot = uni.agg(F.sum("nu").alias("total"))
+    p = F.when(
+        F.col("n2").isNotNull() & (F.col("n2") > 1),
+        (F.col("n2") - 1.0) / (F.col("n1") - 1.0),
+    ).otherwise(F.lit(0.4) * F.col("nu") / F.col("total"))
+    backed = F.when(
+        F.col("n2").isNotNull() & (F.col("n2") > 1), 0
+    ).otherwise(1)
+    scored = (
+        bg.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", p.alias("p"), backed.alias("backed_off"))
+    )
+    lp = F.floor(F.log("p") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("backed_off").cast("long").alias("n_backoff"),
+            (
+                F.floor(F.avg(lp) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            ).alias("avg_logprob_r"),
+        )
+        .orderBy("doc_id")
+    )
