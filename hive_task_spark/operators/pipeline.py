@@ -3207,3 +3207,62 @@ def pipeline_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "pipeline_em_length_mixture_step",
+    oracle="""
+    WITH x AS (SELECT ln(n_chars * 1.0) AS x FROM documents WHERE n_chars > 0),
+    e AS (
+        SELECT x,
+               floor(1.0 / (1.0 + exp(((x - 6.0) * (x - 6.0)
+                                       - (x - 4.0) * (x - 4.0)) / 2.0))
+                     * 1e9 + 0.5) / 1e9 AS r2
+        FROM x
+    )
+    SELECT CAST(count(*) AS BIGINT)                          AS n_docs,
+           floor(avg(r2) * 1e6 + 0.5) / 1e6                  AS pi2_r,
+           floor(sum((1 - r2) * x) / sum(1 - r2) * 1e6 + 0.5) / 1e6
+                                                             AS mu1_new_r,
+           floor(sum(r2 * x) / sum(r2) * 1e6 + 0.5) / 1e6    AS mu2_new_r
+    FROM e
+    """,
+)
+def pipeline_em_length_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact EM step for a two-component equal-variance Gaussian
+    mixture on log document length (init mu = (4, 6), sigma = 1,
+    pi = 0.5) — the model behind 'is this corpus two populations
+    glued together' (e.g. snippets vs full documents), whose fitted
+    split threshold feeds the length-bucket samplers. One step is the
+    distributed primitive: production EM is this map-reduce iterated
+    under a driver loop with broadcast params, each step exactly this
+    shape.
+
+    Determinism: the E-step responsibility (the only transcendental)
+    is canonicalized per row at 1e-9, so both engines aggregate
+    identical doubles; the M-step ratios carry only summation-order
+    noise under the 1e-6 edge canon.
+
+    Scale shape: one projection + one 1-row aggregate per step —
+    no shuffle at all beyond the final reduce (map-side combinable);
+    params stay scalar/broadcast regardless of corpus size."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    x = F.log(F.col("n_chars") * F.lit(1.0))
+    r2_raw = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(((x - 6.0) * (x - 6.0) - (x - 4.0) * (x - 4.0)) / F.lit(2.0))
+    )
+    e = d.select(
+        x.alias("x"),
+        (F.floor(r2_raw * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("r2"),
+    )
+    c6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        c6(F.avg("r2")).alias("pi2_r"),
+        c6(
+            F.sum((F.lit(1) - F.col("r2")) * F.col("x"))
+            / F.sum(F.lit(1) - F.col("r2"))
+        ).alias("mu1_new_r"),
+        c6(F.sum(F.col("r2") * F.col("x")) / F.sum("r2")).alias("mu2_new_r"),
+    )
