@@ -2416,3 +2416,64 @@ def test_cohens_kappa_contingency_partitions(spark, sf_dir):
     r = registry.QUERIES["analytics_cohens_kappa"](spark, sf_dir).collect()[0]
     assert r.n11 + r.n10 + r.n01 + r.n00 == r.n
     assert -1.0 <= r.kappa_r <= 1.0
+
+
+def test_business_days_closed_form_matches_python(spark, sf_dir):
+    """The Monday-anchored cumulative-weekday closed form must agree
+    with an independent python-dateutil-free recompute (numpy
+    busday-style loop) on a sample of (order, ship) pairs."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    sample = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .limit(50)
+        .collect()
+    )
+
+    def w(d: datetime.date) -> int:
+        m = (d - datetime.date(1969, 12, 29)).days
+        return 5 * (m // 7) + min(m % 7 + 1, 5)
+
+    def brute(d1: datetime.date, d2: datetime.date) -> int:
+        n, d = 0, d1
+        step = datetime.timedelta(days=1)
+        while d < d2:
+            d += step
+            if d.weekday() < 5:
+                n += 1
+        return n
+
+    for r in sample:
+        d1, d2 = r.o_orderdate.date(), r.l_shipdate.date()
+        if d2 >= d1:
+            assert w(d2) - w(d1) == brute(d1, d2), (d1, d2)
+
+
+def test_logsumexp_matches_python_math(spark, sf_dir):
+    """Grouped LSE must agree with python math.log/sum/exp to float
+    tolerance (independent implementation)."""
+    import math
+
+    rows = registry.QUERIES["math_logsumexp_grouped"](spark, sf_dir).collect()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for row in rows:
+        vs = by_type[row.event_type]
+        m = max(vs)
+        lse = m + math.log(sum(math.exp(v - m) for v in vs))
+        assert abs(lse - row.lse_r) < 1e-4
+        assert abs((lse - math.log(len(vs))) - row.log_mean_exp_r) < 1e-4
