@@ -8632,3 +8632,127 @@ def analytics_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stat))
         .orderBy("trt")
     )
+
+
+@register(
+    "analytics_decision_stump",
+    oracle="""
+    WITH lab AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS x,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    qs AS (
+        SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS q
+        FROM lab
+    ),
+    th AS (
+        SELECT k, q[k] AS t FROM qs, unnest(range(1, 10)) AS r(k)
+    ),
+    split AS (
+        SELECT th.k, any_value(th.t) AS t,
+               CAST(count(*) AS BIGINT)                         AS n,
+               CAST(sum(CASE WHEN lab.x <= th.t THEN 1 ELSE 0 END)
+                    AS BIGINT)                                  AS n_left,
+               CAST(sum(CASE WHEN lab.x <= th.t THEN lab.y ELSE 0 END)
+                    AS BIGINT)                                  AS pos_left,
+               CAST(sum(lab.y) AS BIGINT)                       AS pos
+        FROM lab CROSS JOIN th
+        GROUP BY th.k
+    ),
+    scored AS (
+        SELECT k, floor(t * 1e2 + 0.5) / 1e2 AS threshold_r, n_left,
+               floor((
+                   (n_left * 1.0 / n)
+                   * (1 - pow(pos_left * 1.0 / n_left, 2)
+                        - pow(1 - pos_left * 1.0 / n_left, 2))
+                   + ((n - n_left) * 1.0 / n)
+                   * (1 - pow((pos - pos_left) * 1.0 / (n - n_left), 2)
+                        - pow(1 - (pos - pos_left) * 1.0 / (n - n_left), 2))
+               ) * 1e6 + 0.5) / 1e6 AS gini_r
+        FROM split
+        WHERE n_left > 0 AND n_left < n
+    )
+    SELECT CAST(k AS BIGINT) AS k, threshold_r, n_left, gini_r,
+           gini_r = min(gini_r) OVER () AS is_best
+    FROM scored
+    ORDER BY k
+    """,
+)
+def analytics_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training (the depth-1 CART step): sweep the
+    nine decile thresholds of order total, score each split by
+    weighted Gini impurity against the urgent-priority label, flag
+    the argmin — the primitive inside every tree ensemble's split
+    finder, and on its own the fastest 'is this feature predictive
+    at all' probe.
+
+    Determinism: thresholds are exact interpolated deciles (identical
+    doubles both engines), split counts are exact integers, Gini is a
+    fixed-order rational per threshold under the 1e-6 canon; is_best
+    compares canonical values.
+
+    Scale shape: the threshold table is 9 rows (broadcast); the sweep
+    is ONE conditional-aggregate pass over the fact table (each row
+    evaluates all thresholds map-side — histogram-style split
+    finding, exactly how distributed GBDTs do it), never a per-
+    threshold rescan."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("x"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    ks = list(range(1, 10))
+    th = o.agg(
+        F.percentile("x", F.array(*[F.lit(k / 10.0) for k in ks])).alias(
+            "ts"
+        )
+    ).select(F.posexplode("ts").alias("k0", "t")).select(
+        (F.col("k0") + 1).alias("k"), "t"
+    )
+    split = (
+        o.crossJoin(F.broadcast(th))
+        .groupBy("k")
+        .agg(
+            F.first("t").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("x") <= F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_left"),
+            F.sum(F.when(F.col("x") <= F.col("t"), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("pos_left"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .filter((F.col("n_left") > 0) & (F.col("n_left") < F.col("n")))
+    )
+    pl = F.col("pos_left") * F.lit(1.0) / F.col("n_left")
+    pr = (F.col("pos") - F.col("pos_left")) * F.lit(1.0) / (
+        F.col("n") - F.col("n_left")
+    )
+    gini = (F.col("n_left") * F.lit(1.0) / F.col("n")) * (
+        F.lit(1) - F.pow(pl, 2) - F.pow(F.lit(1) - pl, 2)
+    ) + ((F.col("n") - F.col("n_left")) * F.lit(1.0) / F.col("n")) * (
+        F.lit(1) - F.pow(pr, 2) - F.pow(F.lit(1) - pr, 2)
+    )
+    scored = split.select(
+        F.col("k").cast("long").alias("k"),
+        (F.floor(F.col("t") * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)).alias(
+            "threshold_r"
+        ),
+        "n_left",
+        _canon6(gini).alias("gini_r"),
+    )
+    wall = Window.partitionBy()
+    return scored.select(
+        "k",
+        "threshold_r",
+        "n_left",
+        "gini_r",
+        (F.col("gini_r") == F.min("gini_r").over(wall)).alias("is_best"),
+    ).orderBy("k")
