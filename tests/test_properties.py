@@ -2477,3 +2477,78 @@ def test_logsumexp_matches_python_math(spark, sf_dir):
         lse = m + math.log(sum(math.exp(v - m) for v in vs))
         assert abs(lse - row.lse_r) < 1e-4
         assert abs((lse - math.log(len(vs))) - row.log_mean_exp_r) < 1e-4
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    """S, tie-corrected variance, and z recomputed in pure Python from
+    the daily counts must match the operator."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    row = registry.QUERIES["analytics_mann_kendall"](spark, sf_dir).collect()[0]
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).alias("d")
+        )
+        .count()
+        .orderBy("d")
+        .collect()
+    )
+    xs = [r["count"] for r in daily]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(xs)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    z = (s - (1 if s > 0 else -1 if s < 0 else 0) * 1) / math.sqrt(var) if s else 0.0
+    assert row.n == n and row.s_stat == s
+    assert abs(row.var_s_r - var) < 1e-5
+    assert abs(row.z_r - z) < 1e-5
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Shapley values must satisfy efficiency: the channel credits sum
+    to v(grand coalition) - v(empty set)."""
+    import duckdb
+
+    rows = registry.QUERIES["analytics_shapley_attribution"](
+        spark, sf_dir
+    ).collect()
+    total_phi = sum(r.shapley_r for r in rows)
+    con = duckdb.connect()
+    v = con.execute(
+        f"""
+        WITH w AS (SELECT user_id, min(ts) AS t0
+                   FROM read_parquet('{sf_dir}/events.parquet')
+                   GROUP BY user_id),
+        u AS (
+            SELECT e.user_id,
+                   COALESCE(array_to_string(list_sort(list_distinct(
+                       list(e.event_type) FILTER (WHERE
+                           e.event_type IN ('view', 'click', 'signup')
+                           AND e.ts < w.t0 + INTERVAL 2 DAY))), '|'), '')
+                       AS cset,
+                   bool_or(e.event_type = 'purchase'
+                           AND e.ts < w.t0 + INTERVAL 2 DAY) AS conv
+            FROM read_parquet('{sf_dir}/events.parquet') e
+            JOIN w USING (user_id) GROUP BY e.user_id
+        )
+        SELECT
+          COALESCE(sum(CASE WHEN cset = 'click|signup|view' AND conv
+                            THEN 1 ELSE 0 END) * 1.0
+                   / nullif(sum(CASE WHEN cset = 'click|signup|view'
+                                     THEN 1 ELSE 0 END), 0), 0.0),
+          COALESCE(sum(CASE WHEN cset = '' AND conv THEN 1 ELSE 0 END) * 1.0
+                   / nullif(sum(CASE WHEN cset = '' THEN 1 ELSE 0 END), 0),
+                   0.0)
+        FROM u
+        """
+    ).fetchone()
+    assert abs(total_phi - (v[0] - v[1])) < 1e-4
