@@ -548,3 +548,91 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_idx",
         F.round(F.corr("cv", "vv").over(w), 4).alias("corr7_r"),
     )
+
+
+@register(
+    "window_running_sum_reset",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                         > 86400000000 THEN 1 ELSE 0 END AS is_break
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, value,
+               sum(is_break) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM seq
+    )
+    SELECT CAST(user_id AS BIGINT)    AS user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT)   AS n_events,
+           round(max(run_total), 2)   AS session_total_r
+    FROM (
+        SELECT user_id, session_no,
+               sum(value) OVER (
+                   PARTITION BY user_id, session_no ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_total
+        FROM sess
+    )
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def window_running_sum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total that RESETS on inactivity gaps (> 1 day): the
+    two-level window composition — a lag-gap flag cumulated into a
+    session number, then a running sum partitioned by (user, session)
+    — that implements 'cumulative X since the streak started', the
+    pattern behind spend-within-session, streak scoring, and
+    meter-reset billing. The edge aggregates to per-session rows
+    (count + final running total) so the hash pins the reset
+    semantics, not 10k ordered rows.
+
+    Determinism: gap flags and session numbers are integer-exact
+    (microsecond epoch diffs); the within-session running sum's FINAL
+    value per session is a fixed small set of money values, rounded
+    at the 2dp money grain.
+
+    Scale shape: both windows partition on user_id (one shuffle,
+    reused by the second window and the final aggregate — same-key
+    cascades collapse to a single exchange)."""
+    ev = load(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(us - F.lag(us).over(w_user) > 86400000000, 1)
+        .otherwise(0)
+        .alias("is_break"),
+    )
+    sess = seq.withColumn(
+        "session_no",
+        F.sum("is_break").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w_sess = (
+        Window.partitionBy("user_id", "session_no")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = sess.withColumn("run_total", F.sum("value").over(w_sess))
+    return (
+        run.groupBy(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_no").cast("long").alias("session_no"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.max("run_total"), 2).alias("session_total_r"),
+        )
+        .orderBy("user_id", "session_no")
+    )
