@@ -8756,3 +8756,135 @@ def analytics_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gini_r",
         (F.col("gini_r") == F.min("gini_r").over(wall)).alias("is_best"),
     ).orderBy("k")
+
+
+@register(
+    "analytics_newsvendor_quantile",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               event_type,
+               CAST(count(*) AS BIGINT) AS demand
+        FROM events GROUP BY 1, 2
+    ),
+    q AS (
+        SELECT event_type,
+               quantile_cont(demand, 0.75) AS stock
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT)                      AS n_days,
+           floor(any_value(q.stock) * 1e6 + 0.5) / 1e6   AS stock_r,
+           CAST(sum(CASE WHEN d.demand > q.stock THEN 1 ELSE 0 END)
+                AS BIGINT)                               AS n_stockout_days,
+           floor(avg(greatest(d.demand - q.stock, 0)) * 1e6 + 0.5) / 1e6
+                                                         AS avg_lost_r,
+           floor(avg(greatest(q.stock - d.demand, 0)) * 1e6 + 0.5) / 1e6
+                                                         AS avg_excess_r
+    FROM d JOIN q ON q.event_type = d.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def analytics_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking by critical fractile: with underage cost 3x
+    overage, the optimal stock is the 3/(3+1) = 0.75 demand quantile
+    per event type; the report shows the resulting stockout-day count
+    and the average lost/excess units — the quantile-not-mean
+    provisioning answer (a mean-based stock is systematically wrong
+    under asymmetric costs).
+
+    Determinism: daily demands are integers, the exact interpolated
+    quantile picks identical middle doubles, and the over/under
+    averages are rationals over exact integer-derived values, canon
+    at 1e-6.
+
+    Scale shape: day-grain count, per-type quantile (broadcast back),
+    one conditional aggregate — all map-side combinable except the
+    series-sized exact quantile (approx_percentile at multi-year
+    scale, as documented for the sibling exact quantiles)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("demand"))
+    q = d.groupBy("event_type").agg(
+        F.percentile("demand", F.lit(0.75)).alias("stock")
+    )
+    return (
+        d.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            _canon6(F.first("stock")).alias("stock_r"),
+            F.sum(F.when(F.col("demand") > F.col("stock"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_stockout_days"),
+            _canon6(
+                F.avg(F.greatest(F.col("demand") - F.col("stock"), F.lit(0.0)))
+            ).alias("avg_lost_r"),
+            _canon6(
+                F.avg(F.greatest(F.col("stock") - F.col("demand"), F.lit(0.0)))
+            ).alias("avg_excess_r"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "analytics_queueing_mm1",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    lam AS (
+        SELECT event_type,
+               sum(n) * 1.0 / count(*) AS lam
+        FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           floor(lam * 1e6 + 0.5) / 1e6                   AS lambda_r,
+           floor(lam / 12.0 * 1e6 + 0.5) / 1e6            AS rho_r,
+           floor(lam / 12.0 * lam / 12.0 / (1 - lam / 12.0)
+                 * 1e6 + 0.5) / 1e6                       AS lq_r,
+           floor((lam / 12.0 * lam / 12.0 / (1 - lam / 12.0)) / lam
+                 * 3600 * 1e6 + 0.5) / 1e6                AS wq_seconds_r
+    FROM lam
+    ORDER BY event_type
+    """,
+)
+def analytics_queueing_mm1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M/M/1 queueing metrics from the measured arrival process: per
+    event type, the observed hourly arrival rate lambda, utilization
+    rho = lambda/mu against a mu = 12/hour service-rate assumption,
+    the Pollaczek-style queue length Lq = rho^2/(1-rho), and the
+    waiting time Wq = Lq/lambda (Little's law) in seconds — the
+    back-of-envelope capacity model that turns a measured rate into
+    'how much headroom is left before the queue explodes'.
+
+    Determinism: lambda is a ratio of exact integers (mean of hourly
+    counts over observed hours); every downstream transform is a
+    fixed-order rational, canon at 1e-6.
+
+    Scale shape: one hour-grain count plus a type-grain mean —
+    map-side combinable end to end."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lam_df = hourly.groupBy("event_type").agg(
+        (F.sum("n") * F.lit(1.0) / F.count(F.lit(1))).alias("lam")
+    )
+    rho = F.col("lam") / F.lit(12.0)
+    lq = rho * rho / (F.lit(1) - rho)
+    return lam_df.select(
+        "event_type",
+        _canon6(F.col("lam")).alias("lambda_r"),
+        _canon6(rho).alias("rho_r"),
+        _canon6(lq).alias("lq_r"),
+        _canon6(lq / F.col("lam") * F.lit(3600)).alias("wq_seconds_r"),
+    ).orderBy("event_type")
