@@ -2316,8 +2316,8 @@ def test_link_prediction_candidates_are_nonedges(spark, sf_dir):
         .collect()
     )
     for r in rows:
-        assert r.u < r.v
-        assert (r.u, r.v) not in edges
+        assert r.u % 199 == 0 and r.u != r.v  # cohort-anchored
+        assert (min(r.u, r.v), max(r.u, r.v)) not in edges
         assert 0.0 < r.jaccard_r <= 1.0
 
 
