@@ -8903,3 +8903,148 @@ def analytics_queueing_mm1(spark: SparkSession, sf_dir: str) -> DataFrame:
         _canon6(lq).alias("lq_r"),
         _canon6(lq / F.col("lam") * F.lit(3600)).alias("wq_seconds_r"),
     ).orderBy("event_type")
+
+
+@register(
+    "analytics_weibull_lead_time",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey,
+               CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(min(l.l_shipdate) AS DATE)) AS BIGINT)
+                   AS lead_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    bins AS (
+        SELECT lead_days, CAST(count(*) AS BIGINT) AS n_d
+        FROM per_order WHERE lead_days > 0 GROUP BY lead_days
+    ),
+    ecdf AS (
+        SELECT lead_days, n_d,
+               sum(n_d) OVER (ORDER BY lead_days
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n_d) OVER () AS n
+        FROM bins
+    ),
+    pts AS (
+        SELECT n_d,
+               ln(CAST(lead_days AS DOUBLE))                    AS x,
+               ln(-ln(1 - (cum - 0.5 * n_d) / (n + 0.25)))      AS y
+        FROM ecdf
+    ),
+    fit AS (
+        SELECT CAST(sum(n_d) AS BIGINT)  AS n,
+               CAST(count(*) AS BIGINT)  AS n_bins,
+               (sum(n_d * x * y) - sum(n_d * x) * sum(n_d * y) / sum(n_d))
+               / (sum(n_d * x * x) - sum(n_d * x) * sum(n_d * x) / sum(n_d))
+                   AS k
+        FROM pts
+    ),
+    icept AS (
+        SELECT f.n, f.n_bins, f.k,
+               (sum(p.n_d * p.y) - f.k * sum(p.n_d * p.x)) / sum(p.n_d) AS b
+        FROM pts p CROSS JOIN fit f
+        GROUP BY f.n, f.n_bins, f.k
+    )
+    SELECT n, n_bins,
+           floor(k * 1e6 + 0.5) / 1e6            AS shape_r,
+           floor(exp(-b / k) * 1e6 + 0.5) / 1e6  AS scale_days_r
+    FROM icept
+    """,
+)
+def analytics_weibull_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of order lead times (order date -> first ship) by
+    median-rank regression over the BINNED ECDF: ln(-ln(1-F)) =
+    k*ln(t) - k*ln(lambda), weighted least squares over integer-day
+    bins with the half-bin continuity correction — shape k < 1 means
+    infant-mortality-style lead times (most orders ship fast, a long
+    tail doesn't), k > 1 wear-out-style; lambda is the 63.2%
+    characteristic lead time. The reliability-engineering summary a
+    fulfillment SLA is written against.
+
+    Determinism: day bins and cumulative counts are exact integers;
+    ln/exp land on shared rationals (canon absorbs ulp); the weighted
+    OLS is a fixed-order rational over bin sums.
+
+    Scale shape — why binned: per-order ranks would be a data-sized
+    global sort; the ECDF over integer-day bins is CALENDAR-bounded
+    (a few hundred rows at any SF), so after the order-grain
+    aggregate everything is model-sized. This is the binned-fit
+    pattern production reliability pipelines use."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    per_order = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "od")
+        .agg(F.min("sd").alias("first_ship"))
+        .select(
+            F.datediff("first_ship", "od").cast("long").alias("lead_days")
+        )
+        .filter(F.col("lead_days") > 0)
+    )
+    bins = per_order.groupBy("lead_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d")
+    )
+    w_cum = Window.orderBy("lead_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ecdf = bins.select(
+        "lead_days",
+        "n_d",
+        F.sum("n_d").over(w_cum).alias("cum"),
+        F.sum("n_d").over(w_all).alias("n"),
+    )
+    pts = ecdf.select(
+        "n_d",
+        F.log(F.col("lead_days").cast("double")).alias("x"),
+        F.log(
+            -F.log(
+                F.lit(1)
+                - (F.col("cum") - 0.5 * F.col("n_d"))
+                / (F.col("n") + F.lit(0.25))
+            )
+        ).alias("y"),
+    )
+    fit = pts.agg(
+        F.sum("n_d").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        (
+            (
+                F.sum(F.col("n_d") * F.col("x") * F.col("y"))
+                - F.sum(F.col("n_d") * F.col("x"))
+                * F.sum(F.col("n_d") * F.col("y"))
+                / F.sum("n_d")
+            )
+            / (
+                F.sum(F.col("n_d") * F.col("x") * F.col("x"))
+                - F.sum(F.col("n_d") * F.col("x"))
+                * F.sum(F.col("n_d") * F.col("x"))
+                / F.sum("n_d")
+            )
+        ).alias("k"),
+    )
+    icept = (
+        pts.crossJoin(F.broadcast(fit))
+        .groupBy("n", "n_bins", "k")
+        .agg(
+            (
+                (
+                    F.sum(F.col("n_d") * F.col("y"))
+                    - F.col("k") * F.sum(F.col("n_d") * F.col("x"))
+                )
+                / F.sum("n_d")
+            ).alias("b")
+        )
+    )
+    return icept.select(
+        "n",
+        "n_bins",
+        _canon6(F.col("k")).alias("shape_r"),
+        _canon6(F.exp(-F.col("b") / F.col("k"))).alias("scale_days_r"),
+    )
