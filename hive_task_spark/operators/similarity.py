@@ -3096,3 +3096,93 @@ def similarity_reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("vec_a")
     )
+
+
+_ORACLE_KMEANSPP = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    u AS (
+        SELECT vec_id, list_transform(vec, x -> x / nrm) AS uvec FROM n
+    ),
+    c AS (
+        SELECT generate_subscripts(cb, 1) - 1 AS cid, unnest(cb) AS cvec
+        FROM (SELECT {{cb}} AS cb)
+    ),
+    dists AS (
+        SELECT u.vec_id,
+               min(2 - 2 * list_sum(list_transform(
+                   list_zip(u.uvec, c.cvec), p -> p[1] * p[2]))) AS min_d2
+        FROM u CROSS JOIN c
+        GROUP BY u.vec_id
+    )
+    SELECT CAST(row_number() OVER (
+               ORDER BY floor(min_d2 * 1e6 + 0.5) / 1e6 DESC, vec_id)
+           AS BIGINT)                          AS rnk,
+           vec_id,
+           floor(min_d2 * 1e6 + 0.5) / 1e6     AS min_dist2_r
+    FROM dists
+    ORDER BY rnk
+    LIMIT 5
+""".replace("{cb}", _CODEBOOK_SQL)
+
+
+@register("similarity_kmeanspp_next_centroid", oracle=_ORACLE_KMEANSPP, defer=True)
+def similarity_kmeanspp_next_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Furthest-first traversal step (deterministic k-means++ / k-center
+    seeding, Gonzalez 1985): given the frozen codebook, rank corpus
+    vectors by their squared distance to the NEAREST existing centroid
+    (2 - 2cos for unit vectors) — the top candidates are where the
+    next centroid goes when growing the codebook, and the top-1
+    distance is the current covering radius (the k-center objective).
+
+    Determinism: the 16 in-row dots are sequential sums on identical
+    doubles; min/argmin are exact on those; distances canonicalized at
+    1e-6 with vec_id tie-break.
+
+    Scale shape: the codebook is a plan literal, scoring is ONE map
+    stage (zero shuffles before the global top-5, which compiles to
+    per-partition heaps) — the same zero-scoring-shuffle discipline as
+    `similarity_kmeans_assign`, run once per growth step."""
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    unit = vecs.select(
+        "vec_id",
+        F.transform(F.col("vec"), lambda x: x / F.col("nrm")).alias("uvec"),
+    )
+    cent_lits = [
+        "array(" + ",".join(f"{x}D" for x in c) + ")" for c in _IVF_CODEBOOK
+    ]
+    d2s = [
+        (F.lit(2.0) - F.lit(2.0) * _dot(F.col("uvec"), F.expr(cl))).alias(
+            f"d{i}"
+        )
+        for i, cl in enumerate(cent_lits)
+    ]
+    scored = unit.select("vec_id", *d2s).select(
+        "vec_id",
+        F.least(*[F.col(f"d{i}") for i in range(len(cent_lits))]).alias(
+            "min_d2"
+        ),
+    )
+    md = F.floor(F.col("min_d2") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    from pyspark.sql import Window
+
+    win = Window.orderBy(md.desc(), "vec_id")
+    return (
+        scored.select(
+            F.row_number().over(win).cast("long").alias("rnk"),
+            "vec_id",
+            md.alias("min_dist2_r"),
+        )
+        .orderBy("rnk")
+        .limit(5)
+    )
