@@ -210,3 +210,38 @@ def str_split_part_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring_index(p_type, ' ', 2)").alias("first_two_words"),
         F.size(F.split("p_type", " ")).cast("long").alias("n_words"),
     )
+
+
+@register(
+    "str_printf_suite",
+    oracle="""
+    SELECT n_nationkey,
+           printf('%05d', n_nationkey)                  AS pad5,
+           printf('%x', n_nationkey + 250)              AS hex_lower,
+           printf('%o', n_nationkey + 64)               AS octal,
+           printf('N=%s R=%d', n_name, n_regionkey)     AS composed,
+           printf('%10s', n_name)                       AS right_align
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def str_printf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-style format-string suite (`format_string` / printf): zero-pad,
+    lowercase hex, octal, mixed composition, and width right-align —
+    the report/ID-formatting surface. Only INTEGER and STRING
+    conversions on purpose: %f rounding differs between Java's
+    Formatter (HALF_UP) and C printf (round-half-even) on exact .5
+    boundaries, the same class of trap as CLAUDE.md's round() rule —
+    documented here as the reason floats stay out of format strings
+    at query edges."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.format_string("%05d", F.col("n_nationkey")).alias("pad5"),
+        F.format_string("%x", F.col("n_nationkey") + 250).alias("hex_lower"),
+        F.format_string("%o", F.col("n_nationkey") + 64).alias("octal"),
+        F.format_string(
+            "N=%s R=%d", F.col("n_name"), F.col("n_regionkey")
+        ).alias("composed"),
+        F.format_string("%10s", F.col("n_name")).alias("right_align"),
+    ).orderBy("n_nationkey")

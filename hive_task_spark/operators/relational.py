@@ -323,3 +323,114 @@ def merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kept.unionByName(ins)
+
+
+@register(
+    "merge_mirror_sync_apply",
+    defer=True,
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey, c_nationkey,
+               round(CASE WHEN c_custkey % 5 = 0
+                          THEN c_acctbal + 100 ELSE c_acctbal END, 2)
+                   AS acctbal
+        FROM customer WHERE c_custkey % 7 <> 0
+        UNION ALL
+        SELECT c_custkey + 5000000, c_nationkey, round(c_acctbal, 2)
+        FROM customer WHERE c_custkey % 11 = 0
+    ),
+    tgt AS (
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        FROM customer
+    ),
+    classified AS (
+        SELECT COALESCE(s.c_custkey, t.c_custkey)   AS c_custkey,
+               COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+               s.acctbal                            AS s_bal,
+               t.acctbal                            AS t_bal,
+               CASE WHEN t.c_custkey IS NULL THEN 'inserted'
+                    WHEN s.c_custkey IS NULL THEN 'deleted'
+                    WHEN s.acctbal <> t.acctbal THEN 'updated'
+                    ELSE 'unchanged' END AS change_op
+        FROM src s FULL OUTER JOIN tgt t ON s.c_custkey = t.c_custkey
+    )
+    SELECT change_op,
+           CAST(count(*) AS BIGINT)            AS n_rows,
+           round(sum(COALESCE(s_bal, 0)), 2)   AS mirrored_bal,
+           CAST(min(c_custkey) AS BIGINT)      AS min_key,
+           CAST(max(c_custkey) AS BIGINT)      AS max_key
+    FROM classified
+    GROUP BY change_op
+    ORDER BY change_op
+    """,
+)
+def merge_mirror_sync_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mirror synchronization — MERGE with the WHEN NOT MATCHED BY
+    SOURCE THEN DELETE clause (the Delta/Iceberg 'make target exactly
+    equal source' statement, distinct from `merge_upsert_apply`'s
+    CDC changeset which never deletes unmentioned rows): one FULL
+    OUTER join classifies every key as inserted / updated / deleted /
+    unchanged, and the audit rolls up row counts + mirrored balance
+    per action — the reconciliation line a mirror job logs each run.
+    The source derives deterministically from the snapshot (keys %7
+    dropped, %5 re-priced, %11 cloned as new).
+
+    Scale shape: one co-keyed FULL OUTER join (both sides shuffle on
+    the key — bucketable, no broadcast hint on data-sized sides) and
+    an action-grain rollup; this is exactly the join a table-format
+    MERGE with not-matched-by-source compiles to."""
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    src = (
+        base.filter(F.col("c_custkey") % 7 != 0)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(
+                F.when(
+                    F.col("c_custkey") % 5 == 0, F.col("acctbal") + 100
+                ).otherwise(F.col("acctbal")),
+                2,
+            ).alias("acctbal"),
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 5000000).alias("c_custkey"),
+                "c_nationkey",
+                "acctbal",
+            )
+        )
+    )
+    s = src.select(
+        F.col("c_custkey").alias("s_key"),
+        F.col("c_nationkey").alias("s_nat"),
+        F.col("acctbal").alias("s_bal"),
+    )
+    t = base.select(
+        F.col("c_custkey").alias("t_key"),
+        F.col("c_nationkey").alias("t_nat"),
+        F.col("acctbal").alias("t_bal"),
+    )
+    classified = s.join(t, s["s_key"] == t["t_key"], "full_outer").select(
+        F.coalesce(F.col("s_key"), F.col("t_key")).alias("c_custkey"),
+        F.col("s_bal"),
+        F.when(F.col("t_key").isNull(), "inserted")
+        .when(F.col("s_key").isNull(), "deleted")
+        .when(F.col("s_bal") != F.col("t_bal"), "updated")
+        .otherwise("unchanged")
+        .alias("change_op"),
+    )
+    return (
+        classified.groupBy("change_op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum(F.coalesce(F.col("s_bal"), F.lit(0))), 2).alias(
+                "mirrored_bal"
+            ),
+            F.min("c_custkey").cast("long").alias("min_key"),
+            F.max("c_custkey").cast("long").alias("max_key"),
+        )
+        .orderBy("change_op")
+    )
