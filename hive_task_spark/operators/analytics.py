@@ -9048,3 +9048,136 @@ def analytics_weibull_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         _canon6(F.col("k")).alias("shape_r"),
         _canon6(F.exp(-F.col("b") / F.col("k"))).alias("scale_days_r"),
     )
+
+
+@register(
+    "analytics_segment_migration_matrix",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(o_orderdate) AS d0,
+               min(o_orderdate) + (max(o_orderdate) - min(o_orderdate)) / 2
+                   AS mid
+        FROM orders
+    ),
+    halves AS (
+        SELECT o.o_custkey,
+               CASE WHEN o.o_orderdate < b.mid THEN 1 ELSE 2 END AS half,
+               sum(o.o_totalprice) AS spend
+        FROM orders o, bounds b
+        GROUP BY o.o_custkey, CASE WHEN o.o_orderdate < b.mid
+                                   THEN 1 ELSE 2 END
+    ),
+    cuts AS (
+        SELECT half,
+               quantile_cont(spend, 1.0 / 3) AS c1,
+               quantile_cont(spend, 2.0 / 3) AS c2
+        FROM halves GROUP BY half
+    ),
+    seg AS (
+        SELECT h.o_custkey, h.half,
+               CASE WHEN h.spend <= c.c1 THEN 'BRONZE'
+                    WHEN h.spend <= c.c2 THEN 'SILVER'
+                    ELSE 'GOLD' END AS segment
+        FROM halves h JOIN cuts c ON c.half = h.half
+    ),
+    m AS (
+        SELECT COALESCE(a.segment, 'ABSENT') AS seg_h1,
+               COALESCE(b.segment, 'ABSENT') AS seg_h2,
+               COALESCE(a.o_custkey, b.o_custkey) AS ck
+        FROM (SELECT * FROM seg WHERE half = 1) a
+        FULL OUTER JOIN (SELECT * FROM seg WHERE half = 2) b
+          ON a.o_custkey = b.o_custkey
+    )
+    SELECT seg_h1, seg_h2,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           floor(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY seg_h1)
+                 * 1e6 + 0.5) / 1e6 AS row_share_r
+    FROM m
+    GROUP BY seg_h1, seg_h2
+    ORDER BY seg_h1, seg_h2
+    """,
+)
+def analytics_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment migration matrix: tercile spend segments
+    (BRONZE/SILVER/GOLD, cut per half so the segmentation is
+    relative) computed independently for the first and second half of
+    the observed period, then the H1->H2 transition counts with
+    row-normalized shares — the churn/upgrade diagonal every
+    retention review starts from; ABSENT rows capture acquisition
+    and full churn.
+
+    Determinism: the half split uses pure timestamp-interval midpoint
+    arithmetic (identical instants both engines); spend sums are
+    money; tercile cuts are exact interpolated quantiles; strict <=
+    comparisons on identical doubles; counts exact, shares canon 1e-6.
+
+    Scale shape: one (customer, half) aggregate, per-half quantile
+    cuts broadcast back, one self-FULL-OUTER join co-keyed on
+    customer (bucketable), and a 16-cell rollup."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    ).select(
+        F.col("d0"),
+        (
+            F.col("d0")
+            + F.make_dt_interval(
+                days=F.datediff(F.col("d1"), F.col("d0")) / 2
+            )
+        ).alias("mid"),
+    )
+    halves = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_custkey",
+            F.when(F.col("o_orderdate") < F.col("mid"), 1)
+            .otherwise(2)
+            .alias("half"),
+            "o_totalprice",
+        )
+        .groupBy("o_custkey", "half")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    cuts = halves.groupBy("half").agg(
+        F.percentile("spend", F.lit(1.0 / 3)).alias("c1"),
+        F.percentile("spend", F.lit(2.0 / 3)).alias("c2"),
+    )
+    seg = halves.join(F.broadcast(cuts), "half").select(
+        "o_custkey",
+        "half",
+        F.when(F.col("spend") <= F.col("c1"), "BRONZE")
+        .when(F.col("spend") <= F.col("c2"), "SILVER")
+        .otherwise("GOLD")
+        .alias("segment"),
+    )
+    a = seg.filter(F.col("half") == 1).select(
+        F.col("o_custkey").alias("ck_a"), F.col("segment").alias("sa")
+    )
+    b = seg.filter(F.col("half") == 2).select(
+        F.col("o_custkey").alias("ck_b"), F.col("segment").alias("sb")
+    )
+    m = a.join(b, a["ck_a"] == b["ck_b"], "full_outer").select(
+        F.coalesce(F.col("sa"), F.lit("ABSENT")).alias("seg_h1"),
+        F.coalesce(F.col("sb"), F.lit("ABSENT")).alias("seg_h2"),
+    )
+    w_row = Window.partitionBy("seg_h1")
+    return (
+        m.groupBy("seg_h1", "seg_h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .select(
+            "seg_h1",
+            "seg_h2",
+            "n_customers",
+            (
+                F.floor(
+                    F.col("n_customers")
+                    * F.lit(1.0)
+                    / F.sum("n_customers").over(w_row)
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("row_share_r"),
+        )
+        .orderBy("seg_h1", "seg_h2")
+    )
