@@ -3176,13 +3176,18 @@ def similarity_kmeanspp_next_centroid(spark: SparkSession, sf_dir: str) -> DataF
     md = F.floor(F.col("min_d2") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     from pyspark.sql import Window
 
-    win = Window.orderBy(md.desc(), "vec_id")
-    return (
-        scored.select(
-            F.row_number().over(win).cast("long").alias("rnk"),
-            "vec_id",
-            md.alias("min_dist2_r"),
-        )
-        .orderBy("rnk")
+    # Global top-5 via orderBy+limit (TakeOrderedAndProject =
+    # per-partition heaps); the rank window runs AFTER the limit, over
+    # 5 rows — a global row_number over the raw corpus would be a
+    # full sort, which the bounded-window plan guard rejects.
+    top = (
+        scored.select("vec_id", md.alias("min_dist2_r"))
+        .orderBy(F.col("min_dist2_r").desc(), "vec_id")
         .limit(5)
     )
+    win = Window.orderBy(F.col("min_dist2_r").desc(), "vec_id")
+    return top.select(
+        F.row_number().over(win).cast("long").alias("rnk"),
+        "vec_id",
+        "min_dist2_r",
+    ).orderBy("rnk")
