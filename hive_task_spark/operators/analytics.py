@@ -9181,3 +9181,119 @@ def analytics_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("seg_h1", "seg_h2")
     )
+
+
+@register(
+    "analytics_abc_xyz_matrix",
+    oracle="""
+    WITH weekly AS (
+        SELECT l_partkey,
+               CAST(datediff('day', DATE '1969-12-29',
+                             CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS wk,
+               sum(l_quantity) AS qty,
+               sum(l_extendedprice) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+        SELECT l_partkey,
+               round(sum(rev), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_weeks,
+               sum(qty) AS s1, sum(qty * qty) AS s2
+        FROM weekly GROUP BY l_partkey
+    ),
+    xyz AS (
+        SELECT l_partkey, revenue,
+               CASE WHEN n_weeks < 2 THEN 'Z'
+                    WHEN sqrt((s2 - s1 * s1 / n_weeks)
+                              / (n_weeks - 1)) / (s1 / n_weeks) < 0.5
+                        THEN 'X'
+                    WHEN sqrt((s2 - s1 * s1 / n_weeks)
+                              / (n_weeks - 1)) / (s1 / n_weeks) < 1.0
+                        THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM per_part
+    ),
+    abc AS (
+        SELECT l_partkey, xyz_class,
+               CASE WHEN (sum(revenue) OVER (ORDER BY revenue DESC,
+                                             l_partkey))
+                         / (sum(revenue) OVER ()) <= 0.8 THEN 'A'
+                    WHEN (sum(revenue) OVER (ORDER BY revenue DESC,
+                                             l_partkey))
+                         / (sum(revenue) OVER ()) <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM xyz
+    )
+    SELECT abc_class, xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM abc
+    GROUP BY abc_class, xyz_class
+    ORDER BY abc_class, xyz_class
+    """,
+)
+def analytics_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification matrix: ABC by cumulative
+    revenue contribution (80/95 Pareto cuts, as in
+    `analytics_abc_classification`) crossed with XYZ by weekly-demand
+    variability (coefficient of variation < 0.5 / < 1 / else, Z for
+    single-week parts) — the 9-cell planning grid (AX = automate
+    replenishment, CZ = make-to-order) every supply-chain review is
+    organized around.
+
+    Determinism: weekly demand sums use the same Monday-anchored
+    date-native week index as `date_business_days_between`; CV comes
+    from exact closed-form moments of integer quantities; the Pareto
+    window orders by 2dp-rounded revenue with partkey tie-break —
+    cell counts are exact integers, no float edge at all.
+
+    Scale shape: two part-grain aggregates (weekly then per-part);
+    the ABC scan is a window over the PART dimension, not the fact
+    table (the bounded-window guard's Aggregate rule); the edge is a
+    9-row matrix."""
+    li = load(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1969-12-29')"
+            " DIV 7 AS BIGINT)"
+        ).alias("wk"),
+    ).agg(
+        F.sum("l_quantity").alias("qty"),
+        F.sum("l_extendedprice").alias("rev"),
+    )
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.sum("qty").alias("s1"),
+        F.sum(F.col("qty") * F.col("qty")).alias("s2"),
+    )
+    cv = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_weeks"))
+        / (F.col("n_weeks") - 1)
+    ) / (F.col("s1") / F.col("n_weeks"))
+    xyz = per_part.select(
+        "l_partkey",
+        "revenue",
+        F.when(F.col("n_weeks") < 2, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    w_cum = Window.orderBy(F.col("revenue").desc(), "l_partkey")
+    w_all = Window.partitionBy()
+    share = F.sum("revenue").over(
+        w_cum.rowsBetween(Window.unboundedPreceding, 0)
+    ) / F.sum("revenue").over(w_all)
+    abc = xyz.select(
+        "xyz_class",
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        abc.groupBy("abc_class", "xyz_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy("abc_class", "xyz_class")
+    )
