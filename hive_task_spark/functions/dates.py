@@ -588,3 +588,67 @@ def date_business_days_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+@register(
+    "date_iso_week_rollup",
+    oracle="""
+    SELECT CAST(isoyear(CAST(o_orderdate AS DATE)) AS BIGINT)   AS iso_year,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+           CAST(count(*) AS BIGINT)                              AS n_orders,
+           round(sum(o_totalprice), 2)                           AS revenue_r,
+           CAST(sum(CASE WHEN isoyear(CAST(o_orderdate AS DATE))
+                              <> year(CAST(o_orderdate AS DATE))
+                         THEN 1 ELSE 0 END) AS BIGINT)           AS n_boundary,
+           CAST(min(isodow(CAST(o_orderdate AS DATE))) AS BIGINT)
+                                                                 AS first_dow,
+           CAST(max(isodow(CAST(o_orderdate AS DATE))) AS BIGINT)
+                                                                 AS last_dow
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def date_iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 week rollup with year-boundary accounting: revenue per
+    (ISO year, ISO week) plus the count of orders whose ISO year
+    differs from their calendar year — the late-December /
+    early-January rows that silently land in the 'wrong' year when a
+    report groups by year(date) but charts by weekofyear(date), the
+    classic week-53/week-1 reporting bug this op exists to surface.
+    ISO day-of-week (1 = Monday) min/max per week pin the weekday
+    alignment.
+
+    Determinism: pure integer calendar functions — Spark
+    extract(YEAROFWEEK) / weekofyear / weekday+1 against DuckDB
+    isoyear / weekofyear / isodow, verified aligned on the 2024->2025
+    boundary; money at the 2dp grain.
+
+    Scale shape: one map-side-combinable aggregate at (year, week)
+    grain — calendar-bounded output."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.select(
+            F.expr("extract(YEAROFWEEK FROM CAST(o_orderdate AS DATE))")
+            .cast("long")
+            .alias("iso_year"),
+            F.weekofyear(d).cast("long").alias("iso_week"),
+            F.year(d).alias("cal_year"),
+            (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+            "o_totalprice",
+        )
+        .groupBy("iso_year", "iso_week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue_r"),
+            F.sum(
+                F.when(F.col("iso_year") != F.col("cal_year"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_boundary"),
+            F.min("iso_dow").cast("long").alias("first_dow"),
+            F.max("iso_dow").cast("long").alias("last_dow"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )
