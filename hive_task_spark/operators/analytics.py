@@ -9297,3 +9297,215 @@ def analytics_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
         .orderBy("abc_class", "xyz_class")
     )
+
+
+@register(
+    "analytics_two_way_anova",
+    oracle="""
+    WITH cell AS (
+        SELECT l_returnflag AS fa, l_linestatus AS fb,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(l_extendedprice AS DOUBLE)) AS s1,
+               sum(CAST(l_extendedprice AS DOUBLE)
+                   * CAST(l_extendedprice AS DOUBLE)) AS s2
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    tot AS (
+        SELECT sum(n) AS n, sum(s1) AS s1, sum(s2) AS s2,
+               count(*) AS n_cells,
+               count(DISTINCT fa) AS a, count(DISTINCT fb) AS b
+        FROM cell
+    ),
+    ssa AS (
+        SELECT sum(s1 * s1 / n) AS term
+        FROM (SELECT fa, sum(n) AS n, sum(s1) AS s1 FROM cell GROUP BY fa)
+    ),
+    ssb AS (
+        SELECT sum(s1 * s1 / n) AS term
+        FROM (SELECT fb, sum(n) AS n, sum(s1) AS s1 FROM cell GROUP BY fb)
+    ),
+    sscell AS (SELECT sum(s1 * s1 / n) AS term FROM cell)
+    SELECT CAST(t.n AS BIGINT)                               AS n,
+           CAST(t.a AS BIGINT)                               AS a_levels,
+           CAST(t.b AS BIGINT)                               AS b_levels,
+           floor((sa.term - t.s1 * t.s1 / t.n) / (t.a - 1)
+                 / ((t.s2 - sc.term) / (t.n - t.n_cells))
+                 * 1e6 + 0.5) / 1e6                          AS f_a_r,
+           floor((sb.term - t.s1 * t.s1 / t.n) / (t.b - 1)
+                 / ((t.s2 - sc.term) / (t.n - t.n_cells))
+                 * 1e6 + 0.5) / 1e6                          AS f_b_r,
+           floor((sc.term - sa.term - sb.term + t.s1 * t.s1 / t.n)
+                 / ((t.a - 1) * (t.b - 1))
+                 / ((t.s2 - sc.term) / (t.n - t.n_cells))
+                 * 1e6 + 0.5) / 1e6                          AS f_ab_r
+    FROM tot t, ssa sa, ssb sb, sscell sc
+    """,
+)
+def analytics_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA with interaction (unbalanced Type-I on the cell
+    sums): does extended price vary by return flag, by line status,
+    and — the question one-way ANOVA can't ask — by their
+    INTERACTION?  F_A, F_B, F_AB from the classic sum-of-squares
+    identities (SS via the cell/margin/grand 'correction term'
+    algebra), MS_error from within-cell variation.
+
+    Determinism: everything reduces to per-cell (n, sum, sum-sq) —
+    one map-side-combinable aggregate; margins and F's are fixed-
+    order rationals over those sums, canonicalized at 1e-6.
+
+    Scale shape: the only data-sized pass is the |A|x|B|-cell moment
+    aggregate; every SS is arithmetic over the 6-cell table."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("fa"),
+        F.col("l_linestatus").alias("fb"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+    )
+    cell = li.groupBy("fa", "fb").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    tot = cell.agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("fa").alias("a"),
+        F.countDistinct("fb").alias("b"),
+    )
+    ssa = (
+        cell.groupBy("fa")
+        .agg(F.sum("n").alias("n"), F.sum("s1").alias("s1"))
+        .agg(F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("term_a"))
+    )
+    ssb = (
+        cell.groupBy("fb")
+        .agg(F.sum("n").alias("n"), F.sum("s1").alias("s1"))
+        .agg(F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("term_b"))
+    )
+    sscell = cell.agg(
+        F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("term_c")
+    )
+    j = (
+        tot.crossJoin(F.broadcast(ssa))
+        .crossJoin(F.broadcast(ssb))
+        .crossJoin(F.broadcast(sscell))
+    )
+    corr = F.col("s1") * F.col("s1") / F.col("n")
+    mse = (F.col("s2") - F.col("term_c")) / (F.col("n") - F.col("n_cells"))
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("a").cast("long").alias("a_levels"),
+        F.col("b").cast("long").alias("b_levels"),
+        _canon6((F.col("term_a") - corr) / (F.col("a") - 1) / mse).alias(
+            "f_a_r"
+        ),
+        _canon6((F.col("term_b") - corr) / (F.col("b") - 1) / mse).alias(
+            "f_b_r"
+        ),
+        _canon6(
+            (F.col("term_c") - F.col("term_a") - F.col("term_b") + corr)
+            / ((F.col("a") - 1) * (F.col("b") - 1))
+            / mse
+        ).alias("f_ab_r"),
+    )
+
+
+@register(
+    "analytics_james_stein_shrinkage",
+    oracle="""
+    WITH seg AS (
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(c_acctbal AS DOUBLE)) AS s1,
+               sum(CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE)) AS s2
+        FROM customer GROUP BY c_nationkey
+    ),
+    g AS (
+        SELECT sum(s1) / sum(n) AS grand,
+               sum(s2 - s1 * s1 / n) / (sum(n) - count(*)) AS var_within,
+               count(*) AS k
+        FROM seg
+    ),
+    tau AS (
+        SELECT greatest(
+                   sum(s.n * (s.s1 / s.n - g.grand)
+                           * (s.s1 / s.n - g.grand))
+                   / (any_value(g.k) - 1), 1e-9) AS tau2
+        FROM seg s, g
+    )
+    SELECT seg.c_nationkey, seg.n,
+           floor(seg.s1 / seg.n * 1e4 + 0.5) / 1e4 AS raw_mean_r,
+           floor((g.grand
+                  + (1 - (g.var_within / seg.n)
+                         / ((g.var_within / seg.n) + tau.tau2))
+                    * (seg.s1 / seg.n - g.grand))
+                 * 1e4 + 0.5) / 1e4 AS shrunk_mean_r
+    FROM seg, g, tau
+    ORDER BY seg.c_nationkey
+    """,
+)
+def analytics_james_stein_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (James-Stein-style) shrinkage of per-nation mean
+    account balances toward the grand mean: each segment's estimate
+    moves by the reliability factor B = tau2 / (tau2 + var_within/n)
+    with tau2 the weighted between-segment variance — small/noisy
+    segments shrink hard, big ones barely move. The 'winner's curse'
+    correction every segment-level league table needs before anyone
+    acts on the top cell.
+
+    Determinism: all moments are one conditional-aggregate pass;
+    grand mean, within/between variances, and the shrunk means are
+    fixed-order rationals canonicalized at 1e-4 (balance scale).
+
+    Scale shape: one segment-grain moment aggregate + broadcast 1-row
+    hyperparameters; the shrinkage is a per-segment projection."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey", F.col("c_acctbal").cast("double").alias("x")
+    )
+    seg = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    g = seg.agg(
+        (F.sum("s1") / F.sum("n")).alias("grand"),
+        (
+            F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("var_within"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    tau = (
+        seg.crossJoin(F.broadcast(g))
+        .agg(
+            F.greatest(
+                F.sum(
+                    F.col("n")
+                    * (F.col("s1") / F.col("n") - F.col("grand"))
+                    * (F.col("s1") / F.col("n") - F.col("grand"))
+                )
+                / (F.first("k") - 1),
+                F.lit(1e-9),
+            ).alias("tau2")
+        )
+    )
+    c4 = lambda col: F.floor(col * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+    m = F.col("s1") / F.col("n")
+    b_rel = F.lit(1) - (F.col("var_within") / F.col("n")) / (
+        F.col("var_within") / F.col("n") + F.col("tau2")
+    )
+    return (
+        seg.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "c_nationkey",
+            "n",
+            c4(m).alias("raw_mean_r"),
+            c4(F.col("grand") + b_rel * (m - F.col("grand"))).alias(
+                "shrunk_mean_r"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
