@@ -9509,3 +9509,153 @@ def analytics_james_stein_shrinkage(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "analytics_effect_size_suite",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 'T' ELSE 'C' END AS grp,
+               value AS x
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    m AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS s1, sum(x * x) AS s2
+        FROM g GROUP BY grp
+    ),
+    w AS (
+        SELECT max(CASE WHEN grp = 'T' THEN n END)  AS nt,
+               max(CASE WHEN grp = 'C' THEN n END)  AS nc,
+               max(CASE WHEN grp = 'T' THEN s1 END) AS st1,
+               max(CASE WHEN grp = 'C' THEN s1 END) AS sc1,
+               max(CASE WHEN grp = 'T' THEN s2 END) AS st2,
+               max(CASE WHEN grp = 'C' THEN s2 END) AS sc2
+        FROM m
+    ),
+    hist AS (
+        SELECT x,
+               sum(CASE WHEN grp = 'T' THEN 1 ELSE 0 END) AS t_cnt,
+               sum(CASE WHEN grp = 'C' THEN 1 ELSE 0 END) AS c_cnt
+        FROM g GROUP BY x
+    ),
+    cum AS (
+        SELECT x, t_cnt, c_cnt,
+               COALESCE(sum(c_cnt) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS c_below
+        FROM hist
+    ),
+    cliff AS (
+        SELECT sum(t_cnt * (c_below + 0.5 * c_cnt)) AS u_stat
+        FROM cum
+    )
+    SELECT w.nt, w.nc,
+           floor((w.st1 / w.nt - w.sc1 / w.nc)
+                 / sqrt(((w.st2 - w.st1 * w.st1 / w.nt)
+                         + (w.sc2 - w.sc1 * w.sc1 / w.nc))
+                        / (w.nt + w.nc - 2))
+                 * 1e6 + 0.5) / 1e6 AS cohens_d_r,
+           floor((w.st1 / w.nt - w.sc1 / w.nc)
+                 / sqrt(((w.st2 - w.st1 * w.st1 / w.nt)
+                         + (w.sc2 - w.sc1 * w.sc1 / w.nc))
+                        / (w.nt + w.nc - 2))
+                 * (1 - 3.0 / (4 * (w.nt + w.nc) - 9))
+                 * 1e6 + 0.5) / 1e6 AS hedges_g_r,
+           floor((w.st1 / w.nt - w.sc1 / w.nc)
+                 / sqrt((w.sc2 - w.sc1 * w.sc1 / w.nc) / (w.nc - 1))
+                 * 1e6 + 0.5) / 1e6 AS glass_delta_r,
+           floor((2 * cliff.u_stat - w.nt * w.nc) / (1.0 * w.nt * w.nc)
+                 * 1e6 + 0.5) / 1e6 AS cliffs_delta_r
+    FROM w, cliff
+    """,
+)
+def analytics_effect_size_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-size suite for the purchase-vs-view value comparison:
+    Cohen's d (pooled SD), Hedges' g (small-sample bias correction),
+    Glass's delta (control-SD denominator), and Cliff's delta (the
+    distribution-free P(x>y) - P(x<y)) — the 'is it LARGE, not just
+    significant' numbers that belong next to every p-value the t-test
+    family emits.
+
+    Determinism: moment statistics are fixed-order rationals over one
+    conditional-aggregate pass; Cliff's delta is an exact integer
+    ratio from the pair comparison; all canon at 1e-6.
+
+    Scale shape: moments are map-side combinable; Cliff's delta is
+    computed through the EXACT rank identity delta = 2U/(n_t n_c) - 1
+    with midrank U accumulated from the value-grain histogram
+    (U = sum over values of t_cnt * (C below + 0.5 * C at value)) —
+    identical to the all-pairs definition including ties, but linear
+    in the histogram instead of quadratic in rows (the direct
+    cross-join measured 8.3 s at sf0.1 and was rejected per the
+    sf0.1 spot-timing rule); the cumulative window runs over the
+    Aggregate-bounded histogram."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = ev.select(
+        F.when(F.col("event_type") == "purchase", "T")
+        .otherwise("C")
+        .alias("grp"),
+        F.col("value").alias("x"),
+    )
+    m = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("grp") == "T", F.col("n"))).alias("nt"),
+        F.max(F.when(F.col("grp") == "C", F.col("n"))).alias("nc"),
+        F.max(F.when(F.col("grp") == "T", F.col("s1"))).alias("st1"),
+        F.max(F.when(F.col("grp") == "C", F.col("s1"))).alias("sc1"),
+        F.max(F.when(F.col("grp") == "T", F.col("s2"))).alias("st2"),
+        F.max(F.when(F.col("grp") == "C", F.col("s2"))).alias("sc2"),
+    )
+    hist = g.groupBy("x").agg(
+        F.sum(F.when(F.col("grp") == "T", 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("grp") == "C", 1).otherwise(0)).alias("c_cnt"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "t_cnt",
+        "c_cnt",
+        F.coalesce(F.sum("c_cnt").over(w_cum), F.lit(0)).alias("c_below"),
+    )
+    cliff = cum.agg(
+        F.sum(
+            F.col("t_cnt") * (F.col("c_below") + 0.5 * F.col("c_cnt"))
+        ).alias("u_stat")
+    )
+    mean_diff = F.col("st1") / F.col("nt") - F.col("sc1") / F.col("nc")
+    pooled_sd = F.sqrt(
+        (
+            (F.col("st2") - F.col("st1") * F.col("st1") / F.col("nt"))
+            + (F.col("sc2") - F.col("sc1") * F.col("sc1") / F.col("nc"))
+        )
+        / (F.col("nt") + F.col("nc") - 2)
+    )
+    control_sd = F.sqrt(
+        (F.col("sc2") - F.col("sc1") * F.col("sc1") / F.col("nc"))
+        / (F.col("nc") - 1)
+    )
+    d = mean_diff / pooled_sd
+    return (
+        w.crossJoin(F.broadcast(cliff))
+        .select(
+            F.col("nt").cast("long").alias("nt"),
+            F.col("nc").cast("long").alias("nc"),
+            _canon6(d).alias("cohens_d_r"),
+            _canon6(
+                d * (F.lit(1) - F.lit(3.0) / (4 * (F.col("nt") + F.col("nc")) - 9))
+            ).alias("hedges_g_r"),
+            _canon6(mean_diff / control_sd).alias("glass_delta_r"),
+            _canon6(
+                (2 * F.col("u_stat") - F.col("nt") * F.col("nc"))
+                / (F.lit(1.0) * F.col("nt") * F.col("nc"))
+            ).alias("cliffs_delta_r"),
+        )
+    )
