@@ -1266,3 +1266,69 @@ def stream_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
     return _run_to_table(
         spark, out, "stream_session_window_dynamic_gap", "complete"
     )
+
+
+@register(
+    "stream_update_mode_progression",
+    defer=True,
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 2)      AS total_value_r,
+           CAST(4 AS BIGINT)         AS n_updates
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_update_mode_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode over a four-micro-batch replay: unlike
+    complete (re-emit everything) or append (emit once, final), the
+    update sink receives one row per key PER BATCH THAT CHANGED IT —
+    the memory sink therefore accumulates the aggregate's history,
+    and the edge reconstructs (a) the final value per key (the
+    running max of the monotone count progression) and (b) how many
+    times each key was updated. Every event type appears in each of
+    the four round-robin files, so n_updates is exactly 4 — the
+    update-cadence invariant this op pins; the final values must
+    equal the one-shot batch aggregate.
+
+    Scale shape: update mode is THE production output mode for keyed
+    dashboards (append can't emit running aggregates, complete
+    re-ships the world every batch); sink volume is changed-keys per
+    batch, not all keys."""
+    from hive_task_spark.tables import load
+
+    apply_runtime_conf(spark)
+    src_dir = os.path.join(_SCRATCH, "events_multibatch_upd")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    e = load(spark, sf_dir, "events")
+    e.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value_r"),
+    )
+    hist = _run_to_table(
+        spark, agg, "stream_update_mode_progression", "update"
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("n_events"))).alias(
+                "n_events"
+            ),
+            F.max(
+                F.when(F.col("rn") == 1, F.col("total_value_r"))
+            ).alias("total_value_r"),
+            F.count(F.lit(1)).cast("long").alias("n_updates"),
+        )
+        .orderBy("event_type")
+    )
