@@ -9659,3 +9659,104 @@ def analytics_effect_size_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cliffs_delta_r"),
         )
     )
+
+
+@register(
+    "analytics_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+               count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    moves AS (
+        SELECT d,
+               CASE WHEN cnt > lag(cnt) OVER (ORDER BY d) THEN 1
+                    WHEN cnt < lag(cnt) OVER (ORDER BY d) THEN 0
+               END AS up
+        FROM daily
+    ),
+    runs AS (
+        SELECT up,
+               CASE WHEN lag(up) OVER (ORDER BY d) IS NULL
+                         OR up <> lag(up) OVER (ORDER BY d)
+                    THEN 1 ELSE 0 END AS new_run
+        FROM (SELECT * FROM moves WHERE up IS NOT NULL) t
+    ),
+    s AS (
+        SELECT CAST(sum(new_run) AS BIGINT)              AS r,
+               CAST(sum(up) AS BIGINT)                   AS n_up,
+               CAST(count(*) - sum(up) AS BIGINT)        AS n_down
+        FROM runs
+    )
+    SELECT r, n_up, n_down,
+           floor((2.0 * n_up * n_down / (n_up + n_down) + 1)
+                 * 1e6 + 0.5) / 1e6 AS expected_r,
+           floor((r - (2.0 * n_up * n_down / (n_up + n_down) + 1))
+                 / sqrt(2.0 * n_up * n_down
+                        * (2.0 * n_up * n_down - n_up - n_down)
+                        / ((n_up + n_down) * (n_up + n_down)
+                           * (n_up + n_down - 1)))
+                 * 1e6 + 0.5) / 1e6 AS z_r
+    FROM s
+    """,
+)
+def analytics_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-count up/down move
+    sequence: too FEW runs means trending (moves cluster), too MANY
+    means oscillation/over-correction — the randomness check that
+    catches both, complementary to Mann-Kendall (which only sees
+    monotone trend). R observed vs E[R] = 2ab/(a+b) + 1 and the
+    normal approximation z.
+
+    Determinism: moves, runs, and the a/b counts are exact integers
+    from partitioned-ordered lag logic (the day series is
+    calendar-bounded, so the unpartitioned windows sit on an
+    Aggregate-bounded input); E[R] and z are fixed-order rationals
+    under the 1e-6 canon. Ties (equal consecutive counts) drop out —
+    the standard ignore-zeros convention.
+
+    Scale shape: one day-grain count then window work over the
+    series — never event-sized."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("d")
+    moves = daily.select(
+        "d",
+        F.when(F.col("cnt") > F.lag("cnt").over(w), 1)
+        .when(F.col("cnt") < F.lag("cnt").over(w), 0)
+        .alias("up"),
+    ).filter(F.col("up").isNotNull())
+    runs = moves.select(
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull()
+            | (F.col("up") != F.lag("up").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    s = runs.agg(
+        F.sum("new_run").cast("long").alias("r"),
+        F.sum("up").cast("long").alias("n_up"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n_down"),
+    )
+    a, b = F.col("n_up"), F.col("n_down")
+    er = F.lit(2.0) * a * b / (a + b) + 1
+    var = (
+        F.lit(2.0)
+        * a
+        * b
+        * (F.lit(2.0) * a * b - a - b)
+        / ((a + b) * (a + b) * (a + b - 1))
+    )
+    return s.select(
+        "r",
+        "n_up",
+        "n_down",
+        _canon6(er).alias("expected_r"),
+        _canon6((F.col("r") - er) / F.sqrt(var)).alias("z_r"),
+    )

@@ -1283,3 +1283,81 @@ def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "source_csv_comment_dialect",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END
+               AS region_or_null,
+           n_regionkey = 0 AS was_na
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    defer=True,
+)
+def source_csv_comment_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect gauntlet: a file with interleaved '#' comment lines
+    and a custom NA sentinel ('NA' -> NULL via the nullValue option) —
+    the shape hand-maintained reference files and R/scientific
+    exports actually arrive in. The file is assembled engine-side
+    (data rows + comment rows unioned, sorted so comments interleave
+    deterministically, one partition) and read back with
+    comment='#' + nullValue='NA' + explicit schema; region 0 is
+    written as NA, so both the comment SKIPPING and the sentinel
+    DECODING are value-checked (a reader that ingests comment rows or
+    keeps 'NA' as a string fails the hash, not just a count).
+
+    Scale shape: dim/config-file path by design (single partition for
+    deterministic line order); the splittable bulk path is the plain
+    CSV scan."""
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    data_lines = n.select(
+        F.col("n_nationkey").alias("ord"),
+        F.lit(1).alias("sub"),
+        F.concat_ws(
+            ",",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.when(F.col("n_regionkey") == 0, "NA").otherwise(
+                F.col("n_regionkey").cast("string")
+            ),
+        ).alias("value"),
+    )
+    comment_lines = n.filter(F.col("n_nationkey") % 5 == 0).select(
+        F.col("n_nationkey").alias("ord"),
+        F.lit(0).alias("sub"),
+        F.concat(F.lit("# block starting at nation "), F.col("n_nationkey"))
+        .alias("value"),
+    )
+    path = _scratch("nation_csv_comment")
+    (
+        data_lines.unionByName(comment_lines)
+        .coalesce(1)
+        .sortWithinPartitions("ord", "sub")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("region_or_null", T.IntegerType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("comment", "#")
+        .option("nullValue", "NA")
+        .csv(path)
+    )
+    return back.select(
+        "n_nationkey",
+        "n_name",
+        "region_or_null",
+        F.col("region_or_null").isNull().alias("was_na"),
+    ).orderBy("n_nationkey")
