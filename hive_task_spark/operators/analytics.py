@@ -9760,3 +9760,81 @@ def analytics_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         _canon6(er).alias("expected_r"),
         _canon6((F.col("r") - er) / F.sqrt(var)).alias("z_r"),
     )
+
+
+@register(
+    "analytics_slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errs
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT hr, n, errs,
+               sum(errs) OVER (ORDER BY hr
+                               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+                   AS errs_6h,
+               sum(n) OVER (ORDER BY hr
+                            ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+                   AS n_6h
+        FROM hourly
+    )
+    SELECT hr,
+           n, errs,
+           floor(errs * 1.0 / n / 0.02 * 1e6 + 0.5) / 1e6       AS burn_1h_r,
+           floor(errs_6h * 1.0 / n_6h / 0.02 * 1e6 + 0.5) / 1e6 AS burn_6h_r,
+           (floor(errs * 1.0 / n / 0.02 * 1e6 + 0.5) / 1e6 > 14.4)
+               AND (floor(errs_6h * 1.0 / n_6h / 0.02 * 1e6 + 0.5) / 1e6
+                    > 6.0) AS page_alert
+    FROM win
+    ORDER BY hr
+    """,
+)
+def analytics_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate with multiwindow alerting (the
+    Google SRE workbook policy): with a 2% error SLO, burn rate =
+    observed error ratio / budget; the page fires only when BOTH the
+    fast window (1h, threshold 14.4x) and the slow window (6h,
+    threshold 6x) burn hot — the AND is what kills both
+    flappy-spike pages and slow-leak blindness.
+
+    Determinism: hourly error/total counts are exact integers; burn
+    ratios are exact rationals canonicalized at 1e-6; the alert
+    conjunction compares canonical values against the policy
+    literals.
+
+    Scale shape: one hour-grain conditional aggregate; the sliding
+    6-hour sums are windows over the calendar-bounded hourly series
+    (Aggregate-bounded input, per the plan guard)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+    win = hourly.select(
+        "hr",
+        "n",
+        "errs",
+        F.sum("errs").over(w6).alias("errs_6h"),
+        F.sum("n").over(w6).alias("n_6h"),
+    )
+    b1 = _canon6(F.col("errs") * F.lit(1.0) / F.col("n") / F.lit(0.02))
+    b6 = _canon6(
+        F.col("errs_6h") * F.lit(1.0) / F.col("n_6h") / F.lit(0.02)
+    )
+    return win.select(
+        "hr",
+        "n",
+        "errs",
+        b1.alias("burn_1h_r"),
+        b6.alias("burn_6h_r"),
+        ((b1 > F.lit(14.4)) & (b6 > F.lit(6.0))).alias("page_alert"),
+    ).orderBy("hr")
