@@ -2552,3 +2552,22 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
         """
     ).fetchone()
     assert abs(total_phi - (v[0] - v[1])) < 1e-4
+
+
+def test_slo_burn_alert_is_conjunction(spark, sf_dir):
+    """The page alert must be exactly the AND of the two window
+    thresholds, and hourly counts must partition the events table."""
+    rows = registry.QUERIES["analytics_slo_burn_rate"](spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n for r in rows) == n
+    for r in rows:
+        assert r.page_alert == ((r.burn_1h_r > 14.4) and (r.burn_6h_r > 6.0))
+
+
+def test_runs_test_counts_are_consistent(spark, sf_dir):
+    """Runs, ups, and downs must satisfy 1 <= R <= n_up + n_down and
+    the expected-runs formula."""
+    r = registry.QUERIES["analytics_runs_test"](spark, sf_dir).collect()[0]
+    assert 1 <= r.r <= r.n_up + r.n_down
+    er = 2.0 * r.n_up * r.n_down / (r.n_up + r.n_down) + 1
+    assert abs(er - r.expected_r) < 1e-5
