@@ -45,69 +45,65 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 6's row: math_suite
-# first (the only query ever red in a driver window — r1 and r4,
-# both the same DOUBLE-vs-TINYINT dtype-repr mismatch, fixed in r5
-# via floor-canonicalization + BIGINT sign() + tests/compare.py's
-# dtype-kind guard — but never driver-reconfirmed; VERDICT r5 item 2
-# promotes its reconfirmation from r10+ to now), then the 49 oldest-
-# registered never-sampled analytics names.  The analytics remainder
-# (~41) rolls into r7 per the schedule.  Round 5's window (all of
-# multimodal/geo/dedup never-sampled + 18 text + 14 quality) came
-# back 50/50 green.
+# schedule lives in CLAUDE.md; this is round 7's row: the 50 oldest-
+# registered never-sampled analytics names (pool at r7 start = 72 of
+# 266 never-sampled, recomputed from the CORRECTNESS_r1–r6 union).
+# The analytics remainder (22) rolls into r8 per the schedule.
+# Round 6's window (math_suite reconfirmation + 49 oldest analytics)
+# came back 50/50 green — math_suite, the only ever-red name, is now
+# driver-confirmed fixed.
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- the only ever-red query: r5 fix needs driver confirmation --
-    "math_suite",
-    # -- analytics: 49 oldest never-sampled --
-    "analytics_retention_cohorts",
-    "analytics_copurchase_pairs",
-    "analytics_pagerank_lite",
-    "analytics_skyline_2d",
-    "analytics_outlier_zscore",
-    "analytics_markov_transitions",
-    "analytics_triangle_count",
-    "analytics_sequence_pattern",
-    "analytics_ab_welch_ttest",
-    "analytics_hypertable_rollup",
-    "analytics_rfm_segmentation",
-    "analytics_attribution_models",
-    "analytics_dau_mau",
-    "analytics_anomaly_mad",
-    "analytics_label_propagation",
-    "analytics_association_rules",
-    "analytics_chi_square",
-    "analytics_mann_whitney",
-    "analytics_ks_test",
-    "analytics_gini_pareto",
-    "analytics_ewma_horizon",
-    "analytics_shortest_path_bfs",
-    "analytics_anova_f",
-    "analytics_benford",
-    "analytics_period_over_period",
-    "analytics_cohort_ltv",
-    "analytics_survival_km",
-    "analytics_path_flows",
-    "analytics_streak_longest",
-    "analytics_bootstrap_ci",
-    "analytics_ols_normal_equations",
-    "analytics_changepoint_cusum",
-    "analytics_proration_largest_remainder",
-    "analytics_fifo_inventory_matching",
-    "analytics_lift_gains_table",
-    "analytics_peak_concurrency",
-    "analytics_bom_explosion",
-    "analytics_interval_day_split",
-    "analytics_forecast_backtest",
-    "analytics_ohlc_candles",
-    "analytics_time_weighted_avg",
-    "analytics_woe_iv_bins",
-    "analytics_markov_absorption",
-    "analytics_diff_in_diff",
-    "analytics_seasonal_index",
-    "analytics_rle_event_runs",
-    "analytics_hhi_concentration",
-    "analytics_clock_repair",
-    "analytics_first_per_hour_throttle",
+    # -- analytics: 50 oldest never-sampled (of 72) --
+    "analytics_wau_overlap",
+    "analytics_degree_powerlaw_fit",
+    "analytics_information_gain",
+    "analytics_dwell_time_matrix",
+    "analytics_customer_timeline",
+    "analytics_psi_drift",
+    "analytics_rank_stability_spearman",
+    "analytics_time_to_convert",
+    "analytics_qq_decile_table",
+    "analytics_dispersion_index",
+    "analytics_neyman_allocation",
+    "analytics_ab_power_analysis",
+    "analytics_cuped_adjustment",
+    "analytics_progressive_brackets",
+    "analytics_auto_binning_fd",
+    "analytics_margin_waterfall",
+    "analytics_holt_trend_forecast",
+    "analytics_retention_half_life",
+    "analytics_kendall_tau",
+    "analytics_theil_sen",
+    "analytics_acf_daily",
+    "analytics_js_divergence",
+    "analytics_burstiness",
+    "analytics_lorenz_deciles",
+    "analytics_record_highs",
+    "analytics_dow_hour_heatmap",
+    "analytics_kcore",
+    "analytics_two_proportion_ztest",
+    "analytics_price_elasticity",
+    "analytics_abc_classification",
+    "analytics_funnel_windowed",
+    "analytics_poisson_rate_ci",
+    "analytics_conversion_curve",
+    "analytics_uplift_by_decile",
+    "analytics_order_lead_time",
+    "analytics_growth_accounting",
+    "analytics_band_breach",
+    "analytics_wilson_ci",
+    "analytics_new_vs_repeat_revenue",
+    "analytics_price_index",
+    "analytics_stl_lite",
+    "analytics_graph_modularity",
+    "analytics_louvain_one_level",
+    "analytics_jaccard_link_prediction",
+    "analytics_partial_correlation",
+    "analytics_cramers_v",
+    "analytics_levene_test",
+    "analytics_tukey_fences",
+    "analytics_cohens_kappa",
+    "analytics_degree_assortativity",
 )
 
 
