@@ -21,6 +21,50 @@ from hive_task_spark.registry import register
 from hive_task_spark.tables import load
 
 
+def _copurchase_edges(
+    items: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    *,
+    distinct: bool = True,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The co-purchase edge kernel shared by every graph operator
+    (kcore / modularity / Louvain / link prediction / assortativity /
+    label propagation): part pairs sharing an order, as an undirected
+    edge list with ``u < v``.
+
+    ``items`` is an (l_orderkey, l_partkey) projection of lineitem
+    (optionally pre-filtered / pre-distinct'd by the caller).
+
+    Degree-bound rationale — why this self-join is safe at 100 TB:
+    TPC-H orders carry <= 7 lineitems (the co-purchase graph's avg
+    degree ~120 is SF-invariant), so the orderkey self-join emits
+    <= C(7,2) = 21 pairs per order — the blowup is capped by DATA
+    SHAPE, not scale factor.  The ``l_partkey < l_partkey`` predicate
+    halves the pair count and collapses the (u,v)/(v,u) twins so each
+    undirected edge appears exactly once.
+
+    ``distinct=True`` (default) collapses multi-order repeats so
+    downstream degree counts are simple edge counts — dropping it is
+    only correct when the caller dedupes later itself (label
+    propagation unions reversed stubs + self-loops before its own
+    ``.distinct()``).  ``checkpoint=True`` materializes the join via
+    localCheckpoint for operators that reference the edge list
+    repeatedly (BSP unrolls): without it the unroll multiplies the
+    lineitem self-join once per downstream reference.
+    """
+    a, b = items.alias("a"), items.alias("b")
+    e = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias(u), F.col("b.l_partkey").alias(v))
+    if distinct:
+        e = e.distinct()
+    return e.localCheckpoint() if checkpoint else e
+
+
 @register(
     "analytics_resample_locf",
     oracle="""
@@ -1116,13 +1160,9 @@ def analytics_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = items.alias("a")
-    b = items.alias("b")
-    und = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+    # distinct=False: the union below (reversed stubs + self-loops)
+    # carries its own .distinct(); checkpoint lands on that union.
+    und = _copurchase_edges(items, "a", "b", distinct=False, checkpoint=False)
     edges = (
         und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .unionByName(
@@ -5577,19 +5617,7 @@ def analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem self-join once per downstream reference (~200 exchanges
     at depth 2)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    edges0 = _copurchase_edges(li)
 
     def degrees(edges):
         return (
@@ -6696,16 +6724,9 @@ def analytics_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     on purpose: part scales with SF (the kcore keep-set lesson), and
     AQE broadcasts them at toy SF anyway."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    # checkpoint=False: the edge list feeds a single linear pass here
+    # (label joins + two aggregates), nothing re-references it.
+    edges = _copurchase_edges(li, checkpoint=False)
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     lab = (
         edges.join(
@@ -6833,17 +6854,7 @@ def analytics_louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer. Nothing iterates on the driver; repeated rounds would
     localCheckpoint between sweeps like kcore."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _copurchase_edges(li)
     und = edges.select(F.col("u").alias("i"), F.col("v").alias("j")).unionAll(
         edges.select(F.col("v").alias("i"), F.col("u").alias("j"))
     )
@@ -6984,17 +6995,7 @@ def analytics_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataF
     Jaccard is an exact integer ratio, floor-canonicalized; top-20
     compiles to per-partition heaps (TakeOrderedAndProject)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _copurchase_edges(li)
     und = edges.select(F.col("u").alias("i"), F.col("v").alias("j")).unionAll(
         edges.select(F.col("v").alias("i"), F.col("u").alias("j"))
     )
@@ -7534,17 +7535,7 @@ def analytics_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFram
     degrees are one count aggregate joined back to the stub list, and
     corr is a single map-side-combinable algebraic aggregate."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _copurchase_edges(li)
     und = edges.select(F.col("u").alias("i"), F.col("v").alias("j")).unionAll(
         edges.select(F.col("v").alias("i"), F.col("u").alias("j"))
     )
