@@ -26,12 +26,9 @@ from pyspark.sql import types as T
 from hive_task_spark.registry import register
 from hive_task_spark.tables import load
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_scratch")
-
-
-def _scratch(name: str) -> str:
-    os.makedirs(_SCRATCH, exist_ok=True)
-    return os.path.join(_SCRATCH, name)
+from hive_task_spark.scratch import scratch_path as _scratch  # noqa: E402
+# (per-process root — see hive_task_spark/scratch.py for the r6
+# harness-race rationale; tests import _scratch from here unchanged)
 
 
 _NATION_SCHEMA = T.StructType(

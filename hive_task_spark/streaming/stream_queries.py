@@ -31,7 +31,14 @@ from hive_task_spark.plans.session import apply_runtime_conf
 from hive_task_spark.registry import register
 from hive_task_spark.tables import normalize_events_ts
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_scratch")
+# Per-process scratch root (hive_task_spark/scratch.py): checkpoint
+# dirs and file-source staging are PID-keyed so a sweep and pytest can
+# overlap without racing the same state store (VERDICT r6 item 4).
+from hive_task_spark.scratch import scratch_root as _scratch_root  # noqa: E402
+
+
+def _scratch_join(*parts: str) -> str:
+    return os.path.join(_scratch_root(), *parts)
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file source; explicit schema
@@ -58,7 +65,7 @@ def _run_to_table(
     """Execute to completion (AvailableNow) into a memory sink; return
     the materialized batch DataFrame. Fresh checkpoint per run so the
     file source re-reads the input."""
-    cp = os.path.join(_SCRATCH, f"cp_{name}")
+    cp = _scratch_join(f"cp_{name}")
     shutil.rmtree(cp, ignore_errors=True)
     # State-store overhead scales with the shuffle-partition count (2
     # checkpoint files per partition per batch); replay state here is
@@ -321,14 +328,14 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated, oracle-checked against the source). This is how
     streams feed non-streaming stores (JDBC, Delta-less parquet,
     external services)."""
-    out_dir = os.path.join(_SCRATCH, "stream_fb_parquet")
+    out_dir = _scratch_join("stream_fb_parquet")
     shutil.rmtree(out_dir, ignore_errors=True)
     s = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    cp = os.path.join(_SCRATCH, "cp_stream_fb")
+    cp = _scratch_join("cp_stream_fb")
     shutil.rmtree(cp, ignore_errors=True)
     q = (
         s.writeStream.foreachBatch(_sink)
@@ -522,7 +529,7 @@ def stream_multibatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_task_spark.tables import load
 
     apply_runtime_conf(spark)
-    src_dir = os.path.join(_SCRATCH, "events_multibatch")
+    src_dir = _scratch_join("events_multibatch")
     shutil.rmtree(src_dir, ignore_errors=True)
     e = load(spark, sf_dir, "events")
     e.repartition(4).write.mode("overwrite").parquet(src_dir)
@@ -577,7 +584,7 @@ def stream_late_drop_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_task_spark.tables import load
 
     apply_runtime_conf(spark)
-    src_dir = os.path.join(_SCRATCH, "events_late_drop")
+    src_dir = _scratch_join("events_late_drop")
     shutil.rmtree(src_dir, ignore_errors=True)
     e = load(spark, sf_dir, "events")
     c_hi, c_lo = "2024-01-25 00:00:00", "2024-01-20 00:00:00"
@@ -637,8 +644,8 @@ def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupes, no loss) across the replay. On a cluster the same code
     writes to object storage and downstream jobs read the manifest,
     never partial files."""
-    out_dir = os.path.join(_SCRATCH, "file_sink_out")
-    cp = os.path.join(_SCRATCH, "cp_file_sink")
+    out_dir = _scratch_join("file_sink_out")
+    cp = _scratch_join("cp_file_sink")
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(cp, ignore_errors=True)
     s = _events_stream(spark, sf_dir).filter(F.col("value") > 10.0).select(
@@ -686,7 +693,7 @@ def stream_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream ran. State key/value arrive as structs; the aggregation
     buffer's count and sum fields are flattened positionally."""
     name = "stream_statestore_inspect_run"
-    cp = os.path.join(_SCRATCH, f"cp_{name}")
+    cp = _scratch_join(f"cp_{name}")
     shutil.rmtree(cp, ignore_errors=True)
     s = _events_stream(spark, sf_dir)
     agg = s.groupBy("user_id").agg(
@@ -817,7 +824,7 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     apply_runtime_conf(spark)
-    src_dir = os.path.join(_SCRATCH, "events_outer_join")
+    src_dir = _scratch_join("events_outer_join")
     shutil.rmtree(src_dir, ignore_errors=True)
     from hive_task_spark.tables import load as _load
 
@@ -924,8 +931,8 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_task_spark.tables import load
 
     apply_runtime_conf(spark)
-    src_dir = os.path.join(_SCRATCH, "events_upsert_src")
-    state_root = os.path.join(_SCRATCH, "upsert_state")
+    src_dir = _scratch_join("events_upsert_src")
+    state_root = _scratch_join("upsert_state")
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(state_root, ignore_errors=True)
     os.makedirs(state_root)
@@ -979,7 +986,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         versions.append(v)
 
-    cp = os.path.join(_SCRATCH, "cp_stream_upsert_sink")
+    cp = _scratch_join("cp_stream_upsert_sink")
     shutil.rmtree(cp, ignore_errors=True)
     q = (
         s.writeStream.foreachBatch(merge_batch)
@@ -1108,7 +1115,7 @@ def stream_observe_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("user_id").alias("max_user"),
     )
     name = "observe_progress_sink"
-    cp = os.path.join(_SCRATCH, f"cp_{name}")
+    cp = _scratch_join(f"cp_{name}")
     shutil.rmtree(cp, ignore_errors=True)
     q = (
         sdf.writeStream.format("memory")
@@ -1300,7 +1307,7 @@ def stream_update_mode_progression(spark: SparkSession, sf_dir: str) -> DataFram
     from hive_task_spark.tables import load
 
     apply_runtime_conf(spark)
-    src_dir = os.path.join(_SCRATCH, "events_multibatch_upd")
+    src_dir = _scratch_join("events_multibatch_upd")
     shutil.rmtree(src_dir, ignore_errors=True)
     e = load(spark, sf_dir, "events")
     e.repartition(4).write.mode("overwrite").parquet(src_dir)
