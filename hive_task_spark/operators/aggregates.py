@@ -1028,9 +1028,11 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizers and drift monitors actually store. The order spec
     carries a full deterministic tie-break (price, orderkey,
     linenumber) so tile assignment is identical across engines.
-    ntile needs a total order — at 100 TB you swap it for
-    approx_percentile cut-points (sampled boundaries) or a
-    range-partitioned sort; lo/hi are exact stored values (no float
+    ntile needs a total order — at 100 TB you swap it for sampled
+    cut-points or a range-partitioned sort; `agg_equidepth_cutpoints`
+    is that swap, demonstrated and oracle-checked (deterministic
+    sample → 7 exact percentiles → broadcast bucket pass, zero
+    total-order exchanges); lo/hi are exact stored values (no float
     edge)."""
     from pyspark.sql import Window
 
@@ -1040,6 +1042,91 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("x"), F.ntile(8).over(w).alias("bucket")
     )
     return t.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )
+
+
+@register(
+    "agg_equidepth_cutpoints",
+    oracle="""
+    WITH smp AS (
+        SELECT l_extendedprice AS x
+        FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                         CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+    ),
+    cp AS (
+        SELECT list_transform(
+                   quantile_cont(x, [0.125, 0.25, 0.375, 0.5,
+                                     0.625, 0.75, 0.875]),
+                   c -> floor(c * 1000000 + 0.5) / 1000000
+               ) AS cps
+        FROM smp
+    ),
+    b AS (
+        SELECT l.l_extendedprice AS x,
+               1 + len(list_filter(cp.cps,
+                                   c -> l.l_extendedprice > c)) AS bucket
+        FROM lineitem l CROSS JOIN cp
+    )
+    SELECT CAST(bucket AS BIGINT)   AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(x) AS lo, max(x) AS hi
+    FROM b GROUP BY bucket
+    """,
+    defer=True,
+)
+def agg_equidepth_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path `agg_equidepth_histogram`'s docstring promises:
+    equi-frequency buckets from SAMPLED cut-points instead of a global
+    ntile sort. Three map-friendly stages: (1) a deterministic 1-in-16
+    sample keyed on md5(orderkey-linenumber) — the pipeline.py
+    sampling idiom, rerun-stable, never rand(); (2) exact 7-point
+    percentile over the sample (bounded state: the buffered set is
+    the sample, whose rate is the knob — at 100 TB you sample to a
+    fixed ~1M rows); (3) one broadcast crossJoin of the 1-row
+    cut-point array + an 8-way conditional count — a plain partial+
+    final hash aggregate on the full fact, NO total-order exchange
+    anywhere. Buckets are approximately equi-depth (sampling error
+    only); lo/hi stay exact stored values.
+
+    Determinism: frac = k(n-1)/8 is dyadic so the interpolation
+    lo + (hi-lo)*frac is one rounding on each engine; cut-points are
+    floor-canonicalized at 1e-6 on BOTH sides before bucketing (the
+    CLAUDE.md transcendental rule), so every 2dp price compares
+    against identical boundaries."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    smp = li.filter(F.substring(F.md5(key), 1, 1) == "0").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    cps = smp.agg(
+        F.expr(
+            "transform(percentile(x, array(0.125D, 0.25D, 0.375D, 0.5D,"
+            " 0.625D, 0.75D, 0.875D)),"
+            " c -> floor(c * 1000000 + 0.5) / 1000000)"
+        ).alias("cps")
+    )
+    # Unrolled conditional sum, NOT size(filter(cps, ...)): HOF
+    # lambdas run interpreted per row (no whole-stage codegen) and
+    # measured 5x slower on the 6M-row sf0.1 pass; seven WHENs over
+    # the broadcast array stay inside codegen.
+    bucket = F.lit(1)
+    for i in range(7):
+        bucket = bucket + F.when(
+            F.col("l_extendedprice") > F.col("cps").getItem(i), 1
+        ).otherwise(0)
+    b = li.crossJoin(F.broadcast(cps)).select(
+        F.col("l_extendedprice").alias("x"),
+        bucket.cast("long").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("x").alias("lo"),
         F.max("x").alias("hi"),
