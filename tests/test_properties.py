@@ -2571,3 +2571,72 @@ def test_runs_test_counts_are_consistent(spark, sf_dir):
     assert 1 <= r.r <= r.n_up + r.n_down
     er = 2.0 * r.n_up * r.n_down / (r.n_up + r.n_down) + 1
     assert abs(er - r.expected_r) < 1e-5
+
+
+def test_equidepth_cutpoints_partitions_table(spark, sf_dir):
+    """The sampled-cut-point histogram must partition lineitem exactly
+    (counts sum to the table count), emit buckets only in 1..8, keep
+    lo <= hi inside each bucket, and keep bucket ranges disjoint and
+    ordered (hi of bucket k strictly below lo of bucket k+1, since
+    values equal to a cut-point go left). Depths are approximate by
+    design (sampled boundaries) — each within a generous 2x band of
+    the ideal N/8."""
+    rows = sorted(
+        registry.QUERIES["agg_equidepth_cutpoints"](spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    li_n = load(spark, sf_dir, "lineitem").count()
+    assert sum(r.n for r in rows) == li_n
+    assert all(1 <= r.bucket <= 8 for r in rows)
+    for r in rows:
+        assert r.lo <= r.hi
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi < b.lo
+    ideal = li_n / 8
+    for r in rows:
+        assert ideal / 2 <= r.n <= ideal * 2, (r.bucket, r.n, ideal)
+
+
+def test_copurchase_edges_helper_properties(spark, sf_dir):
+    """_copurchase_edges (the kernel shared by all six graph ops) must
+    emit each undirected edge exactly once with u < v, no self-loops,
+    and agree with the independent basket-explode derivation used by
+    analytics_copurchase_pairs/triangle_count."""
+    from hive_task_spark.operators.analytics import _copurchase_edges
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _copurchase_edges(li, checkpoint=False)
+    n = edges.count()
+    assert edges.filter(F.col("u") >= F.col("v")).count() == 0
+    assert edges.distinct().count() == n
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    explode_edges = (
+        baskets.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    assert explode_edges.count() == n
+    assert explode_edges.exceptAll(edges.select("u", "v")).count() == 0
+
+
+def test_scratch_root_is_pid_keyed_and_reaps_dead_dirs(tmp_path):
+    """Concurrent-harness safety (the r6 CANNOT_WRITE_STATE_STORE
+    lesson): scratch paths must be namespaced by this process's PID,
+    and directories left by dead PIDs must be reaped on first use
+    while live ones survive."""
+    import os
+
+    from hive_task_spark import scratch
+
+    p = scratch.scratch_path("some_ds")
+    assert f"pid_{os.getpid()}" in p
+    # plant a dir for a PID that cannot exist (beyond PID_MAX) and one
+    # for this live process; force a fresh reap pass
+    dead = os.path.join(scratch._BASE, "pid_99999999")
+    os.makedirs(dead, exist_ok=True)
+    live = scratch.scratch_root()
+    scratch._cleaned = False
+    scratch.scratch_root()
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)
