@@ -91,6 +91,9 @@ HEADLINE = [
     # algebra).
     "analytics_graph_modularity",
     "multimodal_vad_segments",
+    # Round-7 addition: the no-global-sort equi-depth path (sampled
+    # cut-points + broadcast bucket pass — the scale swap for ntile).
+    "agg_equidepth_cutpoints",
 ]
 
 

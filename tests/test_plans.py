@@ -393,3 +393,35 @@ def test_parquet_bloom_filter_lands_on_disk(spark, sf_dir):
         f"bloom-enabled write ({bloom_b} B) not larger than control "
         f"({plain_b} B): bloom filter options did not take effect"
     )
+
+
+def test_copurchase_edge_stats_stay_above_broadcast_threshold(spark, sf_dir):
+    """Regression guard for the round-7 kernel experiment: the
+    checkpointed co-purchase edge list must keep a size estimate ABOVE
+    the auto-broadcast threshold. A kernel whose checkpointed plan
+    advertises tiny stats (the basket-explode variant claimed ~1.5 MB
+    for 1.2M edges) flips every downstream AQE join to broadcasting
+    the edge list — measured kcore 3.6s -> 16.3s and three graph ops
+    broadcast-OOMed at sf0.1. Downstream joins must stay shuffles."""
+    from pyspark.sql import functions as F
+
+    from hive_task_spark.operators.analytics import _copurchase_edges
+    from hive_task_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _copurchase_edges(li)
+    size = int(edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    threshold = 10 * 1024 * 1024  # autoBroadcastJoinThreshold default
+    assert size > threshold, (
+        f"edge-list stats {size}B would invite AQE broadcast"
+    )
+
+
+def test_equidepth_cutpoints_no_total_order_exchange(spark, sf_dir):
+    """The sampled-cut-point histogram exists to avoid the global sort:
+    its plan must contain no rangepartitioning exchange and no Sort,
+    and the cut-point side must arrive via BroadcastExchange."""
+    plan = _plan(spark, sf_dir, "agg_equidepth_cutpoints")
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cutpoint crossJoin
