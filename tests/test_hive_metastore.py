@@ -1,0 +1,69 @@
+"""Hive-metastore persistence — the property the in-memory catalog
+cannot have: tables created by one process are visible and queryable
+from a LATER process through the shared (derby-backed) metastore.
+
+Runs each phase in a fresh subprocess because catalogImplementation is
+frozen at SparkContext creation and the pytest session fixture already
+holds the in-memory-catalog context for this process.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_WRITER = """
+import json, sys
+sys.path.insert(0, {repo!r})
+from hive_task_spark.sources.hive_catalog import hive_session, create_tables
+spark = hive_session({base!r})
+spark.sparkContext.setLogLevel("ERROR")
+print("RESULT:" + json.dumps(create_tables(spark, {sf!r})))
+spark.stop()
+"""
+
+_READER = """
+import json, sys
+sys.path.insert(0, {repo!r})
+from hive_task_spark.sources.hive_catalog import hive_session, read_tables
+spark = hive_session({base!r})
+spark.sparkContext.setLogLevel("ERROR")
+out = read_tables(spark)
+out["tables"] = sorted(out["tables"])
+print("RESULT:" + json.dumps(out))
+spark.stop()
+"""
+
+
+def _run(script: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT:")][-1]
+    return json.loads(line[len("RESULT:") :])
+
+
+def test_hive_metastore_persists_across_processes(tmp_path):
+    base = str(tmp_path / "hive_cat")
+    written = _run(_WRITER.format(repo=REPO, base=base, sf=SF_DIR))
+    assert written["nation"] == 25
+    assert written["orders"] > 0
+
+    seen = _run(_READER.format(repo=REPO, base=base))
+    # the second process saw the first process's catalog entries
+    assert "hive_nation" in seen["tables"]
+    assert "hive_orders_by_year" in seen["tables"]
+    assert seen["nation_rows"] == written["nation"]
+    assert seen["orders_rows"] == written["orders"]
+    # the partitioned table kept real Hive partitions, and pruning works
+    assert seen["n_partitions"] > 1
+    assert 0 < seen["pruned_n"] < seen["orders_rows"]
