@@ -86,6 +86,41 @@ def create_tables(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     }
 
 
+def external_table_msck(spark: SparkSession, sf_dir: str, data_dir: str) -> dict[str, int]:
+    """The 100 TB ingestion pattern: an EXTERNAL partitioned table over
+    a directory other jobs append to. Backfill writers drop files into
+    new ``o_year=YYYY/`` directories without touching the metastore;
+    ``MSCK REPAIR TABLE`` (partition discovery) registers them. The
+    returned counts prove the catalog saw nothing before the repair
+    and everything after — the metadata-only operation that makes
+    petabyte backfills atomic-ish (files land, then one DDL publishes
+    them)."""
+    import os
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey", "o_totalprice", "CAST(year(o_orderdate) AS INT) AS o_year"
+    )
+    spark.sql("DROP TABLE IF EXISTS hive_orders_ext")
+    spark.sql(
+        "CREATE EXTERNAL TABLE hive_orders_ext "
+        "(o_orderkey BIGINT, o_totalprice DOUBLE) "
+        "PARTITIONED BY (o_year INT) STORED AS PARQUET "
+        f"LOCATION '{data_dir}'"
+    )
+    # writers land files directly under the table location, bypassing
+    # the catalog (the backfill shape)
+    for (yr,) in orders.select("o_year").distinct().collect():
+        orders.filter(f"o_year = {yr}").drop("o_year").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(data_dir, f"o_year={yr}"))
+    before = spark.sql("SHOW PARTITIONS hive_orders_ext").count()
+    spark.sql("MSCK REPAIR TABLE hive_orders_ext")
+    after = spark.sql("SHOW PARTITIONS hive_orders_ext").count()
+    n_rows = spark.table("hive_orders_ext").count()
+    return {"before": before, "after": after, "rows": n_rows,
+            "src_rows": orders.count()}
+
+
 def read_tables(spark: SparkSession) -> dict[str, object]:
     """Phase 2 (fresh process, same metastore): the tables must exist
     in the catalog and answer queries — including partition listing

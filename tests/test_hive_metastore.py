@@ -52,6 +52,29 @@ def _run(script: str) -> dict:
     return json.loads(line[len("RESULT:") :])
 
 
+_MSCK = """
+import json, sys
+sys.path.insert(0, {repo!r})
+from hive_task_spark.sources.hive_catalog import hive_session, external_table_msck
+spark = hive_session({base!r})
+spark.sparkContext.setLogLevel("ERROR")
+print("RESULT:" + json.dumps(external_table_msck(spark, {sf!r}, {data!r})))
+spark.stop()
+"""
+
+
+def test_msck_repair_discovers_backfilled_partitions(tmp_path):
+    """External table + files landed out-of-band + MSCK REPAIR: the
+    catalog must see zero partitions before the repair and every
+    backfilled year after, with the full row count readable."""
+    base = str(tmp_path / "hive_cat_msck")
+    data = str(tmp_path / "orders_ext_data")
+    out = _run(_MSCK.format(repo=REPO, base=base, sf=SF_DIR, data=data))
+    assert out["before"] == 0
+    assert out["after"] > 1
+    assert out["rows"] == out["src_rows"]
+
+
 def test_hive_metastore_persists_across_processes(tmp_path):
     base = str(tmp_path / "hive_cat")
     written = _run(_WRITER.format(repo=REPO, base=base, sf=SF_DIR))
