@@ -121,6 +121,26 @@ def external_table_msck(spark: SparkSession, sf_dir: str, data_dir: str) -> dict
             "src_rows": orders.count()}
 
 
+def hiveql_transform(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """HiveQL script transform — ``SELECT TRANSFORM(...) USING 'cmd'``
+    streams rows through an external process (the original Hive UDF
+    escape hatch; reference point for HiveQL parity). Uses ``/bin/cat``
+    as the identity script with the default tab-delimited serde, so the
+    round-trip must preserve values exactly. At scale this is the
+    legacy path — Arrow-batched ``mapInPandas`` (functions/udfs.py)
+    does the same job 10-100x faster — but the surface must exist for
+    HiveQL workloads to port."""
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation_t"
+    )
+    out = spark.sql(
+        "SELECT TRANSFORM(n_nationkey, n_name) "
+        "USING '/bin/cat' AS (k STRING, name STRING) "
+        "FROM nation_t"
+    )
+    return sorted((int(r.k), r.name) for r in out.collect())
+
+
 def read_tables(spark: SparkSession) -> dict[str, object]:
     """Phase 2 (fresh process, same metastore): the tables must exist
     in the catalog and answer queries — including partition listing

@@ -75,6 +75,28 @@ def test_msck_repair_discovers_backfilled_partitions(tmp_path):
     assert out["rows"] == out["src_rows"]
 
 
+_TRANSFORM = """
+import json, sys
+sys.path.insert(0, {repo!r})
+from hive_task_spark.sources.hive_catalog import hive_session, hiveql_transform
+spark = hive_session({base!r})
+spark.sparkContext.setLogLevel("ERROR")
+rows = hiveql_transform(spark, {sf!r})
+print("RESULT:" + json.dumps(rows))
+spark.stop()
+"""
+
+
+def test_hiveql_transform_roundtrips_identity(tmp_path):
+    """SELECT TRANSFORM ... USING '/bin/cat' must round-trip nation
+    exactly through the external-script serde."""
+    base = str(tmp_path / "hive_cat_tf")
+    rows = _run(_TRANSFORM.format(repo=REPO, base=base, sf=SF_DIR))
+    assert len(rows) == 25
+    assert rows[0][0] == 0 and rows[-1][0] == 24
+    assert all(isinstance(k, int) and name for k, name in rows)
+
+
 def test_hive_metastore_persists_across_processes(tmp_path):
     base = str(tmp_path / "hive_cat")
     written = _run(_WRITER.format(repo=REPO, base=base, sf=SF_DIR))
