@@ -26,6 +26,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from hive_task_spark.plans.session import apply_runtime_conf
 from hive_task_spark.registry import register
@@ -1339,3 +1344,90 @@ def stream_update_mode_progression(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+class _TickStreamSource(DataSource):
+    """Custom STREAMING source via the Spark 4 Python DataSource API —
+    the bespoke-feed stand-in for a Kafka topic this sandbox lacks.
+    Emits the deterministic tick table (i, i*i mod 97) for i in
+    [0, rows): offsets are plain dicts, each micro-batch's range is
+    split into `numPartitions` independent InputPartitions, so the
+    read parallelizes exactly like a real partitioned log."""
+
+    @classmethod
+    def name(cls):
+        return "tickstream"
+
+    def schema(self):
+        return "i BIGINT, v BIGINT"
+
+    def streamReader(self, schema):
+        return _TickStreamReader(self.options)
+
+
+class _TickStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.total = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("numPartitions", 4))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def latestOffset(self):
+        # the full backlog; under Trigger.AvailableNow the wrapper
+        # snapshots this once and drains up to it
+        return {"i": self.total}
+
+    def partitions(self, start, end):
+        lo, hi = start["i"], end["i"]
+        step = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
+        return [
+            InputPartition((b, min(b + step, hi)))
+            for b in range(lo, hi, step)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield (i, (i * i) % 97)
+
+    def commit(self, end):
+        pass
+
+
+@register(
+    "stream_python_datasource",
+    oracle="""
+    SELECT CAST(i % 8 AS BIGINT)        AS bucket,
+           CAST(count(*) AS BIGINT)     AS n,
+           CAST(sum((i * i) % 97) AS BIGINT) AS v_sum,
+           CAST(max((i * i) % 97) AS BIGINT) AS v_max
+    FROM range(1000) t(i)
+    GROUP BY i % 8
+    """,
+    defer=True,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over a custom Python streaming DataSource (Spark 4
+    DataSourceStreamReader): offset planning, per-partition reads, and
+    commit all exercised through the real streaming engine, then the
+    drained result is oracle-checked exactly (the tick content is a
+    closed-form function of i, recomputed by DuckDB over range()).
+    This is the extension seam for feeds Spark lacks a connector for —
+    at scale the same class fronts a partitioned log, latestOffset
+    reports the broker high-watermark, and admission control caps
+    per-batch rows; the engine-side plan (shuffle-on-bucket partial+
+    final aggregate) is identical."""
+    spark.dataSource.register(_TickStreamSource)
+    raw = (
+        spark.readStream.format("tickstream")
+        .option("rows", "1000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    agg = raw.groupBy((F.col("i") % 8).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("v_sum"),
+        F.max("v").cast("long").alias("v_max"),
+    )
+    return _run_to_table(spark, agg, "stream_python_datasource", "complete")
