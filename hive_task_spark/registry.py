@@ -45,65 +45,65 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 7's row: the 50 oldest-
-# registered never-sampled analytics names (pool at r7 start = 72 of
-# 266 never-sampled, recomputed from the CORRECTNESS_r1–r6 union).
-# The analytics remainder (22) rolls into r8 per the schedule.
-# Round 6's window (math_suite reconfirmation + 49 oldest analytics)
-# came back 50/50 green — math_suite, the only ever-red name, is now
-# driver-confirmed fixed.
+# schedule lives in CLAUDE.md; this is round 8's row: the analytics
+# remainder (22) + the 28 oldest-registered never-sampled pipeline
+# names (pool at r8 start = 218 never-sampled of 552, recomputed from
+# the CORRECTNESS_r1–r7 union; pipeline pool = 45, the remaining 17
+# roll into r9 per the schedule).  Round 7's window (analytics oldest
+# 50) came back 50/50 green; cumulative driver-confirmed = 334/552.
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- analytics: 50 oldest never-sampled (of 72) --
-    "analytics_wau_overlap",
-    "analytics_degree_powerlaw_fit",
-    "analytics_information_gain",
-    "analytics_dwell_time_matrix",
-    "analytics_customer_timeline",
-    "analytics_psi_drift",
-    "analytics_rank_stability_spearman",
-    "analytics_time_to_convert",
-    "analytics_qq_decile_table",
-    "analytics_dispersion_index",
-    "analytics_neyman_allocation",
-    "analytics_ab_power_analysis",
-    "analytics_cuped_adjustment",
-    "analytics_progressive_brackets",
-    "analytics_auto_binning_fd",
-    "analytics_margin_waterfall",
-    "analytics_holt_trend_forecast",
-    "analytics_retention_half_life",
-    "analytics_kendall_tau",
-    "analytics_theil_sen",
-    "analytics_acf_daily",
-    "analytics_js_divergence",
-    "analytics_burstiness",
-    "analytics_lorenz_deciles",
-    "analytics_record_highs",
-    "analytics_dow_hour_heatmap",
-    "analytics_kcore",
-    "analytics_two_proportion_ztest",
-    "analytics_price_elasticity",
-    "analytics_abc_classification",
-    "analytics_funnel_windowed",
-    "analytics_poisson_rate_ci",
-    "analytics_conversion_curve",
-    "analytics_uplift_by_decile",
-    "analytics_order_lead_time",
-    "analytics_growth_accounting",
-    "analytics_band_breach",
-    "analytics_wilson_ci",
-    "analytics_new_vs_repeat_revenue",
-    "analytics_price_index",
-    "analytics_stl_lite",
-    "analytics_graph_modularity",
-    "analytics_louvain_one_level",
-    "analytics_jaccard_link_prediction",
-    "analytics_partial_correlation",
-    "analytics_cramers_v",
-    "analytics_levene_test",
-    "analytics_tukey_fences",
-    "analytics_cohens_kappa",
-    "analytics_degree_assortativity",
+    # -- analytics: the 22 remaining never-sampled --
+    "analytics_cochran_armitage",
+    "analytics_sax_symbols",
+    "analytics_mann_kendall",
+    "analytics_gumbel_block_maxima",
+    "analytics_shapley_attribution",
+    "analytics_hurst_exponent",
+    "analytics_regression_influence",
+    "analytics_var_cvar",
+    "analytics_entropy_rate_markov",
+    "analytics_tukey_hsd",
+    "analytics_friedman_test",
+    "analytics_decision_stump",
+    "analytics_newsvendor_quantile",
+    "analytics_queueing_mm1",
+    "analytics_weibull_lead_time",
+    "analytics_segment_migration_matrix",
+    "analytics_abc_xyz_matrix",
+    "analytics_two_way_anova",
+    "analytics_james_stein_shrinkage",
+    "analytics_effect_size_suite",
+    "analytics_runs_test",
+    "analytics_slo_burn_rate",
+    # -- pipeline: 28 oldest never-sampled (of 45) --
+    "pipeline_chunk_sliding",
+    "pipeline_pack_sequences",
+    "pipeline_length_buckets",
+    "pipeline_dedup_keep_best",
+    "pipeline_stratified_split",
+    "pipeline_domain_cap",
+    "pipeline_interleave_mixture",
+    "pipeline_incremental_agg",
+    "pipeline_dataset_card",
+    "pipeline_clean_corpus_funnel",
+    "pipeline_snapshot_dedup",
+    "pipeline_scd2_dimension",
+    "pipeline_zorder_layout",
+    "pipeline_skew_diagnose",
+    "pipeline_bloom_prefilter",
+    "pipeline_feature_hashing",
+    "pipeline_dp_counts",
+    "pipeline_weighted_sample",
+    "pipeline_shard_plan",
+    "pipeline_cdc_net_effect",
+    "pipeline_nucleus_topp",
+    "pipeline_waterfill_allocation",
+    "pipeline_incremental_sessionize",
+    "pipeline_subsample_ladder",
+    "pipeline_temperature_mixture",
+    "pipeline_truncation_loss_report",
+    "pipeline_content_defined_chunking",
+    "pipeline_preference_pairs",
 )
 
 
