@@ -1058,10 +1058,13 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                          CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
     ),
     cp AS (
-        SELECT list_transform(
-                   quantile_cont(x, [0.125, 0.25, 0.375, 0.5,
-                                     0.625, 0.75, 0.875]),
-                   c -> floor(c * 1000000 + 0.5) / 1000000
+        SELECT coalesce(
+                   list_transform(
+                       quantile_cont(x, [0.125, 0.25, 0.375, 0.5,
+                                         0.625, 0.75, 0.875]),
+                       c -> floor(c * 1000000 + 0.5) / 1000000
+                   ),
+                   CAST([] AS DOUBLE[])
                ) AS cps
         FROM smp
     ),
@@ -1096,7 +1099,14 @@ def agg_equidepth_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo + (hi-lo)*frac is one rounding on each engine; cut-points are
     floor-canonicalized at 1e-6 on BOTH sides before bucketing (the
     CLAUDE.md transcendental rule), so every 2dp price compares
-    against identical boundaries."""
+    against identical boundaries.
+
+    Degenerate input: if the 1-in-16 sample is EMPTY (never at any
+    shipped SF — requires <~16 lineitem rows), percentile is NULL;
+    both sides coalesce the cut-point array to an empty array so
+    every row lands in bucket 1 on both engines (Spark's
+    x > NULL -> otherwise(0) and DuckDB's len(list_filter([],...))=0
+    then agree instead of diverging NULL-vs-1)."""
     li = load(spark, sf_dir, "lineitem")
     key = F.concat(
         F.col("l_orderkey").cast("string"),
@@ -1108,9 +1118,10 @@ def agg_equidepth_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cps = smp.agg(
         F.expr(
-            "transform(percentile(x, array(0.125D, 0.25D, 0.375D, 0.5D,"
-            " 0.625D, 0.75D, 0.875D)),"
-            " c -> floor(c * 1000000 + 0.5) / 1000000)"
+            "coalesce(transform(percentile(x, array(0.125D, 0.25D,"
+            " 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)),"
+            " c -> floor(c * 1000000 + 0.5) / 1000000),"
+            " cast(array() as array<double>))"
         ).alias("cps")
     )
     # Unrolled conditional sum, NOT size(filter(cps, ...)): HOF

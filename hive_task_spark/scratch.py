@@ -19,17 +19,29 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 _BASE = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_scratch")
 _cleaned = False
 
 
+_MAX_AGE_SECONDS = 6 * 3600
+
+
 def _reap_stale_pid_dirs() -> None:
-    """Best-effort removal of pid_* dirs whose owner process is gone."""
+    """Best-effort removal of pid_* dirs whose owner process is gone.
+
+    Second criterion: dirs older than _MAX_AGE_SECONDS by mtime are
+    reaped even if /proc/<pid> exists — a recycled PID can belong to
+    an unrelated long-lived process, which would otherwise keep a
+    dead harness's scratch alive indefinitely. No harness run lives
+    anywhere near 6h, so age is a safe liveness proxy.
+    """
     try:
         entries = os.listdir(_BASE)
     except FileNotFoundError:
         return
+    now = time.time()
     for entry in entries:
         if not entry.startswith("pid_"):
             continue
@@ -37,8 +49,17 @@ def _reap_stale_pid_dirs() -> None:
             pid = int(entry[4:])
         except ValueError:
             continue
-        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
-            shutil.rmtree(os.path.join(_BASE, entry), ignore_errors=True)
+        if pid == os.getpid():
+            continue
+        path = os.path.join(_BASE, entry)
+        stale = not os.path.exists(f"/proc/{pid}")
+        if not stale:
+            try:
+                stale = now - os.stat(path).st_mtime > _MAX_AGE_SECONDS
+            except OSError:
+                stale = False
+        if stale:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def scratch_root() -> str:

@@ -95,8 +95,6 @@ def external_table_msck(spark: SparkSession, sf_dir: str, data_dir: str) -> dict
     and everything after — the metadata-only operation that makes
     petabyte backfills atomic-ish (files land, then one DDL publishes
     them)."""
-    import os
-
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
         "o_orderkey", "o_totalprice", "CAST(year(o_orderdate) AS INT) AS o_year"
     )
@@ -107,12 +105,11 @@ def external_table_msck(spark: SparkSession, sf_dir: str, data_dir: str) -> dict
         "PARTITIONED BY (o_year INT) STORED AS PARQUET "
         f"LOCATION '{data_dir}'"
     )
-    # writers land files directly under the table location, bypassing
-    # the catalog (the backfill shape)
-    for (yr,) in orders.select("o_year").distinct().collect():
-        orders.filter(f"o_year = {yr}").drop("o_year").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(data_dir, f"o_year={yr}"))
+    # the backfill writer lands o_year=YYYY/ dirs directly under the
+    # table location via the PATH API, bypassing the catalog — one
+    # partitionBy pass (single orders scan), not a per-partition
+    # rescan loop
+    orders.write.partitionBy("o_year").mode("append").parquet(data_dir)
     before = spark.sql("SHOW PARTITIONS hive_orders_ext").count()
     spark.sql("MSCK REPAIR TABLE hive_orders_ext")
     after = spark.sql("SHOW PARTITIONS hive_orders_ext").count()

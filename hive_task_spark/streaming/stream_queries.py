@@ -1380,6 +1380,11 @@ class _TickStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["i"], end["i"]
+        if lo >= hi:
+            # a no-progress micro-batch (possible under triggers other
+            # than AvailableNow) must still plan >=1 partition: an
+            # empty list can fail batch planning
+            return [InputPartition((lo, lo))]
         step = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
         return [
             InputPartition((b, min(b + step, hi)))
