@@ -1,0 +1,113 @@
+"""Checkpoint-stats instrumentation — closes the PLANS.md blind spot.
+
+Queries that materialize shared subtrees via ``localCheckpoint``
+(minhash, triangle, kcore, kmeans, louvain, …) execute their build
+stages eagerly at plan-construction time, so the recorded final-plan
+audit cannot see them. Worse, the checkpointed ``LogicalRDD`` keeps
+the BUILD plan's ``sizeInBytes`` ESTIMATE: round 7 measured a kernel
+whose checkpoint advertised ~1.5 MB for 1.2M edge rows (~1.25 B/row),
+which flipped every downstream AQE join to broadcasting the edge list
+— kcore went 3.6 s -> 16.3 s and three graph ops OOMed at sf0.1.
+
+This module intercepts ``DataFrame.localCheckpoint`` for the duration
+of a ``with record_checkpoints() as recs:`` block and records, per
+checkpoint: the materialized DataFrame, its actual row count, the
+post-checkpoint logical-plan size estimate (what AQE's join planning
+will see downstream), and a summary of the pre-checkpoint build plan.
+``plans.audit`` uses it to publish build-segment evidence in PLANS.md;
+``tests/test_plans.py`` uses it to enforce the class-wide invariant:
+no checkpointed intermediate may advertise broadcast-bait stats
+(< _MIN_BYTES_PER_ROW per actual row) once it has real volume.
+"""
+
+from __future__ import annotations
+
+import re
+from contextlib import contextmanager
+from dataclasses import dataclass
+from typing import Iterator
+
+try:  # Spark 4: concrete class lives in sql.classic
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+except ImportError:  # pragma: no cover - older Spark layout
+    from pyspark.sql import DataFrame as _DF
+
+# The loosest defensible estimate: every materialized row carries at
+# least one 8-byte word. The r7 buggy kernel sat at ~1.25 B/row; any
+# honest estimate (or the unknown-stats default, which is huge) clears
+# this by an order of magnitude.
+_MIN_BYTES_PER_ROW = 8
+
+
+@dataclass
+class CheckpointRecord:
+    source_plan: str  # pre-checkpoint optimized plan (build segment)
+    checkpointed: object  # the materialized DataFrame
+
+    _rows: int | None = None
+    _stats: int | None = None
+
+    @property
+    def rows(self) -> int:
+        if self._rows is None:
+            self._rows = self.checkpointed.count()
+        return self._rows
+
+    @property
+    def stats_bytes(self) -> int:
+        """What downstream join planning sees: the checkpointed
+        logical plan's sizeInBytes estimate."""
+        if self._stats is None:
+            qe = self.checkpointed._jdf.queryExecution()
+            self._stats = int(qe.optimizedPlan().stats().sizeInBytes())
+        return self._stats
+
+    def build_summary(self) -> dict[str, int]:
+        p = self.source_plan
+        return {
+            "exchanges": len(re.findall(r"\bExchange\b", p)),
+            "joins": len(re.findall(r"\bJoin\b", p)),
+            "aggregates": len(re.findall(r"\bAggregate\b", p)),
+        }
+
+
+@contextmanager
+def record_checkpoints() -> Iterator[list[CheckpointRecord]]:
+    """Intercept every DataFrame.localCheckpoint in the block."""
+    records: list[CheckpointRecord] = []
+    orig = _DF.localCheckpoint
+
+    def patched(self, *args, **kwargs):
+        try:
+            src = self._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:  # never let instrumentation break the query
+            src = ""
+        out = orig(self, *args, **kwargs)
+        records.append(CheckpointRecord(source_plan=src, checkpointed=out))
+        return out
+
+    _DF.localCheckpoint = patched
+    try:
+        yield records
+    finally:
+        _DF.localCheckpoint = orig
+
+
+def understated_records(
+    records: list[CheckpointRecord], min_rows: int = 1000
+) -> list[str]:
+    """The class-wide invariant: every checkpointed intermediate with
+    >= min_rows actual rows must advertise >= _MIN_BYTES_PER_ROW per
+    row, or downstream AQE will treat a big relation as broadcastable.
+    Returns human-readable violations (empty = healthy)."""
+    bad = []
+    for i, rec in enumerate(records):
+        if rec.rows < min_rows:
+            continue
+        if rec.stats_bytes < rec.rows * _MIN_BYTES_PER_ROW:
+            bad.append(
+                f"checkpoint #{i}: {rec.rows} rows but stats "
+                f"{rec.stats_bytes} B ({rec.stats_bytes / rec.rows:.2f} "
+                f"B/row) — broadcast bait"
+            )
+    return bad

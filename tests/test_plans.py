@@ -21,6 +21,24 @@ def _plan(spark, sf_dir, name: str) -> str:
     )
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """The LIVE autoBroadcastJoinThreshold in bytes (not a hardcoded
+    10 MiB): if the suite ever raises the threshold, the stats guards
+    must tighten with it or they under-protect against the r7
+    broadcast-OOM class."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    raw = raw.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    for suffix, mult in units.items():
+        if raw.endswith(suffix + "b"):
+            return int(float(raw[:-2]) * mult)
+        if raw.endswith(suffix):
+            return int(float(raw[:-1]) * mult)
+    if raw.endswith("b"):
+        return int(float(raw[:-1]))
+    return int(float(raw))
+
+
 def test_star_join_all_broadcast(spark, sf_dir):
     """Every dimension join in the star queries must be broadcast-hash;
     a SortMergeJoin would shuffle the fact table per dimension."""
@@ -411,9 +429,10 @@ def test_copurchase_edge_stats_stay_above_broadcast_threshold(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = _copurchase_edges(li)
     size = int(edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    threshold = 10 * 1024 * 1024  # autoBroadcastJoinThreshold default
+    threshold = _broadcast_threshold_bytes(spark)
     assert size > threshold, (
-        f"edge-list stats {size}B would invite AQE broadcast"
+        f"edge-list stats {size}B would invite AQE broadcast "
+        f"(live autoBroadcastJoinThreshold={threshold}B)"
     )
 
 
@@ -423,5 +442,77 @@ def test_equidepth_cutpoints_no_total_order_exchange(spark, sf_dir):
     and the cut-point side must arrive via BroadcastExchange."""
     plan = _plan(spark, sf_dir, "agg_equidepth_cutpoints")
     assert "rangepartitioning" not in plan.lower()
+    # the documented "no Sort" guarantee, asserted on the node grain
+    # (a global Sort can appear without a range exchange under AQE,
+    # and a SortAggregate fallback would also smuggle one in)
+    import re
+    sort_nodes = [
+        ln for ln in plan.splitlines()
+        if re.match(r"\(\d+\)\s+(Sort|SortAggregate|SortMergeJoin)\b", ln.strip())
+    ]
+    assert not sort_nodes, f"unexpected sort nodes: {sort_nodes}"
     assert "BroadcastExchange" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row cutpoint crossJoin
+
+
+_CHECKPOINT_AUDITED = [
+    "dedup_minhash_lsh",
+    "analytics_triangle_count",
+    "analytics_kcore",
+    "similarity_kmeans_assign",
+    "analytics_louvain_one_level",
+]
+
+# Checkpointed intermediates that are dimension-scale BY DESIGN, so a
+# small (even mildly understated) estimate is the truth and downstream
+# broadcast is the intended plan. Measured to justify each entry;
+# the >100k-row absolute rule below still applies as the backstop if
+# the design assumption ever breaks.
+_DIMENSION_SCALE_BY_DESIGN = {
+    # support>=2 co-purchase edges SATURATE at part-pair scale:
+    # measured 3445 rows at sf0.01 -> 3573 at sf0.1 (+3.7% across 10x
+    # data) — see _copurchase_edges' docstring for the r7 analysis.
+    "analytics_triangle_count",
+}
+
+
+@pytest.mark.parametrize("name", _CHECKPOINT_AUDITED)
+def test_checkpointed_intermediates_not_broadcast_bait(spark, sf_dir, name):
+    """Class-wide generalization of the co-purchase edge-stats guard
+    (the r7 regression): EVERY localCheckpoint'ed intermediate these
+    queries materialize must advertise a sane size estimate —
+    >= 8 B per actual row (the buggy r7 kernel sat at ~1.25 B/row at
+    any SF), and above the LIVE autoBroadcastJoinThreshold once the
+    intermediate exceeds 100k rows — or downstream AQE flips its
+    joins to broadcasting a big relation (measured: kcore 3.6->16.3s
+    + three graph-op OOMs at sf0.1)."""
+    from hive_task_spark.plans.checkpoints import (
+        record_checkpoints,
+        understated_records,
+    )
+
+    with record_checkpoints() as recs:
+        registry.QUERIES[name](spark, sf_dir)
+    assert recs, f"{name}: expected localCheckpoint use (audit list stale?)"
+    if name not in _DIMENSION_SCALE_BY_DESIGN:
+        bad = understated_records(recs, min_rows=1000)
+        assert not bad, f"{name}: {bad}"
+    threshold = _broadcast_threshold_bytes(spark)
+    for i, rec in enumerate(recs):
+        if rec.rows > 100_000:
+            assert rec.stats_bytes > threshold, (
+                f"{name} checkpoint #{i}: {rec.rows} rows but stats "
+                f"{rec.stats_bytes}B <= autoBroadcastJoinThreshold "
+                f"{threshold}B — AQE would broadcast it"
+            )
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """join_runtime_bloom_filter exists to demonstrate Catalyst's
+    InjectRuntimeFilter: the locked-in optimized plan must carry the
+    might_contain(bloom, xxhash64(key)) probe on the fact side."""
+    df = registry.QUERIES["join_runtime_bloom_filter"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan
+    # and the scoped confs must not leak into the session
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
