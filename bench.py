@@ -94,6 +94,7 @@ HEADLINE = [
     # Round-7 addition: the no-global-sort equi-depth path (sampled
     # cut-points + broadcast bucket pass — the scale swap for ntile).
     "agg_equidepth_cutpoints",
+    "join_runtime_bloom_filter",
 ]
 
 

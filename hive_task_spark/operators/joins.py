@@ -515,3 +515,80 @@ def join_broadcast_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_r"),
         )
     )
+
+
+@register(
+    "join_runtime_bloom_filter",
+    oracle="""
+    WITH order_rev AS (
+        SELECT l_orderkey, sum(l_extendedprice) AS order_rev
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(r.order_rev), 2)  AS rev_r
+    FROM order_rev r
+    JOIN orders o ON r.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o.o_totalprice > 250000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (Catalyst InjectRuntimeFilter):
+    the selectively-filtered orders side builds a Bloom filter over its
+    join keys at runtime, and Catalyst injects
+    ``might_contain(bloom, xxhash64(l_orderkey))`` into the lineitem
+    side BELOW its per-order aggregate — so the ~1-in-20 selectivity
+    of the orders predicate prunes the fact rows BEFORE the aggregate
+    shuffle, not after the join. At 100 TB this is the difference
+    between shuffling the whole fact table's aggregate and shuffling
+    ~5% of it, applied automatically by the optimizer (semi-join
+    reduction without a semi-join pass).
+
+    Conf scoping: the feature is on by default but gated on a 10 GiB
+    application-side scan (``...bloomFilter.applicationSideScanSizeThreshold``)
+    — sized for real clusters, never reached at test SFs. The builder
+    lowers the two thresholds ONLY while forcing this query's
+    optimization (QueryExecution caches the optimized plan, so the
+    locked-in plan is exactly the one a 100 TB scan gets by default),
+    then restores them in ``finally`` — no session-conf leakage into
+    other queries. Results are plan-invariant: the Bloom test is a
+    conservative superset filter, the equi-join stays exact, so the
+    oracle needs no knowledge of the rewrite.
+    test_plans.py asserts ``might_contain`` is present."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_totalprice") > 250000)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    order_rev = li.groupBy("l_orderkey").agg(
+        F.sum("l_extendedprice").alias("order_rev")
+    )
+    out = (
+        order_rev.join(o, order_rev.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("order_rev"), 2).alias("rev_r"),
+        )
+    )
+    # Three 100 TB-realism knobs, scoped to THIS query's optimization:
+    # at test SFs the application scan is under the 10 GiB gate and
+    # the filtered orders side is broadcast-sized (InjectRuntimeFilter
+    # skips probable-broadcast joins — a BHJ build side is its own
+    # runtime filter). At 100 TB all three gates pass by default.
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        out._jdf.queryExecution().optimizedPlan()  # lock in the 100 TB plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    return out
