@@ -1436,3 +1436,43 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").cast("long").alias("v_max"),
     )
     return _run_to_table(spark, agg, "stream_python_datasource", "complete")
+
+
+@register(
+    "stream_rocksdb_statestore",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value_r
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_rocksdb_statestore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregation on the RocksDB state-store provider — the
+    scale-grade state backend. The default HDFSBackedStateStoreProvider
+    keeps every key's state ON-HEAP per executor (state size is bounded
+    by executor memory: a 100 TB stream with billions of live keys
+    OOMs); RocksDB keeps state on local disk with a block-cache and
+    ships changelogs to the checkpoint, so state scales with disk, not
+    heap. Values are backend-independent — the oracle is the plain
+    batch aggregate — and the provider conf is scoped to this run and
+    restored (queries must leave a vanilla session untouched).
+    tests/test_properties.py asserts the checkpoint actually contains
+    RocksDB artifacts (zip snapshots, no HDFS .delta files)."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value_r"),
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key)
+    spark.conf.set(key, rocksdb)
+    try:
+        return _run_to_table(spark, agg, "stream_rocksdb_statestore", "complete")
+    finally:
+        spark.conf.set(key, old)

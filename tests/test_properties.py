@@ -2640,3 +2640,28 @@ def test_scratch_root_is_pid_keyed_and_reaps_dead_dirs(tmp_path):
     scratch.scratch_root()
     assert not os.path.exists(dead)
     assert os.path.exists(live)
+
+
+def test_rocksdb_statestore_actually_engaged(spark, sf_dir):
+    """stream_rocksdb_statestore exists to exercise the RocksDB state
+    backend: its checkpoint must contain RocksDB artifacts (zip
+    snapshots / changelogs) and NO HDFSBackedStateStore .delta files —
+    and the provider conf must not leak into the session."""
+    import glob
+    import os
+
+    from hive_task_spark.scratch import scratch_path
+
+    registry.QUERIES["stream_rocksdb_statestore"](spark, sf_dir)
+    cp = scratch_path("cp_stream_rocksdb_statestore")
+    files = [
+        p for p in glob.glob(f"{cp}/state/**/*", recursive=True)
+        if os.path.isfile(p)
+    ]
+    assert files, "no state files written"
+    assert not any(f.endswith(".delta") for f in files), "HDFS backend ran"
+    assert any(f.endswith((".zip", ".changelog")) for f in files)
+    assert "RocksDB" not in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "HDFSBackedStateStoreProvider",
+    )
