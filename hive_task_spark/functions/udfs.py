@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -638,4 +639,48 @@ def udf_arrow_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("balance"),
         )
         .orderBy("cust_bucket")
+    )
+
+
+@register(
+    "udf_arrow_native_scalar",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)                            AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)   AS net_r
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_arrow_native_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE vectorized scalar UDF (Spark 4 ``@arrow_udf``):
+    the kernel receives ``pyarrow.Array`` batches and returns one —
+    no pandas conversion at all, one rung faster than ``pandas_udf``
+    (which round-trips every batch through pandas Series) and the
+    right surface when the kernel is itself Arrow-compute or hands
+    buffers to a zero-copy consumer (tokenizers, model runtimes).
+    The kernel computes net price with ``pyarrow.compute`` so the
+    whole Python stage is vectorized C++; the oracle is the plain SQL
+    expression.  Built lazily inside the function (arrow_udf needs an
+    active session, the CLAUDE.md pandas_udf rule).
+
+    Edge canon: 2dp price x 2dp factor is an exact 4dp value;
+    round(...,4) canonicalizes AT the grain (never below it — the
+    half-boundary rule)."""
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("double")
+    def net_price(price: pa.Array, disc: pa.Array) -> pa.Array:
+        return pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag",
+                  net_price("l_extendedprice", "l_discount").alias("np"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.sum("np"), 4).alias("net_r"),
+        )
     )

@@ -43,7 +43,11 @@ spark.stop()
 
 @pytest.mark.skipif(not os.path.isdir(SF01), reason="sf0.1 testdata absent")
 @pytest.mark.parametrize(
-    "name", ["analytics_kcore", "analytics_louvain_one_level"]
+    # kcore/louvain: the two r7 broadcast-OOM casualties; minhash: the
+    # heaviest bench row (banded LSH, 5 exchanges) — its corpus shuffle
+    # carries flat 64-long signatures, which this pins end-to-end.
+    "name",
+    ["analytics_kcore", "analytics_louvain_one_level", "dedup_minhash_lsh"],
 )
 def test_graph_ops_fit_small_driver(name):
     proc = subprocess.run(

@@ -2665,3 +2665,41 @@ def test_rocksdb_statestore_actually_engaged(spark, sf_dir):
         "spark.sql.streaming.stateStore.providerClass",
         "HDFSBackedStateStoreProvider",
     )
+
+
+def test_bench_diff_gate_math(tmp_path):
+    """bench_diff.py is the per-round gate: pin its parsing of the
+    driver's BENCH wrapper, the comparable-subtotal math, and the
+    mover flagging / exit status."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    baseline = tmp_path / "base.json"
+    baseline.write_text(json.dumps({
+        "single_invocation_band_max": 37.0,
+        "queries": {"a": 1.0, "b": 2.0, "gone": 0.5},
+    }))
+    bench = tmp_path / "BENCH_r99.json"
+    bench.write_text(json.dumps({
+        "parsed": {"value": 4.6, "queries": {"a": 1.1, "b": 3.2, "new": 0.3}}
+    }))
+    proc = subprocess.run(
+        [sys.executable, "bench_diff.py", str(bench),
+         "--baseline", str(baseline), "--threshold", "1.5"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    out = proc.stdout
+    assert proc.returncode == 1          # b moved 1.6x -> gate trips
+    assert "b: 3.200s vs 2.000s = 1.60x" in out
+    assert "new=0.300s" in out           # unrecorded row surfaced
+    assert "gone" in out                 # missing baseline row surfaced
+    assert "4.30s vs baseline 3.00s" in out  # comparable subtotal
+    proc2 = subprocess.run(
+        [sys.executable, "bench_diff.py", str(bench),
+         "--baseline", str(baseline), "--threshold", "2.0"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert proc2.returncode == 0         # under threshold: gate passes
