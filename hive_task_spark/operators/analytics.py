@@ -52,6 +52,20 @@ def _copurchase_edges(
     (Triangle count is unaffected: its support>=2 filter makes the
     edge set genuinely dimension-scale before anything consumes it.)
 
+    Round-8 measured alternative, deliberately NOT shipped: explode
+    kernel + persist(MEMORY_AND_DISK) + count() yields ACCURATE stats
+    (19.1 MB = 16.0 B/row for the 1.2M edges — above the broadcast
+    threshold at sf0.1, so AQE decides correctly at every scale) and
+    builds 2.3x faster (3.6 s vs 8.3 s, loaded box). Not adopted in
+    round 8 because: persist+localCheckpoint double-materializes
+    (7.5 s — gain erased); pure persist changes cache lifecycle
+    (cacheManager holds references across the 555-query sweep, and
+    bench best-of-3 would measure cache hits, not builds) and needs a
+    full round of soak across the six consumers. Candidate for a
+    dedicated early-round evaluation with the r8 class guards
+    (tests/test_plans.py broadcast-bait invariant, memory envelope,
+    bench_diff) as the safety net.
+
     Degree-bound rationale — why this self-join is safe at 100 TB:
     TPC-H orders carry <= 7 lineitems (the co-purchase graph's avg
     degree ~120 is SF-invariant), so the orderkey self-join emits
