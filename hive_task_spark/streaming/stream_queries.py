@@ -1476,3 +1476,50 @@ def stream_rocksdb_statestore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_table(spark, agg, "stream_rocksdb_statestore", "complete")
     finally:
         spark.conf.set(key, old)
+
+
+@register(
+    "stream_state_metadata_reader",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), 'stateStoreSave', 'default',
+         CAST(8 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(1 AS BIGINT), 'dedupe', 'default',
+         CAST(8 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+    ) t(operator_id, operator_name, state_store_name,
+        n_partitions, min_batch_id, max_batch_id)
+    """,
+)
+def stream_state_metadata_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-METADATA reader (Spark 4 `spark.read.format("state-metadata")`):
+    batch-reads a streaming checkpoint's operator catalog — which
+    stateful operators exist (by id/name), their state store names,
+    partition counts, and the batch range whose state survives. The
+    ops surface for 100 TB streaming estates: before rescaling or
+    migrating a pipeline you enumerate its state operators FROM THE
+    CHECKPOINT, no job code needed (pairs with
+    `stream_statestore_inspect`, which reads the state rows
+    themselves). The query replays a 2-operator stream (dropDuplicates
+    -> windowless grouped agg => `dedupe` + `stateStoreSave`) under a
+    pinned 8-partition shuffle, so every metadata cell is
+    deterministic and the oracle is the expected catalog as a
+    constant table. `operatorProperties` (free-form JSON) is dropped
+    from the edge."""
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    _run_to_table(spark, agg, "stream_state_metadata_src", "complete")
+    md = spark.read.format("state-metadata").load(
+        _scratch_join("cp_stream_state_metadata_src")
+    )
+    return md.select(
+        F.col("operatorId").alias("operator_id"),
+        F.col("operatorName").alias("operator_name"),
+        F.col("stateStoreName").alias("state_store_name"),
+        F.col("numPartitions").alias("n_partitions"),
+        F.col("minBatchId").alias("min_batch_id"),
+        F.col("maxBatchId").alias("max_batch_id"),
+    )
