@@ -98,6 +98,40 @@ HEADLINE = [
 ]
 
 
+def _burn(_arg: int) -> int:
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return s
+
+
+def _cpu_canary() -> float:
+    """Single-threaded pure-Python arithmetic probe: a box-health
+    reading embedded in every bench record. Healthy box ~1.2-1.4 s;
+    late round 8 measured it swinging 2.3-3.1 s under host CPU steal
+    invisible to container loadavg, while the 44-row total inflated
+    1.3-1.6x with non-reproducible 'movers'. Gate math should
+    discount a bench whose canaries are elevated (BASELINE.md)."""
+    t0 = time.perf_counter()
+    assert _burn(0)  # keep the loop un-optimizable
+    return round(time.perf_counter() - t0, 3)
+
+
+def _parallel_canary(workers: int = 32) -> float:
+    """Process-parallel canary: `workers` simultaneous _burn loops.
+    On a box with `workers` real cores this matches the single canary;
+    elevation = the container is getting FEWER effective cores than
+    advertised (late r8: 2.29 s vs 1.3 s single => ~18 of 32 cores),
+    which inflates every multi-core Spark stage uniformly — the
+    failure mode that single-thread probes and loadavg both miss."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(workers) as pool:
+        pool.map(_burn, range(workers))
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -128,6 +162,8 @@ def main() -> None:
             "queries": timings,
             "sf": float(sf) if sf else None,
             "cpus": cpus,
+            "canary_sec": _cpu_canary(),
+            "parallel_canary_sec": _parallel_canary(min(cpus, 32)),
         }
     )
     # Tear the session down BEFORE emitting the JSON line: the streaming

@@ -30,12 +30,11 @@ import re
 import sys
 
 
-def load_bench(path: str) -> tuple[dict[str, float], float, str]:
-    """Return (per-query secs, total, label) from a bench record.
-
-    Accepts the driver's BENCH_r{N}.json wrapper (``parsed`` key), a
-    raw bench.py JSON line, or '-' for stdin (last JSON-looking line).
-    """
+def load_bench(path: str) -> tuple[dict[str, float], float, str, dict]:
+    """Return (per-query secs, total, label, full record) from a bench
+    record. Accepts the driver's BENCH_r{N}.json wrapper (``parsed``
+    key), a raw bench.py JSON line, or '-' for stdin (last
+    JSON-looking line)."""
     if path == "-":
         lines = [ln for ln in sys.stdin.read().splitlines() if ln.lstrip().startswith("{")]
         if not lines:
@@ -48,7 +47,7 @@ def load_bench(path: str) -> tuple[dict[str, float], float, str]:
         label = path
     if "parsed" in rec:  # driver wrapper
         rec = rec["parsed"]
-    return dict(rec["queries"]), float(rec["value"]), label
+    return dict(rec["queries"]), float(rec["value"]), label, rec
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -68,7 +67,7 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("bench_diff: no BENCH_r*.json found and no path given")
         path = cands[-1]
 
-    bench, total, label = load_bench(path)
+    bench, total, label, bench_rec = load_bench(path)
     with open(args.baseline) as f:
         base = json.load(f)
     base_q: dict[str, float] = base["queries"]
@@ -82,6 +81,13 @@ def main(argv: list[str] | None = None) -> int:
 
     print(f"bench_diff: {label} vs {args.baseline} "
           f"({len(common)} common rows, threshold {args.threshold}x)")
+    canary = bench_rec.get("canary_sec")
+    if canary is not None:
+        par = bench_rec.get("parallel_canary_sec")
+        par_s = f", {par}s 32-proc parallel" if par is not None else ""
+        print(f"  box canaries: {canary}s single-thread CPU{par_s} "
+              f"(healthy ~1.2-1.4s each; elevated => host contention, "
+              f"discount movers; see BASELINE.md)")
     print(f"  total(bench)={total:.2f}s  comparable subtotal: "
           f"{sub_bench:.2f}s vs baseline {sub_base:.2f}s  "
           f"ratio {sub_bench / sub_base:.2f}x "
