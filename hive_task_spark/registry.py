@@ -45,65 +45,67 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 8's row: the analytics
-# remainder (22) + the 28 oldest-registered never-sampled pipeline
-# names (pool at r8 start = 218 never-sampled of 552, recomputed from
-# the CORRECTNESS_r1–r7 union; pipeline pool = 45, the remaining 17
-# roll into r9 per the schedule).  Round 7's window (analytics oldest
-# 50) came back 50/50 green; cumulative driver-confirmed = 334/552.
+# schedule lives in CLAUDE.md; this is round 9's row: the pipeline
+# remainder (17) + all 24 never-sampled similarity + the 9
+# oldest-registered never-sampled agg names (pool at r9 start = 172
+# never-sampled of 556, recomputed from the CORRECTNESS_r1–r8 union;
+# agg pool = 18, the remaining 9 roll into r10 per the schedule).
+# Round 8's window (analytics rest 22 + pipeline oldest 28) came back
+# 50/50 green; cumulative driver-confirmed = 384/556.
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- analytics: the 22 remaining never-sampled --
-    "analytics_cochran_armitage",
-    "analytics_sax_symbols",
-    "analytics_mann_kendall",
-    "analytics_gumbel_block_maxima",
-    "analytics_shapley_attribution",
-    "analytics_hurst_exponent",
-    "analytics_regression_influence",
-    "analytics_var_cvar",
-    "analytics_entropy_rate_markov",
-    "analytics_tukey_hsd",
-    "analytics_friedman_test",
-    "analytics_decision_stump",
-    "analytics_newsvendor_quantile",
-    "analytics_queueing_mm1",
-    "analytics_weibull_lead_time",
-    "analytics_segment_migration_matrix",
-    "analytics_abc_xyz_matrix",
-    "analytics_two_way_anova",
-    "analytics_james_stein_shrinkage",
-    "analytics_effect_size_suite",
-    "analytics_runs_test",
-    "analytics_slo_burn_rate",
-    # -- pipeline: 28 oldest never-sampled (of 45) --
-    "pipeline_chunk_sliding",
-    "pipeline_pack_sequences",
-    "pipeline_length_buckets",
-    "pipeline_dedup_keep_best",
-    "pipeline_stratified_split",
-    "pipeline_domain_cap",
-    "pipeline_interleave_mixture",
-    "pipeline_incremental_agg",
-    "pipeline_dataset_card",
-    "pipeline_clean_corpus_funnel",
-    "pipeline_snapshot_dedup",
-    "pipeline_scd2_dimension",
-    "pipeline_zorder_layout",
-    "pipeline_skew_diagnose",
-    "pipeline_bloom_prefilter",
-    "pipeline_feature_hashing",
-    "pipeline_dp_counts",
-    "pipeline_weighted_sample",
-    "pipeline_shard_plan",
-    "pipeline_cdc_net_effect",
-    "pipeline_nucleus_topp",
-    "pipeline_waterfill_allocation",
-    "pipeline_incremental_sessionize",
-    "pipeline_subsample_ladder",
-    "pipeline_temperature_mixture",
-    "pipeline_truncation_loss_report",
-    "pipeline_content_defined_chunking",
-    "pipeline_preference_pairs",
+    # -- pipeline: the 17 remaining never-sampled --
+    "pipeline_churn_label_generation",
+    "pipeline_group_fold_assignment",
+    "pipeline_rejection_sampling",
+    "pipeline_oversample_minority",
+    "pipeline_epoch_shuffle",
+    "pipeline_quality_ablation",
+    "pipeline_span_corruption",
+    "pipeline_minhash_scurve",
+    "pipeline_bounce_rate",
+    "pipeline_label_balance",
+    "pipeline_token_budget_twopass",
+    "pipeline_range_partition_plan",
+    "pipeline_training_manifest",
+    "pipeline_mix_rebalance_plan",
+    "pipeline_dsir_importance",
+    "pipeline_ab_srm_check",
+    "pipeline_em_length_mixture_step",
+    # -- similarity: all 24 never-sampled --
+    "similarity_kmeans_assign",
+    "similarity_dim_reduction",
+    "similarity_semantic_dedup",
+    "similarity_cell_occupancy",
+    "similarity_norm_profile",
+    "similarity_distance_histogram",
+    "similarity_incremental_topk",
+    "similarity_pca_power_iteration",
+    "similarity_silhouette_simplified",
+    "similarity_ivf_nprobe_sweep",
+    "similarity_matryoshka_eval",
+    "similarity_product_quantization",
+    "similarity_hybrid_rrf",
+    "similarity_mmr_rerank",
+    "similarity_knn_classify",
+    "similarity_recall_report",
+    "similarity_rec_diversity_eval",
+    "similarity_filtered_search",
+    "similarity_hard_negative_mining",
+    "similarity_negative_sampling",
+    "similarity_centroid_drift",
+    "similarity_binary_hamming_topk",
+    "similarity_reciprocal_nn_pairs",
+    "similarity_kmeanspp_next_centroid",
+    # -- agg: the 9 oldest-registered never-sampled (of 18) --
+    "agg_listagg_ordered",
+    "agg_histogram_bins",
+    "agg_mode_deterministic",
+    "agg_bool_countif",
+    "agg_countmin_heavy_hitters",
+    "agg_session_window_batch",
+    "agg_hll_sketch_merge",
+    "agg_approx_top_k",
+    "agg_topn_plus_others",
 )
 
 
