@@ -95,6 +95,11 @@ HEADLINE = [
     # cut-points + broadcast bucket pass — the scale swap for ntile).
     "agg_equidepth_cutpoints",
     "join_runtime_bloom_filter",
+    # Round-9 additions: the decorrelated DataFrame lateral join
+    # (WindowGroupLimit + equi-join, the correlated-subquery scale
+    # path) and the dimension-scale transpose (eager index collect).
+    "join_lateral_dataframe",
+    "relational_transpose",
 ]
 
 
@@ -113,7 +118,11 @@ def _cpu_canary() -> float:
     1.3-1.6x with non-reproducible 'movers'. Gate math should
     discount a bench whose canaries are elevated (BASELINE.md)."""
     t0 = time.perf_counter()
-    assert _burn(0)  # keep the loop un-optimizable
+    # Plain call + explicit check (NOT assert: `python -O` strips
+    # asserts, which would skip the burn and report a ~0s "healthy"
+    # canary exactly when the health signal matters — ADVICE r8).
+    if not _burn(0):
+        raise RuntimeError("CPU canary burn returned falsy — broken probe")
     return round(time.perf_counter() - t0, 3)
 
 

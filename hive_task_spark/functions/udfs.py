@@ -647,7 +647,8 @@ def udf_arrow_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT)                            AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)   AS net_r
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                         AS DECIMAL(18,4))) AS VARCHAR)        AS net_exact_s
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -664,9 +665,13 @@ def udf_arrow_native_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression.  Built lazily inside the function (arrow_udf needs an
     active session, the CLAUDE.md pandas_udf rule).
 
-    Edge canon: 2dp price x 2dp factor is an exact 4dp value;
-    round(...,4) canonicalizes AT the grain (never below it — the
-    half-boundary rule)."""
+    Edge canon: 2dp price x 2dp factor is an exact 4dp value, so the
+    per-ROW product rounds at its true 4dp grain, casts to
+    DECIMAL(18,4), and SUMS exactly (the math_decimal_exact_money
+    pattern) — a `round(sum(double),4)` edge would be safe at sf0.01
+    but its cross-engine summation-order noise grows ~sqrt(n) with SF
+    and approaches the 5e-5 half-boundary margin at sf0.1+
+    (ADVICE r8)."""
     import pyarrow.compute as pc
     from pyspark.sql.functions import arrow_udf
 
@@ -681,6 +686,7 @@ def udf_arrow_native_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.round(F.sum("np"), 4).alias("net_r"),
+            F.sum(F.round(F.col("np"), 4).cast("decimal(18,4)"))
+            .cast("string").alias("net_exact_s"),
         )
     )

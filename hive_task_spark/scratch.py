@@ -34,8 +34,11 @@ def _reap_stale_pid_dirs() -> None:
     Second criterion: dirs older than _MAX_AGE_SECONDS by mtime are
     reaped even if /proc/<pid> exists — a recycled PID can belong to
     an unrelated long-lived process, which would otherwise keep a
-    dead harness's scratch alive indefinitely. No harness run lives
-    anywhere near 6h, so age is a safe liveness proxy.
+    dead harness's scratch alive indefinitely.  The owner keeps its
+    own dir's mtime fresh (scratch_root() touches it on every call),
+    so mtime is a true liveness signal: a live >6h soak that still
+    calls scratch_root() never trips the age reap, only a genuinely
+    abandoned dir does (ADVICE r8).
     """
     try:
         entries = os.listdir(_BASE)
@@ -58,8 +61,32 @@ def _reap_stale_pid_dirs() -> None:
                 stale = now - os.stat(path).st_mtime > _MAX_AGE_SECONDS
             except OSError:
                 stale = False
+            if stale:
+                # Second look before reaping a LIVE pid's dir: the
+                # top-level mtime only moves on direct-child churn, so
+                # a >6h harness whose streaming checkpoints write only
+                # to nested files would look stale. Any file anywhere
+                # under the dir newer than the cutoff proves liveness.
+                stale = not _any_recent_file(path, now - _MAX_AGE_SECONDS)
         if stale:
             shutil.rmtree(path, ignore_errors=True)
+
+
+def _any_recent_file(root: str, cutoff: float) -> bool:
+    """True if any entry under ``root`` has mtime newer than cutoff.
+    Bounded in practice: pid dirs hold a handful of checkpoint /
+    round-trip datasets; os.walk aborts early on the first hit."""
+    try:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for name in filenames:
+                try:
+                    if os.stat(os.path.join(dirpath, name)).st_mtime > cutoff:
+                        return True
+                except OSError:
+                    continue
+    except OSError:
+        pass
+    return False
 
 
 def scratch_root() -> str:
@@ -70,6 +97,15 @@ def scratch_root() -> str:
         _cleaned = True
     root = os.path.join(_BASE, f"pid_{os.getpid()}")
     os.makedirs(root, exist_ok=True)
+    # Liveness heartbeat: top-level mtime only moves when direct
+    # children churn, so a long-lived harness could look stale to a
+    # concurrent process's age reap while still holding live
+    # checkpoints.  Touching on every call makes the 6h age criterion
+    # honest.
+    try:
+        os.utime(root)
+    except OSError:
+        pass
     return root
 
 

@@ -1,0 +1,103 @@
+"""Unit tests for bench_diff's gate math — the canary-scaled mover
+band (VERDICT r8 item 6) and the degenerate-input guards (ADVICE r8).
+
+The scaling rule under test: a bench record whose 32-proc parallel
+canary exceeds CANARY_DEGRADED_RATIO x its single-thread canary ran on
+a degraded box (fewer effective cores than advertised), so the mover
+threshold is widened by parallel/single, capped at CANARY_SCALE_CAP.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import bench_diff
+
+
+class TestCanaryScale:
+    def test_missing_canaries_no_adjustment(self):
+        assert bench_diff.canary_scale({}) == 1.0
+        assert bench_diff.canary_scale({"canary_sec": 1.3}) == 1.0
+        assert bench_diff.canary_scale({"parallel_canary_sec": 2.5}) == 1.0
+
+    def test_healthy_box_no_adjustment(self):
+        # parallel ≈ single: all advertised cores are real
+        assert bench_diff.canary_scale(
+            {"canary_sec": 1.3, "parallel_canary_sec": 1.35}) == 1.0
+
+    def test_boundary_ratio_not_degraded(self):
+        # exactly at the threshold ratio is still "healthy"
+        rec = {"canary_sec": 1.0,
+               "parallel_canary_sec": bench_diff.CANARY_DEGRADED_RATIO}
+        assert bench_diff.canary_scale(rec) == 1.0
+
+    def test_degraded_box_scales_by_ratio(self):
+        # late-r8 episode shape: 2.49s parallel vs 1.4s single = 1.78x
+        rec = {"canary_sec": 1.4, "parallel_canary_sec": 2.49}
+        assert bench_diff.canary_scale(rec) == pytest.approx(2.49 / 1.4)
+
+    def test_scale_capped(self):
+        # a catatonic box cannot waive the gate entirely
+        rec = {"canary_sec": 1.0, "parallel_canary_sec": 50.0}
+        assert bench_diff.canary_scale(rec) == bench_diff.CANARY_SCALE_CAP
+
+    def test_zero_single_canary_no_adjustment(self):
+        assert bench_diff.canary_scale(
+            {"canary_sec": 0, "parallel_canary_sec": 2.0}) == 1.0
+
+
+def _write(tmp_path, name, obj):
+    p = tmp_path / name
+    p.write_text(json.dumps(obj))
+    return str(p)
+
+
+class TestMainGuards:
+    def test_zero_common_rows_exits_with_message(self, tmp_path):
+        bench = _write(tmp_path, "bench.json",
+                       {"queries": {"qa": 1.0}, "value": 1.0})
+        base = _write(tmp_path, "base.json",
+                      {"queries": {"qb": 1.0}})
+        with pytest.raises(SystemExit, match="ZERO common rows"):
+            bench_diff.main([bench, "--baseline", base])
+
+    def test_zero_baseline_row_flagged_not_dropped(self, tmp_path, capsys):
+        bench = _write(tmp_path, "bench.json",
+                       {"queries": {"qa": 1.0, "qb": 2.0}, "value": 3.0})
+        base = _write(tmp_path, "base.json",
+                      {"queries": {"qa": 0.0, "qb": 1.9}})
+        rc = bench_diff.main([bench, "--baseline", base])
+        out = capsys.readouterr().out
+        assert "WARNING: baseline rows with 0.0s" in out and "qa" in out
+        assert rc == 0  # qb at 1.05x is not a mover
+
+    def test_all_zero_baseline_exits(self, tmp_path):
+        bench = _write(tmp_path, "bench.json",
+                       {"queries": {"qa": 1.0}, "value": 1.0})
+        base = _write(tmp_path, "base.json", {"queries": {"qa": 0.0}})
+        with pytest.raises(SystemExit, match="baseline is 0s"):
+            bench_diff.main([bench, "--baseline", base])
+
+    def test_degraded_canaries_widen_band(self, tmp_path, capsys):
+        # 1.8x mover on a 2.0x-degraded box: flagged at the default
+        # 1.5x band, waived at the canary-adjusted 3.0x band.
+        bench = _write(tmp_path, "bench.json",
+                       {"queries": {"qa": 1.8}, "value": 1.8,
+                        "canary_sec": 1.2, "parallel_canary_sec": 2.49})
+        base = _write(tmp_path, "base.json", {"queries": {"qa": 1.0}})
+        rc = bench_diff.main([bench, "--baseline", base])
+        out = capsys.readouterr().out
+        assert "box DEGRADED" in out and "widened" in out
+        assert rc == 0
+
+    def test_healthy_canaries_keep_band(self, tmp_path, capsys):
+        bench = _write(tmp_path, "bench.json",
+                       {"queries": {"qa": 1.8}, "value": 1.8,
+                        "canary_sec": 1.25, "parallel_canary_sec": 1.3})
+        base = _write(tmp_path, "base.json", {"queries": {"qa": 1.0}})
+        rc = bench_diff.main([bench, "--baseline", base])
+        out = capsys.readouterr().out
+        assert "MOVERS >= 1.5x" in out
+        assert rc == 1
