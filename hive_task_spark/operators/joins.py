@@ -592,3 +592,43 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in old.items():
             spark.conf.set(k, v)
     return out
+
+
+@register(
+    "join_lateral_dataframe",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+    """,
+)
+def join_lateral_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated lateral join via the Spark 4 DataFrame API
+    (``DataFrame.lateralJoin`` + ``col(...).outer()``, SPARK-50393):
+    top-2 customers by account balance per nation, written exactly as
+    the SQL ``, LATERAL (...)`` the oracle uses — no window-function
+    reformulation on our side.
+
+    Scale shape: Catalyst DECORRELATES the per-row subquery — the
+    physical plan is WindowGroupLimit (partial, before the shuffle!)
+    + one hash-partitioned equi-join, NOT a nested loop per nation
+    row: the same plan the hand-written window top-k compiles to, so
+    lateral correlation costs nothing at 100 TB. Deterministic
+    tie-break on c_custkey inside the LIMIT ordering."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return n.lateralJoin(
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(2)
+    ).select(
+        "n_name",
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+    )

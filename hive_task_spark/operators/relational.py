@@ -434,3 +434,62 @@ def merge_mirror_sync_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_op")
     )
+
+
+@register(
+    "relational_transpose",
+    oracle="""
+    WITH per AS (
+        SELECT r_name,
+               CAST(count(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
+               CAST(count(c.c_custkey) AS BIGINT)            AS n_customers
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY r_name
+    )
+    SELECT 'n_nations' AS key,
+           max(CASE WHEN r_name = 'AFRICA'      THEN n_nations END) AS "AFRICA",
+           max(CASE WHEN r_name = 'AMERICA'     THEN n_nations END) AS "AMERICA",
+           max(CASE WHEN r_name = 'ASIA'        THEN n_nations END) AS "ASIA",
+           max(CASE WHEN r_name = 'EUROPE'      THEN n_nations END) AS "EUROPE",
+           max(CASE WHEN r_name = 'MIDDLE EAST' THEN n_nations END) AS "MIDDLE EAST"
+    FROM per
+    UNION ALL
+    SELECT 'n_customers',
+           max(CASE WHEN r_name = 'AFRICA'      THEN n_customers END),
+           max(CASE WHEN r_name = 'AMERICA'     THEN n_customers END),
+           max(CASE WHEN r_name = 'ASIA'        THEN n_customers END),
+           max(CASE WHEN r_name = 'EUROPE'      THEN n_customers END),
+           max(CASE WHEN r_name = 'MIDDLE EAST' THEN n_customers END)
+    FROM per
+    """,
+)
+def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row/column transposition via the Spark 4 ``DataFrame.transpose``
+    API (SPARK-49709): a per-region metrics table (nations, customers)
+    flips so regions become COLUMNS and each metric becomes a row —
+    the report-matrix shape pivot produces for values but transpose
+    produces for whole rows, with column names taken from the index
+    column's data. The oracle states the same matrix as conditional
+    aggregation with hardcoded region columns.
+
+    Scale posture: transpose COLLECTS the distinct index values to the
+    driver to mint column names (an eager job), so it is strictly a
+    dimension-scale reporting op — regions (5), never facts; the
+    upstream per-region aggregate is the distributed part. All metric
+    columns must share a least-common type (BIGINT here), a transpose
+    precondition."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    per = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count_distinct("n_nationkey").cast("long").alias("n_nations"),
+            F.count("c_custkey").cast("long").alias("n_customers"),
+        )
+    )
+    return per.transpose(indexColumn="r_name")

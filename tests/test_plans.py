@@ -543,3 +543,17 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
     assert "might_contain" in plan
     # and the scoped confs must not leak into the session
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_lateral_join_decorrelates_to_group_limit(spark, sf_dir):
+    """join_lateral_dataframe's correlated LIMIT subquery must NOT
+    plan as a per-row nested loop: Catalyst decorrelates it to a
+    WindowGroupLimit (pushed PARTIALLY below the shuffle, so each map
+    task pre-prunes to 2 rows per nation before exchanging) feeding
+    one equi-join — lateral correlation at 100 TB costs the same as
+    the hand-written window top-k."""
+    plan = _plan(spark, sf_dir, "join_lateral_dataframe")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # map-side pre-prune before the exchange
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
