@@ -148,6 +148,13 @@ def main() -> None:
     spark = get_session(app_name="hive_task_spark_bench", cpus=cpus)
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
+    # Box-health canaries run TWICE — here (pre) and at JSON-build time
+    # (post, the original `canary_sec` keys): host contention that
+    # starts or drains mid-run shows up as a pre/post disagreement, and
+    # bench_diff scales its mover band by the WORSE pair, so a record
+    # degraded in either half self-adjudicates.
+    canary_pre = _cpu_canary()
+    parallel_pre = _parallel_canary(min(cpus, 32))
     # Warm the JVM + parquet footers once (excluded from timings).
     registry.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
@@ -171,6 +178,8 @@ def main() -> None:
             "queries": timings,
             "sf": float(sf) if sf else None,
             "cpus": cpus,
+            "canary_pre_sec": canary_pre,
+            "parallel_canary_pre_sec": parallel_pre,
             "canary_sec": _cpu_canary(),
             "parallel_canary_sec": _parallel_canary(min(cpus, 32)),
         }

@@ -66,11 +66,15 @@ def canary_scale(rec: dict) -> float:
     canaries thereby self-adjudicates numerically (VERDICT r8 item 6)
     instead of needing prose in BASELINE.md.
     """
-    single = rec.get("canary_sec")
-    par = rec.get("parallel_canary_sec")
-    if not single or not par or single <= 0:
-        return 1.0
-    ratio = par / single
+    ratio = 0.0
+    for single_key, par_key in (
+        ("canary_pre_sec", "parallel_canary_pre_sec"),  # before the run
+        ("canary_sec", "parallel_canary_sec"),  # after (original keys)
+    ):
+        single = rec.get(single_key)
+        par = rec.get(par_key)
+        if single and par and single > 0:
+            ratio = max(ratio, par / single)  # worse pair wins
     if ratio <= CANARY_DEGRADED_RATIO:
         return 1.0
     return min(ratio, CANARY_SCALE_CAP)
@@ -138,12 +142,22 @@ def main(argv: list[str] | None = None) -> int:
     if canary is not None:
         par = bench_rec.get("parallel_canary_sec")
         par_s = f", {par}s 32-proc parallel" if par is not None else ""
-        print(f"  box canaries: {canary}s single-thread CPU{par_s} "
+        pre = bench_rec.get("canary_pre_sec")
+        pre_par = bench_rec.get("parallel_canary_pre_sec")
+        pre_s = (f"; pre-run {pre}s/{pre_par}s"
+                 if pre is not None and pre_par is not None else "")
+        print(f"  box canaries: {canary}s single-thread CPU{par_s}{pre_s} "
               f"(healthy ~1.2-1.4s each; elevated => host contention, "
               f"discount movers; see BASELINE.md)")
         if scale > 1.0:
-            print(f"  box DEGRADED: parallel/single = "
-                  f"{bench_rec['parallel_canary_sec'] / canary:.2f}x > "
+            ratios = [
+                bench_rec[p] / bench_rec[s]
+                for s, p in (("canary_pre_sec", "parallel_canary_pre_sec"),
+                             ("canary_sec", "parallel_canary_sec"))
+                if bench_rec.get(s) and bench_rec.get(p)
+            ]
+            print(f"  box DEGRADED: worst parallel/single pair = "
+                  f"{max(ratios):.2f}x > "
                   f"{CANARY_DEGRADED_RATIO}x — mover band widened "
                   f"{scale:.2f}x to {eff_threshold}x")
     print(f"  total(bench)={total:.2f}s  comparable subtotal: "

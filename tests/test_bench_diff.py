@@ -101,3 +101,13 @@ class TestMainGuards:
         out = capsys.readouterr().out
         assert "MOVERS >= 1.5x" in out
         assert rc == 1
+
+    def test_worse_of_pre_post_canary_pairs_wins(self):
+        # pre healthy, post degraded: the post pair must set the scale
+        rec = {"canary_pre_sec": 1.3, "parallel_canary_pre_sec": 1.35,
+               "canary_sec": 1.3, "parallel_canary_sec": 2.3}
+        assert bench_diff.canary_scale(rec) == pytest.approx(2.3 / 1.3)
+        # degraded pre, healthy post: pre pair still wins
+        rec = {"canary_pre_sec": 1.0, "parallel_canary_pre_sec": 1.9,
+               "canary_sec": 1.3, "parallel_canary_sec": 1.35}
+        assert bench_diff.canary_scale(rec) == pytest.approx(1.9)
