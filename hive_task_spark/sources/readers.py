@@ -19,7 +19,13 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1358,3 +1364,105 @@ def source_csv_comment_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region_or_null",
         F.col("region_or_null").isNull().alias("was_na"),
     ).orderBy("n_nationkey")
+
+
+class _JsonLinesSink(DataSource):
+    """Custom Python DataSource batch WRITER (Spark 4 V2 API) — the
+    sink half of the surface source_python_datasource demonstrates for
+    reads. Each executor partition streams its rows through a Python
+    worker into one JSON-lines shard; per-partition WriterCommitMessage
+    row counts flow back to the driver, and commit() writes a manifest
+    only when EVERY partition reported success (the all-or-nothing
+    two-phase contract a real sink needs — abort() removes the
+    manifest so readers never see a partial write)."""
+
+    @classmethod
+    def name(cls):
+        return "pyjsonlsink"
+
+    def writer(self, schema, overwrite):
+        return _JsonLinesWriter(self.options, schema)
+
+
+class _JsonRowCount(WriterCommitMessage):
+    def __init__(self, part_id: int, n_rows: int):
+        self.part_id = part_id
+        self.n_rows = n_rows
+
+
+class _JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.fields = schema.fieldNames()
+
+    def write(self, iterator):
+        import json as _json
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(self.path, f"part-{pid:05d}.json")
+        n = 0
+        with open(out, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(dict(zip(self.fields, row))) + "\n")
+                n += 1
+        return _JsonRowCount(pid, n)
+
+    def commit(self, messages):
+        import json as _json
+
+        manifest = {
+            "parts": sorted(m.part_id for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            fh.write(_json.dumps(manifest))
+
+    def abort(self, messages):
+        try:
+            os.remove(os.path.join(self.path, "_MANIFEST"))
+        except OSError:
+            pass
+
+
+@register(
+    "source_python_datasource_writer",
+    defer=True,
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through a custom Python DataSource WRITER (Spark 4
+    V2 API, SPARK-45065): nation writes via df.write.format(...) into
+    the Python sink above — rows stream through executor-side Python
+    workers, never the driver — then reads back with an explicit
+    schema and must equal the source table exactly (the oracle reads
+    the ORIGINAL parquet). The commit manifest is asserted before the
+    read-back: a sink whose two-phase commit never ran is a failed
+    write even if shards exist.
+
+    100 TB posture: this is how third-party Python-only egress
+    (feature stores, vector DBs, bespoke services) joins the engine as
+    a real distributed sink — per-partition writes + commit messages —
+    instead of a toPandas()/collect() funnel through the driver."""
+    import json as _json
+
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    spark.dataSource.register(_JsonLinesSink)
+    path = _scratch("nation_pysink")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    n.repartition(4).write.format("pyjsonlsink").option("path", path).mode(
+        "append"
+    ).save()
+    with open(os.path.join(path, "_MANIFEST")) as fh:
+        manifest = _json.load(fh)
+    if manifest["rows"] != 25:
+        raise AssertionError(f"two-phase commit saw {manifest['rows']} rows")
+    return (
+        spark.read.schema(_NATION_SCHEMA)
+        .option("pathGlobFilter", "part-*.json")
+        .json(path)
+    )
