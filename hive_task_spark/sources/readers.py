@@ -1370,11 +1370,18 @@ class _JsonLinesSink(DataSource):
     """Custom Python DataSource batch WRITER (Spark 4 V2 API) — the
     sink half of the surface source_python_datasource demonstrates for
     reads. Each executor partition streams its rows through a Python
-    worker into one JSON-lines shard; per-partition WriterCommitMessage
-    row counts flow back to the driver, and commit() writes a manifest
-    only when EVERY partition reported success (the all-or-nothing
-    two-phase contract a real sink needs — abort() removes the
-    manifest so readers never see a partial write)."""
+    worker into an ATTEMPT-UNIQUE staged shard (dot-prefixed, never
+    matched by readers); per-partition WriterCommitMessage row counts +
+    staged paths flow back to the driver, and commit() renames exactly
+    one winning attempt per partition to its final ``part-*.json`` name,
+    sweeps losing/zombie attempts' staged files, then writes the
+    manifest — the all-or-nothing two-phase contract a real sink needs.
+    Speculative or zombie task attempts therefore can never interleave
+    bytes into one shard (each attempt owns its own staged file) and
+    never publish (only commit() renames). abort() deletes everything
+    the job staged or published, so readers see no partial write even
+    if they glob shards without checking the manifest. The sink owns
+    its target directory per job (the caller hands it an empty dir)."""
 
     @classmethod
     def name(cls):
@@ -1385,12 +1392,15 @@ class _JsonLinesSink(DataSource):
 
 
 class _JsonRowCount(WriterCommitMessage):
-    def __init__(self, part_id: int, n_rows: int):
+    def __init__(self, part_id: int, n_rows: int, staged: str):
         self.part_id = part_id
         self.n_rows = n_rows
+        self.staged = staged
 
 
 class _JsonLinesWriter(DataSourceWriter):
+    _STAGED_GLOB = ".part-*.json.staged"
+
     def __init__(self, options, schema):
         self.path = options["path"]
         self.fields = schema.fieldNames()
@@ -1400,18 +1410,37 @@ class _JsonLinesWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        out = os.path.join(self.path, f"part-{pid:05d}.json")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # Attempt-unique staged name: two attempts of the same
+        # partition (speculation, zombie retry) write disjoint files,
+        # and the dot prefix keeps every reader glob away until
+        # commit() publishes the winner by rename.
+        staged = os.path.join(
+            self.path, f".part-{pid:05d}-{ctx.taskAttemptId()}.json.staged"
+        )
         n = 0
-        with open(out, "w") as fh:
+        with open(staged, "w") as fh:
             for row in iterator:
                 fh.write(_json.dumps(dict(zip(self.fields, row))) + "\n")
                 n += 1
-        return _JsonRowCount(pid, n)
+        return _JsonRowCount(pid, n, staged)
 
     def commit(self, messages):
+        import glob as _glob
         import json as _json
 
+        # Publish exactly one winner per partition: the attempt whose
+        # commit message Spark delivered. os.replace is atomic on a
+        # POSIX filesystem, so a concurrent manifest-gated reader sees
+        # either no shard or a complete one.
+        for m in messages:
+            os.replace(
+                m.staged, os.path.join(self.path, f"part-{m.part_id:05d}.json")
+            )
+        # Sweep staged files from losing/zombie attempts.
+        for leftover in _glob.glob(os.path.join(self.path, self._STAGED_GLOB)):
+            os.remove(leftover)
         manifest = {
             "parts": sorted(m.part_id for m in messages),
             "rows": sum(m.n_rows for m in messages),
@@ -1420,6 +1449,18 @@ class _JsonLinesWriter(DataSourceWriter):
             fh.write(_json.dumps(manifest))
 
     def abort(self, messages):
+        import glob as _glob
+
+        # All-or-nothing: remove the manifest, every staged attempt
+        # file, and any finals a partially-run commit() already
+        # renamed — a reader that globs part-*.json without checking
+        # the manifest still never sees output from an aborted job.
+        for pattern in (self._STAGED_GLOB, "part-*.json"):
+            for f in _glob.glob(os.path.join(self.path, pattern)):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
         try:
             os.remove(os.path.join(self.path, "_MANIFEST"))
         except OSError:
