@@ -124,8 +124,13 @@ def main(argv: list[str] | None = None) -> int:
         print(f"  WARNING: baseline rows with 0.0s (excluded from mover "
               f"math — fix BASELINE_TABLE.json): " + ", ".join(zero_base))
 
-    sub_bench = sum(bench[q] for q in common)
-    sub_base = sum(base_q[q] for q in common)
+    # Zero-baseline rows are excluded from BOTH subtotal sums, matching
+    # the mover-math exclusion and the warning text above — otherwise
+    # the bench side contributes full time against a 0s baseline and
+    # silently inflates the printed closing ratio.
+    comparable = [q for q in common if base_q[q] > 0]
+    sub_bench = sum(bench[q] for q in comparable)
+    sub_base = sum(base_q[q] for q in comparable)
     if sub_base <= 0:
         raise SystemExit(
             f"bench_diff: comparable-subtotal baseline is 0s across "

@@ -72,6 +72,10 @@ class TestMainGuards:
         out = capsys.readouterr().out
         assert "WARNING: baseline rows with 0.0s" in out and "qa" in out
         assert rc == 0  # qb at 1.05x is not a mover
+        # the zero-baseline row is excluded from BOTH subtotal sums
+        # (ADVICE r9): qa's 1.0s bench time must not inflate the ratio
+        # (2.0/1.9 = 1.05x, not 3.0/1.9 = 1.58x)
+        assert "2.00s vs baseline 1.90s  ratio 1.05x" in out
 
     def test_all_zero_baseline_exits(self, tmp_path):
         bench = _write(tmp_path, "bench.json",
