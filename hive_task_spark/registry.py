@@ -32,6 +32,13 @@ QueryFn = Callable[["SparkSession", str], "DataFrame"]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# True registration order, UNAFFECTED by _apply_window's reorder of
+# QUERIES. The r12+ reconfirm rule (CLAUDE.md) tie-breaks stalest
+# names by registration order — tools/sampled_rounds.py reads this
+# list, because iterating QUERIES after load_all yields the curated
+# AUDIT_WINDOW first, not the order operators were registered in.
+REGISTRATION_ORDER: list[str] = []
+
 # Late additions to modules inside the audit window register with
 # defer=True: they queue here and flush AFTER every module has
 # registered, so the curated first-50 window (see load_all) is a
@@ -128,6 +135,7 @@ def register(
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
+        REGISTRATION_ORDER.append(name)
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -141,6 +149,7 @@ def _flush_deferred() -> None:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
+        REGISTRATION_ORDER.append(name)
         if oracle is not None:
             ORACLES[name] = oracle
 

@@ -37,7 +37,12 @@ def build_map() -> dict:
             if name in max_round:
                 max_round[name] = max(max_round[name], rnd)
 
-    stalest = sorted(names, key=lambda n: (max_round[n], names.index(n)))
+    # Tie-break by TRUE registration order (registry.REGISTRATION_ORDER,
+    # immune to _apply_window's AUDIT_WINDOW-first reorder of QUERIES) —
+    # ADVICE r9: names.index over the post-load_all ordering put the
+    # current window first, which is not the documented reconfirm rule.
+    reg_index = {n: i for i, n in enumerate(registry.REGISTRATION_ORDER)}
+    stalest = sorted(names, key=lambda n: (max_round[n], reg_index[n]))
     never = [n for n in names if max_round[n] == 0]
     return {
         "generated_from": rounds,
