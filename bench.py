@@ -100,6 +100,11 @@ HEADLINE = [
     # path) and the dimension-scale transpose (eager index collect).
     "join_lateral_dataframe",
     "relational_transpose",
+    # Round-10 additions: filter pushdown INTO a Python DataSource
+    # (5-of-16 partitions planned at the source) and the Python
+    # streaming sink (per-epoch two-phase commit + read-back).
+    "source_python_datasource_pushdown",
+    "stream_python_datasource_sink",
 ]
 
 

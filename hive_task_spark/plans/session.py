@@ -86,6 +86,12 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
         # let tables.normalize_events_ts convert. Harmless for the
         # current TIMESTAMP_MICROS encoding (conf only affects NANOS).
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # Python DataSource filter pushdown (Spark 4.1): a reader that
+        # overrides pushFilters RAISES when this is off (the engine
+        # refuses to silently ignore it), so it must be pinned on any
+        # externally-built session before source_python_datasource_
+        # pushdown plans. Only affects Python data sources.
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)

@@ -429,6 +429,117 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class _PushdownRangeSource(DataSource):
+    """Python DataSource batch reader WITH filter pushdown (Spark 4.1
+    `DataSourceReader.pushFilters`, SPARK-50819 umbrella): the reader
+    accepts `part >=` / `<=` / `=` predicates, narrows its planned
+    partition range accordingly, and returns every other filter for
+    Spark to evaluate post-scan. This is the pruning-at-source seam a
+    Python connector to a partitioned store (database shards, a REST
+    API with range parameters, an object-store prefix layout) needs at
+    100 TB — without it Spark fetches every shard and filters after
+    the transfer."""
+
+    @classmethod
+    def name(cls):
+        return "pyrangepushdown"
+
+    def schema(self):
+        return "part INT, i INT, v INT, parts_planned INT"
+
+    def reader(self, schema):
+        return _PushdownRangeReader(self.options)
+
+
+class _PushdownRangeReader(DataSourceReader):
+    NUM_PARTS = 16
+    ROWS_PER_PART = 64
+
+    def __init__(self, options):
+        self.min_part = 0
+        self.max_part = self.NUM_PARTS - 1
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThanOrEqual,
+            LessThanOrEqual,
+        )
+
+        rest = []
+        for f in filters:
+            if getattr(f, "attribute", None) == ("part",) and isinstance(
+                f, (EqualTo, GreaterThanOrEqual, LessThanOrEqual)
+            ):
+                if isinstance(f, (EqualTo, GreaterThanOrEqual)):
+                    self.min_part = max(self.min_part, int(f.value))
+                if isinstance(f, (EqualTo, LessThanOrEqual)):
+                    self.max_part = min(self.max_part, int(f.value))
+            else:
+                # unsupported filters (IsNotNull, expressions on other
+                # columns) go back to Spark for post-scan evaluation —
+                # each returned object is one of the inputs by reference
+                rest.append(f)
+        return rest
+
+    def partitions(self):
+        # plan ONLY the part range that survived pushdown — with no
+        # pushed filters this is all 16 splits; the emitted
+        # parts_planned column makes the pruning observable in the
+        # DATA, so the cross-engine oracle check fails if pushdown
+        # ever silently stops pruning
+        return [
+            InputPartition(p)
+            for p in range(self.min_part, self.max_part + 1)
+        ]
+
+    def read(self, partition):
+        p = partition.value
+        planned = self.max_part - self.min_part + 1
+        for j in range(self.ROWS_PER_PART):
+            i = p * self.ROWS_PER_PART + j
+            yield (p, i, (i * i) % 97, planned)
+
+
+@register(
+    "source_python_datasource_pushdown",
+    defer=True,
+    oracle="""
+    SELECT CAST(i // 64 AS BIGINT)      AS part,
+           CAST(i AS BIGINT)            AS i,
+           CAST((i * i) % 97 AS BIGINT) AS v,
+           CAST(5 AS BIGINT)            AS parts_planned
+    FROM range(1024) t(i)
+    WHERE i // 64 BETWEEN 10 AND 14 AND ((i * i) % 97) % 2 = 0
+    """,
+)
+def source_python_datasource_pushdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filter pushdown INTO a Python DataSource (Spark 4.1): the scan
+    below carries `part BETWEEN 10 AND 14`, which the reader absorbs
+    via pushFilters and plans 5 of 16 partitions; the non-pushable
+    `v % 2 = 0` comes back to Spark. The reader emits how many
+    partitions it planned as a column, so the oracle (which hardcodes
+    the expected 5) breaks loudly if pruning regresses to 16 — the
+    pushdown is value-checked, not just plan-inspected.
+    apply_runtime_conf pins spark.sql.python.filterPushdown.enabled:
+    overriding pushFilters with the conf off is an engine error."""
+    from hive_task_spark.plans.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    spark.dataSource.register(_PushdownRangeSource)
+    df = spark.read.format("pyrangepushdown").load()
+    return df.filter(
+        (F.col("part") >= 10) & (F.col("part") <= 14) & (F.col("v") % 2 == 0)
+    ).select(
+        F.col("part").cast("long").alias("part"),
+        F.col("i").cast("long").alias("i"),
+        F.col("v").cast("long").alias("v"),
+        F.col("parts_planned").cast("long").alias("parts_planned"),
+    )
+
+
 @register(
     "source_ignore_corrupt_files",
     defer=True,

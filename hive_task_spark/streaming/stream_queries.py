@@ -29,7 +29,9 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from hive_task_spark.plans.session import apply_runtime_conf
@@ -1436,6 +1438,166 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").cast("long").alias("v_max"),
     )
     return _run_to_table(spark, agg, "stream_python_datasource", "complete")
+
+
+class _JsonLinesStreamSink(DataSource):
+    """Custom Python STREAMING sink (Spark 4 DataSourceStreamWriter) —
+    the egress half of the tickstream reader above, completing the
+    Python DataSource 2x2 (batch/stream x read/write; the batch halves
+    live in sources/readers.py). Every micro-batch runs its own
+    two-phase commit: tasks stage attempt-unique dot-files (speculative
+    or zombie attempts can never interleave bytes into one shard),
+    commit(batchId) renames one winner per partition to its final
+    part-{batch}-{partition}.json name and appends a line to
+    _COMMITLOG, abort(batchId) deletes that batch's staged files —
+    an aborted or replayed epoch never publishes partial output, and
+    replays are idempotent because the rename target is keyed by
+    (batchId, partitionId)."""
+
+    @classmethod
+    def name(cls):
+        return "pyjsonlstreamsink"
+
+    def streamWriter(self, schema, overwrite):
+        return _JsonLinesStreamWriter(self.options, schema)
+
+
+class _EpochShardMsg(WriterCommitMessage):
+    def __init__(self, part_id: int, n_rows: int, staged: str):
+        self.part_id = part_id
+        self.n_rows = n_rows
+        self.staged = staged
+
+
+class _JsonLinesStreamWriter(DataSourceStreamWriter):
+    _STAGED_GLOB = ".part-*.json.staged"
+
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.fields = schema.fieldNames()
+
+    def write(self, iterator):
+        import json as _json
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # taskAttemptId is unique across the app, so staged names never
+        # collide across attempts OR across micro-batches
+        staged = os.path.join(
+            self.path, f".part-{pid:05d}-{ctx.taskAttemptId()}.json.staged"
+        )
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(dict(zip(self.fields, row))) + "\n")
+                n += 1
+        return _EpochShardMsg(pid, n, staged)
+
+    def commit(self, messages, batchId):
+        import glob as _glob
+        import json as _json
+
+        parts, total = [], 0
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                m.staged,
+                os.path.join(
+                    self.path, f"part-{batchId:05d}-{m.part_id:05d}.json"
+                ),
+            )
+            parts.append(m.part_id)
+            total += m.n_rows
+        # micro-batches are serial: any staged file left now is a
+        # losing/zombie attempt of THIS epoch — sweep it
+        for leftover in _glob.glob(os.path.join(self.path, self._STAGED_GLOB)):
+            os.remove(leftover)
+        with open(os.path.join(self.path, "_COMMITLOG"), "a") as fh:
+            fh.write(
+                _json.dumps(
+                    {"batch": batchId, "parts": sorted(parts), "rows": total}
+                )
+                + "\n"
+            )
+
+    def abort(self, messages, batchId):
+        import glob as _glob
+
+        # the failed epoch published nothing (publication IS the
+        # commit-time rename); remove every staged attempt file so a
+        # restart reprocesses the epoch from a clean directory
+        for leftover in _glob.glob(os.path.join(self.path, self._STAGED_GLOB)):
+            try:
+                os.remove(leftover)
+            except OSError:
+                pass
+
+
+@register(
+    "stream_python_datasource_sink",
+    defer=True,
+    oracle="""
+    SELECT CAST(i % 8 AS BIGINT)              AS bucket,
+           CAST(count(*) AS BIGINT)           AS n,
+           CAST(sum((i * i) % 97) AS BIGINT)  AS v_sum
+    FROM range(1000) t(i)
+    GROUP BY i % 8
+    """,
+)
+def stream_python_datasource_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """writeStream through a custom Python STREAMING sink (Spark 4
+    DataSourceStreamWriter): the tickstream source drains under
+    Trigger.AvailableNow into per-epoch two-phase-committed JSON
+    shards, the _COMMITLOG is asserted to account for every row, and
+    the published shards are read back and aggregated — the oracle
+    recomputes the closed form over range(). Staged dot-files are
+    invisible to the read-back glob, so only committed epochs count.
+
+    100 TB posture: this is how Python-only streaming egress (vector
+    DBs, feature stores, bespoke services) joins the engine with
+    exactly-once file semantics — per-task staging, per-epoch atomic
+    publish — instead of a foreachBatch collect funnel."""
+    import json as _json
+
+    spark.dataSource.register(_TickStreamSource)
+    spark.dataSource.register(_JsonLinesStreamSink)
+    out = _scratch_join("pystreamsink_out")
+    cp = _scratch_join("cp_stream_python_datasource_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    os.makedirs(out)
+    raw = (
+        spark.readStream.format("tickstream")
+        .option("rows", "1000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    q = (
+        raw.writeStream.format("pyjsonlstreamsink")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(os.path.join(out, "_COMMITLOG")) as fh:
+        logged = sum(_json.loads(line)["rows"] for line in fh)
+    if logged != 1000:
+        raise AssertionError(f"commit log accounts for {logged} rows")
+    back = (
+        spark.read.schema("i BIGINT, v BIGINT")
+        .option("pathGlobFilter", "part-*.json")
+        .json(out)
+    )
+    return back.groupBy((F.col("i") % 8).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("v_sum"),
+    )
 
 
 @register(

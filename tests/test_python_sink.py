@@ -1,8 +1,9 @@
 """Two-phase-commit behavior of the custom Python DataSource writer
-(sources/readers.py _JsonLinesSink): commit publishes the manifest
-only when every partition succeeded; a failing partition aborts the
-job and the manifest must NOT exist — readers never observe a partial
-write as committed.
+(sources/readers.py _JsonLinesSink): tasks stage attempt-unique
+dot-files, commit() renames one winner per partition to its final
+part-*.json name and sweeps zombie attempts, a failing partition
+aborts the job leaving NO manifest and NO shards — readers never
+observe a partial write, with or without manifest gating.
 """
 
 from __future__ import annotations
@@ -13,7 +14,11 @@ import os
 import pytest
 
 from hive_task_spark.scratch import scratch_path
-from hive_task_spark.sources.readers import _JsonLinesSink, _JsonLinesWriter
+from hive_task_spark.sources.readers import (
+    _JsonLinesSink,
+    _JsonLinesWriter,
+    _JsonRowCount,
+)
 
 
 class _FailingSink(_JsonLinesSink):
@@ -48,6 +53,12 @@ def test_successful_write_publishes_manifest(spark):
         manifest = json.load(fh)
     assert manifest["rows"] == 100
     assert manifest["parts"] == [0, 1, 2, 3]
+    # commit() renamed every winner and swept all staged files
+    names = sorted(os.listdir(path))
+    assert [n for n in names if n.endswith(".staged")] == []
+    assert [n for n in names if n.startswith("part-")] == [
+        f"part-{i:05d}.json" for i in range(4)
+    ]
 
 
 def test_failed_partition_aborts_without_manifest(spark):
@@ -62,5 +73,102 @@ def test_failed_partition_aborts_without_manifest(spark):
         df.repartition(4).write.format("pyjsonlsink_failing").option(
             "path", path
         ).mode("append").save()
-    # the two-phase contract: no commit manifest after an aborted job
+    # the two-phase contract: no commit manifest after an aborted job,
+    # and no shards either — a reader that globs part-*.json without
+    # checking the manifest still sees nothing from the aborted job
     assert not os.path.exists(os.path.join(path, "_MANIFEST"))
+    leftovers = [
+        n
+        for n in os.listdir(path)
+        if n.startswith("part-") or n.endswith(".staged")
+    ]
+    assert leftovers == []
+
+
+def test_commit_publishes_winner_and_sweeps_zombie_attempt(spark):
+    """Driver-side commit() contract, exercised directly: two staged
+    attempt files exist for partition 0 (a zombie retry lost the
+    race); the commit message names the winner. Only the winner's
+    bytes are published; the zombie's staged file is swept."""
+    import shutil
+
+    path = scratch_path("pysink_zombie")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    winner = os.path.join(path, ".part-00000-7.json.staged")
+    zombie = os.path.join(path, ".part-00000-3.json.staged")
+    with open(winner, "w") as fh:
+        fh.write('{"id": 1}\n')
+    with open(zombie, "w") as fh:
+        fh.write('{"id": 999}\n')
+
+    class _Opts(dict):
+        pass
+
+    class _Schema:
+        @staticmethod
+        def fieldNames():
+            return ["id"]
+
+    writer = _JsonLinesWriter(_Opts(path=path), _Schema())
+    writer.commit([_JsonRowCount(0, 1, winner)])
+    with open(os.path.join(path, "part-00000.json")) as fh:
+        assert fh.read() == '{"id": 1}\n'
+    assert not os.path.exists(zombie) and not os.path.exists(winner)
+    with open(os.path.join(path, "_MANIFEST")) as fh:
+        assert json.load(fh) == {"parts": [0], "rows": 1}
+
+
+class _FakeSchema:
+    @staticmethod
+    def fieldNames():
+        return ["i", "v"]
+
+
+def _stream_writer(path):
+    from hive_task_spark.streaming.stream_queries import (
+        _JsonLinesStreamWriter,
+    )
+
+    return _JsonLinesStreamWriter({"path": path}, _FakeSchema())
+
+
+def test_stream_sink_epoch_commit_publishes_and_logs(tmp_path):
+    """Per-epoch two-phase commit (streaming sink): each commit renames
+    its winners to (batchId, partitionId)-keyed finals and appends one
+    _COMMITLOG line; a zombie attempt's staged file is swept."""
+    from hive_task_spark.streaming.stream_queries import _EpochShardMsg
+
+    path = str(tmp_path)
+    w = _stream_writer(path)
+    for batch, attempt in ((0, 1), (1, 2)):
+        staged = os.path.join(path, f".part-00000-{attempt}.json.staged")
+        with open(staged, "w") as fh:
+            fh.write('{"i": %d, "v": 0}\n' % batch)
+        zombie = os.path.join(path, f".part-00000-{attempt + 90}.json.staged")
+        with open(zombie, "w") as fh:
+            fh.write('{"i": 999, "v": 9}\n')
+        w.commit([_EpochShardMsg(0, 1, staged)], batch)
+        assert not os.path.exists(zombie)
+    finals = sorted(
+        n for n in os.listdir(path) if n.startswith("part-")
+    )
+    assert finals == ["part-00000-00000.json", "part-00001-00000.json"]
+    with open(os.path.join(path, "part-00001-00000.json")) as fh:
+        assert fh.read() == '{"i": 1, "v": 0}\n'
+    with open(os.path.join(path, "_COMMITLOG")) as fh:
+        log = [json.loads(line) for line in fh]
+    assert log == [
+        {"batch": 0, "parts": [0], "rows": 1},
+        {"batch": 1, "parts": [0], "rows": 1},
+    ]
+
+
+def test_stream_sink_abort_sweeps_staged_publishes_nothing(tmp_path):
+    path = str(tmp_path)
+    w = _stream_writer(path)
+    staged = os.path.join(path, ".part-00002-5.json.staged")
+    with open(staged, "w") as fh:
+        fh.write('{"i": 7, "v": 1}\n')
+    w.abort([None], 3)
+    assert os.listdir(path) == []  # no finals, no staged, no commit log
