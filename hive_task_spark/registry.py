@@ -52,67 +52,70 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 9's row: the pipeline
-# remainder (17) + all 24 never-sampled similarity + the 9
-# oldest-registered never-sampled agg names (pool at r9 start = 172
-# never-sampled of 556, recomputed from the CORRECTNESS_r1–r8 union;
-# agg pool = 18, the remaining 9 roll into r10 per the schedule).
-# Round 8's window (analytics rest 22 + pipeline oldest 28) came back
-# 50/50 green; cumulative driver-confirmed = 384/556.
+# schedule lives in CLAUDE.md; this is round 10's row: the agg
+# remainder (9) + the 20 oldest never-sampled source + all 17
+# never-sampled text + the 4 oldest never-sampled sql (pool at r10
+# start = 125 never-sampled of 559, recomputed from the
+# CORRECTNESS_r1–r9 union; source pool = 21 but the r9-registered
+# source_python_datasource_writer waits for r12 per the new-op rule).
+# Round 9's window (pipeline rest 17 + similarity 24 + agg oldest 9)
+# came back 50/50 green; cumulative driver-confirmed = 434/559.
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- pipeline: the 17 remaining never-sampled --
-    "pipeline_churn_label_generation",
-    "pipeline_group_fold_assignment",
-    "pipeline_rejection_sampling",
-    "pipeline_oversample_minority",
-    "pipeline_epoch_shuffle",
-    "pipeline_quality_ablation",
-    "pipeline_span_corruption",
-    "pipeline_minhash_scurve",
-    "pipeline_bounce_rate",
-    "pipeline_label_balance",
-    "pipeline_token_budget_twopass",
-    "pipeline_range_partition_plan",
-    "pipeline_training_manifest",
-    "pipeline_mix_rebalance_plan",
-    "pipeline_dsir_importance",
-    "pipeline_ab_srm_check",
-    "pipeline_em_length_mixture_step",
-    # -- similarity: all 24 never-sampled --
-    "similarity_kmeans_assign",
-    "similarity_dim_reduction",
-    "similarity_semantic_dedup",
-    "similarity_cell_occupancy",
-    "similarity_norm_profile",
-    "similarity_distance_histogram",
-    "similarity_incremental_topk",
-    "similarity_pca_power_iteration",
-    "similarity_silhouette_simplified",
-    "similarity_ivf_nprobe_sweep",
-    "similarity_matryoshka_eval",
-    "similarity_product_quantization",
-    "similarity_hybrid_rrf",
-    "similarity_mmr_rerank",
-    "similarity_knn_classify",
-    "similarity_recall_report",
-    "similarity_rec_diversity_eval",
-    "similarity_filtered_search",
-    "similarity_hard_negative_mining",
-    "similarity_negative_sampling",
-    "similarity_centroid_drift",
-    "similarity_binary_hamming_topk",
-    "similarity_reciprocal_nn_pairs",
-    "similarity_kmeanspp_next_centroid",
-    # -- agg: the 9 oldest-registered never-sampled (of 18) --
-    "agg_listagg_ordered",
-    "agg_histogram_bins",
-    "agg_mode_deterministic",
-    "agg_bool_countif",
-    "agg_countmin_heavy_hitters",
-    "agg_session_window_batch",
-    "agg_hll_sketch_merge",
-    "agg_approx_top_k",
-    "agg_topn_plus_others",
+    # -- agg: the 9 remaining never-sampled --
+    "agg_dense_report_scaffold",
+    "agg_deterministic_sample",
+    "agg_distinct_rewrite_twolevel",
+    "agg_corr_matrix",
+    "agg_weighted_mean_var",
+    "agg_equidepth_histogram",
+    "agg_equidepth_cutpoints",
+    "agg_bitmap_distinct",
+    "agg_grouping_id_flags",
+    # -- source: the 20 oldest never-sampled (the r9-new
+    # -- source_python_datasource_writer stays in the r12 pool) --
+    "source_csv_quoted_roundtrip",
+    "source_parquet_bloom_filter",
+    "source_join_dpp_prune",
+    "source_python_datasource",
+    "source_ignore_corrupt_files",
+    "source_xml_roundtrip",
+    "source_parquet_zstd",
+    "source_compact_small_files",
+    "source_binary_files",
+    "source_dynamic_partition_overwrite",
+    "source_parquet_schema_merge",
+    "source_write_modes",
+    "source_commit_log_snapshot",
+    "source_commit_log_time_travel",
+    "source_csv_dropmalformed",
+    "source_zone_map_pruning",
+    "source_parquet_rowgroup_stats",
+    "source_csv_multichar_delimiter",
+    "source_json_multiline",
+    "source_csv_comment_dialect",
+    # -- text: all 17 never-sampled --
+    "text_hapax_legomena",
+    "text_heaps_law",
+    "text_ngram_novelty",
+    "text_token_entropy",
+    "text_source_vocab_overlap",
+    "text_source_drift_js",
+    "text_conditional_entropy",
+    "text_winnowing_fingerprint",
+    "text_kneser_ney_bigram",
+    "text_textrank_keywords",
+    "text_rouge_n_pairs",
+    "text_burrows_delta",
+    "text_stupid_backoff",
+    "text_gopher_filter",
+    "text_repetition_entropy",
+    "text_tfidf_top_terms",
+    "text_levenshtein_neighbors",
+    # -- sql: the 4 oldest never-sampled (of 15) --
+    "sql_lateral_column_alias",
+    "sql_parameterized",
+    "sql_udf_library",
+    "sql_table_function",
 )
 
 
