@@ -101,10 +101,12 @@ HEADLINE = [
     "join_lateral_dataframe",
     "relational_transpose",
     # Round-10 additions: filter pushdown INTO a Python DataSource
-    # (5-of-16 partitions planned at the source) and the Python
-    # streaming sink (per-epoch two-phase commit + read-back).
+    # (5-of-16 partitions planned at the source), the Python streaming
+    # sink (per-epoch two-phase commit + read-back), and the
+    # Arrow-native batch sink (columnar RecordBatch egress).
     "source_python_datasource_pushdown",
     "stream_python_datasource_sink",
+    "source_python_datasource_arrow_writer",
 ]
 
 

@@ -21,6 +21,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
@@ -1510,11 +1511,24 @@ class _JsonRowCount(WriterCommitMessage):
 
 
 class _JsonLinesWriter(DataSourceWriter):
-    _STAGED_GLOB = ".part-*.json.staged"
+    # shard extension — the Arrow subclass below reuses the whole
+    # staged-rename two-phase commit with parquet shards
+    _EXT = "json"
 
     def __init__(self, options, schema):
         self.path = options["path"]
         self.fields = schema.fieldNames()
+
+    def _staged_name(self, ctx) -> str:
+        # Attempt-unique staged name: two attempts of the same
+        # partition (speculation, zombie retry) write disjoint files,
+        # and the dot prefix keeps every reader glob away until
+        # commit() publishes the winner by rename.
+        return os.path.join(
+            self.path,
+            f".part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
+            f".{self._EXT}.staged",
+        )
 
     def write(self, iterator):
         import json as _json
@@ -1522,20 +1536,13 @@ class _JsonLinesWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        pid = ctx.partitionId()
-        # Attempt-unique staged name: two attempts of the same
-        # partition (speculation, zombie retry) write disjoint files,
-        # and the dot prefix keeps every reader glob away until
-        # commit() publishes the winner by rename.
-        staged = os.path.join(
-            self.path, f".part-{pid:05d}-{ctx.taskAttemptId()}.json.staged"
-        )
+        staged = self._staged_name(ctx)
         n = 0
         with open(staged, "w") as fh:
             for row in iterator:
                 fh.write(_json.dumps(dict(zip(self.fields, row))) + "\n")
                 n += 1
-        return _JsonRowCount(pid, n, staged)
+        return _JsonRowCount(ctx.partitionId(), n, staged)
 
     def commit(self, messages):
         import glob as _glob
@@ -1547,10 +1554,13 @@ class _JsonLinesWriter(DataSourceWriter):
         # either no shard or a complete one.
         for m in messages:
             os.replace(
-                m.staged, os.path.join(self.path, f"part-{m.part_id:05d}.json")
+                m.staged,
+                os.path.join(self.path, f"part-{m.part_id:05d}.{self._EXT}"),
             )
         # Sweep staged files from losing/zombie attempts.
-        for leftover in _glob.glob(os.path.join(self.path, self._STAGED_GLOB)):
+        for leftover in _glob.glob(
+            os.path.join(self.path, f".part-*.{self._EXT}.staged")
+        ):
             os.remove(leftover)
         manifest = {
             "parts": sorted(m.part_id for m in messages),
@@ -1564,9 +1574,12 @@ class _JsonLinesWriter(DataSourceWriter):
 
         # All-or-nothing: remove the manifest, every staged attempt
         # file, and any finals a partially-run commit() already
-        # renamed — a reader that globs part-*.json without checking
+        # renamed — a reader that globs part-* shards without checking
         # the manifest still never sees output from an aborted job.
-        for pattern in (self._STAGED_GLOB, "part-*.json"):
+        for pattern in (
+            f".part-*.{self._EXT}.staged",
+            f"part-*.{self._EXT}",
+        ):
             for f in _glob.glob(os.path.join(self.path, pattern)):
                 try:
                     os.remove(f)
@@ -1617,4 +1630,90 @@ def source_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFra
         spark.read.schema(_NATION_SCHEMA)
         .option("pathGlobFilter", "part-*.json")
         .json(path)
+    )
+
+
+class _ArrowParquetSink(DataSource):
+    """Arrow-NATIVE Python DataSource batch writer (Spark 4
+    DataSourceArrowWriter): executor partitions hand the sink pyarrow
+    RecordBatches — columnar, no Row materialization — which it spools
+    straight into parquet shards through the same attempt-staged,
+    rename-to-publish two-phase commit as the JSON sink (the commit/
+    abort machinery is inherited unchanged; only the write path and
+    the shard extension differ)."""
+
+    @classmethod
+    def name(cls):
+        return "pyarrowparquetsink"
+
+    def writer(self, schema, overwrite):
+        return _ArrowParquetWriter(self.options, schema)
+
+
+class _ArrowParquetWriter(DataSourceArrowWriter, _JsonLinesWriter):
+    _EXT = "parquet"
+
+    def __init__(self, options, schema):
+        _JsonLinesWriter.__init__(self, options, schema)
+        self._spark_schema = schema
+
+    def write(self, iterator):
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        ctx = TaskContext.get()
+        staged = self._staged_name(ctx)
+        n = 0
+        writer = pq.ParquetWriter(staged, to_arrow_schema(self._spark_schema))
+        try:
+            for batch in iterator:
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            writer.close()
+        return _JsonRowCount(ctx.partitionId(), n, staged)
+
+
+@register(
+    "source_python_datasource_arrow_writer",
+    defer=True,
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_python_datasource_arrow_writer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-trip through the Arrow-native Python DataSource WRITER
+    (Spark 4 DataSourceArrowWriter): nation streams to the sink as
+    pyarrow RecordBatches and lands as two-phase-committed parquet
+    shards; the read-back must equal the original table (the oracle
+    reads the ORIGINAL parquet). The manifest is asserted before the
+    read-back, same contract as the row-based JSON sink.
+
+    100 TB posture: the Arrow write path is the fast lane for Python
+    egress — batches cross the JVM/Python boundary columnar (one Arrow
+    buffer per ~10k rows instead of one pickled Row each), which is
+    the same 10-100x serialization win pandas_udf has over row UDFs,
+    applied to sinks."""
+    import json as _json
+
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    spark.dataSource.register(_ArrowParquetSink)
+    path = _scratch("nation_pyarrowsink")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    n.repartition(4).write.format("pyarrowparquetsink").option(
+        "path", path
+    ).mode("append").save()
+    with open(os.path.join(path, "_MANIFEST")) as fh:
+        manifest = _json.load(fh)
+    if manifest["rows"] != 25:
+        raise AssertionError(f"two-phase commit saw {manifest['rows']} rows")
+    return (
+        spark.read.schema(_NATION_SCHEMA)
+        .option("pathGlobFilter", "part-*.parquet")
+        .parquet(path)
     )

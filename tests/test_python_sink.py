@@ -172,3 +172,31 @@ def test_stream_sink_abort_sweeps_staged_publishes_nothing(tmp_path):
         fh.write('{"i": 7, "v": 1}\n')
     w.abort([None], 3)
     assert os.listdir(path) == []  # no finals, no staged, no commit log
+
+
+def test_arrow_writer_publishes_parquet_shards(spark):
+    """The Arrow-native sink shares the two-phase commit machinery:
+    parquet finals + manifest on success, no staged leftovers."""
+    import shutil
+
+    from hive_task_spark.sources.readers import _ArrowParquetSink
+
+    path = scratch_path("pysink_arrow_ok")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    spark.dataSource.register(_ArrowParquetSink)
+    df = spark.range(100).selectExpr("id", "id * 3 AS trip")
+    df.repartition(4).write.format("pyarrowparquetsink").option(
+        "path", path
+    ).mode("append").save()
+    with open(os.path.join(path, "_MANIFEST")) as fh:
+        manifest = json.load(fh)
+    assert manifest["rows"] == 100 and manifest["parts"] == [0, 1, 2, 3]
+    names = sorted(os.listdir(path))
+    assert [n for n in names if n.endswith(".staged")] == []
+    assert [n for n in names if n.startswith("part-")] == [
+        f"part-{i:05d}.parquet" for i in range(4)
+    ]
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert back.selectExpr("sum(trip)").first()[0] == sum(3 * i for i in range(100))
