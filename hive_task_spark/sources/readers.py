@@ -432,7 +432,7 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 class _PushdownRangeSource(DataSource):
     """Python DataSource batch reader WITH filter pushdown (Spark 4.1
-    `DataSourceReader.pushFilters`, SPARK-50819 umbrella): the reader
+    `DataSourceReader.pushFilters`): the reader
     accepts `part >=` / `<=` / `=` predicates, narrows its planned
     partition range accordingly, and returns every other filter for
     Spark to evaluate post-scan. This is the pruning-at-source seam a
