@@ -609,7 +609,7 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_lateral_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated lateral join via the Spark 4 DataFrame API
-    (``DataFrame.lateralJoin`` + ``col(...).outer()``, SPARK-50393):
+    (``DataFrame.lateralJoin`` + ``col(...).outer()``):
     top-2 customers by account balance per nation, written exactly as
     the SQL ``, LATERAL (...)`` the oracle uses — no window-function
     reformulation on our side.

@@ -467,7 +467,7 @@ def merge_mirror_sync_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row/column transposition via the Spark 4 ``DataFrame.transpose``
-    API (SPARK-49709): a per-region metrics table (nations, customers)
+    API: a per-region metrics table (nations, customers)
     flips so regions become COLUMNS and each metric becomes a row —
     the report-matrix shape pivot produces for values but transpose
     produces for whole rows, with column names taken from the index

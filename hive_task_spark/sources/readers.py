@@ -1598,7 +1598,7 @@ class _JsonLinesWriter(DataSourceWriter):
 )
 def source_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip through a custom Python DataSource WRITER (Spark 4
-    V2 API, SPARK-45065): nation writes via df.write.format(...) into
+    V2 API): nation writes via df.write.format(...) into
     the Python sink above — rows stream through executor-side Python
     workers, never the driver — then reads back with an explicit
     schema and must equal the source table exactly (the oracle reads
