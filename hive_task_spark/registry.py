@@ -52,70 +52,72 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 10's row: the agg
-# remainder (9) + the 20 oldest never-sampled source + all 17
-# never-sampled text + the 4 oldest never-sampled sql (pool at r10
-# start = 125 never-sampled of 559, recomputed from the
-# CORRECTNESS_r1–r9 union; source pool = 21 but the r9-registered
-# source_python_datasource_writer waits for r12 per the new-op rule).
-# Round 9's window (pipeline rest 17 + similarity 24 + agg oldest 9)
-# came back 50/50 green; cumulative driver-confirmed = 434/559.
+# schedule lives in CLAUDE.md; this is round 11's row: the sql
+# remainder (11) + all 18 never-sampled stream (incl. the r8-new
+# rocksdb/state-metadata readers and the r10-new Python streaming
+# sink) + all 12 never-sampled quality + window (4) + date (4) + the
+# oldest never-sampled multimodal (1) — pool at r11 start = 78
+# never-sampled of 562, recomputed from the CORRECTNESS_r1–r10
+# union (matches VERDICT r10's recompute).  Round 10's window (agg
+# rest 9 + source oldest 20 + text 17 + sql oldest 4) came back
+# 50/50 green; cumulative driver-confirmed = 484/562.
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- agg: the 9 remaining never-sampled --
-    "agg_dense_report_scaffold",
-    "agg_deterministic_sample",
-    "agg_distinct_rewrite_twolevel",
-    "agg_corr_matrix",
-    "agg_weighted_mean_var",
-    "agg_equidepth_histogram",
-    "agg_equidepth_cutpoints",
-    "agg_bitmap_distinct",
-    "agg_grouping_id_flags",
-    # -- source: the 20 oldest never-sampled (the r9-new
-    # -- source_python_datasource_writer stays in the r12 pool) --
-    "source_csv_quoted_roundtrip",
-    "source_parquet_bloom_filter",
-    "source_join_dpp_prune",
-    "source_python_datasource",
-    "source_ignore_corrupt_files",
-    "source_xml_roundtrip",
-    "source_parquet_zstd",
-    "source_compact_small_files",
-    "source_binary_files",
-    "source_dynamic_partition_overwrite",
-    "source_parquet_schema_merge",
-    "source_write_modes",
-    "source_commit_log_snapshot",
-    "source_commit_log_time_travel",
-    "source_csv_dropmalformed",
-    "source_zone_map_pruning",
-    "source_parquet_rowgroup_stats",
-    "source_csv_multichar_delimiter",
-    "source_json_multiline",
-    "source_csv_comment_dialect",
-    # -- text: all 17 never-sampled --
-    "text_hapax_legomena",
-    "text_heaps_law",
-    "text_ngram_novelty",
-    "text_token_entropy",
-    "text_source_vocab_overlap",
-    "text_source_drift_js",
-    "text_conditional_entropy",
-    "text_winnowing_fingerprint",
-    "text_kneser_ney_bigram",
-    "text_textrank_keywords",
-    "text_rouge_n_pairs",
-    "text_burrows_delta",
-    "text_stupid_backoff",
-    "text_gopher_filter",
-    "text_repetition_entropy",
-    "text_tfidf_top_terms",
-    "text_levenshtein_neighbors",
-    # -- sql: the 4 oldest never-sampled (of 15) --
-    "sql_lateral_column_alias",
-    "sql_parameterized",
-    "sql_udf_library",
-    "sql_table_function",
+    # -- sql: the 11 remaining never-sampled --
+    "sql_identifier_template",
+    "sql_execute_immediate",
+    "sql_session_variables",
+    "sql_masked_view",
+    "sql_distribute_cluster_by",
+    "sql_pipe_syntax",
+    "sql_keyset_pagination",
+    "sql_join_hints_shuffle_hash",
+    "sql_values_inline_dimension",
+    "sql_order_by_all",
+    "sql_scripting_block",
+    # -- stream: all 18 never-sampled --
+    "stream_observe_progress",
+    "stream_windowed_percentiles",
+    "stream_session_window_dynamic_gap",
+    "stream_rocksdb_statestore",
+    "stream_state_metadata_reader",
+    "stream_zscore_static",
+    "stream_multibatch_agg",
+    "stream_late_drop_proof",
+    "stream_file_sink_roundtrip",
+    "stream_statestore_inspect",
+    "stream_chained_windows",
+    "stream_outer_join_watermark",
+    "stream_dedup_within_watermark",
+    "stream_upsert_sink",
+    "stream_lambda_backfill_union",
+    "stream_update_mode_progression",
+    "stream_python_datasource",
+    "stream_python_datasource_sink",
+    # -- quality: all 12 never-sampled --
+    "quality_join_cardinality_audit",
+    "quality_l_diversity_audit",
+    "quality_freshness_lag",
+    "quality_key_multiplicity",
+    "quality_nchars_consistency",
+    "quality_rare_levels",
+    "quality_rowcount_reconciliation",
+    "quality_functional_dependency_discovery",
+    "quality_observe_metrics",
+    "quality_t_closeness_audit",
+    "quality_ece_calibration",
+    "quality_order_total_reconciliation",
+    # -- window: all 4 never-sampled --
+    "window_running_sum_reset",
+    "window_rolling_features",
+    "window_rolling_median",
+    "window_rolling_corr",
+    # -- date: all 4 never-sampled --
+    "date_calendar_spine",
+    "date_fiscal_calendar",
+    "date_business_days_between",
+    "date_iso_week_rollup",
+    # -- multimodal: the oldest never-sampled (of 3; other 2 -> r12) --
+    "multimodal_scene_cuts",
 )
 
 

@@ -1530,12 +1530,37 @@ class _JsonLinesWriter(DataSourceWriter):
             f".{self._EXT}.staged",
         )
 
+    def _assert_owns_dir(self):
+        # Enforce the documented owns-the-dir-per-job contract instead
+        # of trusting callers: abort()/the commit sweep delete EVERY
+        # part-* final / .staged file in the directory, which would
+        # destroy a prior job's committed shards if the dir were
+        # reused (e.g. mode("append")). This job publishes finals only
+        # inside commit(), after every write() finished — so any
+        # part-* final or _MANIFEST visible before then is foreign,
+        # and we fail fast before staging or sweeping anything.
+        import glob as _glob
+
+        foreign = _glob.glob(
+            os.path.join(self.path, f"part-*.{self._EXT}")
+        )
+        if os.path.exists(os.path.join(self.path, "_MANIFEST")):
+            foreign.append(os.path.join(self.path, "_MANIFEST"))
+        if foreign:
+            raise RuntimeError(
+                f"{type(self).__name__}: target dir {self.path!r} already "
+                f"contains committed output ({sorted(foreign)[:3]}...); "
+                "this sink owns its directory per job — write to a fresh "
+                "directory"
+            )
+
     def write(self, iterator):
         import json as _json
 
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
+        self._assert_owns_dir()
         staged = self._staged_name(ctx)
         n = 0
         with open(staged, "w") as fh:
@@ -1548,6 +1573,10 @@ class _JsonLinesWriter(DataSourceWriter):
         import glob as _glob
         import json as _json
 
+        # Second ownership guard (driver-side): no final from THIS job
+        # exists until the renames below, so any part-*/_MANIFEST here
+        # is foreign — fail before the sweep can touch it.
+        self._assert_owns_dir()
         # Publish exactly one winner per partition: the attempt whose
         # commit message Spark delivered. os.replace is atomic on a
         # POSIX filesystem, so a concurrent manifest-gated reader sees

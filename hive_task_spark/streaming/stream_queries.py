@@ -1515,7 +1515,21 @@ class _JsonLinesStreamWriter(DataSourceStreamWriter):
         # losing/zombie attempt of THIS epoch — sweep it
         for leftover in _glob.glob(os.path.join(self.path, self._STAGED_GLOB)):
             os.remove(leftover)
-        with open(os.path.join(self.path, "_COMMITLOG"), "a") as fh:
+        # an epoch replayed after a crash between sink-commit and
+        # checkpoint advance re-enters commit(); the renames above are
+        # idempotent (targets keyed by batchId/partitionId), so the log
+        # must be too — skip the append if this batchId is already
+        # logged, keeping the log one-line-per-epoch like the shards
+        log = os.path.join(self.path, "_COMMITLOG")
+        if os.path.exists(log):
+            with open(log) as fh:
+                if any(
+                    _json.loads(line)["batch"] == batchId
+                    for line in fh
+                    if line.strip()
+                ):
+                    return
+        with open(log, "a") as fh:
             fh.write(
                 _json.dumps(
                     {"batch": batchId, "parts": sorted(parts), "rows": total}

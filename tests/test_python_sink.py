@@ -164,6 +164,64 @@ def test_stream_sink_epoch_commit_publishes_and_logs(tmp_path):
     ]
 
 
+def test_stream_sink_replayed_commit_is_log_idempotent(tmp_path):
+    """An epoch replayed after a crash between sink-commit and
+    checkpoint advance re-enters commit() with the same batchId: the
+    renames are idempotent (targets keyed by batchId/partitionId) and
+    the _COMMITLOG must be too — one line per epoch, never two."""
+    from hive_task_spark.streaming.stream_queries import _EpochShardMsg
+
+    path = str(tmp_path)
+    w = _stream_writer(path)
+    staged = os.path.join(path, ".part-00000-1.json.staged")
+    with open(staged, "w") as fh:
+        fh.write('{"i": 0, "v": 0}\n')
+    w.commit([_EpochShardMsg(0, 1, staged)], 0)
+    # replay: the engine re-runs the epoch, tasks re-stage, commit(0)
+    # fires again with a fresh attempt's message
+    restaged = os.path.join(path, ".part-00000-2.json.staged")
+    with open(restaged, "w") as fh:
+        fh.write('{"i": 0, "v": 0}\n')
+    w.commit([_EpochShardMsg(0, 1, restaged)], 0)
+    finals = sorted(n for n in os.listdir(path) if n.startswith("part-"))
+    assert finals == ["part-00000-00000.json"]
+    with open(os.path.join(path, "_COMMITLOG")) as fh:
+        log = [json.loads(line) for line in fh if line.strip()]
+    assert log == [{"batch": 0, "parts": [0], "rows": 1}]
+
+
+def test_batch_writer_refuses_foreign_directory(tmp_path):
+    """The batch sink owns its directory per job (abort/commit sweep
+    EVERY part-* / staged file): write() and commit() must fail fast
+    when the target already holds committed output — a prior job's
+    part-* final or _MANIFEST — instead of silently destroying it."""
+
+    class _Opts(dict):
+        pass
+
+    class _Schema:
+        @staticmethod
+        def fieldNames():
+            return ["id"]
+
+    path = str(tmp_path)
+    foreign = os.path.join(path, "part-00000.json")
+    with open(foreign, "w") as fh:
+        fh.write('{"id": 42}\n')
+    w = _JsonLinesWriter(_Opts(path=path), _Schema())
+    with pytest.raises(RuntimeError, match="owns its directory per job"):
+        w.commit([])
+    # the foreign shard survived untouched
+    with open(foreign) as fh:
+        assert fh.read() == '{"id": 42}\n'
+    # a bare _MANIFEST (no shards) trips the same guard
+    os.remove(foreign)
+    with open(os.path.join(path, "_MANIFEST"), "w") as fh:
+        fh.write("{}")
+    with pytest.raises(RuntimeError, match="owns its directory per job"):
+        w.commit([])
+
+
 def test_stream_sink_abort_sweeps_staged_publishes_nothing(tmp_path):
     path = str(tmp_path)
     w = _stream_writer(path)
