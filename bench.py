@@ -107,6 +107,12 @@ HEADLINE = [
     "source_python_datasource_pushdown",
     "stream_python_datasource_sink",
     "source_python_datasource_arrow_writer",
+    # Round-11 additions: theta-sketch set algebra (per-month sketch
+    # build + union/intersection/difference fold) and the pandas API
+    # on Spark pipeline (merge + mask + named agg compiled to a
+    # broadcast join + partial/final aggregate).
+    "agg_theta_sketch_setops",
+    "relational_pandas_api_pipeline",
 ]
 
 

@@ -1621,3 +1621,70 @@ def agg_weighted_mean_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(swx / sw, 4).alias("w_mean_r"),
         F.round(swxx / sw - F.pow(swx / sw, 2), 2).alias("w_var_r"),
     )
+
+
+@register(
+    "agg_theta_sketch_setops",
+    defer=True,
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                 AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+                 AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS nd_h1,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS nd_h2,
+           CAST((SELECT count(*) FROM
+                 (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b))
+                AS BIGINT)                          AS nd_either,
+           CAST((SELECT count(*) FROM
+                 (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b))
+                AS BIGINT)                          AS nd_both,
+           CAST((SELECT count(*) FROM
+                 (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b))
+                AS BIGINT)                          AS nd_h1_only
+    """,
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches THETA sketches (Spark 4.1 `theta_sketch_agg` /
+    `theta_union_agg` / `theta_union` / `theta_intersection` /
+    `theta_difference`): the sketch family that supports full SET
+    ALGEBRA, not just union — HLL can fold daily sketches into "active
+    either half" but can never answer "active in BOTH halves" or
+    "churned after H1". Per-month customer sketches are built in ONE
+    orders pass (partial+final mergeable agg), H1/H2 roll up by
+    folding the PRE-BUILT month sketches (`theta_union_agg` over a
+    CASE — the incremental-maintenance pattern: at 100 TB you keep
+    per-day/per-partition sketch rows and fold on demand instead of
+    rescanning), and retention/churn come from the scalar two-sketch
+    operators. lgNomEntries=15 (32k) keeps every sketch in EXACT mode
+    at the tested SFs (≤15k distinct custkeys at sf0.1), so the DuckDB
+    oracle states the same numbers as exact DISTINCT set ops; at
+    production scale the same plan degrades gracefully to ~1.6%-RSE
+    estimates — accepting that error without a rescan is the point of
+    the sketch. Estimates surface as BIGINT on both sides."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    months = o.groupBy(F.month("o_orderdate").alias("m")).agg(
+        F.expr("theta_sketch_agg(o_custkey, 15)").alias("sk")
+    )
+    halves = months.agg(
+        F.expr("theta_union_agg(CASE WHEN m <= 6 THEN sk END, 15)").alias("h1"),
+        F.expr("theta_union_agg(CASE WHEN m > 6 THEN sk END, 15)").alias("h2"),
+    )
+    return halves.select(
+        F.expr("theta_sketch_estimate(h1)").cast("long").alias("nd_h1"),
+        F.expr("theta_sketch_estimate(h2)").cast("long").alias("nd_h2"),
+        F.expr("theta_sketch_estimate(theta_union(h1, h2))")
+        .cast("long")
+        .alias("nd_either"),
+        F.expr("theta_sketch_estimate(theta_intersection(h1, h2))")
+        .cast("long")
+        .alias("nd_both"),
+        F.expr("theta_sketch_estimate(theta_difference(h1, h2))")
+        .cast("long")
+        .alias("nd_h1_only"),
+    )

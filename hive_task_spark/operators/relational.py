@@ -493,3 +493,64 @@ def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.transpose(indexColumn="r_name")
+
+
+@register(
+    "relational_pandas_api_pipeline",
+    defer=True,
+    oracle="""
+    SELECT n.n_name                              AS nation,
+           CAST(count(*) AS BIGINT)              AS customers,
+           round(sum(c.c_acctbal), 2)            AS total_acctbal,
+           floor(avg(c.c_acctbal) * 1e6 + 0.5) / 1e6 AS avg_acctbal_r
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > 0
+    GROUP BY n.n_name
+    """,
+)
+def relational_pandas_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through its third authoring surface: pandas API
+    on Spark (`pyspark.pandas`) — `merge` → boolean-mask filter →
+    named-aggregation `groupby.agg`, written as pandas idioms but
+    compiled to the identical Catalyst plan (broadcast hash join +
+    partial/final hash aggregate; nothing ever materializes on the
+    driver). `pandas_api(index_col=...)` pins a REAL column as the
+    index, sidestepping the default distributed-sequence index, which
+    would otherwise prepend a zipWithIndex-style pass over the whole
+    table — the one silent perf trap of this API at 100 TB. Second
+    documented trap: the boolean mask's pandas-NA semantics compile
+    to a CASE-wrapped predicate that stays a codegen'd Filter instead
+    of reaching PushedFilters — column pruning and IsNotNull still
+    push, but a pipeline that needs row-group skipping on the value
+    predicate should filter in the DataFrame API before entering
+    pandas_api. Money sum
+    rounds at its exact 2dp grain; the mean (not exactly decimal)
+    goes through the floor(x*1e6+0.5)/1e6 form that is bit-identical
+    in both engines."""
+    import pyspark.pandas as ps  # noqa: F401  (registers the API)
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    pc = c.select("c_custkey", "c_nationkey", "c_acctbal").pandas_api(
+        index_col="c_custkey"
+    )
+    pn = n.select("n_nationkey", "n_name").pandas_api(index_col="n_nationkey")
+    m = pc.merge(
+        pn.reset_index(), left_on="c_nationkey", right_on="n_nationkey"
+    )
+    m = m[m.c_acctbal > 0]
+    g = m.groupby("n_name").agg(
+        customers=("c_nationkey", "count"),
+        total=("c_acctbal", "sum"),
+        avg_bal=("c_acctbal", "mean"),
+    )
+    out = g.to_spark(index_col="n_name")
+    return out.select(
+        F.col("n_name").alias("nation"),
+        F.col("customers").cast("long").alias("customers"),
+        F.round("total", 2).alias("total_acctbal"),
+        (F.floor(F.col("avg_bal") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "avg_acctbal_r"
+        ),
+    )
