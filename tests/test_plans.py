@@ -557,3 +557,32 @@ def test_lateral_join_decorrelates_to_group_limit(spark, sf_dir):
     assert "Partial" in plan  # map-side pre-prune before the exchange
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pandas_api_pipeline_compiles_to_broadcast_join(spark, sf_dir):
+    """relational_pandas_api_pipeline exists to prove the pandas API
+    surfaces the SAME Catalyst plan as the DataFrame original: the
+    nation merge must broadcast (never SMJ the customer side), the
+    groupby must run partial+final, and no distributed-sequence
+    default index may sneak a zipWithIndex-style pass into the plan
+    (index_col pins real columns)."""
+    plan = _plan(spark, sf_dir, "relational_pandas_api_pipeline")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "Partial" in plan
+    assert "AttachDistributedSequence" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theta_sketch_setops_single_fact_pass(spark, sf_dir):
+    """agg_theta_sketch_setops must build every month sketch in ONE
+    orders pass (one scan, partial+final sketch agg) — the mergeable
+    form that lets 100 TB sketches be maintained per-partition; the
+    half-year folds and scalar set ops run on 12 sketch rows, never
+    touching orders again."""
+    plan = _plan(spark, sf_dir, "agg_theta_sketch_setops")
+    # count scan NODES (the formatted detail section repeats the node
+    # name, so "Scan parquet" text alone overcounts)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:300]
+    assert "CartesianProduct" not in plan
