@@ -1519,16 +1519,17 @@ class _JsonLinesStreamWriter(DataSourceStreamWriter):
         # checkpoint advance re-enters commit(); the renames above are
         # idempotent (targets keyed by batchId/partitionId), so the log
         # must be too — skip the append if this batchId is already
-        # logged, keeping the log one-line-per-epoch like the shards
+        # logged, keeping the log one-line-per-epoch like the shards.
+        # Micro-batch epochs are serial and checkpointed epochs never
+        # re-enter, so only the LATEST logged batch can replay: a tail
+        # read keeps the check O(1) per epoch instead of O(epochs).
         log = os.path.join(self.path, "_COMMITLOG")
-        if os.path.exists(log):
-            with open(log) as fh:
-                if any(
-                    _json.loads(line)["batch"] == batchId
-                    for line in fh
-                    if line.strip()
-                ):
-                    return
+        if os.path.exists(log) and os.path.getsize(log) > 0:
+            with open(log, "rb") as fh:
+                fh.seek(max(0, os.path.getsize(log) - 4096))
+                tail = fh.read().decode().strip().splitlines()
+            if tail and _json.loads(tail[-1])["batch"] >= batchId:
+                return
         with open(log, "a") as fh:
             fh.write(
                 _json.dumps(
