@@ -1678,7 +1678,12 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return halves.select(
         F.expr("theta_sketch_estimate(h1)").cast("long").alias("nd_h1"),
         F.expr("theta_sketch_estimate(h2)").cast("long").alias("nd_h2"),
-        F.expr("theta_sketch_estimate(theta_union(h1, h2))")
+        # the scalar union takes its own lgNomEntries (default 12 —
+        # 4096 — would silently downsample two exact lgK=15 inputs
+        # above that, measured at sf0.1: 11500 vs exact 11695);
+        # intersection/difference carry no lgK and stay exact while
+        # their inputs are exact
+        F.expr("theta_sketch_estimate(theta_union(h1, h2, 15))")
         .cast("long")
         .alias("nd_either"),
         F.expr("theta_sketch_estimate(theta_intersection(h1, h2))")

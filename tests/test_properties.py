@@ -2703,3 +2703,29 @@ def test_bench_diff_gate_math(tmp_path):
         capture_output=True, text=True, cwd=REPO,
     )
     assert proc2.returncode == 0         # under threshold: gate passes
+
+
+def test_theta_scalar_union_needs_explicit_lgk(spark):
+    """Regression pin for agg_theta_sketch_setops: the SCALAR
+    theta_union defaults to lgNomEntries=12 (4096) and silently
+    downsamples two exact lgK=15 inputs above that — measured at
+    sf0.1 (11500 vs exact 11695) before the query passed lgK
+    explicitly. Intersection/difference carry no lgK and stay exact
+    while their inputs are exact."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).selectExpr("id AS v", "CAST(id % 2 AS INT) AS h")
+    sk = df.groupBy("h").agg(F.expr("theta_sketch_agg(v, 15)").alias("sk"))
+    two = sk.agg(
+        F.expr("theta_union_agg(CASE WHEN h = 0 THEN sk END, 15)").alias("a"),
+        F.expr("theta_union_agg(CASE WHEN h = 1 THEN sk END, 15)").alias("b"),
+    )
+    row = two.select(
+        F.expr("theta_sketch_estimate(theta_union(a, b, 15))").alias("u15"),
+        F.expr("theta_sketch_estimate(theta_union(a, b))").alias("udef"),
+        F.expr("theta_sketch_estimate(theta_intersection(a, b))").alias("i"),
+        F.expr("theta_sketch_estimate(theta_difference(a, b))").alias("d"),
+    ).first()
+    assert row.u15 == 20000  # explicit lgK=15: exact
+    assert row.udef != 20000  # default lgK=12: downsampled (the trap)
+    assert row.i == 0 and row.d == 10000  # exact-input set ops stay exact
