@@ -73,7 +73,14 @@ def canary_scale(rec: dict) -> float:
     ):
         single = rec.get(single_key)
         par = rec.get(par_key)
-        if single and par and single > 0:
+        if single and par and single > 0 and par > PARALLEL_HEALTHY_MAX_SEC:
+            # Both conditions: the ratio says the cores queued AND the
+            # parallel canary's ABSOLUTE reading is itself slow.  A
+            # fast single canary (r11 measured 0.755 s on the round's
+            # quietest box) can push the ratio past the threshold while
+            # the parallel read sits inside the healthy band — that box
+            # delivers its cores, and widening the band there would
+            # mask real movers, the opposite failure.
             ratio = max(ratio, par / single)  # worse pair wins
     if ratio <= CANARY_DEGRADED_RATIO:
         return 1.0
@@ -83,6 +90,10 @@ def canary_scale(rec: dict) -> float:
 # Parallel/single canary ratio above which the box counts as degraded
 # (healthy ratio ~1.0; late-r8's half-cores episode measured ~1.8).
 CANARY_DEGRADED_RATIO = 1.6
+# A parallel canary at or under this absolute reading is healthy no
+# matter what the ratio says (healthy band ~1.2-1.4 s; late-r8's
+# degraded episode measured 2.29-2.49 s).
+PARALLEL_HEALTHY_MAX_SEC = 1.7
 # Never widen the mover band by more than this factor.
 CANARY_SCALE_CAP = 2.0
 
@@ -160,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
                 for s, p in (("canary_pre_sec", "parallel_canary_pre_sec"),
                              ("canary_sec", "parallel_canary_sec"))
                 if bench_rec.get(s) and bench_rec.get(p)
+                and bench_rec[p] > PARALLEL_HEALTHY_MAX_SEC
             ]
             print(f"  box DEGRADED: worst parallel/single pair = "
                   f"{max(ratios):.2f}x > "

@@ -115,3 +115,26 @@ class TestMainGuards:
         rec = {"canary_pre_sec": 1.0, "parallel_canary_pre_sec": 1.9,
                "canary_sec": 1.3, "parallel_canary_sec": 1.35}
         assert bench_diff.canary_scale(rec) == pytest.approx(1.9)
+
+
+class TestParallelAbsoluteGuard:
+    def test_fast_single_with_healthy_parallel_not_degraded(self):
+        # r11 closing-run shape: single 0.755s (unusually FAST),
+        # parallel 1.581s (inside the healthy absolute band) —
+        # ratio 2.09x but the box delivers its cores; widening the
+        # band here would mask real movers.
+        rec = {"canary_sec": 0.755, "parallel_canary_sec": 1.581,
+               "canary_pre_sec": 0.938, "parallel_canary_pre_sec": 1.607}
+        assert bench_diff.canary_scale(rec) == 1.0
+
+    def test_slow_parallel_still_degrades(self):
+        # genuine contention: parallel well above the healthy band
+        rec = {"canary_sec": 1.3, "parallel_canary_sec": 2.49}
+        assert bench_diff.canary_scale(rec) == pytest.approx(2.49 / 1.3)
+
+    def test_mixed_pairs_only_slow_parallel_counts(self):
+        # pre pair is a fast-single artifact, post pair is real steal:
+        # scale must come from the post pair only
+        rec = {"canary_pre_sec": 0.8, "parallel_canary_pre_sec": 1.65,
+               "canary_sec": 1.3, "parallel_canary_sec": 2.6}
+        assert bench_diff.canary_scale(rec) == pytest.approx(2.6 / 1.3)
