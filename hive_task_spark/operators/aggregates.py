@@ -947,10 +947,21 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     on demand) instead of recomputed. Sketch bytes are engine-
     specific, so the edge emits exact counts plus a 5%-bound check
     on both the per-source and the merged estimates (the oracle
-    asserts TRUE; at these cardinalities HLL is near-exact)."""
+    asserts TRUE).
+
+    Exactness-regime audit (r12, the theta lesson generalized):
+    lgConfigK is passed EXPLICITLY as 16 — the default 12 gives RSE
+    ~1.04/sqrt(4096) = 1.6%, making the 5% bound only ~3 sigma (a
+    per-dataset lottery once cardinality leaves HLL's exact regime);
+    at lgK=16 the RSE is 0.4% and the bound is ~12 sigma at ANY
+    cardinality (HLL error is cardinality-independent). The union
+    keeps lgK=16 because every input sketch is built at 16
+    (hll_union_agg unions at the common lgK; it would ERROR on
+    mismatch rather than silently downsample — unlike the scalar
+    theta_union trap fixed in r11)."""
     d = load(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
-        F.expr("hll_sketch_agg(doc_id)").alias("sk"),
+        F.expr("hll_sketch_agg(doc_id, 16)").alias("sk"),
         F.countDistinct("doc_id").cast("long").alias("exact_docs"),
     )
     per_rows = per.select(
@@ -996,9 +1007,15 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch is EXACT, so the exploded (item, count) edge is oracle-
     stable (fixture type counts are distinct at every SF — no rank-3
     tie). Complements `agg_countmin_heavy_hitters` (bit-identical CM
-    twin) with the built-in sketch aggregate."""
+    twin) with the built-in sketch aggregate.
+
+    Exactness-regime audit (r12): maxItemsTracked is passed
+    EXPLICITLY (10000) and the exact regime is bounded by DOMAIN
+    cardinality (distinct event_type values, SF-invariant and far
+    below 10000) - not row volume - so the sketch stays exact at
+    every SF; sf0.1 spot-checked."""
     e = load(spark, sf_dir, "events")
-    topk = e.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    topk = e.agg(F.expr("approx_top_k(event_type, 3, 10000)").alias("tk"))
     return topk.select(F.explode("tk").alias("x")).select(
         F.col("x.item").alias("item"),
         F.col("x.count").cast("long").alias("cnt"),

@@ -52,72 +52,69 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 11's row: the sql
-# remainder (11) + all 18 never-sampled stream (incl. the r8-new
-# rocksdb/state-metadata readers and the r10-new Python streaming
-# sink) + all 12 never-sampled quality + window (4) + date (4) + the
-# oldest never-sampled multimodal (1) — pool at r11 start = 78
-# never-sampled of 562, recomputed from the CORRECTNESS_r1–r10
-# union (matches VERDICT r10's recompute).  Round 10's window (agg
-# rest 9 + source oldest 20 + text 17 + sql oldest 4) came back
-# 50/50 green; cumulative driver-confirmed = 484/562.
+# schedule lives in CLAUDE.md; this is round 12's row — the rotation
+# CLOSE-OUT: the full 30-name never-sampled pool (recomputed from the
+# CORRECTNESS_r1–r11 union by tools/sampled_rounds.py — matches both
+# CLAUDE.md's precompute and VERDICT r11's recompute exactly) + the
+# 20 stalest-signal reconfirm names (max_round=1, registration-order
+# tie-break, per the r12+ stalest rule).  Round 11's window (sql 11 +
+# stream 18 + quality 12 + window 4 + date 4 + multimodal 1) came
+# back 50/50 green; cumulative driver-confirmed = 534/564.  A green
+# CORRECTNESS_r12 makes every registered query driver-confirmed at
+# least once.
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- sql: the 11 remaining never-sampled --
-    "sql_identifier_template",
-    "sql_execute_immediate",
-    "sql_session_variables",
-    "sql_masked_view",
-    "sql_distribute_cluster_by",
-    "sql_pipe_syntax",
-    "sql_keyset_pagination",
-    "sql_join_hints_shuffle_hash",
-    "sql_values_inline_dimension",
-    "sql_order_by_all",
-    "sql_scripting_block",
-    # -- stream: all 18 never-sampled --
-    "stream_observe_progress",
-    "stream_windowed_percentiles",
-    "stream_session_window_dynamic_gap",
-    "stream_rocksdb_statestore",
-    "stream_state_metadata_reader",
-    "stream_zscore_static",
-    "stream_multibatch_agg",
-    "stream_late_drop_proof",
-    "stream_file_sink_roundtrip",
-    "stream_statestore_inspect",
-    "stream_chained_windows",
-    "stream_outer_join_watermark",
-    "stream_dedup_within_watermark",
-    "stream_upsert_sink",
-    "stream_lambda_backfill_union",
-    "stream_update_mode_progression",
-    "stream_python_datasource",
-    "stream_python_datasource_sink",
-    # -- quality: all 12 never-sampled --
-    "quality_join_cardinality_audit",
-    "quality_l_diversity_audit",
-    "quality_freshness_lag",
-    "quality_key_multiplicity",
-    "quality_nchars_consistency",
-    "quality_rare_levels",
-    "quality_rowcount_reconciliation",
-    "quality_functional_dependency_discovery",
-    "quality_observe_metrics",
-    "quality_t_closeness_audit",
-    "quality_ece_calibration",
-    "quality_order_total_reconciliation",
-    # -- window: all 4 never-sampled --
-    "window_running_sum_reset",
-    "window_rolling_features",
-    "window_rolling_median",
-    "window_rolling_corr",
-    # -- date: all 4 never-sampled --
-    "date_calendar_spine",
-    "date_fiscal_calendar",
-    "date_business_days_between",
-    "date_iso_week_rollup",
-    # -- multimodal: the oldest never-sampled (of 3; other 2 -> r12) --
-    "multimodal_scene_cuts",
+    # -- the 30-name never-sampled pool, registration order --
+    "relational_transpose",
+    "multimodal_vad_segments",
+    "multimodal_patch_grid_plan",
+    "join_temporal_pointintime",
+    "join_broadcast_nested_loop",
+    "join_runtime_bloom_filter",
+    "join_lateral_dataframe",
+    "dedup_winnowing_pairs",
+    "geo_dbscan_grid",
+    "geo_geohash_encode",
+    "geo_point_in_polygon",
+    "map_merge_aggregate",
+    "math_hyperbolic_suite",
+    "math_logsumexp_grouped",
+    "str_split_part_suite",
+    "str_printf_suite",
+    "udf_arrow_optimized_python",
+    "udtf_table_partition_arg",
+    "udf_grouped_ols_fit",
+    "udf_arrow_python_scalar",
+    "udf_arrow_native_scalar",
+    "merge_upsert_apply",
+    "merge_mirror_sync_apply",
+    "relational_pandas_api_pipeline",
+    "setop_union_schema_evolution",
+    "asof_join_nearest",
+    "source_python_datasource_pushdown",
+    "source_python_datasource_writer",
+    "source_python_datasource_arrow_writer",
+    "agg_theta_sketch_setops",
+    # -- 20 stalest reconfirm (all last sampled r1), registration order --
+    "array_explode_tokens",
+    "array_posexplode",
+    "array_set_algebra",
+    "array_explode_outer",
+    "analytics_resample_locf",
+    "agg_stats_suite",
+    "agg_count_distinct",
+    "agg_median_exact",
+    "agg_rollup",
+    "agg_cube",
+    "agg_filtered_conditional",
+    "agg_having",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_unpivot_stack",
+    "agg_percentile_grouped",
+    "agg_corr_regression",
+    "map_create_lookup",
+    "map_explode_entries",
+    "map_from_entries_roundtrip",
 )
 
 

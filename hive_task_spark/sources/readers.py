@@ -1539,6 +1539,15 @@ class _JsonLinesWriter(DataSourceWriter):
         # inside commit(), after every write() finished — so any
         # part-* final or _MANIFEST visible before then is foreign,
         # and we fail fast before staging or sweeping anything.
+        #
+        # Scope: this is a check-then-act guard against SEQUENTIAL
+        # directory reuse only. Two jobs racing into the same fresh
+        # directory both pass (neither has published finals yet) and
+        # their commits clobber each other — concurrent writers remain
+        # trust-based. That is acceptable for the engine's scratch
+        # usage (scratch.py keys paths by PID, so concurrent harnesses
+        # can't share a sink dir); an O_EXCL lock file created at
+        # first write would close the concurrent case if ever needed.
         import glob as _glob
 
         foreign = _glob.glob(
@@ -1693,6 +1702,11 @@ class _ArrowParquetWriter(DataSourceArrowWriter, _JsonLinesWriter):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         ctx = TaskContext.get()
+        # Same executor-side owns-the-dir fail-fast as the JSON
+        # writer's write(): without it the Arrow sink would only be
+        # guarded at driver commit() time, after abort() could already
+        # sweep a foreign directory's part-*.parquet finals.
+        self._assert_owns_dir()
         staged = self._staged_name(ctx)
         n = 0
         writer = pq.ParquetWriter(staged, to_arrow_schema(self._spark_schema))

@@ -1524,19 +1524,74 @@ class _JsonLinesStreamWriter(DataSourceStreamWriter):
         # re-enter, so only the LATEST logged batch can replay: a tail
         # read keeps the check O(1) per epoch instead of O(epochs).
         log = os.path.join(self.path, "_COMMITLOG")
-        if os.path.exists(log) and os.path.getsize(log) > 0:
-            with open(log, "rb") as fh:
-                fh.seek(max(0, os.path.getsize(log) - 4096))
-                tail = fh.read().decode().strip().splitlines()
-            if tail and _json.loads(tail[-1])["batch"] >= batchId:
-                return
+        last = self._last_logged_batch(log)
+        if last is not None and last >= batchId:
+            return
+        # A crash mid-append can leave a torn, newline-less fragment
+        # as the log's tail; terminate it before appending so this
+        # record starts on a line boundary and stays parsable.
+        torn = False
+        try:
+            if os.path.getsize(log) > 0:
+                with open(log, "rb") as fh:
+                    fh.seek(-1, os.SEEK_END)
+                    torn = fh.read(1) != b"\n"
+        except OSError:
+            pass
         with open(log, "a") as fh:
+            if torn:
+                fh.write("\n")
             fh.write(
                 _json.dumps(
                     {"batch": batchId, "parts": sorted(parts), "rows": total}
                 )
                 + "\n"
             )
+
+    @staticmethod
+    def _last_logged_batch(log):
+        """Batch id of the last PARSABLE _COMMITLOG record, else None.
+
+        The very crash window the idempotency check targets (between
+        sink-commit and checkpoint advance) can also truncate the log's
+        final line mid-append, and a commit record (parts list of a few
+        hundred ids) can exceed one tail-read chunk — so the tail read
+        grows backwards to a newline boundary and unparsable lines are
+        skipped toward older ones. An unreadable tail therefore means
+        "not logged" (worst case: one duplicate log line on replay,
+        the pre-check behavior) — never a permanently wedged stream.
+        """
+        import json as _json
+
+        try:
+            size = os.path.getsize(log)
+        except OSError:
+            return None
+        if size == 0:
+            return None
+        chunk = 4096
+        with open(log, "rb") as fh:
+            while True:
+                start = max(0, size - chunk)
+                fh.seek(start)
+                data = fh.read()
+                if start > 0:
+                    # mid-file read: the first line is (possibly) a
+                    # fragment of an older record — drop it; if the
+                    # chunk holds no newline at all it is one partial
+                    # record, so grow until it does or we hit offset 0
+                    head, sep, rest = data.partition(b"\n")
+                    data = rest if sep else b""
+                for line in reversed(
+                    data.decode("utf-8", "replace").strip().splitlines()
+                ):
+                    try:
+                        return _json.loads(line)["batch"]
+                    except (ValueError, KeyError, TypeError):
+                        continue
+                if start == 0:
+                    return None
+                chunk *= 2
 
     def abort(self, messages, batchId):
         import glob as _glob

@@ -2729,3 +2729,55 @@ def test_theta_scalar_union_needs_explicit_lgk(spark):
     assert row.u15 == 20000  # explicit lgK=15: exact
     assert row.udef != 20000  # default lgK=12: downsampled (the trap)
     assert row.i == 0 and row.d == 10000  # exact-input set ops stay exact
+
+
+def test_sketch_accuracy_knobs_explicit_everywhere():
+    """r12 exactness-regime audit (the r11 theta lesson as a class):
+    every sketch/approx aggregate in the registry must pass its
+    accuracy knob EXPLICITLY — a default left implicit is a silent
+    regime boundary (theta's scalar-union lgK=12 downsampling; HLL
+    lgK=12's 1.6% RSE making a 5% bound a ~3-sigma lottery). Source-
+    level pin: no knob-less call forms of these functions anywhere
+    in the package."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "hive_task_spark"
+    src = "\n".join(
+        p.read_text() for p in sorted(pkg.rglob("*.py"))
+    )
+    # call forms that silently take the default accuracy knob
+    knobless = [
+        r"(?<!\w)percentile_approx\(\s*[^,)]+,\s*[^,)]+\)",  # no accuracy
+        r"(?<!\w)hll_sketch_agg\(\s*[^,)]+\)",               # no lgConfigK
+        r"(?<!\w)approx_top_k\(\s*[^,)]+,\s*[^,)]+\)",       # no maxItems
+        r"(?<!\w)theta_sketch_agg\(\s*[^,)]+\)",             # no lgNom
+        r"(?<!\w)theta_union_agg\(\s*[^,)]+\)",
+        r"(?<!\w)theta_union\(\s*[^,)]+,\s*[^,)]+\)",
+        r"(?<!\w)approx_count_distinct\(\s*[^,)]+\)",        # no rsd
+    ]
+    hits = []
+    for pat in knobless:
+        for m in re.finditer(pat, src):
+            frag = m.group(0)
+            # skip docstring/comment mentions (no F.expr/F. call shape)
+            hits.append(frag)
+    assert hits == [], f"implicit-default sketch knobs found: {hits}"
+
+
+def test_hll_sketch_lgk16_bound_has_margin(spark):
+    """agg_hll_sketch_merge regression: at the explicit lgConfigK=16
+    the estimate must sit WELL inside the query's 5% oracle band
+    (RSE 0.4% -> the band is ~12 sigma) at a cardinality far beyond
+    HLL's exact regime — the scenario where the old default lgK=12
+    (1.6% RSE, ~3 sigma) made the band a per-dataset lottery."""
+    from pyspark.sql import functions as F
+
+    n = 200_000  # >> 2^12 and >> 2^16 exact regimes
+    est = (
+        spark.range(n)
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(id, 16))").alias("e"))
+        .first()
+        .e
+    )
+    assert abs(est - n) <= 0.02 * n  # 2% — 5x tighter than the oracle band

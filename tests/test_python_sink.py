@@ -258,3 +258,90 @@ def test_arrow_writer_publishes_parquet_shards(spark):
     back = spark.read.parquet(path)
     assert back.count() == 100
     assert back.selectExpr("sum(trip)").first()[0] == sum(3 * i for i in range(100))
+
+
+def test_stream_sink_commit_survives_truncated_log_tail(tmp_path):
+    """ADVICE r11 (medium): the crash window the idempotency check
+    targets can itself truncate the _COMMITLOG's last line mid-append.
+    A partial-JSON tail must read as "not logged" (commit proceeds,
+    worst case one duplicate line) — never raise and wedge the stream."""
+    from hive_task_spark.streaming.stream_queries import _EpochShardMsg
+
+    path = str(tmp_path)
+    w = _stream_writer(path)
+    with open(os.path.join(path, "_COMMITLOG"), "w") as fh:
+        fh.write('{"batch": 0, "parts": [0], "rows": 1}\n')
+        fh.write('{"batch": 1, "par')  # crash mid-append, no newline
+    # replaying batch 0 still skips: the last PARSABLE line wins
+    staged = os.path.join(path, ".part-00000-7.json.staged")
+    with open(staged, "w") as fh:
+        fh.write('{"i": 0, "v": 0}\n')
+    w.commit([_EpochShardMsg(0, 1, staged)], 0)
+    # batch 1 (whose record was the torn tail) re-commits cleanly
+    restaged = os.path.join(path, ".part-00000-8.json.staged")
+    with open(restaged, "w") as fh:
+        fh.write('{"i": 1, "v": 0}\n')
+    w.commit([_EpochShardMsg(0, 1, restaged)], 1)
+    with open(os.path.join(path, "_COMMITLOG")) as fh:
+        parsable = []
+        for line in fh:
+            try:
+                parsable.append(json.loads(line))
+            except ValueError:
+                continue
+    assert parsable == [
+        {"batch": 0, "parts": [0], "rows": 1},
+        {"batch": 1, "parts": [0], "rows": 1},
+    ]
+
+
+def test_stream_sink_tail_read_grows_past_one_chunk(tmp_path):
+    """A commit record bigger than the 4096-byte tail chunk (parts
+    list of a few hundred partition ids) must still be found: the
+    tail read grows backwards to a newline boundary instead of
+    assuming the last record fits in one chunk."""
+    from hive_task_spark.streaming.stream_queries import (
+        _EpochShardMsg,
+        _JsonLinesStreamWriter,
+    )
+
+    path = str(tmp_path)
+    w = _stream_writer(path)
+    big = {"batch": 5, "parts": list(range(2000)), "rows": 2000}
+    assert len(json.dumps(big)) > 4096
+    with open(os.path.join(path, "_COMMITLOG"), "w") as fh:
+        fh.write(json.dumps({"batch": 4, "parts": [0], "rows": 1}) + "\n")
+        fh.write(json.dumps(big) + "\n")
+    assert _JsonLinesStreamWriter._last_logged_batch(
+        os.path.join(path, "_COMMITLOG")
+    ) == 5
+    # replay of the oversized epoch is still idempotent
+    staged = os.path.join(path, ".part-00000-9.json.staged")
+    with open(staged, "w") as fh:
+        fh.write('{"i": 5, "v": 0}\n')
+    w.commit([_EpochShardMsg(0, 1, staged)], 5)
+    with open(os.path.join(path, "_COMMITLOG")) as fh:
+        assert sum(1 for line in fh if line.strip()) == 2  # no dup
+
+
+def test_arrow_writer_refuses_foreign_directory_task_side(tmp_path):
+    """ADVICE r11 (low): _ArrowParquetWriter.write() must run the same
+    executor-side owns-the-dir fail-fast as the JSON writer — not only
+    the driver-side commit() check — so a foreign dir's parquet finals
+    are never exposed to the abort sweep."""
+    from hive_task_spark.sources.readers import _ArrowParquetWriter
+
+    class _Schema:
+        @staticmethod
+        def fieldNames():
+            return ["id"]
+
+    path = str(tmp_path)
+    foreign = os.path.join(path, "part-00000.parquet")
+    with open(foreign, "wb") as fh:
+        fh.write(b"PAR1")
+    w = _ArrowParquetWriter({"path": path}, _Schema())
+    with pytest.raises(RuntimeError, match="owns its directory per job"):
+        w.write(iter([]))
+    with open(foreign, "rb") as fh:
+        assert fh.read() == b"PAR1"  # untouched
