@@ -113,6 +113,12 @@ HEADLINE = [
     # broadcast join + partial/final aggregate).
     "agg_theta_sketch_setops",
     "relational_pandas_api_pipeline",
+    # Round-12 additions: the TIME data type suite (Spark 4.1 TIME(6)
+    # time-of-day analytics) and the frequent-items partial-sketch
+    # algebra (approx_top_k_accumulate/_combine/_estimate — per-month
+    # states folded into a global top-k without a rescan).
+    "date_time_type_suite",
+    "agg_approx_top_k_partial_algebra",
 ]
 
 

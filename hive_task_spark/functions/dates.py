@@ -652,3 +652,59 @@ def date_iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_year", "iso_week")
     )
+
+
+@register(
+    "date_time_type_suite",
+    defer=True,
+    oracle="""
+    WITH t AS (SELECT event_type, CAST(ts AS TIME) AS tod FROM events)
+    SELECT event_type,
+           CAST(min(tod) AS VARCHAR)  AS first_tod,
+           CAST(max(tod) AS VARCHAR)  AS last_tod,
+           CAST(count(CASE WHEN tod BETWEEN TIME '06:00:00'
+                            AND TIME '11:59:59.999999'
+                      THEN 1 END) AS BIGINT) AS morning_events,
+           CAST(EXTRACT(HOUR FROM min(tod)) AS BIGINT) AS first_hour,
+           CAST(count(*) AS BIGINT)   AS n
+    FROM t
+    GROUP BY event_type
+    """,
+)
+def date_time_type_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME data type (Spark 4.1, SQL standard TIME(6)): time-of-day
+    extraction, TIME literals in a BETWEEN band, min/max over TIME and
+    EXTRACT(HOUR FROM time) — the wall-clock-of-day analytics (peak
+    traffic windows, SLA bands) that previously forced a lossy
+    seconds-of-day BIGINT. The TIME column is built micro-exactly on
+    both engines (Spark: string-cast of date_format 'HH:mm:ss.SSSSSS'
+    — there is no direct TIMESTAMP→TIME cast in 4.1; DuckDB: native
+    CAST(ts AS TIME)); both engines trim trailing fraction zeros the
+    same way in the string edge, verified down to single-digit
+    fractions. The type is gated by the runtime-settable
+    `spark.sql.timeType.enabled`, pinned in apply_runtime_conf so the
+    query works on a vanilla externally-built session.
+
+    100 TB posture: a pure map + single partial/final hash aggregate
+    per event_type — no extra shuffle vs the BIGINT encoding; TIME(6)
+    packs to an 8-byte long in Tungsten rows.
+    """
+    e = load(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        F.expr("CAST(date_format(ts, 'HH:mm:ss.SSSSSS') AS TIME)").alias(
+            "tod"
+        ),
+    )
+    return t.groupBy("event_type").agg(
+        F.expr("CAST(min(tod) AS STRING)").alias("first_tod"),
+        F.expr("CAST(max(tod) AS STRING)").alias("last_tod"),
+        F.expr(
+            "CAST(count(CASE WHEN tod BETWEEN TIME '06:00:00' "
+            "AND TIME '11:59:59.999999' THEN 1 END) AS BIGINT)"
+        ).alias("morning_events"),
+        F.expr("CAST(EXTRACT(HOUR FROM min(tod)) AS BIGINT)").alias(
+            "first_hour"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

@@ -1710,3 +1710,60 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nd_h1_only"),
     )
+
+
+@register(
+    "agg_approx_top_k_partial_algebra",
+    defer=True,
+    oracle="""
+    SELECT event_type             AS item,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, item
+    LIMIT 3
+    """,
+)
+def agg_approx_top_k_partial_algebra(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Datasketches frequent-items PARTIAL algebra (Spark 4.1
+    `approx_top_k_accumulate` / `approx_top_k_combine` /
+    `approx_top_k_estimate`): per-month sketch states built in ONE
+    fact pass are COMBINED into the global top-k without touching the
+    data again — the top-k sibling of the theta/HLL incremental-
+    maintenance pattern (keep a tiny sketch per partition/day, fold on
+    demand, never rescan). The accumulate state is a
+    struct<sketch:binary,...> so it never crosses the query edge; the
+    edge is the exploded (item, count) estimate.
+
+    Exactness regime (the r11 theta lesson): maxItemsTracked=64 is
+    passed EXPLICITLY at accumulate AND combine — a combine left at
+    the default could silently downsample its inputs' state. Domain
+    cardinality (distinct event_type values, SF-invariant) is far
+    below 64, so every per-month sketch and the combined sketch are
+    EXACT and the oracle compares exact counts; fixture type counts
+    are distinct at every SF (same guarantee agg_approx_top_k relies
+    on), so the rank-3 boundary carries no tie lottery.
+
+    100 TB posture: one scan, 12 tiny struct rows shuffled once, the
+    estimate explodes k rows on the driver side of a 1-row combine —
+    this is what replaces a full GROUP BY key-space shuffle when only
+    the heavy hitters are wanted, and the stored per-month states make
+    the next month's refresh incremental.
+    """
+    e = load(spark, sf_dir, "events")
+    partials = e.groupBy(F.month("ts").alias("m")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 64)").alias("pk")
+    )
+    merged = partials.agg(
+        F.expr("approx_top_k_combine(pk, 64)").alias("ck")
+    )
+    return (
+        merged.select(
+            F.explode(F.expr("approx_top_k_estimate(ck, 3)")).alias("x")
+        ).select(
+            F.col("x.item").alias("item"),
+            F.col("x.count").cast("long").alias("cnt"),
+        )
+    )

@@ -97,6 +97,9 @@ AUDITED = [
     # round-11 additions
     "agg_theta_sketch_setops",
     "relational_pandas_api_pipeline",
+    # round-12 additions
+    "date_time_type_suite",
+    "agg_approx_top_k_partial_algebra",
 ]
 
 # Queries whose shared subtrees materialize via localCheckpoint: their

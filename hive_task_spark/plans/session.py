@@ -92,6 +92,11 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
         # externally-built session before source_python_datasource_
         # pushdown plans. Only affects Python data sources.
         ("spark.sql.python.filterPushdown.enabled", "true"),
+        # TIME data type (Spark 4.1): literals parse without it, but
+        # make_time / EXTRACT / casts raise UNSUPPORTED_TIME_TYPE until
+        # enabled. Runtime-settable; only affects queries that mention
+        # TIME (date_time_type_suite).
+        ("spark.sql.timeType.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)

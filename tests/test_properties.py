@@ -2751,6 +2751,8 @@ def test_sketch_accuracy_knobs_explicit_everywhere():
         r"(?<!\w)percentile_approx\(\s*[^,)]+,\s*[^,)]+\)",  # no accuracy
         r"(?<!\w)hll_sketch_agg\(\s*[^,)]+\)",               # no lgConfigK
         r"(?<!\w)approx_top_k\(\s*[^,)]+,\s*[^,)]+\)",       # no maxItems
+        r"(?<!\w)approx_top_k_accumulate\(\s*[^,)]+\)",      # no maxItems
+        r"(?<!\w)approx_top_k_combine\(\s*[^,)]+\)",         # no maxItems
         r"(?<!\w)theta_sketch_agg\(\s*[^,)]+\)",             # no lgNom
         r"(?<!\w)theta_union_agg\(\s*[^,)]+\)",
         r"(?<!\w)theta_union\(\s*[^,)]+,\s*[^,)]+\)",
@@ -2781,3 +2783,47 @@ def test_hll_sketch_lgk16_bound_has_margin(spark):
         .e
     )
     assert abs(est - n) <= 0.02 * n  # 2% — 5x tighter than the oracle band
+
+
+def test_time_type_suite_survives_vanilla_session(spark, sf_dir):
+    """date_time_type_suite depends on the runtime-settable
+    spark.sql.timeType.enabled, which a vanilla externally-built
+    session does NOT carry — the query must pin it itself (via
+    tables.load -> apply_runtime_conf), never rely on engine session
+    construction. Unset the conf to simulate the driver's session,
+    then run."""
+    from hive_task_spark.functions.dates import date_time_type_suite
+
+    try:
+        spark.conf.unset("spark.sql.timeType.enabled")
+    except Exception:
+        pass
+    out = date_time_type_suite(spark, sf_dir).collect()
+    assert len(out) > 0
+    for row in out:
+        # string edge stays HH:mm:ss[.f*] with trailing zeros trimmed
+        assert row.first_tod.count(":") == 2
+        assert not row.first_tod.endswith("0") or "." not in row.first_tod
+
+
+def test_time_string_edge_trims_exactly_like_duckdb(spark):
+    """Pin the cross-engine TIME->string contract the oracle relies
+    on: both engines trim trailing fraction zeros and drop the dot for
+    whole seconds. A Spark-side change to TIME(6) casting would
+    surface here before the driver hash caught it."""
+    import duckdb
+
+    cases = ["12:34:56", "12:34:56.789", "01:02:03.00025", "08:09:10.5"]
+    sp = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"CAST(TIME '{c}' AS STRING) AS c{i}" for i, c in enumerate(cases)
+        )
+    ).first()
+    dk = duckdb.connect().execute(
+        "SELECT "
+        + ", ".join(
+            f"CAST(TIME '{c}' AS VARCHAR) AS c{i}" for i, c in enumerate(cases)
+        )
+    ).fetchone()
+    assert tuple(sp) == tuple(dk) == tuple(cases)
