@@ -2827,3 +2827,41 @@ def test_time_string_edge_trims_exactly_like_duckdb(spark):
         )
     ).fetchone()
     assert tuple(sp) == tuple(dk) == tuple(cases)
+
+
+def test_time_string_edge_parity_random_times(spark):
+    """Property sweep of the TIME->string trimming contract across 200
+    deterministic pseudo-random microsecond times (seeded, incl. forced
+    edge shapes: zero fraction, single trailing-zero micro, .5, full
+    6-digit fractions). Spark CAST(TIME AS STRING) and DuckDB
+    CAST(TIME AS VARCHAR) must agree byte-for-byte — the contract
+    date_time_type_suite's oracle hash rides on."""
+    import duckdb
+    import random
+
+    rng = random.Random(12)
+    times = [
+        (0, 0, 0, 0), (23, 59, 59, 999999), (1, 2, 3, 250000),
+        (4, 5, 6, 500000), (7, 8, 9, 100000), (10, 11, 12, 120000),
+    ] + [
+        (rng.randrange(24), rng.randrange(60), rng.randrange(60),
+         rng.choice([0, rng.randrange(1_000_000),
+                     rng.randrange(1000) * 1000]))
+        for _ in range(194)
+    ]
+
+    def lit(h, m, s, us):
+        frac = f".{us:06d}" if us else ""
+        return f"{h:02d}:{m:02d}:{s:02d}{frac}"
+
+    sel = ", ".join(
+        f"CAST(TIME '{lit(*t)}' AS STRING) AS c{i}"
+        for i, t in enumerate(times)
+    )
+    sp = tuple(spark.sql("SELECT " + sel).first())
+    dsel = ", ".join(
+        f"CAST(TIME '{lit(*t)}' AS VARCHAR) AS c{i}"
+        for i, t in enumerate(times)
+    )
+    dk = tuple(duckdb.connect().execute("SELECT " + dsel).fetchone())
+    assert sp == dk
