@@ -119,6 +119,8 @@ HEADLINE = [
     # states folded into a global top-k without a rescan).
     "date_time_type_suite",
     "agg_approx_top_k_partial_algebra",
+    # VARIANT shredding via the variant_explode LATERAL generator.
+    "json_variant_explode_lateral",
 ]
 
 

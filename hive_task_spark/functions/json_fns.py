@@ -162,3 +162,70 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_is_null"
         ),
     )
+
+
+@register(
+    "json_variant_explode_lateral",
+    defer=True,
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey,
+             json_object('key', c_custkey, 'mkt', c_mktsegment,
+                         'nk', c_nationkey) AS j
+      FROM customer
+    ), kv AS (
+      SELECT c_custkey, unnest(json_keys(j)) AS key, j FROM src
+    )
+    SELECT c_custkey,
+           CAST(row_number() OVER (PARTITION BY c_custkey ORDER BY key)
+                - 1 AS BIGINT)                          AS pos,
+           key,
+           CAST(json_extract(j, '$.' || key) AS VARCHAR) AS val_json
+    FROM kv
+    """,
+)
+def json_variant_explode_lateral(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VARIANT shredding via the `variant_explode` table function
+    (Spark 4, LATERAL generator): each customer row's semi-structured
+    VARIANT object explodes into (pos, key, value) rows — the
+    schema-on-read fan-out that turns a ragged JSON corpus into a
+    relational key/value table without declaring a struct schema up
+    front (the LLM-pipeline shape: heterogeneous per-document metadata
+    blobs shredded for analysis). The VARIANT `value` leaves the edge
+    as canonical JSON text via `to_json` (VariantVal bytes are
+    engine-specific); `pos` follows VARIANT's sorted-object-key order,
+    which the oracle mirrors with row_number over the key — the
+    construction keys ('key' < 'mkt' < 'nk') are chosen pre-sorted so
+    both orders provably coincide. DuckDB has no json_each table
+    function; the twin shreds with unnest(json_keys) + json_extract.
+
+    100 TB posture: variant_explode is a Generate node — pure map-side
+    fan-out, zero shuffles, whole-stage-codegen around the parse; the
+    output is (rows x fields) narrow rows, the same cost class as
+    posexplode over a pre-parsed map, but the parse happens ONCE per
+    row into the binary VARIANT encoding (no per-field re-parse like
+    chained get_json_object).
+    """
+    c = load(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("c_custkey").alias("key"),
+                    F.col("c_mktsegment").alias("mkt"),
+                    F.col("c_nationkey").alias("nk"),
+                )
+            )
+        ).alias("v"),
+    )
+    src.createOrReplaceTempView("variant_explode_src")
+    return spark.sql(
+        """
+        SELECT c_custkey, CAST(pos AS BIGINT) AS pos, key,
+               to_json(value) AS val_json
+        FROM variant_explode_src, LATERAL variant_explode(v)
+        """
+    )

@@ -100,6 +100,7 @@ AUDITED = [
     # round-12 additions
     "date_time_type_suite",
     "agg_approx_top_k_partial_algebra",
+    "json_variant_explode_lateral",
 ]
 
 # Queries whose shared subtrees materialize via localCheckpoint: their

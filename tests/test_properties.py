@@ -2865,3 +2865,19 @@ def test_time_string_edge_parity_random_times(spark):
     )
     dk = tuple(duckdb.connect().execute("SELECT " + dsel).fetchone())
     assert sp == dk
+
+
+def test_variant_explode_array_pos_semantics(spark):
+    """variant_explode over a VARIANT ARRAY: pos is the element index
+    and key is NULL (vs sorted-key order for objects, which
+    json_variant_explode_lateral's oracle mirrors). Pins the generator
+    contract the query's docstring states."""
+    rows = spark.sql(
+        "SELECT pos, key, to_json(value) AS v "
+        "FROM variant_explode(parse_json('[10, \"x\", [1]]'))"
+    ).collect()
+    assert [(r.pos, r.key, r.v) for r in rows] == [
+        (0, None, "10"),
+        (1, None, '"x"'),
+        (2, None, "[1]"),
+    ]
