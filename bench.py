@@ -191,20 +191,26 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf else None,
-            "cpus": cpus,
-            "canary_pre_sec": canary_pre,
-            "parallel_canary_pre_sec": parallel_pre,
-            "canary_sec": _cpu_canary(),
-            "parallel_canary_sec": _parallel_canary(min(cpus, 32)),
-        }
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "cpus": cpus,
+        "canary_pre_sec": canary_pre,
+        "parallel_canary_pre_sec": parallel_pre,
+        "canary_sec": _cpu_canary(),
+        "parallel_canary_sec": _parallel_canary(min(cpus, 32)),
+    }
+    # Embed the box-health verdict so the record is self-describing for
+    # gate math (no cross-referencing BASELINE.md prose): degraded =
+    # either canary pair trips bench_diff's rule (parallel > 1.7 s
+    # absolute AND parallel/single > 1.6x).
+    from bench_diff import box_degraded
+
+    record["box_degraded"] = box_degraded(record)
+    line = json.dumps(record)
     # Tear the session down BEFORE emitting the JSON line: the streaming
     # replays leave a StateStore maintenance timer alive, and its
     # "SparkEnv not active" WARN stack trace landed AFTER the JSON in

@@ -98,6 +98,18 @@ PARALLEL_HEALTHY_MAX_SEC = 1.7
 CANARY_SCALE_CAP = 2.0
 
 
+def box_degraded(rec: dict) -> bool:
+    """True when either canary pair in a bench record trips the
+    degraded-box rule (parallel reading above PARALLEL_HEALTHY_MAX_SEC
+    AND parallel/single above CANARY_DEGRADED_RATIO). bench.py embeds
+    this verdict as ``box_degraded`` in its own JSON line so a
+    BENCH_r{N}.json is self-describing for gate math (VERDICT r12
+    item 8); bench_diff recomputes it from the canaries and flags any
+    disagreement (a record produced by an older bench.py simply lacks
+    the key)."""
+    return canary_scale(rec) > 1.0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("bench", nargs="?", default=None,
@@ -177,6 +189,12 @@ def main(argv: list[str] | None = None) -> int:
                   f"{max(ratios):.2f}x > "
                   f"{CANARY_DEGRADED_RATIO}x — mover band widened "
                   f"{scale:.2f}x to {eff_threshold}x")
+        # self-describing record check: bench.py embeds its own verdict
+        rec_flag = bench_rec.get("box_degraded")
+        if rec_flag is not None and rec_flag != box_degraded(bench_rec):
+            print(f"  WARNING: record says box_degraded={rec_flag} but "
+                  f"canary math says {box_degraded(bench_rec)} — "
+                  f"mismatched bench.py/bench_diff.py versions?")
     print(f"  total(bench)={total:.2f}s  comparable subtotal: "
           f"{sub_bench:.2f}s vs baseline {sub_base:.2f}s  "
           f"ratio {sub_bench / sub_base:.2f}x "

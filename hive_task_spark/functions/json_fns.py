@@ -195,7 +195,12 @@ def json_variant_explode_lateral(
     front (the LLM-pipeline shape: heterogeneous per-document metadata
     blobs shredded for analysis). The VARIANT `value` leaves the edge
     as canonical JSON text via `to_json` (VariantVal bytes are
-    engine-specific); `pos` follows VARIANT's sorted-object-key order,
+    engine-specific); the construction `to_json` passes
+    ``ignoreNullFields=false`` so a NULL source column still shreds to
+    an explicit JSON null on both sides (Spark's default silently
+    drops NULL fields, which would desync row counts with the
+    oracle's json_object if the fixture ever grew NULLs).
+    `pos` follows VARIANT's sorted-object-key order,
     which the oracle mirrors with row_number over the key — the
     construction keys ('key' < 'mkt' < 'nk') are chosen pre-sorted so
     both orders provably coincide. DuckDB has no json_each table
@@ -217,15 +222,19 @@ def json_variant_explode_lateral(
                     F.col("c_custkey").alias("key"),
                     F.col("c_mktsegment").alias("mkt"),
                     F.col("c_nationkey").alias("nk"),
-                )
+                ),
+                {"ignoreNullFields": "false"},
             )
         ).alias("v"),
     )
-    src.createOrReplaceTempView("variant_explode_src")
-    return spark.sql(
-        """
-        SELECT c_custkey, CAST(pos AS BIGINT) AS pos, key,
-               to_json(value) AS val_json
-        FROM variant_explode_src, LATERAL variant_explode(v)
-        """
+    # DataFrame lateral-join API (no session-global temp view: a shared
+    # view name could be swapped between build and collect by a
+    # concurrent builder — the plan here is bound at build time).
+    return src.lateralJoin(
+        spark.tvf.variant_explode(F.col("v").outer())
+    ).select(
+        "c_custkey",
+        F.col("pos").cast("long").alias("pos"),
+        "key",
+        F.to_json(F.col("value")).alias("val_json"),
     )

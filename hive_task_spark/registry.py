@@ -63,58 +63,58 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # CORRECTNESS_r12 makes every registered query driver-confirmed at
 # least once.
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- the 30-name never-sampled pool, registration order --
-    "relational_transpose",
-    "multimodal_vad_segments",
-    "multimodal_patch_grid_plan",
-    "join_temporal_pointintime",
-    "join_broadcast_nested_loop",
-    "join_runtime_bloom_filter",
-    "join_lateral_dataframe",
-    "dedup_winnowing_pairs",
-    "geo_dbscan_grid",
-    "geo_geohash_encode",
-    "geo_point_in_polygon",
-    "map_merge_aggregate",
-    "math_hyperbolic_suite",
-    "math_logsumexp_grouped",
-    "str_split_part_suite",
-    "str_printf_suite",
-    "udf_arrow_optimized_python",
-    "udtf_table_partition_arg",
-    "udf_grouped_ols_fit",
-    "udf_arrow_python_scalar",
-    "udf_arrow_native_scalar",
-    "merge_upsert_apply",
-    "merge_mirror_sync_apply",
-    "relational_pandas_api_pipeline",
-    "setop_union_schema_evolution",
-    "asof_join_nearest",
-    "source_python_datasource_pushdown",
-    "source_python_datasource_writer",
-    "source_python_datasource_arrow_writer",
-    "agg_theta_sketch_setops",
-    # -- 20 stalest reconfirm (all last sampled r1), registration order --
-    "array_explode_tokens",
-    "array_posexplode",
-    "array_set_algebra",
-    "array_explode_outer",
-    "analytics_resample_locf",
-    "agg_stats_suite",
-    "agg_count_distinct",
-    "agg_median_exact",
-    "agg_rollup",
-    "agg_cube",
-    "agg_filtered_conditional",
-    "agg_having",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_unpivot_stack",
-    "agg_percentile_grouped",
-    "agg_corr_regression",
-    "map_create_lookup",
-    "map_explode_entries",
-    "map_from_entries_roundtrip",
+    # -- r13 window: 3 never-sampled r12 additions first (new-op rule) --
+    "agg_approx_top_k_partial_algebra",
+    "json_variant_explode_lateral",
+    "date_time_type_suite",
+    # -- 47 stalest reconfirm per SAMPLED_ROUNDS.json (max-round asc, reg order) --
+    "json_extract_scalar",
+    "json_from_json_struct",
+    "json_tuple_multi",
+    "json_to_json_roundtrip",
+    "math_conditional_null",
+    "math_try_cast_safety",
+    "math_bitwise_suite",
+    "str_basic_suite",
+    "str_regex_suite",
+    "str_initcap_casefold",
+    "date_parts_suite",
+    "date_arithmetic_suite",
+    "date_construction_suite",
+    "hash_md5_sha2",
+    "udf_pandas_scalar",
+    "udf_grouped_agg",
+    "udf_mapinpandas",
+    "udf_python_udtf",
+    "pipeline_hash_sample",
+    "pipeline_token_budget",
+    "pipeline_mixture_rebalance",
+    "pipeline_decontaminate",
+    "pipeline_mixture_weighted",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_shipments",
+    "q13_order_distribution",
+    "sql_lateral_topk",
+    "sql_correlated_exists",
+    "sql_recursive_cte",
+    "q6_forecast_revenue",
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_count",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
 )
 
 

@@ -1475,6 +1475,11 @@ class _JsonLinesStreamWriter(DataSourceStreamWriter):
     def __init__(self, options, schema):
         self.path = options["path"]
         self.fields = schema.fieldNames()
+        # last batch id THIS writer appended to _COMMITLOG — makes the
+        # steady-state idempotency check zero-IO; the log tail is only
+        # read on the first commit after a (re)start, when the cache is
+        # cold and a crash-replay is actually possible.
+        self._last_batch = None
 
     def write(self, iterator):
         import json as _json
@@ -1512,7 +1517,9 @@ class _JsonLinesStreamWriter(DataSourceStreamWriter):
             parts.append(m.part_id)
             total += m.n_rows
         # micro-batches are serial: any staged file left now is a
-        # losing/zombie attempt of THIS epoch — sweep it
+        # losing/zombie attempt of THIS epoch — sweep it (this runs
+        # BEFORE the idempotent early-return below, so a replayed
+        # epoch's re-staged shards never linger as .staged litter)
         for leftover in _glob.glob(os.path.join(self.path, self._STAGED_GLOB)):
             os.remove(leftover)
         # an epoch replayed after a crash between sink-commit and
@@ -1521,36 +1528,38 @@ class _JsonLinesStreamWriter(DataSourceStreamWriter):
         # must be too — skip the append if this batchId is already
         # logged, keeping the log one-line-per-epoch like the shards.
         # Micro-batch epochs are serial and checkpointed epochs never
-        # re-enter, so only the LATEST logged batch can replay: a tail
-        # read keeps the check O(1) per epoch instead of O(epochs).
+        # re-enter, so only the LATEST logged batch can replay. Steady
+        # state is zero-IO (the in-memory _last_batch cache); the log
+        # tail is read ONCE, on the first commit after a (re)start,
+        # and that same read also reports whether a crash mid-append
+        # left a torn, newline-less tail fragment to terminate.
         log = os.path.join(self.path, "_COMMITLOG")
-        last = self._last_logged_batch(log)
-        if last is not None and last >= batchId:
-            return
-        # A crash mid-append can leave a torn, newline-less fragment
-        # as the log's tail; terminate it before appending so this
-        # record starts on a line boundary and stays parsable.
-        torn = False
-        try:
-            if os.path.getsize(log) > 0:
-                with open(log, "rb") as fh:
-                    fh.seek(-1, os.SEEK_END)
-                    torn = fh.read(1) != b"\n"
-        except OSError:
-            pass
-        with open(log, "a") as fh:
+        last = self._last_batch
+        if last is None:
+            last, torn = self._log_tail_state(log)
             if torn:
-                fh.write("\n")
+                # terminate the torn fragment NOW (not lazily at the
+                # next append — an idempotent early-return below would
+                # otherwise discard the torn flag and a later append
+                # would merge into the fragment) so every subsequent
+                # record starts on a line boundary and stays parsable
+                with open(log, "a") as fh:
+                    fh.write("\n")
+        if last is not None and last >= batchId:
+            self._last_batch = last
+            return
+        with open(log, "a") as fh:
             fh.write(
                 _json.dumps(
                     {"batch": batchId, "parts": sorted(parts), "rows": total}
                 )
                 + "\n"
             )
+        self._last_batch = batchId
 
     @staticmethod
-    def _last_logged_batch(log):
-        """Batch id of the last PARSABLE _COMMITLOG record, else None.
+    def _log_tail_state(log):
+        """(last parsable _COMMITLOG batch id or None, tail-is-torn).
 
         The very crash window the idempotency check targets (between
         sink-commit and checkpoint advance) can also truncate the log's
@@ -1560,21 +1569,25 @@ class _JsonLinesStreamWriter(DataSourceStreamWriter):
         skipped toward older ones. An unreadable tail therefore means
         "not logged" (worst case: one duplicate log line on replay,
         the pre-check behavior) — never a permanently wedged stream.
+        The torn flag (file nonempty and not newline-terminated) comes
+        from the same read, so one commit costs at most one tail scan.
         """
         import json as _json
 
         try:
             size = os.path.getsize(log)
         except OSError:
-            return None
+            return None, False
         if size == 0:
-            return None
-        chunk = 4096
+            return None, False
+        chunk, torn = 4096, False
         with open(log, "rb") as fh:
             while True:
                 start = max(0, size - chunk)
                 fh.seek(start)
                 data = fh.read()
+                if start + len(data) >= size:
+                    torn = not data.endswith(b"\n")
                 if start > 0:
                     # mid-file read: the first line is (possibly) a
                     # fragment of an older record — drop it; if the
@@ -1586,11 +1599,11 @@ class _JsonLinesStreamWriter(DataSourceStreamWriter):
                     data.decode("utf-8", "replace").strip().splitlines()
                 ):
                     try:
-                        return _json.loads(line)["batch"]
+                        return _json.loads(line)["batch"], torn
                     except (ValueError, KeyError, TypeError):
                         continue
                 if start == 0:
-                    return None
+                    return None, torn
                 chunk *= 2
 
     def abort(self, messages, batchId):

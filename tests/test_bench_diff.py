@@ -138,3 +138,38 @@ class TestParallelAbsoluteGuard:
         rec = {"canary_pre_sec": 0.8, "parallel_canary_pre_sec": 1.65,
                "canary_sec": 1.3, "parallel_canary_sec": 2.6}
         assert bench_diff.canary_scale(rec) == pytest.approx(2.6 / 1.3)
+
+
+class TestBoxDegradedField:
+    def test_box_degraded_mirrors_canary_scale(self):
+        # VERDICT r12 item 8: the record-level verdict is exactly
+        # "canary_scale would widen the band"
+        healthy = {"canary_sec": 1.3, "parallel_canary_sec": 1.4}
+        steal = {"canary_sec": 1.3, "parallel_canary_sec": 2.49}
+        assert bench_diff.box_degraded(healthy) is False
+        assert bench_diff.box_degraded(steal) is True
+
+    def test_bench_diff_flags_stale_embedded_verdict(self, tmp_path, capsys):
+        # a record claiming healthy while its canaries say degraded
+        # (mismatched bench.py/bench_diff versions) must print a warning
+        import json
+        bench = {"value": 10.0, "queries": {"q": 10.0},
+                 "canary_sec": 1.3, "parallel_canary_sec": 2.6,
+                 "box_degraded": False}
+        base = {"queries": {"q": 10.0}}
+        bp = tmp_path / "bench.json"; bp.write_text(json.dumps(bench))
+        tp = tmp_path / "base.json"; tp.write_text(json.dumps(base))
+        bench_diff.main([str(bp), "--baseline", str(tp)])
+        out = capsys.readouterr().out
+        assert "box_degraded=False" in out and "canary math says True" in out
+
+    def test_bench_diff_silent_on_consistent_verdict(self, tmp_path, capsys):
+        import json
+        bench = {"value": 10.0, "queries": {"q": 10.0},
+                 "canary_sec": 1.3, "parallel_canary_sec": 2.6,
+                 "box_degraded": True}
+        base = {"queries": {"q": 10.0}}
+        bp = tmp_path / "bench.json"; bp.write_text(json.dumps(bench))
+        tp = tmp_path / "base.json"; tp.write_text(json.dumps(base))
+        bench_diff.main([str(bp), "--baseline", str(tp)])
+        assert "mismatched bench.py" not in capsys.readouterr().out

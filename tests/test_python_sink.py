@@ -312,9 +312,9 @@ def test_stream_sink_tail_read_grows_past_one_chunk(tmp_path):
     with open(os.path.join(path, "_COMMITLOG"), "w") as fh:
         fh.write(json.dumps({"batch": 4, "parts": [0], "rows": 1}) + "\n")
         fh.write(json.dumps(big) + "\n")
-    assert _JsonLinesStreamWriter._last_logged_batch(
+    assert _JsonLinesStreamWriter._log_tail_state(
         os.path.join(path, "_COMMITLOG")
-    ) == 5
+    ) == (5, False)
     # replay of the oversized epoch is still idempotent
     staged = os.path.join(path, ".part-00000-9.json.staged")
     with open(staged, "w") as fh:
@@ -322,6 +322,65 @@ def test_stream_sink_tail_read_grows_past_one_chunk(tmp_path):
     w.commit([_EpochShardMsg(0, 1, staged)], 5)
     with open(os.path.join(path, "_COMMITLOG")) as fh:
         assert sum(1 for line in fh if line.strip()) == 2  # no dup
+
+
+def test_stream_sink_torn_tail_terminated_even_on_idempotent_replay(tmp_path):
+    """ADVICE r12 follow-through: the first post-restart commit reads
+    the log tail ONCE; if that commit is an idempotent replay
+    (early-return), the torn fragment must STILL be terminated then —
+    otherwise the next epoch's append would merge into the fragment
+    and corrupt its own record."""
+    from hive_task_spark.streaming.stream_queries import _EpochShardMsg
+
+    path = str(tmp_path)
+    w = _stream_writer(path)
+    with open(os.path.join(path, "_COMMITLOG"), "w") as fh:
+        fh.write('{"batch": 0, "parts": [0], "rows": 1}\n')
+        fh.write('{"batch": 1, "par')  # crash mid-append of batch 1
+    # replay of batch 0 early-returns (last parsable = 0 >= 0) ...
+    staged = os.path.join(path, ".part-00000-7.json.staged")
+    with open(staged, "w") as fh:
+        fh.write('{"i": 0, "v": 0}\n')
+    w.commit([_EpochShardMsg(0, 1, staged)], 0)
+    # ... and batch 1's re-commit (now via the in-memory cache, no
+    # tail re-read) must land as a CLEAN parsable record
+    restaged = os.path.join(path, ".part-00000-8.json.staged")
+    with open(restaged, "w") as fh:
+        fh.write('{"i": 1, "v": 0}\n')
+    w.commit([_EpochShardMsg(0, 1, restaged)], 1)
+    with open(os.path.join(path, "_COMMITLOG")) as fh:
+        lines = [line.rstrip("\n") for line in fh if line.strip()]
+    assert json.loads(lines[-1]) == {"batch": 1, "parts": [0], "rows": 1}
+    # no .staged litter survives a replayed commit
+    assert [n for n in os.listdir(path) if n.endswith(".staged")] == []
+
+
+def test_stream_sink_steady_state_commit_is_zero_log_io(tmp_path, monkeypatch):
+    """VERDICT r12 item 3: after the first commit, the idempotency
+    check must come from the in-memory cache — commit() may open the
+    log only to append, never to re-read/re-stat the tail."""
+    from hive_task_spark.streaming import stream_queries as sq
+
+    path = str(tmp_path)
+    w = _stream_writer(path)
+
+    def _must_not_read(log):
+        raise AssertionError("steady-state commit re-read the log tail")
+
+    staged = os.path.join(path, ".part-00000-1.json.staged")
+    with open(staged, "w") as fh:
+        fh.write('{"i": 0, "v": 0}\n')
+    w.commit([sq._EpochShardMsg(0, 1, staged)], 0)  # cold: reads tail
+    monkeypatch.setattr(
+        type(w), "_log_tail_state", staticmethod(_must_not_read)
+    )
+    for b in (1, 2):
+        s = os.path.join(path, f".part-00000-{b + 1}.json.staged")
+        with open(s, "w") as fh:
+            fh.write('{"i": 1, "v": 0}\n')
+        w.commit([sq._EpochShardMsg(0, 1, s)], b)
+    with open(os.path.join(path, "_COMMITLOG")) as fh:
+        assert [json.loads(line)["batch"] for line in fh] == [0, 1, 2]
 
 
 def test_arrow_writer_refuses_foreign_directory_task_side(tmp_path):
