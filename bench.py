@@ -121,6 +121,9 @@ HEADLINE = [
     "agg_approx_top_k_partial_algebra",
     # VARIANT shredding via the variant_explode LATERAL generator.
     "json_variant_explode_lateral",
+    # Round-13 addition: failure-safe aggregation (try_sum/try_avg
+    # overflow-to-NULL — plan-identical to plain sum/avg).
+    "agg_try_sum_overflow",
 ]
 
 

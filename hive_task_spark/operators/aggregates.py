@@ -1767,3 +1767,58 @@ def agg_approx_top_k_partial_algebra(
             F.col("x.count").cast("long").alias("cnt"),
         )
     )
+
+
+@register(
+    "agg_try_sum_overflow",
+    defer=True,
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(CASE WHEN count(*) * CAST(40000000000000000 AS HUGEINT)
+                          > CAST(9223372036854775807 AS HUGEINT)
+                     THEN NULL
+                     ELSE count(*) * 40000000000000000 END
+                AS BIGINT)                                   AS sum_guarded,
+           round(sum(c_acctbal), 2)                          AS bal_sum,
+           floor(avg(CAST(c_custkey AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                                                             AS key_avg
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_try_sum_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI failure-safe AGGREGATES (`try_sum` / `try_avg`, Spark
+    3.3+/4): overflow during accumulation yields NULL instead of
+    aborting the job — the aggregate-side sibling of the scalar
+    try_add/try_divide family (math_try_cast_safety). `sum_guarded`
+    sums a constant 4e16 per row, so any group past ~230 rows
+    overflows signed 64-bit: NULL at sf>=0.01, a real value at
+    sf0.001 — the SEMANTIC (not a fixed answer) is what the oracle
+    mirrors, via DuckDB's native HUGEINT sum compared against
+    Long.MAX. All addends are positive, so "some intermediate add
+    overflows" is equivalent to "the total exceeds Long.MAX" under
+    ANY partial-aggregation grouping — the NULL is deterministic
+    across partitionings. `bal_sum`/`key_avg` show the guarded forms
+    degrade to exact sum/avg on in-range data (money rounded at its
+    2dp grain; avg floor-rounded at 6dp per the transcendental-edge
+    rule).
+
+    100 TB posture: identical plan to plain sum/avg — one partial +
+    final HashAggregate over the group key, 5 output rows; the
+    overflow check is per-add arithmetic inside codegen. The point at
+    scale is operational: a poisoned shard (bad upstream multiplier,
+    corrupt column) surfaces as a NULL cell to alert on, not a
+    3-hour-in job abort."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.expr("try_sum(40000000000000000L)").alias("sum_guarded"),
+        F.round(F.expr("try_sum(c_acctbal)"), 2).alias("bal_sum"),
+        (
+            F.floor(
+                F.expr("try_avg(CAST(c_custkey AS DOUBLE))") * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("key_avg"),
+    )
