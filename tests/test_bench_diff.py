@@ -173,3 +173,29 @@ class TestBoxDegradedField:
         tp = tmp_path / "base.json"; tp.write_text(json.dumps(base))
         bench_diff.main([str(bp), "--baseline", str(tp)])
         assert "mismatched bench.py" not in capsys.readouterr().out
+
+
+class TestContendedRows:
+    def test_contended_row_mover_is_advisory_not_gating(self, tmp_path, capsys):
+        # a >threshold ratio on a row whose baseline was recorded under
+        # contention prints as advisory and exits 0; the same ratio on
+        # a clean row gates (exit 1)
+        import json
+        bench = {"value": 3.0, "queries": {"clean": 1.0, "contended": 2.0}}
+        base = {"queries": {"clean": 1.0, "contended": 1.0},
+                "contended_rows": ["contended"]}
+        bp = tmp_path / "bench.json"; bp.write_text(json.dumps(bench))
+        tp = tmp_path / "base.json"; tp.write_text(json.dumps(base))
+        rc = bench_diff.main([str(bp), "--baseline", str(tp)])
+        out = capsys.readouterr().out
+        assert rc == 0 and "advisory movers on CONTENDED" in out
+
+    def test_clean_row_mover_still_gates(self, tmp_path, capsys):
+        import json
+        bench = {"value": 3.0, "queries": {"clean": 2.0, "contended": 1.0}}
+        base = {"queries": {"clean": 1.0, "contended": 1.0},
+                "contended_rows": ["contended"]}
+        bp = tmp_path / "bench.json"; bp.write_text(json.dumps(bench))
+        tp = tmp_path / "base.json"; tp.write_text(json.dumps(base))
+        rc = bench_diff.main([str(bp), "--baseline", str(tp)])
+        assert rc == 1 and "MOVERS" in capsys.readouterr().out
