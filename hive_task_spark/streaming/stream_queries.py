@@ -1768,3 +1768,139 @@ def stream_state_metadata_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("minBatchId").alias("min_batch_id"),
         F.col("maxBatchId").alias("max_batch_id"),
     )
+
+
+_TTL_GAP_MS = 86_400_000  # 24 h inactivity TTL per user key
+_TTL_STATE_SCHEMA = "n long, last_ms long, last_seen string"
+_TTL_OUT_SCHEMA = "user_id long, n_events long, last_seen string"
+
+
+def _ttl_evict_per_user(key, pdf_iter, state):
+    """Stateful kernel with event-time TTL: accumulate per-user
+    (count, last-activity) and arm an event-time timeout at
+    last_ms + GAP; a group whose timeout fires (no data arrived
+    before the watermark passed it) emits ONE eviction record and
+    removes its state. Data-bearing calls emit nothing — the output
+    stream IS the eviction log. Millisecond arithmetic mirrors the
+    engine's: pandas ns // 1e6 here, event-time stats µs/1000 in the
+    watermark — both floor on positive epochs."""
+    if state.hasTimedOut:
+        n, last_ms, last_seen = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_seen": [last_seen],
+            }
+        )
+        return
+    n, last_ms, last_seen = state.get if state.exists else (0, -1, "")
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        m = pdf["ts"].max()
+        mms = m.value // 10**6
+        if mms > last_ms:
+            last_ms = mms
+            last_seen = m.strftime("%Y-%m-%d %H:%M:%S.%f")
+    state.update((n, last_ms, last_seen))
+    if key[0] != -1:  # the sentinel key never arms a timeout
+        state.setTimeoutTimestamp(last_ms + _TTL_GAP_MS)
+
+
+@register(
+    "stream_state_ttl_eviction",
+    defer=True,
+    oracle="""
+    WITH g AS (SELECT max(epoch_ms(ts)) AS gmax FROM events),
+    u AS (SELECT user_id,
+                 CAST(count(*) AS BIGINT)  AS n_events,
+                 max(ts)                   AS last_ts,
+                 max(epoch_ms(ts))         AS last_ms
+          FROM events GROUP BY user_id)
+    SELECT u.user_id,
+           u.n_events,
+           strftime(u.last_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+    FROM u, g
+    WHERE u.last_ms + 82800000 < g.gmax
+    """,
+)
+def stream_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time state TTL (`GroupStateTimeout.EventTimeTimeout`):
+    per-user session state is EVICTED — and its summary emitted — once
+    the watermark passes last-activity + 24 h, the mechanism that
+    keeps arbitrary-stateful state BOUNDED on an unbounded stream
+    (without a TTL, per-key state on a 100 TB/day stream grows until
+    the state store dies; with it, state size tracks the ACTIVE key
+    set). stream_stateful_running shows the accumulate side; this op
+    shows the reclaim side.
+
+    Deterministic two-batch replay: batch 1 (older mtime file) is the
+    full events table — every user's state arms a timeout at
+    last_ms + 24 h; batch 2 is a single derived sentinel row (user -1,
+    ts = global max + 2 h) that advances the watermark past older
+    timeouts. The engine's cumulative eviction horizon is the FINAL
+    watermark (measured: AvailableNow keeps running batches while the
+    watermark still moves, so every timeout below sentinel − 1 h
+    fires before shutdown — whether in the sentinel batch or the
+    finalizing one). Net predicate: a user is evicted iff
+    last_ms + 24 h < (gmax + 2 h) − 1 h, i.e. inactive for ≥ 23 h at
+    stream end; later-active users — and the sentinel — never emit.
+    The oracle states exactly that in millisecond space (DuckDB
+    epoch_ms == the engine's µs/1000 floor; the +2 h/−1 h offsets are
+    whole ms so the floors commute); the strict-vs-inclusive boundary
+    cannot bite because equality would need two independent
+    µs-precision maxima to coincide at ms grain.
+
+    100 TB posture: identical runtime shape to any
+    applyInPandasWithState op (one keyed shuffle into the state
+    store); the TTL adds no pass — timeout bookkeeping rides the
+    per-batch state-store commit, and eviction output is
+    |expired keys|, not |events|."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from hive_task_spark.tables import load
+
+    apply_runtime_conf(spark)
+    src_dir = _scratch_join("events_ttl_twobatch")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    e.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    sentinel = e.agg(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+    )
+    sent_dir = _scratch_join("events_ttl_sentinel")
+    shutil.rmtree(sent_dir, ignore_errors=True)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    # merge the sentinel shard into the stream dir with a LATER mtime:
+    # the file source processes oldest-first, so batch 1 = the events
+    # file, batch 2 = the sentinel (maxFilesPerTrigger=1 splits them)
+    import glob as _glob
+    import time as _time
+
+    (events_file,) = _glob.glob(os.path.join(src_dir, "part-*.parquet"))
+    (sent_file,) = _glob.glob(os.path.join(sent_dir, "part-*.parquet"))
+    sent_target = os.path.join(src_dir, "part-sentinel.parquet")
+    shutil.move(sent_file, sent_target)
+    now = _time.time()
+    os.utime(events_file, (now - 100, now - 100))
+    os.utime(sent_target, (now, now))
+    schema = spark.read.parquet(src_dir).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part-*.parquet")
+        .parquet(src_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _ttl_evict_per_user,
+        _TTL_OUT_SCHEMA,
+        _TTL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    return _run_to_table(spark, out, "stream_state_ttl_eviction", "update")
