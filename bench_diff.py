@@ -228,7 +228,11 @@ def main(argv: list[str] | None = None) -> int:
         for r, q in flagged:
             print(f"    {q}: {bench[q]:.3f}s vs {base_q[q]:.3f}s = {r:.2f}x")
     elif movers:
-        r, q = movers[0]
+        # "largest" from gate-eligible (non-contended) rows only —
+        # otherwise an advisory row above the threshold would be named
+        # in the same breath as "none", a self-contradictory summary
+        clean = [(r, q) for r, q in movers if q not in contended] or movers
+        r, q = clean[0]
         print(f"  movers >= {eff_threshold}x: none "
               f"(largest: {q} {bench[q]:.3f}s vs {base_q[q]:.3f}s = {r:.2f}x)")
     else:

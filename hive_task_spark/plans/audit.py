@@ -101,6 +101,9 @@ AUDITED = [
     "date_time_type_suite",
     "agg_approx_top_k_partial_algebra",
     "json_variant_explode_lateral",
+    # round-13 additions
+    "agg_try_sum_overflow",
+    "stream_state_ttl_eviction",
 ]
 
 # Queries whose shared subtrees materialize via localCheckpoint: their

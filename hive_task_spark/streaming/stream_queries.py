@@ -1771,21 +1771,24 @@ def stream_state_metadata_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TTL_GAP_MS = 86_400_000  # 24 h inactivity TTL per user key
-_TTL_STATE_SCHEMA = "n long, last_ms long, last_seen string"
+_TTL_STATE_SCHEMA = "n long, last_ns long, last_seen string"
 _TTL_OUT_SCHEMA = "user_id long, n_events long, last_seen string"
 
 
 def _ttl_evict_per_user(key, pdf_iter, state):
     """Stateful kernel with event-time TTL: accumulate per-user
     (count, last-activity) and arm an event-time timeout at
-    last_ms + GAP; a group whose timeout fires (no data arrived
+    last-activity + GAP; a group whose timeout fires (no data arrived
     before the watermark passed it) emits ONE eviction record and
     removes its state. Data-bearing calls emit nothing — the output
-    stream IS the eviction log. Millisecond arithmetic mirrors the
-    engine's: pandas ns // 1e6 here, event-time stats µs/1000 in the
-    watermark — both floor on positive epochs."""
+    stream IS the eviction log. The running max is tracked at
+    NANOSECOND grain (a group straddling an Arrow chunk boundary can
+    present two maxima in the SAME millisecond — an ms-grain compare
+    would keep the stale sub-ms last_seen) and floors to ms only when
+    arming the timeout, mirroring the engine's watermark arithmetic
+    (event-time stats µs/1000; both floor on positive epochs)."""
     if state.hasTimedOut:
-        n, last_ms, last_seen = state.get
+        n, last_ns, last_seen = state.get
         state.remove()
         yield pd.DataFrame(
             {
@@ -1795,19 +1798,18 @@ def _ttl_evict_per_user(key, pdf_iter, state):
             }
         )
         return
-    n, last_ms, last_seen = state.get if state.exists else (0, -1, "")
+    n, last_ns, last_seen = state.get if state.exists else (0, -1, "")
     for pdf in pdf_iter:
         if not len(pdf):
             continue
         n += len(pdf)
         m = pdf["ts"].max()
-        mms = m.value // 10**6
-        if mms > last_ms:
-            last_ms = mms
+        if m.value > last_ns:
+            last_ns = m.value
             last_seen = m.strftime("%Y-%m-%d %H:%M:%S.%f")
-    state.update((n, last_ms, last_seen))
+    state.update((n, last_ns, last_seen))
     if key[0] != -1:  # the sentinel key never arms a timeout
-        state.setTimeoutTimestamp(last_ms + _TTL_GAP_MS)
+        state.setTimeoutTimestamp(last_ns // 10**6 + _TTL_GAP_MS)
 
 
 @register(

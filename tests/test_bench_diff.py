@@ -199,3 +199,17 @@ class TestContendedRows:
         tp = tmp_path / "base.json"; tp.write_text(json.dumps(base))
         rc = bench_diff.main([str(bp), "--baseline", str(tp)])
         assert rc == 1 and "MOVERS" in capsys.readouterr().out
+
+    def test_none_summary_largest_excludes_contended(self, tmp_path, capsys):
+        # when the only above-threshold row is contended (advisory),
+        # the "none (largest: ...)" line must not name it
+        import json
+        bench = {"value": 3.2, "queries": {"clean": 1.2, "contended": 2.0}}
+        base = {"queries": {"clean": 1.0, "contended": 1.0},
+                "contended_rows": ["contended"]}
+        bp = tmp_path / "bench.json"; bp.write_text(json.dumps(bench))
+        tp = tmp_path / "base.json"; tp.write_text(json.dumps(base))
+        rc = bench_diff.main([str(bp), "--baseline", str(tp)])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "largest: clean" in out and "largest: contended" not in out

@@ -404,3 +404,36 @@ def test_arrow_writer_refuses_foreign_directory_task_side(tmp_path):
         w.write(iter([]))
     with open(foreign, "rb") as fh:
         assert fh.read() == b"PAR1"  # untouched
+
+
+def test_ttl_kernel_tracks_max_at_ns_grain_across_chunks():
+    """Review r13: applyInPandasWithState chunks one group into
+    multiple pdfs at the Arrow batch size; two chunk maxima inside the
+    SAME millisecond must still resolve to the true (microsecond) max
+    for last_seen — an ms-grain compare kept the stale string."""
+    import pandas as pd
+
+    from hive_task_spark.streaming.stream_queries import _ttl_evict_per_user
+
+    class _FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.updated = None
+            self.timeout = None
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    st = _FakeState()
+    c1 = pd.DataFrame({"ts": [pd.Timestamp("2024-01-05 12:00:00.000300")]})
+    c2 = pd.DataFrame({"ts": [pd.Timestamp("2024-01-05 12:00:00.000500")]})
+    list(_ttl_evict_per_user((7,), iter([c1, c2]), st))
+    n, last_ns, last_seen = st.updated
+    assert n == 2
+    assert last_seen == "2024-01-05 12:00:00.000500"
+    assert st.timeout == last_ns // 10**6 + 86_400_000
