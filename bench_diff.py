@@ -189,12 +189,15 @@ def main(argv: list[str] | None = None) -> int:
                   f"{max(ratios):.2f}x > "
                   f"{CANARY_DEGRADED_RATIO}x — mover band widened "
                   f"{scale:.2f}x to {eff_threshold}x")
-        # self-describing record check: bench.py embeds its own verdict
-        rec_flag = bench_rec.get("box_degraded")
-        if rec_flag is not None and rec_flag != box_degraded(bench_rec):
-            print(f"  WARNING: record says box_degraded={rec_flag} but "
-                  f"canary math says {box_degraded(bench_rec)} — "
-                  f"mismatched bench.py/bench_diff.py versions?")
+    # self-describing record check: bench.py embeds its own verdict.
+    # Deliberately OUTSIDE the canary-presence block — a record that
+    # claims box_degraded while lacking canary readings is exactly the
+    # mismatched-versions condition this warning exists for.
+    rec_flag = bench_rec.get("box_degraded")
+    if rec_flag is not None and rec_flag != box_degraded(bench_rec):
+        print(f"  WARNING: record says box_degraded={rec_flag} but "
+              f"canary math says {box_degraded(bench_rec)} — "
+              f"mismatched bench.py/bench_diff.py versions?")
     print(f"  total(bench)={total:.2f}s  comparable subtotal: "
           f"{sub_bench:.2f}s vs baseline {sub_base:.2f}s  "
           f"ratio {sub_bench / sub_base:.2f}x "
@@ -231,10 +234,16 @@ def main(argv: list[str] | None = None) -> int:
         # "largest" from gate-eligible (non-contended) rows only —
         # otherwise an advisory row above the threshold would be named
         # in the same breath as "none", a self-contradictory summary
-        clean = [(r, q) for r, q in movers if q not in contended] or movers
-        r, q = clean[0]
-        print(f"  movers >= {eff_threshold}x: none "
-              f"(largest: {q} {bench[q]:.3f}s vs {base_q[q]:.3f}s = {r:.2f}x)")
+        clean = [(r, q) for r, q in movers if q not in contended]
+        if clean:
+            r, q = clean[0]
+            print(f"  movers >= {eff_threshold}x: none "
+                  f"(largest: {q} {bench[q]:.3f}s vs {base_q[q]:.3f}s "
+                  f"= {r:.2f}x)")
+        else:
+            print(f"  movers >= {eff_threshold}x: none "
+                  f"(largest gate-eligible row: n/a — every comparable "
+                  f"row is contended-advisory)")
     else:
         print(f"  movers >= {eff_threshold}x: no comparable rows with a "
               f"nonzero baseline — see WARNING above")

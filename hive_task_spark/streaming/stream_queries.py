@@ -1787,6 +1787,10 @@ def _ttl_evict_per_user(key, pdf_iter, state):
     would keep the stale sub-ms last_seen) and floors to ms only when
     arming the timeout, mirroring the engine's watermark arithmetic
     (event-time stats µs/1000; both floor on positive epochs)."""
+    if key[0] == -1:
+        # the sentinel key carries no analytics state: don't create
+        # (and thus never leak) a state row for it
+        return
     if state.hasTimedOut:
         n, last_ns, last_seen = state.get
         state.remove()
@@ -1808,8 +1812,7 @@ def _ttl_evict_per_user(key, pdf_iter, state):
             last_ns = m.value
             last_seen = m.strftime("%Y-%m-%d %H:%M:%S.%f")
     state.update((n, last_ns, last_seen))
-    if key[0] != -1:  # the sentinel key never arms a timeout
-        state.setTimeoutTimestamp(last_ns // 10**6 + _TTL_GAP_MS)
+    state.setTimeoutTimestamp(last_ns // 10**6 + _TTL_GAP_MS)
 
 
 @register(
@@ -1869,6 +1872,14 @@ def stream_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = _scratch_join("events_ttl_twobatch")
     shutil.rmtree(src_dir, ignore_errors=True)
     e = load(spark, sf_dir, "events").select("user_id", "ts")
+    # magic-value collision guard: -1 is the replay harness's sentinel
+    # key; a fixture regeneration that ever produced a real user -1
+    # would silently desync kernel (never armed) vs oracle (included)
+    if e.filter(F.col("user_id") == -1).limit(1).count():
+        raise ValueError(
+            "events fixture contains user_id = -1 — collides with the "
+            "TTL replay sentinel key; pick a different sentinel"
+        )
     e.coalesce(1).write.mode("overwrite").parquet(src_dir)
     sentinel = e.agg(
         F.lit(-1).cast("long").alias("user_id"),
