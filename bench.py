@@ -24,6 +24,12 @@ sys.path.insert(0, REPO)
 from hive_task_spark import registry  # noqa: E402
 from hive_task_spark.plans.session import get_session  # noqa: E402
 
+# Import at module top so a broken/missing bench_diff fails FAST —
+# before the ~40 s measurement run — instead of aborting at JSON-build
+# time and discarding a completed run (ADVICE r13). If it still breaks
+# at call time, the record degrades gracefully (box_degraded omitted).
+from bench_diff import box_degraded  # noqa: E402
+
 # Headline set: one per major operator family — batch spine, star join,
 # windows, cube, set ops, dedup, similarity, text. Names must exist in
 # the registry; missing ones are skipped (early rounds).
@@ -194,10 +200,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Key order is load-bearing: the driver keeps only the LAST 2000
+    # chars of stdout (head-truncated), so the big per-query dict goes
+    # FIRST and every scalar the gate math needs (canaries, verdict,
+    # metric, total) goes AFTER it — a truncated tail then stays
+    # self-describing, losing at worst the oldest queries entries
+    # (VERDICT r13 item 2; bench_diff.recover_from_tail is the reader).
     record = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
         "cpus": cpus,
@@ -205,14 +214,19 @@ def main() -> None:
         "parallel_canary_pre_sec": parallel_pre,
         "canary_sec": _cpu_canary(),
         "parallel_canary_sec": _parallel_canary(min(cpus, 32)),
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
     }
     # Embed the box-health verdict so the record is self-describing for
     # gate math (no cross-referencing BASELINE.md prose): degraded =
     # either canary pair trips bench_diff's rule (parallel > 1.7 s
     # absolute AND parallel/single > 1.6x).
-    from bench_diff import box_degraded
-
-    record["box_degraded"] = box_degraded(record)
+    try:
+        record["box_degraded"] = box_degraded(record)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"bench: box_degraded verdict failed ({exc}); key omitted",
+              file=sys.stderr)
     line = json.dumps(record)
     # Tear the session down BEFORE emitting the JSON line: the streaming
     # replays leave a StateStore maintenance timer alive, and its

@@ -30,11 +30,58 @@ import re
 import sys
 
 
+def recover_from_tail(tail: str) -> dict:
+    """Reconstruct a bench record from the driver wrapper's truncated
+    ``tail`` string.
+
+    Every real BENCH_r{N}.json r1-r13 carries ``"parsed": null``: the
+    driver keeps only the LAST 2000 chars of bench.py's stdout, so its
+    own json.loads fails on the head-truncated line. The tail's HEAD is
+    what's cut — the ``"queries": {...}`` span and the trailing scalars
+    (canaries, box_degraded, sf, cpus) survive, so the record is fully
+    recoverable: per-query secs from the queries span (or, if the cut
+    landed inside it, the surviving suffix of entries), scalars by
+    per-key regex, and the total as sum(queries) when ``"value"`` was
+    in the destroyed head (VERDICT r13 item 2)."""
+    rec: dict = {}
+    m = re.search(r'"queries":\s*(\{[^{}]*\})', tail)
+    if m:
+        rec["queries"] = json.loads(m.group(1))
+    else:
+        # Truncation landed INSIDE the queries dict: the tail opens
+        # mid-entry. Parse the surviving complete entries up to the
+        # dict's closing brace (flat string->number pairs only).
+        end = tail.find("}")
+        if end != -1:
+            rec["queries"] = {
+                k: float(v)
+                for k, v in re.findall(
+                    r'"([^"]+)":\s*(-?\d+(?:\.\d+)?)', tail[:end]
+                )
+            }
+    for key, cast in (
+        ("metric", str), ("unit", str),
+        ("value", float), ("sf", float), ("cpus", int),
+        ("canary_pre_sec", float), ("parallel_canary_pre_sec", float),
+        ("canary_sec", float), ("parallel_canary_sec", float),
+    ):
+        pat = (r'"%s":\s*"([^"]*)"' if cast is str
+               else r'"%s":\s*(-?\d+(?:\.\d+)?)') % re.escape(key)
+        km = re.search(pat, tail)
+        if km:
+            rec[key] = cast(km.group(1))
+    bm = re.search(r'"box_degraded":\s*(true|false)', tail)
+    if bm:
+        rec["box_degraded"] = bm.group(1) == "true"
+    return rec
+
+
 def load_bench(path: str) -> tuple[dict[str, float], float, str, dict]:
     """Return (per-query secs, total, label, full record) from a bench
     record. Accepts the driver's BENCH_r{N}.json wrapper (``parsed``
-    key), a raw bench.py JSON line, or '-' for stdin (last
-    JSON-looking line)."""
+    key — recovered from the truncated ``tail`` when parsed is null,
+    as it is in every real driver artifact), a raw bench.py JSON line,
+    or '-' for stdin (last JSON-looking line)."""
     if path == "-":
         lines = [ln for ln in sys.stdin.read().splitlines() if ln.lstrip().startswith("{")]
         if not lines:
@@ -46,8 +93,23 @@ def load_bench(path: str) -> tuple[dict[str, float], float, str, dict]:
             rec = json.load(f)
         label = path
     if "parsed" in rec:  # driver wrapper
-        rec = rec["parsed"]
-    return dict(rec["queries"]), float(rec["value"]), label, rec
+        parsed = rec["parsed"]
+        if parsed is None:
+            parsed = recover_from_tail(rec.get("tail") or "")
+            if "queries" not in parsed or not parsed["queries"]:
+                raise SystemExit(
+                    f"bench_diff: {label} has parsed=null and no "
+                    f"recoverable queries dict in its tail")
+            label += " (recovered from truncated tail)"
+        rec = parsed
+    queries = {k: float(v) for k, v in rec["queries"].items()}
+    if rec.get("value") is not None:
+        total = float(rec["value"])
+    else:
+        # "value" sat in the truncation-destroyed head of older bench.py
+        # output (key order fixed in r14): the per-row sum IS the total.
+        total = round(sum(queries.values()), 3)
+    return queries, total, label, rec
 
 
 def canary_scale(rec: dict) -> float:
@@ -96,6 +158,10 @@ CANARY_DEGRADED_RATIO = 1.6
 PARALLEL_HEALTHY_MAX_SEC = 1.7
 # Never widen the mover band by more than this factor.
 CANARY_SCALE_CAP = 2.0
+# A contended-baseline row gates anyway when the current box is healthy
+# and its ratio reaches this multiple of the effective threshold
+# (1.5x band * 2.0 = 3.0x — far beyond denominator noise).
+CONTENDED_ESCALATE_FACTOR = 2.0
 
 
 def box_degraded(rec: dict) -> bool:
@@ -217,13 +283,32 @@ def main(argv: list[str] | None = None) -> int:
     # print as advisory and never fail the gate. Re-record on a
     # healthy-canary box to clear the annotation.
     contended = set(base.get("contended_rows", []))
+    # A contended-baseline row escalates back to gating when the
+    # CURRENT record's box is healthy AND the ratio is extreme
+    # (>= CONTENDED_ESCALATE_FACTOR x the effective band): a small
+    # contended denominator explains ~1.5-2x readings, but a healthy
+    # box reading >= 3x is a real regression no denominator noise can
+    # produce — without this, contended rows never gate at any ratio
+    # until someone re-records the baseline (ADVICE r13).
+    escalate = scale == 1.0
+    esc_threshold = round(CONTENDED_ESCALATE_FACTOR * eff_threshold, 3)
     flagged = [(r, q) for r, q in movers
                if r >= eff_threshold and q not in contended]
+    escalated = [(r, q) for r, q in movers
+                 if escalate and r >= esc_threshold and q in contended]
     advisory = [(r, q) for r, q in movers
-                if r >= eff_threshold and q in contended]
+                if r >= eff_threshold and q in contended
+                and (r, q) not in escalated]
+    if escalated:
+        print(f"  ESCALATED movers on contended-baseline rows (healthy "
+              f"box, ratio >= {esc_threshold}x — gating; re-record the "
+              f"denominator or fix the regression):")
+        for r, q in escalated:
+            print(f"    {q}: {bench[q]:.3f}s vs {base_q[q]:.3f}s = {r:.2f}x")
     if advisory:
-        print(f"  advisory movers on CONTENDED-baseline rows (not gating; "
-              f"re-record the denominator):")
+        print(f"  advisory movers on CONTENDED-baseline rows (not gating "
+              f"below {esc_threshold}x-on-healthy-box; re-record the "
+              f"denominator):")
         for r, q in advisory:
             print(f"    {q}: {bench[q]:.3f}s vs {base_q[q]:.3f}s = {r:.2f}x")
     if flagged:
@@ -247,7 +332,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         print(f"  movers >= {eff_threshold}x: no comparable rows with a "
               f"nonzero baseline — see WARNING above")
-    return 1 if flagged else 0
+    return 1 if (flagged or escalated) else 0
 
 
 if __name__ == "__main__":

@@ -52,69 +52,67 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 12's row — the rotation
-# CLOSE-OUT: the full 30-name never-sampled pool (recomputed from the
-# CORRECTNESS_r1–r11 union by tools/sampled_rounds.py — matches both
-# CLAUDE.md's precompute and VERDICT r11's recompute exactly) + the
-# 20 stalest-signal reconfirm names (max_round=1, registration-order
-# tie-break, per the r12+ stalest rule).  Round 11's window (sql 11 +
-# stream 18 + quality 12 + window 4 + date 4 + multimodal 1) came
-# back 50/50 green; cumulative driver-confirmed = 534/564.  A green
-# CORRECTNESS_r12 makes every registered query driver-confirmed at
-# least once.
+# schedule lives in CLAUDE.md; this is round 14's row, exactly
+# SAMPLED_ROUNDS.json's next_reconfirm_window_50: the 2 never-sampled
+# r13 additions in slots 1–2 (new-op rule) + the 48 stalest-signal
+# reconfirm names (max sampled round ascending, registration-order
+# tie-break — all last sampled r1/r2: join/dedup/window/setop/asof
+# families + the r1 relational core + 4 source round-trips).  Round
+# 13's window came back 50/50 green; a green CORRECTNESS_r14 makes
+# every registered query driver-confirmed at least once (569/569).
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- r13 window: 3 never-sampled r12 additions first (new-op rule) --
-    "agg_approx_top_k_partial_algebra",
-    "json_variant_explode_lateral",
-    "date_time_type_suite",
-    # -- 47 stalest reconfirm per SAMPLED_ROUNDS.json (max-round asc, reg order) --
-    "json_extract_scalar",
-    "json_from_json_struct",
-    "json_tuple_multi",
-    "json_to_json_roundtrip",
-    "math_conditional_null",
-    "math_try_cast_safety",
-    "math_bitwise_suite",
-    "str_basic_suite",
-    "str_regex_suite",
-    "str_initcap_casefold",
-    "date_parts_suite",
-    "date_arithmetic_suite",
-    "date_construction_suite",
-    "hash_md5_sha2",
-    "udf_pandas_scalar",
-    "udf_grouped_agg",
-    "udf_mapinpandas",
-    "udf_python_udtf",
-    "pipeline_hash_sample",
-    "pipeline_token_budget",
-    "pipeline_mixture_rebalance",
-    "pipeline_decontaminate",
-    "pipeline_mixture_weighted",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_late_shipments",
-    "q13_order_distribution",
-    "sql_lateral_topk",
-    "sql_correlated_exists",
-    "sql_recursive_cte",
-    "q6_forecast_revenue",
-    "q4_priority_exists",
-    "q7_nation_volume",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_count",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
+    # -- r14 window: 2 never-sampled r13 additions first (new-op rule) --
+    "stream_state_ttl_eviction",
+    "agg_try_sum_overflow",
+    # -- 48 stalest reconfirm per SAMPLED_ROUNDS.json (max-round asc, reg order) --
+    "join_inner_star",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "join_cross_small",
+    "join_theta_range",
+    "join_interval_overlap",
+    "join_range_bucketed",
+    "join_right_outer",
+    "join_skew_salted",
+    "dedup_exact_hash",
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_near_pairs",
+    "dedup_cluster_components",
+    "q1_pricing_summary",
+    "projection_computed_columns",
+    "filter_predicates",
+    "filter_like_regex",
+    "null_semantics",
+    "case_when_bucketing",
+    "distinct_dropduplicates",
+    "global_sort_limit",
+    "sort_nulls_ordering",
+    "window_ranking",
+    "window_lag_lead",
+    "window_running_total",
+    "window_range_frame",
+    "window_topk_per_group",
+    "window_cume_dist_share",
+    "window_nth_first_value",
+    "setop_union_distinct",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "setop_intersect_all",
+    "setop_except_all",
+    "asof_join_orders",
+    "asof_join_events_orders",
+    "asof_join_merge_asof",
+    "asof_join_forward_tolerance",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_parquet_partitioned",
+    "source_catalog_table",
 )
 
 

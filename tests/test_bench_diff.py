@@ -213,3 +213,142 @@ class TestContendedRows:
         out = capsys.readouterr().out
         assert rc == 0
         assert "largest: clean" in out and "largest: contended" not in out
+
+    def test_extreme_ratio_on_healthy_box_escalates_to_gating(
+            self, tmp_path, capsys):
+        # ADVICE r13: a contended row can't stay advisory forever — on a
+        # HEALTHY box (canaries fine) a ratio >= 2x the band (3.0x) is a
+        # real regression no denominator noise produces. Must gate.
+        import json
+        bench = {"value": 4.2, "queries": {"clean": 1.0, "contended": 3.2},
+                 "canary_sec": 1.3, "parallel_canary_sec": 1.35}
+        base = {"queries": {"clean": 1.0, "contended": 1.0},
+                "contended_rows": ["contended"]}
+        bp = tmp_path / "bench.json"; bp.write_text(json.dumps(bench))
+        tp = tmp_path / "base.json"; tp.write_text(json.dumps(base))
+        rc = bench_diff.main([str(bp), "--baseline", str(tp)])
+        out = capsys.readouterr().out
+        assert rc == 1 and "ESCALATED movers on contended" in out
+
+    def test_extreme_ratio_on_degraded_box_stays_advisory(
+            self, tmp_path, capsys):
+        # same 3.2x ratio but the box itself is degraded: contention
+        # explains both sides, so the row stays advisory (exit 0).
+        import json
+        bench = {"value": 4.2, "queries": {"clean": 1.0, "contended": 3.2},
+                 "canary_sec": 1.3, "parallel_canary_sec": 2.6}
+        base = {"queries": {"clean": 1.0, "contended": 1.0},
+                "contended_rows": ["contended"]}
+        bp = tmp_path / "bench.json"; bp.write_text(json.dumps(bench))
+        tp = tmp_path / "base.json"; tp.write_text(json.dumps(base))
+        rc = bench_diff.main([str(bp), "--baseline", str(tp)])
+        out = capsys.readouterr().out
+        assert rc == 0 and "ESCALATED" not in out
+        assert "advisory movers on CONTENDED" in out
+
+
+def _driver_wrapper(tmp_path, name, bench_record, tail_chars=2000):
+    """Build a driver-faithful BENCH_r{N}.json wrapper: rc=0,
+    parsed=null, tail = the LAST `tail_chars` chars of the JSON line
+    (head-truncated, exactly the r1-r13 artifact shape)."""
+    line = json.dumps(bench_record) + "\n"
+    wrapper = {"n": 55, "rc": 0, "cpus": 32, "sf": 0.1,
+               "tail": line[-tail_chars:], "parsed": None}
+    p = tmp_path / name
+    p.write_text(json.dumps(wrapper))
+    return str(p)
+
+
+class TestTruncatedTailRecovery:
+    """VERDICT r13 item 2: every real driver BENCH_r{N}.json carries
+    parsed=null + a 2000-char head-truncated tail; load_bench must
+    recover the record instead of crashing on rec["parsed"]["queries"].
+    """
+
+    def _record(self, n_queries=60):
+        # old (pre-r14) key order: metric/value FIRST, i.e. in the
+        # truncation-destroyed head — the worst case for recovery
+        return {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(0.1 * (i % 7 + 1) for i in range(n_queries)), 3),
+            "unit": "sec",
+            "queries": {f"q_{i:03d}_{'x' * 20}": round(0.1 * (i % 7 + 1), 3)
+                        for i in range(n_queries)},
+            "sf": 0.1, "cpus": 32,
+            "canary_pre_sec": 1.064, "parallel_canary_pre_sec": 2.382,
+            "canary_sec": 1.097, "parallel_canary_sec": 2.124,
+            "box_degraded": True,
+        }
+
+    def test_full_queries_span_survives(self, tmp_path):
+        rec = self._record(40)  # head cut lands before "queries"
+        path = _driver_wrapper(tmp_path, "BENCH_r99.json", rec)
+        queries, total, label, out_rec = bench_diff.load_bench(path)
+        assert queries == rec["queries"]
+        # "value" was in the destroyed head: total = sum of rows
+        assert total == pytest.approx(sum(rec["queries"].values()), abs=1e-6)
+        assert "recovered from truncated tail" in label
+        # trailing scalars recovered for canary gate math
+        assert out_rec["canary_sec"] == 1.097
+        assert out_rec["parallel_canary_pre_sec"] == 2.382
+        assert out_rec["box_degraded"] is True
+        assert bench_diff.canary_scale(out_rec) > 1.0
+
+    def test_truncation_inside_queries_keeps_surviving_entries(self, tmp_path):
+        rec = self._record(120)  # big enough that the cut lands mid-dict
+        full = json.dumps(rec) + "\n"
+        # precondition: the 2000-char tail starts INSIDE the queries
+        # dict (its opening brace is in the destroyed head)
+        assert full.index('"queries"') < len(full) - 2000
+        path = _driver_wrapper(tmp_path, "BENCH_r98.json", rec)
+        queries, total, label, out_rec = bench_diff.load_bench(path)
+        # a strict suffix of the entries survives, none invented
+        assert 0 < len(queries) < 120
+        for k, v in queries.items():
+            assert rec["queries"][k] == pytest.approx(v)
+        assert total == pytest.approx(sum(queries.values()), abs=1e-3)
+        assert out_rec["box_degraded"] is True
+
+    def test_parsed_non_null_wrapper_unchanged(self, tmp_path):
+        rec = {"value": 1.0, "queries": {"qa": 1.0}}
+        p = tmp_path / "BENCH_r97.json"
+        p.write_text(json.dumps({"rc": 0, "tail": "junk", "parsed": rec}))
+        queries, total, label, _ = bench_diff.load_bench(str(p))
+        assert queries == {"qa": 1.0} and total == 1.0
+        assert "recovered" not in label
+
+    def test_unrecoverable_tail_exits_with_message(self, tmp_path):
+        p = tmp_path / "BENCH_r96.json"
+        p.write_text(json.dumps({"rc": 1, "tail": "Traceback ...",
+                                 "parsed": None}))
+        with pytest.raises(SystemExit, match="no.*recoverable queries"):
+            bench_diff.load_bench(str(p))
+
+    def test_new_bench_key_order_keeps_total_in_tail(self, tmp_path):
+        # r14 bench.py emits queries FIRST and metric/value LAST: after
+        # the same truncation, "value" now survives and is used as-is.
+        rec = self._record(120)
+        reordered = {k: rec[k] for k in
+                     ("queries", "sf", "cpus", "canary_pre_sec",
+                      "parallel_canary_pre_sec", "canary_sec",
+                      "parallel_canary_sec", "metric", "value", "unit",
+                      "box_degraded")}
+        path = _driver_wrapper(tmp_path, "BENCH_r95.json", reordered)
+        queries, total, _, out_rec = bench_diff.load_bench(path)
+        assert total == rec["value"]  # not a sum fallback
+        assert out_rec["metric"] == "headline_queries_total_wall"
+
+    def test_real_driver_artifact_end_to_end(self, capsys):
+        # the documented invocation that crashed pre-r14:
+        # python bench_diff.py BENCH_r13.json (run from the repo root)
+        import os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        bench = os.path.join(repo, "BENCH_r13.json")
+        base = os.path.join(repo, "BASELINE_TABLE.json")
+        if not os.path.exists(bench):
+            pytest.skip("BENCH_r13.json not present")
+        rc = bench_diff.main([bench, "--baseline", base])
+        out = capsys.readouterr().out
+        assert rc == 0  # r13 verdict: zero gating movers, box degraded
+        assert "recovered from truncated tail" in out
+        assert "box DEGRADED" in out
