@@ -1872,18 +1872,32 @@ def stream_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = _scratch_join("events_ttl_twobatch")
     shutil.rmtree(src_dir, ignore_errors=True)
     e = load(spark, sf_dir, "events").select("user_id", "ts")
-    # magic-value collision guard: -1 is the replay harness's sentinel
-    # key; a fixture regeneration that ever produced a real user -1
-    # would silently desync kernel (never armed) vs oracle (included)
-    if e.filter(F.col("user_id") == -1).limit(1).count():
+    # ONE aggregation pass feeds both the replay sentinel (max ts) and
+    # the magic-value collision guard: -1 is the harness's sentinel
+    # key, and a fixture regeneration that ever produced a real user -1
+    # would silently desync kernel (never armed) vs oracle (included).
+    # Folding count_if(user_id = -1) into the sentinel agg instead of
+    # running a dedicated filter/limit/count job halves the extra
+    # full scans over events per invocation (ADVICE r13).
+    stats = e.agg(
+        F.max("ts").alias("mx"),
+        F.sum((F.col("user_id") == -1).cast("int")).alias("n_collide"),
+    ).collect()[0]
+    if stats["n_collide"]:
         raise ValueError(
             "events fixture contains user_id = -1 — collides with the "
             "TTL replay sentinel key; pick a different sentinel"
         )
     e.coalesce(1).write.mode("overwrite").parquet(src_dir)
-    sentinel = e.agg(
-        F.lit(-1).cast("long").alias("user_id"),
-        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+    # build the one-row sentinel from the collected max — no second
+    # scan; the literal round-trips exactly because apply_runtime_conf
+    # pinned the session to UTC above, and the dtypes mirror e's so the
+    # merged stream dir keeps a single parquet schema.
+    dt = dict(e.dtypes)
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast(dt["user_id"]).alias("user_id"),
+        (F.lit(stats["mx"]).cast(dt["ts"]) + F.expr("INTERVAL 2 HOURS"))
+        .cast(dt["ts"]).alias("ts"),
     )
     sent_dir = _scratch_join("events_ttl_sentinel")
     shutil.rmtree(sent_dir, ignore_errors=True)
