@@ -130,6 +130,13 @@ HEADLINE = [
     # Round-13 addition: failure-safe aggregation (try_sum/try_avg
     # overflow-to-NULL — plan-identical to plain sum/avg).
     "agg_try_sum_overflow",
+    # Round-14 addition: hidden file-source _metadata columns over a
+    # partitioned round-trip (per-file lineage aggregate; the scan
+    # reads ZERO data columns — partition value + reader-state
+    # metadata only). stream_foreachbatch_exactly_once stays out of
+    # the headline set like the other replay-orchestration streams
+    # (TTL, rocksdb): correctness-tracked via the sweep/driver window.
+    "source_file_metadata_columns",
 ]
 
 

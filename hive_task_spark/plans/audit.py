@@ -104,6 +104,9 @@ AUDITED = [
     # round-13 additions
     "agg_try_sum_overflow",
     "stream_state_ttl_eviction",
+    # round-14 additions
+    "source_file_metadata_columns",
+    "stream_foreachbatch_exactly_once",
 ]
 
 # Queries whose shared subtrees materialize via localCheckpoint: their

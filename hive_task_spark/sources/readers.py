@@ -1760,3 +1760,77 @@ def source_python_datasource_arrow_writer(
         .option("pathGlobFilter", "part-*.parquet")
         .parquet(path)
     )
+
+
+@register(
+    "source_file_metadata_columns",
+    defer=True,
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(1 AS BIGINT)            AS n_files,
+           CAST(count(*) AS BIGINT)     AS n_rows,
+           CAST(0 AS BIGINT)            AS min_row_index,
+           CAST(count(*) - 1 AS BIGINT) AS max_row_index
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def source_file_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-source `_metadata` columns (Spark 3.4+/4:
+    `_metadata.file_path`, `file_name`, `file_size`,
+    `file_modification_time`, `row_index`) — per-row physical lineage
+    read straight out of the scan operator, no UDF and no extra pass.
+
+    The round-trip pins the file↔content mapping so every metadata
+    column is oracle-checkable: orders written
+    `repartition(o_orderpriority).write.partitionBy(o_orderpriority)`
+    puts each priority in exactly ONE task → ONE file per partition
+    directory; then per priority the file count must be 1 and
+    `row_index` (the row's 0-based physical position within its file)
+    must span exactly [0, n_rows-1]. File identity is
+    `_metadata.file_path` (file_name is only the basename, which a
+    single task REUSES across the partition dirs it writes — measured
+    here: 5 dirs, 1 distinct basename); the engine-generated columns
+    (file_name, file_size, file_modification_time) stay off the value
+    edge and are sanity-asserted in tests.
+
+    100 TB posture: metadata columns are evaluated from reader state at
+    scan time — zero additional IO and no shuffle beyond the final
+    aggregate; this is the built-in mechanism for shard manifests,
+    per-file audit counts, and incremental-load bookkeeping that would
+    otherwise need a custom DataSource or an input_file_name() UDF
+    pass (input_file_name is the legacy, non-pruning variant). The
+    plan is one pruned scan + one keyed exchange."""
+    o = load(spark, sf_dir, "orders")
+    path = _scratch("orders_meta_parts")
+    (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartition("o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+        # file_path, not file_name: one task writing several partition
+        # dirs reuses the same basename, so only the full path is a
+        # file identity (measured: 5 dirs, 1 distinct basename)
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("file_path").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_index").alias("min_row_index"),
+            F.max("row_index").alias("max_row_index"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_files").cast("long").alias("n_files"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("min_row_index").cast("long").alias("min_row_index"),
+            F.col("max_row_index").cast("long").alias("max_row_index"),
+        )
+    )

@@ -2944,3 +2944,72 @@ def test_variant_explode_array_pos_semantics(spark):
         (1, None, '"x"'),
         (2, None, "[1]"),
     ]
+
+
+def test_exactly_once_sink_commit_log_and_versions(spark, sf_dir):
+    """stream_foreachbatch_exactly_once leaves exactly one commit marker
+    and one immutable state version per micro-batch (3), the final
+    version equals the returned catalog table, and the in-query drills
+    (duplicate delivery skipped, restart processes zero batches) have
+    already run — the query raises on any violation, so reaching the
+    assertions below means both drills passed."""
+    import os
+
+    from hive_task_spark.scratch import scratch_root
+
+    out = registry.QUERIES["stream_foreachbatch_exactly_once"](
+        spark, sf_dir
+    ).toPandas()
+    commit_dir = os.path.join(scratch_root(), "eo_state", "committed")
+    markers = sorted(os.listdir(commit_dir))
+    assert markers == ["batch_0.done", "batch_1.done", "batch_2.done"]
+    state_versions = sorted(
+        d for d in os.listdir(os.path.join(scratch_root(), "eo_state"))
+        if d.startswith("v")
+    )
+    assert state_versions == ["v1", "v2", "v3"]  # no v4 from the drills
+    v3 = spark.read.parquet(
+        os.path.join(scratch_root(), "eo_state", "v3")
+    ).toPandas()
+    assert len(v3) == len(out)
+    assert int(v3["n_events"].sum()) == int(out["n_events"].sum())
+    assert int(v3["sum_cents"].sum()) == int(out["sum_cents"].sum())
+    # catalog table registered and readable
+    assert spark.catalog.tableExists("htspark_eo_state")
+
+
+def test_file_metadata_engine_specific_columns_sane(spark, sf_dir):
+    """The _metadata columns kept OFF the value edge (engine-generated:
+    file_name, file_size, file_modification_time) are still real:
+    non-null, parquet-suffixed, positive size — and the one-file-per-
+    partition precondition the oracle depends on holds dataset-wide."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hive_task_spark.scratch import scratch_path
+
+    # materialize the op's round-trip dataset, then probe it directly
+    registry.QUERIES["source_file_metadata_columns"](spark, sf_dir).collect()
+    path = scratch_path("orders_meta_parts")
+    m = spark.read.parquet(path).select(
+        "o_orderpriority",
+        F.col("_metadata.file_path").alias("fpath"),
+        F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.file_size").alias("fsize"),
+        F.col("_metadata.file_modification_time").alias("fmtime"),
+    )
+    row = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("fpath").alias("n_files"),
+        F.countDistinct("o_orderpriority").alias("n_parts"),
+        F.min("fsize").alias("min_size"),
+        F.sum(F.col("fname").endswith(".parquet").cast("int")).alias("n_pq"),
+        F.sum(F.col("fmtime").isNull().cast("int")).alias("n_null_mtime"),
+    ).first()
+    # one file per partition dir, identified by FULL path (a task's
+    # basename repeats across the dirs it writes)
+    assert row["n_files"] == row["n_parts"]
+    assert row["min_size"] > 0
+    assert row["n_pq"] == row["n"]
+    assert row["n_null_mtime"] == 0
