@@ -95,6 +95,15 @@ def load_bench(path: str) -> tuple[dict[str, float], float, str, dict]:
     if "parsed" in rec:  # driver wrapper
         parsed = rec["parsed"]
         if parsed is None:
+            rc = rec.get("rc")
+            if rc not in (0, None):
+                # a crashed run's tail is a traceback, not a truncated
+                # record — never scavenge numbers out of one (the r2
+                # artifact is exactly this shape)
+                raise SystemExit(
+                    f"bench_diff: {label} is a FAILED bench run "
+                    f"(rc={rc}); its tail is a traceback, nothing to "
+                    f"diff")
             parsed = recover_from_tail(rec.get("tail") or "")
             if "queries" not in parsed or not parsed["queries"]:
                 raise SystemExit(
