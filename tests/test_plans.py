@@ -586,3 +586,21 @@ def test_theta_sketch_setops_single_fact_pass(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:300]
     assert "CartesianProduct" not in plan
+
+
+def test_file_metadata_scan_reads_zero_data_columns(spark, sf_dir):
+    """source_file_metadata_columns' read-back aggregate must be a
+    metadata-only scan: the data columns written to the round-trip
+    dataset (o_orderkey, o_totalprice) may NOT appear in ReadSchema —
+    the whole point of _metadata lineage is per-file audit at zero
+    data-column IO. The only materialized field is the synthetic
+    row_index (reader state), plus the partition value from the dir."""
+    plan = _plan(spark, sf_dir, "source_file_metadata_columns")
+    read_schemas = [
+        seg[: seg.find("\n")] for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    assert read_schemas, plan
+    for rs in read_schemas:
+        assert "o_orderkey" not in rs and "o_totalprice" not in rs, rs
+        assert "row_index" in rs, rs
+    assert "CartesianProduct" not in plan
