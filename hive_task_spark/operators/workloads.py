@@ -1201,3 +1201,113 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "sql_analyze_cbo_stats",
+    defer=True,
+    oracle="""
+    WITH t AS (
+        SELECT nullif(o_custkey % 97, 0) AS bucket97,
+               o_orderpriority, o_orderstatus
+        FROM orders
+    )
+    SELECT 'bucket97' AS col_name,
+           CAST(count(DISTINCT bucket97) AS BIGINT) AS ndv,
+           CAST(sum(CASE WHEN bucket97 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(min(bucket97) AS VARCHAR) AS min_val,
+           CAST(max(bucket97) AS VARCHAR) AS max_val
+    FROM t
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM t
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM t
+    """,
+)
+def sql_analyze_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics for cost-based optimization (`ANALYZE TABLE
+    ... COMPUTE STATISTICS FOR COLUMNS` + `DESCRIBE EXTENDED tbl col`
+    readback): the surface that feeds Spark's CBO — stats-driven
+    broadcast decisions, join reordering, and exact rowCount
+    propagation into logical-plan costing (pinned by
+    tests/test_plans.py::test_analyzed_catalog_stats_drive_planning).
+
+    The value edge is the per-column statistics themselves against
+    exact DuckDB recomputation: distinct_count, num_nulls, and min/max
+    (numeric column only — Spark stores no min/max for strings, and
+    the oracle mirrors the NULL). EXACTNESS REGIME (the r11 sketch
+    lesson, stated explicitly): ANALYZE's distinct_count is
+    HyperLogLog++ under `spark.sql.statistics.ndv.maxError`, and the
+    DEFAULT 0.05 is ALREADY approximate at this op's NDV=96 column
+    (measured: 99) — the knob is therefore set EXPLICITLY to 0.01
+    for the ANALYZE (restored after), whose sparse-exact regime
+    (thousands of distincts) covers the 3 / 5 / 96 domain with wide
+    margin at every scale factor (NDV here is SF-invariant; verified
+    exact at sf0.1). A column with unbounded NDV would need an
+    approx-tolerant check instead, not this op's edge.
+
+    Driver-side work is bounded catalog metadata (three ~10-row
+    DESCRIBE frames), same class as the Hive-catalog ops.
+
+    100 TB posture: ANALYZE is ONE distributed pass per table (all
+    column sketches partial-aggregated together, mergeable HLL++
+    state), amortized across every subsequent plan; catalog stats are
+    what let a 1000-executor optimizer pick broadcast sides and join
+    orders without scanning, and stale stats — not missing operators —
+    are the canonical cause of petabyte-scale plan regressions. The
+    stats readback itself is metadata-only."""
+    from hive_task_spark.sources.readers import _scratch
+
+    o = load(spark, sf_dir, "orders").select(
+        F.expr("nullif(o_custkey % 97, 0)").alias("bucket97"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    (
+        o.write.mode("overwrite")
+        .option("path", _scratch("cbo_stats_tbl"))
+        .saveAsTable("htspark_cbo_stats")
+    )
+    # explicit NDV accuracy knob (the r11 policy): default 0.05 reads
+    # 99 for the 96-distinct column; 0.01 is sparse-exact here
+    prev_err = spark.conf.get("spark.sql.statistics.ndv.maxError")
+    spark.conf.set("spark.sql.statistics.ndv.maxError", "0.01")
+    try:
+        spark.sql(
+            "ANALYZE TABLE htspark_cbo_stats COMPUTE STATISTICS "
+            "FOR COLUMNS bucket97, o_orderpriority, o_orderstatus"
+        )
+    finally:
+        spark.conf.set("spark.sql.statistics.ndv.maxError", prev_err)
+    rows = []
+    for col in ["bucket97", "o_orderpriority", "o_orderstatus"]:
+        info = {
+            r[0]: r[1]
+            for r in spark.sql(
+                f"DESCRIBE EXTENDED htspark_cbo_stats {col}"
+            ).collect()
+        }
+        rows.append(
+            (
+                col,
+                int(info["distinct_count"]),
+                int(info["num_nulls"]),
+                None if info["min"] in (None, "NULL") else info["min"],
+                None if info["max"] in (None, "NULL") else info["max"],
+            )
+        )
+    return spark.createDataFrame(
+        rows, "col_name string, ndv long, n_nulls long, "
+              "min_val string, max_val string"
+    )

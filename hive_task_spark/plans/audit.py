@@ -107,6 +107,7 @@ AUDITED = [
     # round-14 additions
     "source_file_metadata_columns",
     "stream_foreachbatch_exactly_once",
+    "sql_analyze_cbo_stats",
 ]
 
 # Queries whose shared subtrees materialize via localCheckpoint: their

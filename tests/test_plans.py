@@ -604,3 +604,55 @@ def test_file_metadata_scan_reads_zero_data_columns(spark, sf_dir):
         assert "o_orderkey" not in rs and "o_totalprice" not in rs, rs
         assert "row_index" in rs, rs
     assert "CartesianProduct" not in plan
+
+
+def test_analyzed_catalog_stats_drive_planning(spark, sf_dir):
+    """ANALYZE-collected catalog statistics must actually reach the
+    optimizer: (a) with CBO enabled, the analyzed table's logical plan
+    advertises the EXACT rowCount (not an estimate); (b) with AQE off
+    and no hints, a big-join-small between two analyzed tables picks
+    BroadcastHashJoin from catalog sizeInBytes alone — the
+    stats-driven decision a 100 TB planner lives on."""
+    from pyspark.sql import functions as F
+
+    from hive_task_spark.sources.readers import _scratch
+
+    # the op creates + analyzes htspark_cbo_stats (column + table stats)
+    registry.QUERIES["sql_analyze_cbo_stats"](spark, sf_dir).collect()
+    n = spark.table("htspark_cbo_stats").count()
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("bucket_key"), "n_name"
+    )
+    (
+        nation.write.mode("overwrite")
+        .option("path", _scratch("cbo_dim_tbl"))
+        .saveAsTable("htspark_cbo_dim")
+    )
+    spark.sql("ANALYZE TABLE htspark_cbo_dim COMPUTE STATISTICS")
+
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        stats = (
+            spark.table("htspark_cbo_stats")
+            ._jdf.queryExecution().optimizedPlan().stats()
+        )
+        assert stats.rowCount().toString() == f"Some({n})"
+        j = (
+            spark.table("htspark_cbo_stats")
+            .join(
+                spark.table("htspark_cbo_dim"),
+                F.col("bucket97") == F.col("bucket_key"),
+            )
+            .groupBy("n_name")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
