@@ -30,19 +30,31 @@ import re
 import sys
 
 
+# Scalar keys bench.py emits alongside the queries dict. The mid-dict
+# recovery fallback must never scavenge these as "queries" (a tail that
+# starts AFTER the queries dict's closing brace contains only them).
+NON_QUERY_KEYS = frozenset({
+    "metric", "value", "unit", "sf", "cpus", "box_degraded",
+    "canary_pre_sec", "parallel_canary_pre_sec",
+    "canary_sec", "parallel_canary_sec",
+})
+
+
 def recover_from_tail(tail: str) -> dict:
     """Reconstruct a bench record from the driver wrapper's truncated
     ``tail`` string.
 
-    Every real BENCH_r{N}.json r1-r13 carries ``"parsed": null``: the
-    driver keeps only the LAST 2000 chars of bench.py's stdout, so its
-    own json.loads fails on the head-truncated line. The tail's HEAD is
-    what's cut — the ``"queries": {...}`` span and the trailing scalars
-    (canaries, box_degraded, sf, cpus) survive, so the record is fully
-    recoverable: per-query secs from the queries span (or, if the cut
-    landed inside it, the surviving suffix of entries), scalars by
-    per-key regex, and the total as sum(queries) when ``"value"`` was
-    in the destroyed head (VERDICT r13 item 2)."""
+    A driver wrapper carries ``"parsed": null`` whenever the bench JSON
+    line outgrew the driver's 2000-char ``tail`` keep (the real r05/
+    r12/r13 artifacts; earlier, shorter records parsed fine — and the
+    crashed r02's tail is a traceback, rejected upstream). The tail's
+    HEAD is what's cut — the ``"queries": {...}`` span and the trailing
+    scalars (canaries, box_degraded, sf, cpus) survive, so the record
+    is recoverable: per-query secs from the queries span (or, if the
+    cut landed inside it, the surviving suffix of entries), scalars by
+    per-key regex, and the total as sum(queries) only when ``"value"``
+    sat in the destroyed head (pre-r14 key order; VERDICT r13 item
+    2)."""
     rec: dict = {}
     m = re.search(r'"queries":\s*(\{[^{}]*\})', tail)
     if m:
@@ -50,15 +62,21 @@ def recover_from_tail(tail: str) -> dict:
     else:
         # Truncation landed INSIDE the queries dict: the tail opens
         # mid-entry. Parse the surviving complete entries up to the
-        # dict's closing brace (flat string->number pairs only).
+        # dict's closing brace (flat string->number pairs only),
+        # dropping record-level scalar keys — their presence means the
+        # first '}' was NOT the queries dict's close (the whole span
+        # was destroyed) and nothing query-shaped actually survived.
         end = tail.find("}")
         if end != -1:
-            rec["queries"] = {
+            entries = {
                 k: float(v)
                 for k, v in re.findall(
                     r'"([^"]+)":\s*(-?\d+(?:\.\d+)?)', tail[:end]
                 )
             }
+            scavenged = set(entries) & NON_QUERY_KEYS
+            if entries and not scavenged:
+                rec["queries"] = entries
     for key, cast in (
         ("metric", str), ("unit", str),
         ("value", float), ("sf", float), ("cpus", int),
@@ -80,8 +98,9 @@ def load_bench(path: str) -> tuple[dict[str, float], float, str, dict]:
     """Return (per-query secs, total, label, full record) from a bench
     record. Accepts the driver's BENCH_r{N}.json wrapper (``parsed``
     key — recovered from the truncated ``tail`` when parsed is null,
-    as it is in every real driver artifact), a raw bench.py JSON line,
-    or '-' for stdin (last JSON-looking line)."""
+    which happens whenever the bench line outgrows the driver's
+    2000-char keep), a raw bench.py JSON line, or '-' for stdin (last
+    JSON-looking line)."""
     if path == "-":
         lines = [ln for ln in sys.stdin.read().splitlines() if ln.lstrip().startswith("{")]
         if not lines:
@@ -293,13 +312,21 @@ def main(argv: list[str] | None = None) -> int:
     # healthy-canary box to clear the annotation.
     contended = set(base.get("contended_rows", []))
     # A contended-baseline row escalates back to gating when the
-    # CURRENT record's box is healthy AND the ratio is extreme
+    # CURRENT record's box is MEASURED healthy AND the ratio is extreme
     # (>= CONTENDED_ESCALATE_FACTOR x the effective band): a small
     # contended denominator explains ~1.5-2x readings, but a healthy
     # box reading >= 3x is a real regression no denominator noise can
     # produce — without this, contended rows never gate at any ratio
-    # until someone re-records the baseline (ADVICE r13).
-    escalate = scale == 1.0
+    # until someone re-records the baseline (ADVICE r13). "Measured"
+    # is load-bearing: a record with NO canary probes also yields
+    # scale 1.0, but unknown box health must not escalate — that is
+    # exactly the ambiguity the contended annotation exists to absorb.
+    has_canaries = any(
+        bench_rec.get(s) and bench_rec.get(p)
+        for s, p in (("canary_pre_sec", "parallel_canary_pre_sec"),
+                     ("canary_sec", "parallel_canary_sec"))
+    )
+    escalate = scale == 1.0 and has_canaries
     esc_threshold = round(CONTENDED_ESCALATE_FACTOR * eff_threshold, 3)
     flagged = [(r, q) for r, q in movers
                if r >= eff_threshold and q not in contended]

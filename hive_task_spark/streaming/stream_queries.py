@@ -1879,8 +1879,17 @@ def stream_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Folding count_if(user_id = -1) into the sentinel agg instead of
     # running a dedicated filter/limit/count job halves the extra
     # full scans over events per invocation (ADVICE r13).
+    # max(ts) travels driver-side as INTEGER epoch-micros, never as a
+    # Python datetime: PySpark's TimestampType datetime conversion goes
+    # through the PYTHON process's OS timezone (fromtimestamp/mktime),
+    # which the UTC session pin does not control — a DST fall-back fold
+    # hour on the host would shift a datetime round-trip by an hour.
+    # unix_micros/timestamp_micros are epoch-based (no local
+    # interpretation); the NTZ events branch casts through the session
+    # tz, which apply_runtime_conf pinned to UTC above (fixed offset,
+    # no fold), so both encodings round-trip bit-exactly.
     stats = e.agg(
-        F.max("ts").alias("mx"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("mx_us"),
         F.sum((F.col("user_id") == -1).cast("int")).alias("n_collide"),
     ).collect()[0]
     if stats["n_collide"]:
@@ -1890,14 +1899,14 @@ def stream_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     e.coalesce(1).write.mode("overwrite").parquet(src_dir)
     # build the one-row sentinel from the collected max — no second
-    # scan; the literal round-trips exactly because apply_runtime_conf
-    # pinned the session to UTC above, and the dtypes mirror e's so the
-    # merged stream dir keeps a single parquet schema.
+    # scan; dtypes mirror e's so the merged stream dir keeps a single
+    # parquet schema.
     dt = dict(e.dtypes)
     sentinel = spark.range(1).select(
         F.lit(-1).cast(dt["user_id"]).alias("user_id"),
-        (F.lit(stats["mx"]).cast(dt["ts"]) + F.expr("INTERVAL 2 HOURS"))
-        .cast(dt["ts"]).alias("ts"),
+        F.timestamp_micros(
+            F.lit(stats["mx_us"] + 2 * 3600 * 1_000_000)
+        ).cast(dt["ts"]).alias("ts"),
     )
     sent_dir = _scratch_join("events_ttl_sentinel")
     shutil.rmtree(sent_dir, ignore_errors=True)
@@ -1954,11 +1963,18 @@ def stream_foreachbatch_exactly_once(
     delivery (a batch is re-delivered after a mid-commit crash), so
     the sink must make the (batchId, merge) application IDEMPOTENT.
     Here: a batch-id transaction log (one marker per committed batch,
-    written AFTER the state version it commits) turns re-delivery
-    into a no-op, and each merge writes an immutable state version
-    v{n+1} = groupBy-sum(v{n} ∪ batch) so a retry that died between
-    state write and marker just overwrites v{n+1} with identical
-    bytes. Additive counters (count, integer cents) are exactly the
+    written AFTER the state version it commits, carrying THE VERSION
+    it committed) turns re-delivery into a no-op, and each merge
+    derives its base version from the COMMITTED MARKERS ON DISK —
+    never from process memory — then writes the immutable next
+    version v = max(committed)+1 = groupBy-sum(v-1 ∪ batch). Both
+    crash windows are therefore safe: a retry that died between state
+    write and marker recomputes the same base and overwrites the
+    orphaned v with identical bytes (the merge is deterministic in
+    (base state, batch)), and a full process restart rebuilds the
+    base from the markers, so an uncommitted batch can neither
+    double-count into state it already touched nor clobber committed
+    history. Additive counters (count, integer cents) are exactly the
     metrics double-delivery corrupts — the demo proves both drills:
 
     - duplicate delivery: after the stream drains, the last batch is
@@ -2000,10 +2016,22 @@ def stream_foreachbatch_exactly_once(
     )
     e.repartition(3).write.mode("overwrite").parquet(src_dir)
     schema = spark.read.parquet(src_dir).schema
-    versions: list[int] = []
 
     def _marker(batch_id: int) -> str:
         return os.path.join(commit_dir, f"batch_{batch_id}.done")
+
+    def _latest_committed() -> int:
+        """Highest state version with a commit marker — THE source of
+        truth for the merge base. Derived from disk, never memory: an
+        orphaned v{n+1} whose marker never landed is invisible here,
+        so a crashed-then-retried batch recomputes the same base and
+        overwrites the orphan, and a full process restart (which loses
+        any in-memory bookkeeping) resumes from committed history."""
+        vs = [0]
+        for f in os.listdir(commit_dir):
+            with open(os.path.join(commit_dir, f)) as fh:
+                vs.append(int(fh.read().strip()))
+        return max(vs)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(_marker(batch_id)):
@@ -2013,10 +2041,9 @@ def stream_foreachbatch_exactly_once(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("cents").alias("sum_cents"),
         )
-        if versions:
-            prev = sess.read.parquet(
-                os.path.join(state_root, f"v{versions[-1]}")
-            )
+        base = _latest_committed()
+        if base:
+            prev = sess.read.parquet(os.path.join(state_root, f"v{base}"))
             merged = (
                 prev.unionByName(inc)
                 .groupBy("user_id")
@@ -2027,15 +2054,16 @@ def stream_foreachbatch_exactly_once(
             )
         else:
             merged = inc
-        v = len(versions) + 1
+        v = base + 1
         merged.write.mode("overwrite").parquet(
             os.path.join(state_root, f"v{v}")
         )
-        versions.append(v)
-        # commit point LAST: a crash before this line re-delivers the
-        # batch, and the version rewrite above is byte-idempotent
+        # commit point LAST, recording the version this batch owns: a
+        # crash before this line re-delivers the batch, base is
+        # re-derived from markers (unchanged), and the deterministic
+        # merge rewrites v{base+1} with identical content
         with open(_marker(batch_id), "w") as fh:
-            fh.write("committed")
+            fh.write(str(v))
 
     def _start() -> None:
         q = (
@@ -2061,23 +2089,23 @@ def stream_foreachbatch_exactly_once(
         _start()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    n_committed = len(versions)
+    n_committed = _latest_committed()
     if n_committed != 3 or len(os.listdir(commit_dir)) != 3:
         raise ValueError(
             f"exactly-once harness expected 3 committed batches, got "
-            f"{n_committed} versions / {len(os.listdir(commit_dir))} markers"
+            f"v{n_committed} / {len(os.listdir(commit_dir))} markers"
         )
     # drill 1 — duplicate delivery: re-run the LAST batch id with a
     # superset payload; the txn log alone must make it a no-op
     merge_batch(spark.read.parquet(src_dir), n_committed - 1)
     # drill 2 — restart: same checkpoint, zero new batches to process
     _start()
-    if len(versions) != n_committed:
+    if _latest_committed() != n_committed:
         raise ValueError(
             "exactly-once violated: duplicate/restarted batch created "
-            f"state version v{len(versions)}"
+            f"state version v{_latest_committed()}"
         )
-    final_path = os.path.join(state_root, f"v{versions[-1]}")
+    final_path = os.path.join(state_root, f"v{n_committed}")
     # catalog registration is METADATA-ONLY: an external table over the
     # final committed version (no rewrite of the state bytes)
     spark.sql("DROP TABLE IF EXISTS htspark_eo_state")

@@ -230,6 +230,22 @@ class TestContendedRows:
         out = capsys.readouterr().out
         assert rc == 1 and "ESCALATED movers on contended" in out
 
+    def test_extreme_ratio_without_canaries_stays_advisory(
+            self, tmp_path, capsys):
+        # a record with NO canary probes has UNKNOWN box health: that
+        # must not count as "healthy" for escalation (canary_scale
+        # returns 1.0 for missing probes too)
+        import json
+        bench = {"value": 4.2, "queries": {"clean": 1.0, "contended": 3.2}}
+        base = {"queries": {"clean": 1.0, "contended": 1.0},
+                "contended_rows": ["contended"]}
+        bp = tmp_path / "bench.json"; bp.write_text(json.dumps(bench))
+        tp = tmp_path / "base.json"; tp.write_text(json.dumps(base))
+        rc = bench_diff.main([str(bp), "--baseline", str(tp)])
+        out = capsys.readouterr().out
+        assert rc == 0 and "ESCALATED" not in out
+        assert "advisory movers on CONTENDED" in out
+
     def test_extreme_ratio_on_degraded_box_stays_advisory(
             self, tmp_path, capsys):
         # same 3.2x ratio but the box itself is degraded: contention
@@ -317,6 +333,23 @@ class TestTruncatedTailRecovery:
         assert queries == {"qa": 1.0} and total == 1.0
         assert "recovered" not in label
 
+    def test_scalars_only_tail_never_scavenged_as_queries(self, tmp_path):
+        # a tail that starts AFTER the queries dict's closing brace
+        # contains only record-level scalars; the mid-dict fallback
+        # must refuse to fabricate a queries dict out of them
+        p = tmp_path / "BENCH_r93.json"
+        p.write_text(json.dumps({
+            "rc": 0, "parsed": None,
+            "tail": ('ry": 0.5}, "sf": 0.1, "cpus": 32, '
+                     '"canary_pre_sec": 1.0, "parallel_canary_pre_sec": '
+                     '1.3, "canary_sec": 1.1, "parallel_canary_sec": 1.3,'
+                     ' "metric": "headline_queries_total_wall", '
+                     '"value": 38.2, "unit": "sec", "box_degraded": '
+                     'false}')[len('ry": 0.5}, '):]}))
+        # tail deliberately begins at '"sf": ...' — queries span gone
+        with pytest.raises(SystemExit, match="no.*recoverable queries"):
+            bench_diff.load_bench(str(p))
+
     def test_unrecoverable_tail_exits_with_message(self, tmp_path):
         # rc=0 (the run "succeeded") but the tail holds nothing usable
         p = tmp_path / "BENCH_r96.json"
@@ -358,7 +391,18 @@ class TestTruncatedTailRecovery:
                 continue
             queries, total, label, rec = bench_diff.load_bench(p)
             assert queries and total > 0
-            assert total == pytest.approx(sum(queries.values()), rel=0.02)
+            if rec.get("value") is not None:
+                # total taken verbatim from the record; with the r14
+                # key order a truncated tail can keep "value" while
+                # losing the OLDEST queries entries, so sum(partial
+                # queries) may legitimately undershoot the total
+                assert total == float(rec["value"])
+                assert sum(queries.values()) <= total * 1.001
+            else:
+                # "value" destroyed (pre-r14 key order): the sum IS
+                # the total by construction
+                assert total == pytest.approx(
+                    sum(queries.values()), rel=0.02)
 
     def test_failed_run_wrapper_rejected_even_with_plausible_tail(self, tmp_path):
         # rc!=0 must short-circuit BEFORE tail scavenging, even if the

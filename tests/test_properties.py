@@ -2963,6 +2963,14 @@ def test_exactly_once_sink_commit_log_and_versions(spark, sf_dir):
     commit_dir = os.path.join(scratch_root(), "eo_state", "committed")
     markers = sorted(os.listdir(commit_dir))
     assert markers == ["batch_0.done", "batch_1.done", "batch_2.done"]
+    # each marker records the state version its batch committed — the
+    # on-disk source of truth the merge derives its base from (a crash
+    # between state write and marker, or a full process restart, must
+    # resume from markers, never from process memory)
+    contents = [
+        open(os.path.join(commit_dir, m)).read().strip() for m in markers
+    ]
+    assert contents == ["1", "2", "3"]
     state_versions = sorted(
         d for d in os.listdir(os.path.join(scratch_root(), "eo_state"))
         if d.startswith("v")
