@@ -56,9 +56,18 @@ def recover_from_tail(tail: str) -> dict:
     sat in the destroyed head (pre-r14 key order; VERDICT r13 item
     2)."""
     rec: dict = {}
+    # Regions the record-level scalars are searched in. A headline
+    # query literally named "value"/"cpus"/etc. would be misread as a
+    # record scalar if the search saw INSIDE the queries span (ADVICE
+    # r14) — so once the span is located, scalars are searched after
+    # it first (r14+ key order), then before it (pre-r14 key order put
+    # metric/value at the head, which a mild truncation can leave
+    # intact), and never inside it.
+    scalar_regions = [tail]
     m = re.search(r'"queries":\s*(\{[^{}]*\})', tail)
     if m:
         rec["queries"] = json.loads(m.group(1))
+        scalar_regions = [tail[m.end():], tail[:m.start()]]
     else:
         # Truncation landed INSIDE the queries dict: the tail opens
         # mid-entry. Parse the surviving complete entries up to the
@@ -77,6 +86,7 @@ def recover_from_tail(tail: str) -> dict:
             scavenged = set(entries) & NON_QUERY_KEYS
             if entries and not scavenged:
                 rec["queries"] = entries
+                scalar_regions = [tail[end:]]
     for key, cast in (
         ("metric", str), ("unit", str),
         ("value", float), ("sf", float), ("cpus", int),
@@ -85,12 +95,16 @@ def recover_from_tail(tail: str) -> dict:
     ):
         pat = (r'"%s":\s*"([^"]*)"' if cast is str
                else r'"%s":\s*(-?\d+(?:\.\d+)?)') % re.escape(key)
-        km = re.search(pat, tail)
-        if km:
-            rec[key] = cast(km.group(1))
-    bm = re.search(r'"box_degraded":\s*(true|false)', tail)
-    if bm:
-        rec["box_degraded"] = bm.group(1) == "true"
+        for region in scalar_regions:
+            km = re.search(pat, region)
+            if km:
+                rec[key] = cast(km.group(1))
+                break
+    for region in scalar_regions:
+        bm = re.search(r'"box_degraded":\s*(true|false)', region)
+        if bm:
+            rec["box_degraded"] = bm.group(1) == "true"
+            break
     return rec
 
 

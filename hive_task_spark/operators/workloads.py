@@ -1203,6 +1203,14 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cbo_stats_table_name() -> str:
+    """PID-keyed catalog name for sql_analyze_cbo_stats (see the
+    scratch-race rationale inside the op)."""
+    import os as _os
+
+    return f"htspark_cbo_stats_{_os.getpid()}"
+
+
 @register(
     "sql_analyze_cbo_stats",
     defer=True,
@@ -1269,6 +1277,13 @@ def sql_analyze_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats readback itself is metadata-only."""
     from hive_task_spark.sources.readers import _scratch
 
+    # PID-keyed table name, mirroring scratch_path: catalogs here are
+    # per-session in-memory, but if a sweep and pytest ever share a
+    # metastore, a fixed name would let one process ANALYZE/DESCRIBE
+    # the other's data (r6 scratch-race rationale, applied to the
+    # catalog namespace). Plan-audit tests resolve the name via
+    # cbo_stats_table_name below.
+    tbl = cbo_stats_table_name()
     o = load(spark, sf_dir, "orders").select(
         F.expr("nullif(o_custkey % 97, 0)").alias("bucket97"),
         "o_orderpriority",
@@ -1277,7 +1292,7 @@ def sql_analyze_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         o.write.mode("overwrite")
         .option("path", _scratch("cbo_stats_tbl"))
-        .saveAsTable("htspark_cbo_stats")
+        .saveAsTable(tbl)
     )
     # explicit NDV accuracy knob (the r11 policy): default 0.05 reads
     # 99 for the 96-distinct column; 0.01 is sparse-exact here
@@ -1285,7 +1300,7 @@ def sql_analyze_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.statistics.ndv.maxError", "0.01")
     try:
         spark.sql(
-            "ANALYZE TABLE htspark_cbo_stats COMPUTE STATISTICS "
+            f"ANALYZE TABLE {tbl} COMPUTE STATISTICS "
             "FOR COLUMNS bucket97, o_orderpriority, o_orderstatus"
         )
     finally:
@@ -1295,7 +1310,7 @@ def sql_analyze_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         info = {
             r[0]: r[1]
             for r in spark.sql(
-                f"DESCRIBE EXTENDED htspark_cbo_stats {col}"
+                f"DESCRIBE EXTENDED {tbl} {col}"
             ).collect()
         }
         rows.append(

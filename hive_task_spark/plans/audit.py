@@ -108,6 +108,9 @@ AUDITED = [
     "source_file_metadata_columns",
     "stream_foreachbatch_exactly_once",
     "sql_analyze_cbo_stats",
+    "source_commit_log_optimistic_concurrency",
+    "stream_rocksdb_changelog_checkpoint",
+    "stream_statestore_time_travel",
 ]
 
 # Queries whose shared subtrees materialize via localCheckpoint: their

@@ -52,67 +52,68 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 14's row, exactly
-# SAMPLED_ROUNDS.json's next_reconfirm_window_50: the 2 never-sampled
-# r13 additions in slots 1–2 (new-op rule) + the 48 stalest-signal
+# schedule lives in CLAUDE.md; this is round 15's row, exactly
+# SAMPLED_ROUNDS.json's next_reconfirm_window_50: the 3 never-sampled
+# r14 additions in slots 1–3 (new-op rule) + the 47 stalest-signal
 # reconfirm names (max sampled round ascending, registration-order
-# tie-break — all last sampled r1/r2: join/dedup/window/setop/asof
-# families + the r1 relational core + 4 source round-trips).  Round
-# 13's window came back 50/50 green; a green CORRECTNESS_r14 makes
-# every registered query driver-confirmed at least once (569/569).
+# tie-break — all last sampled r3/r4: source round-trips, the
+# streaming family, similarity, arrays, text/quality, approx aggs,
+# SQL-surface ops).  Round 14's window came back 50/50 green; a green
+# CORRECTNESS_r15 makes every registered query driver-confirmed at
+# least once (572/572 cumulative).
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- r14 window: 2 never-sampled r13 additions first (new-op rule) --
-    "stream_state_ttl_eviction",
-    "agg_try_sum_overflow",
-    # -- 48 stalest reconfirm per SAMPLED_ROUNDS.json (max-round asc, reg order) --
-    "join_inner_star",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi_exists",
-    "join_anti_not_exists",
-    "join_cross_small",
-    "join_theta_range",
-    "join_interval_overlap",
-    "join_range_bucketed",
-    "join_right_outer",
-    "join_skew_salted",
-    "dedup_exact_hash",
-    "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_near_pairs",
-    "dedup_cluster_components",
-    "q1_pricing_summary",
-    "projection_computed_columns",
-    "filter_predicates",
-    "filter_like_regex",
-    "null_semantics",
-    "case_when_bucketing",
-    "distinct_dropduplicates",
-    "global_sort_limit",
-    "sort_nulls_ordering",
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_total",
-    "window_range_frame",
-    "window_topk_per_group",
-    "window_cume_dist_share",
-    "window_nth_first_value",
-    "setop_union_distinct",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "setop_intersect_all",
-    "setop_except_all",
-    "asof_join_orders",
-    "asof_join_events_orders",
-    "asof_join_merge_asof",
-    "asof_join_forward_tolerance",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_parquet_partitioned",
-    "source_catalog_table",
+    # -- r15 window: 3 never-sampled r14 additions first (new-op rule) --
+    "source_file_metadata_columns",
+    "stream_foreachbatch_exactly_once",
+    "sql_analyze_cbo_stats",
+    # -- 47 stalest reconfirm per SAMPLED_ROUNDS.json (max-round asc, reg order) --
+    "source_orc_roundtrip",
+    "source_json_permissive_corrupt",
+    "source_bucketed_join",
+    "stream_tumbling_window",
+    "stream_tumbling_append",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_static_join_agg",
+    "stream_stateful_running",
+    "stream_foreachbatch_sink",
+    "stream_stream_join",
+    "stream_quality_filter",
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    "similarity_grouped_stats",
+    "similarity_embedding_neardup",
+    "similarity_label_centroids",
+    "similarity_ann_ivf",
+    "similarity_quantize_int8",
+    "array_basic_suite",
+    "array_higher_order",
+    "array_zip_flatten",
+    "array_mutation_suite",
+    "array_nested_struct_rollup",
+    "text_quality_scores",
+    "text_language_id",
+    "text_token_counts",
+    "quality_winsorize",
+    "quality_column_profiler",
+    "analytics_funnel",
+    "pipeline_sessionize_events",
+    "agg_approx_count_distinct",
+    "agg_approx_quantiles",
+    "agg_collect_array",
+    "agg_higher_moments",
+    "agg_minmax_by",
+    "agg_weighted_median",
+    "sql_hiveql_interface",
+    "sql_native_unpivot",
+    "sql_ctas_insert",
+    "sql_native_pivot",
+    "sql_group_by_all",
+    "join_null_safe_eq",
+    "map_keys_values_entries",
+    "map_higher_order",
+    "json_schema_inference",
 )
 
 

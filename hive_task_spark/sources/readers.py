@@ -970,6 +970,231 @@ def source_commit_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency commit rejected: a concurrent winner's
+    committed actions logically conflict with this transaction's
+    (here: both removed the same file — ConcurrentDeleteDelete in
+    Delta's taxonomy). The loser must abort WITHOUT touching the log;
+    its staged data files become unreferenced orphans (vacuum fodder),
+    never live."""
+
+
+def _occ_commit_path(base: str, version: int) -> str:
+    return os.path.join(base, f"_commit_{version}.json")
+
+
+def _occ_versions(base: str) -> list[int]:
+    """Committed versions, from the log directory listing alone."""
+    out = []
+    for f in os.listdir(base):
+        if f.startswith("_commit_") and f.endswith(".json"):
+            out.append(int(f[len("_commit_"):-len(".json")]))
+    return sorted(out)
+
+
+def _occ_actions(base: str, version: int) -> list[dict]:
+    import json
+
+    with open(_occ_commit_path(base, version)) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def _occ_live_files(base: str, as_of: int | None = None) -> list[str]:
+    """Replay per-version commit files up to `as_of` (latest when
+    None). O(log) driver-side metadata, exactly like `_read_snapshot`
+    — but over a MULTI-WRITER log where each version is its own
+    atomically-published file (the Delta `_delta_log/0000N.json`
+    mechanic), not one writer-owned JSON-lines file."""
+    live: set[str] = set()
+    for v in _occ_versions(base):
+        if as_of is not None and v > as_of:
+            break
+        for a in _occ_actions(base, v):
+            if a["action"] == "add":
+                live.add(a["file"])
+            else:
+                live.discard(a["file"])
+    return sorted(live)
+
+
+def occ_commit(base: str, read_version: int, actions: list[dict]) -> tuple[int, int]:
+    """Optimistic-concurrency commit: attempt version read_version+1,
+    rebasing over concurrent winners when the action sets are
+    logically compatible; raise CommitConflictError when not.
+
+    The atomic primitive is put-if-absent on the commit file,
+    implemented as write-complete-to-tmp + os.link(tmp, final): link
+    fails with FileExistsError iff the version is already claimed, and
+    the published file ALWAYS carries its full content (a crash before
+    the link leaves only a .tmp the reader never looks at — the same
+    no-partial-commit discipline as the exactly-once sink's markers).
+    On real object stores this maps to the conditional-put every
+    lakehouse commit service is built on.
+
+    Conflict matrix (the write-level subset of Delta's
+    WriteSerializable rules — no predicate/read-set tracking here,
+    stated honestly): concurrent APPENDs never conflict; a file this
+    txn removes that a winner ALSO removed is ConcurrentDeleteDelete
+    (abort); a winner's add can never collide with ours (writers stage
+    under unique names). Returns (committed_version, n_rebases)."""
+    import json
+
+    my_removes = {a["file"] for a in actions if a["action"] == "remove"}
+    attempt = read_version + 1
+    n_rebases = 0
+    tmp = os.path.join(
+        base, f"_commit_attempt.{os.getpid()}.{id(actions)}.tmp"
+    )
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    try:
+        while True:
+            final = _occ_commit_path(base, attempt)
+            try:
+                os.link(tmp, final)  # atomic put-if-absent
+                return attempt, n_rebases
+            except FileExistsError:
+                their = _occ_actions(base, attempt)
+                their_removes = {
+                    a["file"] for a in their if a["action"] == "remove"
+                }
+                clash = my_removes & their_removes
+                if clash:
+                    raise CommitConflictError(
+                        f"version {attempt} already removed "
+                        f"{sorted(clash)} (ConcurrentDeleteDelete)"
+                    ) from None
+                attempt += 1  # compatible winner: rebase and retry
+                n_rebases += 1
+    finally:
+        os.unlink(tmp)
+
+
+@register(
+    "source_commit_log_optimistic_concurrency",
+    oracle="""
+    SELECT CAST(v AS BIGINT) AS version,
+           CAST(f AS BIGINT) AS n_files,
+           CAST(n AS BIGINT) AS n_rows
+    FROM (VALUES
+        (1, 1, (SELECT count(*) FROM nation WHERE n_nationkey < 10)),
+        (2, 2, (SELECT count(*) FROM nation WHERE n_nationkey < 20)),
+        (3, 3, (SELECT count(*) FROM nation)),
+        (4, 3, (SELECT count(*) FROM nation)))
+        AS t(v, f, n)
+    """,
+    defer=True,
+)
+def source_commit_log_optimistic_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Concurrent-writer conflict detection over the commit-log
+    lakehouse emulation — the optimistic-concurrency contract Delta/
+    Iceberg add on top of immutable files + a version log, which the
+    single-writer `source_commit_log_snapshot` family deliberately
+    lacked (VERDICT r14 item 3).
+
+    Two races run in-query against the same table:
+
+    1. APPEND vs APPEND: writers X and Y both read v1 and both target
+       v2. X publishes v2; Y's put-if-absent on v2 fails, the rebase
+       check finds X's commit append-only and disjoint, and Y retries
+       at v3 — one loser, zero lost writes, exactly one rebase
+       (asserted).
+    2. COMPACT vs COMPACT: W1 and W2 both read v3 and both stage a
+       rewrite of file_A (remove A + add their own compacted copy).
+       W1 publishes v4; W2's rebase check sees its own remove of
+       file_A already removed by v4 — ConcurrentDeleteDelete — and
+       ABORTS (asserted), leaving the log at exactly 4 versions and
+       W2's staged file orphaned, never live.
+
+    The value edge is the per-version snapshot history (n_files +
+    n_rows for v1..v4) — v3 exists only because Y rebased, and v4's
+    unchanged row count proves the winning compaction rewrote, not
+    dropped, data. The oracle states each version's expected state
+    from the nation table directly.
+
+    100 TB posture: commit cost is O(actions) driver-side metadata +
+    one conditional-put, independent of table size; the conflict check
+    reads only the winner's commit file(s), never data. That is the
+    property that lets hundreds of concurrent ETL writers share one
+    petabyte table — data-file I/O stays embarrassingly parallel and
+    only the tiny version-claim serializes."""
+    import shutil
+
+    base = _scratch("commit_log_occ")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    staged = {
+        "file_A": n.filter(F.col("n_nationkey") < 10),
+        "file_D": n.filter(
+            (F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)
+        ),
+        "file_E": n.filter(F.col("n_nationkey") >= 20),
+        # both compactions rewrite file_A's rows under their own name
+        "file_A_c1": n.filter(F.col("n_nationkey") < 10),
+        "file_A_c2": n.filter(F.col("n_nationkey") < 10),
+    }
+    for name, df in staged.items():
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, name)
+        )
+    v, r = occ_commit(base, 0, [{"action": "add", "file": "file_A"}])
+    if (v, r) != (1, 0):
+        raise ValueError(f"base commit landed at v{v} with {r} rebases")
+    # race 1 — append vs append from the same read version
+    vx, rx = occ_commit(base, 1, [{"action": "add", "file": "file_D"}])
+    vy, ry = occ_commit(base, 1, [{"action": "add", "file": "file_E"}])
+    if (vx, rx) != (2, 0) or (vy, ry) != (3, 1):
+        raise ValueError(
+            f"append race broke OCC: X=(v{vx},{rx}) Y=(v{vy},{ry}) — "
+            "Y must lose v2 and rebase exactly once to v3"
+        )
+    # race 2 — conflicting compactions from the same read version
+    w1 = [
+        {"action": "remove", "file": "file_A"},
+        {"action": "add", "file": "file_A_c1"},
+    ]
+    w2 = [
+        {"action": "remove", "file": "file_A"},
+        {"action": "add", "file": "file_A_c2"},
+    ]
+    v1_, r1_ = occ_commit(base, 3, w1)
+    if (v1_, r1_) != (4, 0):
+        raise ValueError(f"compaction W1 landed at v{v1_} ({r1_} rebases)")
+    try:
+        occ_commit(base, 3, w2)
+    except CommitConflictError:
+        pass  # the required outcome: W2 detects and aborts
+    else:
+        raise ValueError(
+            "conflicting compaction W2 committed — "
+            "ConcurrentDeleteDelete undetected"
+        )
+    if _occ_versions(base) != [1, 2, 3, 4]:
+        raise ValueError(
+            f"log corrupted by aborted writer: {_occ_versions(base)}"
+        )
+    if "file_A_c2" in _occ_live_files(base):
+        raise ValueError("loser's staged file became live")
+    out = None
+    for ver in (1, 2, 3, 4):
+        files = _occ_live_files(base, as_of=ver)
+        row = (
+            spark.read.parquet(*[os.path.join(base, f) for f in files])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .select(
+                F.lit(ver).cast("long").alias("version"),
+                F.lit(len(files)).cast("long").alias("n_files"),
+                "n_rows",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @register(
     "source_csv_dropmalformed",
     oracle="""

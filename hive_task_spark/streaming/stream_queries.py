@@ -1942,6 +1942,12 @@ def stream_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(spark, out, "stream_state_ttl_eviction", "update")
 
 
+def eo_state_table_name() -> str:
+    """PID-keyed catalog name for stream_foreachbatch_exactly_once
+    (see the catalog-namespace rationale inside the op)."""
+    return f"htspark_eo_state_{os.getpid()}"
+
+
 @register(
     "stream_foreachbatch_exactly_once",
     defer=True,
@@ -2020,6 +2026,21 @@ def stream_foreachbatch_exactly_once(
     def _marker(batch_id: int) -> str:
         return os.path.join(commit_dir, f"batch_{batch_id}.done")
 
+    def _read_marker(path: str) -> int | None:
+        """The ONE definition of 'committed marker': a .done file whose
+        content parses as a version number. Pairs with the atomic
+        tmp+rename write below; a marker that somehow landed empty or
+        garbled (pre-atomic history, a non-POSIX copy of the log) is
+        treated as ABSENT by every reader — recovery and re-delivery
+        both — so the batch re-delivers and rewrites it rather than
+        wedging. Both call sites share this predicate so the recovery
+        base and the re-delivery skip can never drift apart."""
+        if not (path.endswith(".done") and os.path.exists(path)):
+            return None
+        with open(path) as fh:
+            txt = fh.read().strip()
+        return int(txt) if txt.isdigit() else None
+
     def _latest_committed() -> int:
         """Highest state version with a commit marker — THE source of
         truth for the merge base. Derived from disk, never memory: an
@@ -2029,12 +2050,13 @@ def stream_foreachbatch_exactly_once(
         any in-memory bookkeeping) resumes from committed history."""
         vs = [0]
         for f in os.listdir(commit_dir):
-            with open(os.path.join(commit_dir, f)) as fh:
-                vs.append(int(fh.read().strip()))
+            v = _read_marker(os.path.join(commit_dir, f))
+            if v is not None:
+                vs.append(v)
         return max(vs)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(_marker(batch_id)):
+        if _read_marker(_marker(batch_id)) is not None:
             return  # already committed: re-delivery is a no-op
         sess = batch_df.sparkSession
         inc = batch_df.groupBy("user_id").agg(
@@ -2061,9 +2083,14 @@ def stream_foreachbatch_exactly_once(
         # commit point LAST, recording the version this batch owns: a
         # crash before this line re-delivers the batch, base is
         # re-derived from markers (unchanged), and the deterministic
-        # merge rewrites v{base+1} with identical content
-        with open(_marker(batch_id), "w") as fh:
+        # merge rewrites v{base+1} with identical content. The marker
+        # itself is made atomic by tmp-write + os.rename (same dir =>
+        # same filesystem): a crash mid-write leaves only a .tmp file,
+        # which no reader treats as a commit.
+        tmp = _marker(batch_id) + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write(str(v))
+        os.rename(tmp, _marker(batch_id))
 
     def _start() -> None:
         q = (
@@ -2090,10 +2117,13 @@ def stream_foreachbatch_exactly_once(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     n_committed = _latest_committed()
-    if n_committed != 3 or len(os.listdir(commit_dir)) != 3:
+    n_markers = len(
+        [f for f in os.listdir(commit_dir) if f.endswith(".done")]
+    )
+    if n_committed != 3 or n_markers != 3:
         raise ValueError(
             f"exactly-once harness expected 3 committed batches, got "
-            f"v{n_committed} / {len(os.listdir(commit_dir))} markers"
+            f"v{n_committed} / {n_markers} markers"
         )
     # drill 1 — duplicate delivery: re-run the LAST batch id with a
     # superset payload; the txn log alone must make it a no-op
@@ -2107,13 +2137,264 @@ def stream_foreachbatch_exactly_once(
         )
     final_path = os.path.join(state_root, f"v{n_committed}")
     # catalog registration is METADATA-ONLY: an external table over the
-    # final committed version (no rewrite of the state bytes)
-    spark.sql("DROP TABLE IF EXISTS htspark_eo_state")
+    # final committed version (no rewrite of the state bytes). The name
+    # is PID-keyed like every file path here: catalogs are per-session
+    # in-memory, but a shared metastore between a sweep and pytest must
+    # not let one process's DROP/createTable race the other's (r6
+    # scratch-race rationale applied to the catalog namespace).
+    eo_tbl = eo_state_table_name()
+    spark.sql(f"DROP TABLE IF EXISTS {eo_tbl}")
     spark.catalog.createTable(
-        "htspark_eo_state", path=final_path, source="parquet"
+        eo_tbl, path=final_path, source="parquet"
     )
-    return spark.table("htspark_eo_state").select(
+    return spark.table(eo_tbl).select(
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
+def _cohort_stream_src(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Stage the events table as three key-disjoint cohort files
+    (user_id % 3 == k) with staggered mtimes, so a file stream with
+    maxFilesPerTrigger=1 processes them as three DETERMINISTIC
+    micro-batches (FileStreamSource orders by modification time; the
+    100 s stagger is far above any filesystem timestamp granularity,
+    and the cohort_k path names agree with the mtime order as a
+    tiebreak). Key-disjoint cohorts mean batch b's state delta is
+    exactly cohort b — what makes per-batch state time-travel
+    oracle-expressible."""
+    src = _scratch_join(f"state_cohorts_{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    ev = normalize_events_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("user_id", "event_type", "value")
+    import time as _time
+
+    now = _time.time()
+    n_staged = 0
+    for k in range(3):
+        d = os.path.join(src, f"cohort_{k}")
+        ev.filter(F.col("user_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        if len(part) != 1:
+            raise ValueError(f"cohort {k} wrote {len(part)} files")
+        t = now - 300 + 100 * k
+        os.utime(os.path.join(d, part[0]), (t, t))
+        n_staged += spark.read.parquet(d).count()
+    # The cohorts must PARTITION the table, or the oracles (which
+    # aggregate the full events table) silently diverge: a NULL
+    # user_id matches no `% 3 == k` filter, and a negative id's Spark
+    # remainder (-2 % 3 == -2) matches no cohort while the oracle's
+    # `user_id % 3 <= b` still counts it. The testdata has neither
+    # today — but its shape has changed between rounds before (the ts
+    # encoding), so guard loudly instead of assuming.
+    n_events = ev.count()
+    if n_staged != n_events:
+        raise ValueError(
+            f"cohort split is not a partition of events ({n_staged} "
+            f"staged vs {n_events} rows — NULL or negative user_ids?)"
+        )
+    return src
+
+
+def _run_cohort_batches(
+    spark: SparkSession, src: str, cp: str, name: str
+) -> None:
+    """3-batch stateful run over the cohort files: per-user count/sum
+    into a memory sink (update mode), one file per trigger."""
+    schema = spark.read.parquet(src + "/cohort_0").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/cohort_*")
+    )
+    agg = sdf.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@register(
+    "stream_rocksdb_changelog_checkpoint",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value_r
+    FROM events
+    GROUP BY user_id
+    """,
+    defer=True,
+)
+def stream_rocksdb_changelog_checkpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RocksDB CHANGELOG checkpointing — the incremental-checkpoint
+    half of the 100 TB state story `stream_rocksdb_statestore`
+    started. Without it, every micro-batch uploads a full RocksDB
+    snapshot (.zip) per state partition: checkpoint I/O scales with
+    TOTAL state size each batch, which at billions of live keys
+    dominates the trigger interval. With
+    `...rocksdb.changelogCheckpointing.enabled`, each batch ships only
+    that batch's key changes (a .changelog file; snapshots are
+    uploaded asynchronously every minDeltasForSnapshot batches), so
+    per-batch checkpoint cost scales with the CHANGE rate, not the
+    state size — the difference between a stream that keeps up and
+    one that falls behind as state grows.
+
+    In-query drills: (a) the checkpoint must actually contain
+    .changelog files — one per (batch, state partition) — and ZERO
+    per-batch full snapshots (with 3 batches, below the async
+    snapshot threshold, any .zip means changelog mode didn't engage);
+    (b) the value edge is the state-store READER over the finished
+    checkpoint, so the per-user state the changelog replay
+    reconstructs must equal the batch aggregate EXACTLY (checkpoint
+    round-trip fidelity under the incremental format, not just
+    stream completion). Conf is scoped and restored; the reader needs
+    no provider conf (it resolves the format from checkpoint
+    metadata — verified: reads green on a vanilla session)."""
+    name = "stream_rocksdb_changelog_checkpoint_run"
+    src = _cohort_stream_src(spark, sf_dir, "clog")
+    cp = _scratch_join(f"cp_{name}")
+    shutil.rmtree(cp, ignore_errors=True)
+    pkey = "spark.sql.streaming.stateStore.providerClass"
+    ckey = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev_p = spark.conf.get(pkey)
+    prev_c = spark.conf.get(ckey, "false")
+    spark.conf.set(pkey, rocks)
+    spark.conf.set(ckey, "true")
+    try:
+        _run_cohort_batches(spark, src, cp, name)
+    finally:
+        spark.conf.set(pkey, prev_p)
+        spark.conf.set(ckey, prev_c)
+    exts: dict[str, int] = {}
+    for _root, _dirs, fs in os.walk(os.path.join(cp, "state", "0")):
+        for f in fs:
+            ext = f.rsplit(".", 1)[-1]
+            exts[ext] = exts.get(ext, 0) + 1
+    if not exts.get("changelog"):
+        raise ValueError(f"no .changelog artifacts written: {exts}")
+    if exts.get("zip"):
+        raise ValueError(
+            f"per-batch full snapshots present ({exts.get('zip')} .zip) "
+            "— changelog checkpointing did not engage"
+        )
+    state = spark.read.format("statestore").load(cp)
+    kf = state.schema["key"].dataType.names[0]
+    vf = state.schema["value"].dataType.names
+    return state.select(
+        F.col(f"key.{kf}").alias("user_id"),
+        F.col(f"value.{vf[0]}").cast("long").alias("n_events"),
+        F.round(F.col(f"value.{vf[1]}"), 2).alias("total_value_r"),
+    )
+
+
+@register(
+    "stream_statestore_time_travel",
+    oracle="""
+    SELECT CAST(b AS BIGINT) AS batch_id,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(count(*) AS BIGINT)                AS n_events
+    FROM events, (VALUES (0), (1), (2)) AS g(b)
+    WHERE user_id % 3 <= b
+    GROUP BY b
+    """,
+    defer=True,
+)
+def stream_statestore_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """State-store reader POINT-IN-TIME options (`batchId` — state as
+    of any committed micro-batch) plus the state CHANGE FEED
+    (`readChangeFeed`/`changeStartBatchId`) as an in-query drill:
+    state debugging as a batch table across TIME, not just the latest
+    snapshot that `stream_statestore_inspect` reads. This is how a
+    100 TB pipeline answers 'when did this key's state go wrong'
+    offline — bisect over batchId with plain DataFrame queries
+    against the same checkpoint the production stream still owns,
+    zero interference.
+
+    The 3 micro-batches are key-disjoint user cohorts published in a
+    deterministic order (mtime-staggered files), so state AS OF batch
+    b is exactly the aggregate over cohorts 0..b — the oracle states
+    each batch's expected key count and event count from the events
+    table directly. The change-feed drill cross-checks the two
+    surfaces against each other: the number of keys UPDATED in batch
+    b (change feed) must equal the as-of key-count delta (time
+    travel), and every change row below the latest batch must be
+    change_type='update' (cohorts never delete)."""
+    name = "stream_statestore_time_travel_run"
+    src = _cohort_stream_src(spark, sf_dir, "tt")
+    cp = _scratch_join(f"cp_{name}")
+    shutil.rmtree(cp, ignore_errors=True)
+    _run_cohort_batches(spark, src, cp, name)
+    per_batch = []
+    for b in range(3):
+        st = (
+            spark.read.format("statestore")
+            .option("batchId", b)
+            .load(cp)
+        )
+        vf = st.schema["value"].dataType.names
+        row = st.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col(f"value.{vf[0]}")).alias("n_events"),
+        ).collect()[0]
+        per_batch.append((b, int(row.n_keys), int(row.n_events)))
+    # drill: change feed vs time travel must agree batch-by-batch
+    cf = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(cp)
+    )
+    cf_counts = {
+        int(r.batch_id): int(r.n)
+        for r in cf.filter(F.col("change_type") == "update")
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_changes = cf.count()
+    if n_changes != sum(cf_counts.values()):
+        raise ValueError(
+            f"non-update change rows in an append-only cohort stream: "
+            f"{n_changes} total vs {sum(cf_counts.values())} updates"
+        )
+    prev_keys = 0
+    for b, n_keys, _n_ev in per_batch:
+        delta = n_keys - prev_keys
+        if cf_counts.get(b, 0) != delta:
+            raise ValueError(
+                f"change feed disagrees with as-of read at batch {b}: "
+                f"{cf_counts.get(b, 0)} updated keys vs delta {delta}"
+            )
+        prev_keys = n_keys
+    return spark.createDataFrame(
+        per_batch, "batch_id long, n_keys long, n_events long"
     )

@@ -350,6 +350,37 @@ class TestTruncatedTailRecovery:
         with pytest.raises(SystemExit, match="no.*recoverable queries"):
             bench_diff.load_bench(str(p))
 
+    def test_scalar_regexes_anchored_after_queries_span(self, tmp_path):
+        # ADVICE r14: with queries FIRST in the key order, a headline
+        # query literally named "value"/"cpus" must not be misread as
+        # the record scalar — scalar searches anchor AFTER the span.
+        rec = {
+            "queries": {"value": 9.9, "cpus": 8.8, "q_real": 0.5},
+            "sf": 0.1, "cpus": 32,
+            "metric": "headline_queries_total_wall",
+            "value": 19.2, "unit": "sec",
+        }
+        path = _driver_wrapper(tmp_path, "BENCH_r92.json", rec)
+        queries, total, _, out_rec = bench_diff.load_bench(path)
+        assert queries == rec["queries"]
+        assert total == 19.2 and out_rec["cpus"] == 32  # record scalars
+
+    def test_pre_r14_head_scalars_still_recovered(self, tmp_path):
+        # pre-r14 key order put metric/value BEFORE queries; a mild
+        # truncation leaves them intact in the head region — the
+        # anchoring must fall back there, never inside the span
+        rec = {
+            "metric": "headline_queries_total_wall",
+            "value": 42.5, "unit": "sec",
+            "queries": {"value": 9.9, "qa": 1.0},
+            "sf": 0.1,
+        }
+        path = _driver_wrapper(tmp_path, "BENCH_r91.json", rec)
+        queries, total, _, out_rec = bench_diff.load_bench(path)
+        assert queries == rec["queries"]
+        assert total == 42.5  # the recorded head value, not 9.9/sum
+        assert out_rec["metric"] == "headline_queries_total_wall"
+
     def test_unrecoverable_tail_exits_with_message(self, tmp_path):
         # rc=0 (the run "succeeded") but the tail holds nothing usable
         p = tmp_path / "BENCH_r96.json"

@@ -617,9 +617,12 @@ def test_analyzed_catalog_stats_drive_planning(spark, sf_dir):
 
     from hive_task_spark.sources.readers import _scratch
 
-    # the op creates + analyzes htspark_cbo_stats (column + table stats)
+    # the op creates + analyzes the PID-keyed CBO stats table
+    from hive_task_spark.operators.workloads import cbo_stats_table_name
+
+    cbo_tbl = cbo_stats_table_name()
     registry.QUERIES["sql_analyze_cbo_stats"](spark, sf_dir).collect()
-    n = spark.table("htspark_cbo_stats").count()
+    n = spark.table(cbo_tbl).count()
 
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
         F.col("n_nationkey").alias("bucket_key"), "n_name"
@@ -637,12 +640,12 @@ def test_analyzed_catalog_stats_drive_planning(spark, sf_dir):
         spark.conf.set("spark.sql.cbo.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         stats = (
-            spark.table("htspark_cbo_stats")
+            spark.table(cbo_tbl)
             ._jdf.queryExecution().optimizedPlan().stats()
         )
         assert stats.rowCount().toString() == f"Some({n})"
         j = (
-            spark.table("htspark_cbo_stats")
+            spark.table(cbo_tbl)
             .join(
                 spark.table("htspark_cbo_dim"),
                 F.col("bucket97") == F.col("bucket_key"),

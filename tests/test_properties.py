@@ -2946,6 +2946,69 @@ def test_variant_explode_array_pos_semantics(spark):
     ]
 
 
+def test_occ_loser_aborts_without_corrupting_log(tmp_path):
+    """Optimistic-concurrency drill (sparkless — the commit protocol is
+    pure log metadata): a losing conflicting writer must abort leaving
+    the log BYTE-IDENTICAL, a losing compatible writer must rebase to
+    the next version, and a crash mid-commit (orphaned .tmp, no
+    published file) must be invisible to readers and to later
+    version claims."""
+    import hashlib
+    import os
+
+    import pytest
+
+    from hive_task_spark.sources.readers import (
+        CommitConflictError,
+        _occ_live_files,
+        _occ_versions,
+        occ_commit,
+    )
+
+    base = str(tmp_path)
+
+    def log_digest() -> str:
+        h = hashlib.sha256()
+        for v in _occ_versions(base):
+            with open(os.path.join(base, f"_commit_{v}.json"), "rb") as fh:
+                h.update(f"{v}:".encode() + fh.read())
+        return h.hexdigest()
+
+    assert occ_commit(base, 0, [{"action": "add", "file": "a"}]) == (1, 0)
+    # append race: both read v1, second rebases to v3
+    assert occ_commit(base, 1, [{"action": "add", "file": "b"}]) == (2, 0)
+    assert occ_commit(base, 1, [{"action": "add", "file": "c"}]) == (3, 1)
+    # crash mid-commit: a fully-written but never-linked tmp file
+    orphan = os.path.join(base, "_commit_attempt.99999.1.tmp")
+    with open(orphan, "w") as fh:
+        fh.write('{"action": "add", "file": "ghost"}\n')
+    assert _occ_versions(base) == [1, 2, 3]  # reader ignores the tmp
+    assert "ghost" not in _occ_live_files(base)
+    # conflicting delete-delete: loser aborts, log byte-identical
+    before = log_digest()
+    assert occ_commit(
+        base, 3,
+        [{"action": "remove", "file": "a"},
+         {"action": "add", "file": "a_c1"}],
+    ) == (4, 0)
+    mid = log_digest()
+    with pytest.raises(CommitConflictError, match="ConcurrentDeleteDelete"):
+        occ_commit(
+            base, 3,
+            [{"action": "remove", "file": "a"},
+             {"action": "add", "file": "a_c2"}],
+        )
+    assert log_digest() == mid != before
+    assert _occ_versions(base) == [1, 2, 3, 4]
+    assert _occ_live_files(base) == ["a_c1", "b", "c"]
+    # the aborted writer's tmp was cleaned up; only the crash orphan
+    # remains, still claiming nothing
+    tmps = [f for f in os.listdir(base) if f.endswith(".tmp")]
+    assert tmps == [os.path.basename(orphan)]
+    # a later writer claims v5 unimpeded by the orphan
+    assert occ_commit(base, 4, [{"action": "add", "file": "d"}]) == (5, 0)
+
+
 def test_exactly_once_sink_commit_log_and_versions(spark, sf_dir):
     """stream_foreachbatch_exactly_once leaves exactly one commit marker
     and one immutable state version per micro-batch (3), the final
@@ -2983,7 +3046,11 @@ def test_exactly_once_sink_commit_log_and_versions(spark, sf_dir):
     assert int(v3["n_events"].sum()) == int(out["n_events"].sum())
     assert int(v3["sum_cents"].sum()) == int(out["sum_cents"].sum())
     # catalog table registered and readable
-    assert spark.catalog.tableExists("htspark_eo_state")
+    from hive_task_spark.streaming.stream_queries import (
+        eo_state_table_name,
+    )
+
+    assert spark.catalog.tableExists(eo_state_table_name())
 
 
 def test_file_metadata_engine_specific_columns_sane(spark, sf_dir):
