@@ -3009,6 +3009,115 @@ def test_occ_loser_aborts_without_corrupting_log(tmp_path):
     assert occ_commit(base, 4, [{"action": "add", "file": "d"}]) == (5, 0)
 
 
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    txns=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # read lag
+            st.lists(  # (action, file) pairs over a small alphabet
+                st.tuples(
+                    st.sampled_from(["add", "remove"]),
+                    st.sampled_from(["f0", "f1", "f2", "f3", "f4"]),
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_occ_commit_matches_sequential_model(tmp_path_factory, txns):
+    """Model-based OCC drill: for ANY sequence of transactions with
+    arbitrary stale read versions, occ_commit must agree with a
+    sequential reference model — commit lands at latest+1 with
+    n_rebases = latest - read_version IFF no version in
+    (read_version, latest] removed a file this txn also removes
+    (checked in version order; the first clash aborts), else
+    CommitConflictError with the log unchanged. After the sequence,
+    the live-file set must equal the model's replay of exactly the
+    committed action lists (versions stay gapless 1..N)."""
+    import os
+
+    import pytest
+
+    from hive_task_spark.sources.readers import (
+        CommitConflictError,
+        _occ_live_files,
+        _occ_versions,
+        occ_commit,
+    )
+
+    base = str(tmp_path_factory.mktemp("occ_model"))
+    committed: list[list[dict]] = []  # index v-1 = version v's actions
+
+    for read_lag, pairs in txns:
+        actions = [{"action": a, "file": f} for a, f in pairs]
+        my_removes = {f for a, f in pairs if a == "remove"}
+        read_version = max(0, len(committed) - read_lag)
+        # reference prediction: walk intermediate winners in order
+        expected_conflict = False
+        for v in range(read_version + 1, len(committed) + 1):
+            their_removes = {
+                x["file"]
+                for x in committed[v - 1]
+                if x["action"] == "remove"
+            }
+            if my_removes & their_removes:
+                expected_conflict = True
+                break
+        if expected_conflict:
+            with pytest.raises(CommitConflictError):
+                occ_commit(base, read_version, actions)
+        else:
+            got = occ_commit(base, read_version, actions)
+            assert got == (
+                len(committed) + 1,
+                len(committed) - read_version,
+            )
+            committed.append(actions)
+        # invariants after EVERY txn: gapless version history, live
+        # set = model replay, no leaked tmp files
+        assert _occ_versions(base) == list(range(1, len(committed) + 1))
+        live: set[str] = set()
+        for acts in committed:
+            for x in acts:
+                if x["action"] == "add":
+                    live.add(x["file"])
+                else:
+                    live.discard(x["file"])
+        assert _occ_live_files(base) == sorted(live)
+        assert not [f for f in os.listdir(base) if f.endswith(".tmp")]
+
+
+def test_cohort_staging_rejects_non_partitioning_user_ids(spark, tmp_path):
+    """The cohort-split guard must fail LOUDLY if events ever carries a
+    NULL or negative user_id (either silently drops rows from every
+    `% 3 == k` cohort while the DuckDB oracles still count them — the
+    exact divergence class the guard exists for)."""
+    import pytest
+
+    from hive_task_spark.streaming.stream_queries import _cohort_stream_src
+
+    fake_sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "2024-03-01 00:00:00", "view", 1.0),
+            (None, "2024-03-01 00:00:01", "view", 2.0),  # NULL id
+            (-4, "2024-03-01 00:00:02", "click", 3.0),  # negative id
+        ],
+        "user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(f"{fake_sf}/events.parquet")
+    with pytest.raises(ValueError, match="not a partition of events"):
+        _cohort_stream_src(spark, fake_sf, "guard_drill")
+
+
 def test_exactly_once_sink_commit_log_and_versions(spark, sf_dir):
     """stream_foreachbatch_exactly_once leaves exactly one commit marker
     and one immutable state version per micro-batch (3), the final

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Driver-faithful correctness sweep — the round gate as one command.
+
+Runs the registered queries against their DuckDB oracles at sf0.01
+with the driver-exact comparator (tests/compare.py), on one of three
+session profiles:
+
+    vanilla      local[8], no conf — exactly the round driver's session
+    hostiletz    vanilla + a non-UTC session timezone (Pacific/Chatham)
+    hostileconf  local[5], Asia/Kathmandu, 7 shuffle partitions, AQE off
+                 — flushes conf/order-dependent results (verify skill's
+                 "deeper probe")
+
+Scope `window` sweeps only the first 50 names (the driver's audit
+window); `full` sweeps every registered name. Usage:
+
+    python tools/sweep.py [window|full] [vanilla|hostiletz|hostileconf]
+
+Exit code 0 iff zero fails. The per-round recipe (CLAUDE.md
+steady-state step 3) is: `window hostiletz` once, plus one `full
+vanilla` and one `full hostileconf`, at least one of them concurrent
+with the full pytest suite. Concurrency is safe: all scratch paths are
+PID-keyed (hive_task_spark/scratch.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from tests.compare import assert_frames_match
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "full"
+    conf = sys.argv[2] if len(sys.argv) > 2 else "vanilla"
+    sf = os.environ.get("SPARK_GRAFT_SWEEP_SF", "/root/testdata/sf0.01")
+
+    b = SparkSession.builder
+    if conf == "vanilla":
+        b = b.master("local[8]")
+    elif conf == "hostiletz":
+        b = b.master("local[8]").config(
+            "spark.sql.session.timeZone", "Pacific/Chatham"
+        )
+    elif conf == "hostileconf":
+        b = (
+            b.master("local[5]")
+            .config("spark.sql.session.timeZone", "Asia/Kathmandu")
+            .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.sql.adaptive.enabled", "false")
+        )
+    else:
+        raise SystemExit(f"unknown conf profile: {conf}")
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    names = list(qs)[:50] if mode == "window" else sorted(qs)
+    fails: list[tuple[str, str]] = []
+    for i, name in enumerate(names):
+        try:
+            spdf = qs[name](spark, sf).toPandas()
+            if name in osql:
+                assert_frames_match(
+                    spdf, con.execute(osql[name]).fetchdf(), name
+                )
+            else:
+                assert len(spdf) >= 0  # rows-only (no oracle by design)
+        except Exception as e:  # noqa: BLE001
+            fails.append((name, str(e)[:300]))
+            print(f"FAIL {name}: {str(e)[:300]}", flush=True)
+        if (i + 1) % 50 == 0:
+            print(f"... {i + 1}/{len(names)}", flush=True)
+    print(
+        f"[{mode}/{conf}] fails: {fails or 'none'} / {len(names)} queries",
+        flush=True,
+    )
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
