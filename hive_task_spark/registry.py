@@ -52,68 +52,68 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 15's row, exactly
+# schedule lives in CLAUDE.md; this is round 16's row, exactly
 # SAMPLED_ROUNDS.json's next_reconfirm_window_50: the 3 never-sampled
-# r14 additions in slots 1–3 (new-op rule) + the 47 stalest-signal
+# r15 additions in slots 1–3 (new-op rule) + the 47 stalest-signal
 # reconfirm names (max sampled round ascending, registration-order
-# tie-break — all last sampled r3/r4: source round-trips, the
-# streaming family, similarity, arrays, text/quality, approx aggs,
-# SQL-surface ops).  Round 14's window came back 50/50 green; a green
-# CORRECTNESS_r15 makes every registered query driver-confirmed at
-# least once (572/572 cumulative).
+# tie-break — all last sampled r4/r5: json/math/str/date suites, UDF
+# family, window frames, text analysis depth, quality audits).
+# Round 15's window came back 50/50 green; a green CORRECTNESS_r16
+# makes every registered query driver-confirmed at least once
+# (575/575 cumulative).
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- r15 window: 3 never-sampled r14 additions first (new-op rule) --
-    "source_file_metadata_columns",
-    "stream_foreachbatch_exactly_once",
-    "sql_analyze_cbo_stats",
+    # -- r16 window: 3 never-sampled r15 additions first (new-op rule) --
+    "source_commit_log_optimistic_concurrency",
+    "stream_rocksdb_changelog_checkpoint",
+    "stream_statestore_time_travel",
     # -- 47 stalest reconfirm per SAMPLED_ROUNDS.json (max-round asc, reg order) --
-    "source_orc_roundtrip",
-    "source_json_permissive_corrupt",
-    "source_bucketed_join",
-    "stream_tumbling_window",
-    "stream_tumbling_append",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_static_join_agg",
-    "stream_stateful_running",
-    "stream_foreachbatch_sink",
-    "stream_stream_join",
-    "stream_quality_filter",
-    "similarity_topk_bruteforce",
-    "similarity_ann_lsh",
-    "similarity_grouped_stats",
-    "similarity_embedding_neardup",
-    "similarity_label_centroids",
-    "similarity_ann_ivf",
-    "similarity_quantize_int8",
-    "array_basic_suite",
-    "array_higher_order",
-    "array_zip_flatten",
-    "array_mutation_suite",
-    "array_nested_struct_rollup",
-    "text_quality_scores",
-    "text_language_id",
-    "text_token_counts",
-    "quality_winsorize",
-    "quality_column_profiler",
-    "analytics_funnel",
-    "pipeline_sessionize_events",
-    "agg_approx_count_distinct",
-    "agg_approx_quantiles",
-    "agg_collect_array",
-    "agg_higher_moments",
-    "agg_minmax_by",
-    "agg_weighted_median",
-    "sql_hiveql_interface",
-    "sql_native_unpivot",
-    "sql_ctas_insert",
-    "sql_native_pivot",
-    "sql_group_by_all",
-    "join_null_safe_eq",
-    "map_keys_values_entries",
-    "map_higher_order",
-    "json_schema_inference",
+    "json_variant_extract",
+    "math_decimal_exact_money",
+    "str_extract_all_map",
+    "str_collation_suite",
+    "date_calendar_arithmetic",
+    "date_order_gaps",
+    "date_timezone_suite",
+    "date_business_days",
+    "date_multiformat_parse_dispatch",
+    "hash_engine_specific",
+    "udf_mapinarrow",
+    "udf_pandas_iterator",
+    "udtf_polymorphic",
+    "udf_cogrouped_map",
+    "udf_grouped_arrow",
+    "window_running_distinct",
+    "window_time_range_frame",
+    "window_rolling_regression",
+    "agg_percentile_cont_disc",
+    "agg_crosstab_contingency",
+    "agg_melt_unpivot_api",
+    "math_try_arithmetic_suite",
+    "text_fingerprint",
+    "text_stats_by_lang_source",
+    "text_redact_patterns",
+    "text_bigram_lm_score",
+    "text_boilerplate_ngrams",
+    "text_zipf_slope",
+    "text_bpe_apply",
+    "text_bm25_scoring",
+    "text_ndcg_eval",
+    "text_langid_confusion",
+    "text_bpe_train_step",
+    "text_pmi_collocations",
+    "text_inverted_index",
+    "text_kwic_concordance",
+    "text_blocklist_leet_filter",
+    "text_log_template_mining",
+    "text_tokenizer_fertility",
+    "text_vocab_coverage_curve",
+    "quality_percentile_filter",
+    "quality_expectations_audit",
+    "quality_drift_report",
+    "quality_referential_integrity",
+    "quality_snapshot_diff",
+    "quality_entity_resolution",
+    "quality_sorted_neighborhood_er",
 )
 
 

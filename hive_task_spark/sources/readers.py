@@ -1045,10 +1045,13 @@ def occ_commit(base: str, read_version: int, actions: list[dict]) -> tuple[int, 
     tmp = os.path.join(
         base, f"_commit_attempt.{os.getpid()}.{id(actions)}.tmp"
     )
-    with open(tmp, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
     try:
+        # write inside the try so a mid-write failure (e.g. a
+        # non-JSON-serializable action) still unlinks the .tmp —
+        # the no-leaked-tmp invariant the model-based drill asserts
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
         while True:
             final = _occ_commit_path(base, attempt)
             try:
@@ -1068,7 +1071,8 @@ def occ_commit(base: str, read_version: int, actions: list[dict]) -> tuple[int, 
                 attempt += 1  # compatible winner: rebase and retry
                 n_rebases += 1
     finally:
-        os.unlink(tmp)
+        if os.path.exists(tmp):  # open() itself may have failed
+            os.unlink(tmp)
 
 
 @register(
