@@ -111,6 +111,10 @@ AUDITED = [
     "source_commit_log_optimistic_concurrency",
     "stream_rocksdb_changelog_checkpoint",
     "stream_statestore_time_travel",
+    # round-16 additions
+    "source_commit_log_data_skipping",
+    "source_commit_log_vacuum",
+    "stream_statestore_join_state_reader",
 ]
 
 # Queries whose shared subtrees materialize via localCheckpoint: their

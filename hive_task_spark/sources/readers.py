@@ -2063,3 +2063,290 @@ def source_file_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_row_index").cast("long").alias("max_row_index"),
         )
     )
+
+
+def _write_commit_log_with_stats(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the orders table as five price-band files and publish a
+    commit whose add-actions carry per-file column stats (actual
+    min/max of o_totalprice) — the Delta `stats` / Iceberg
+    manifest-entry mechanic: statistics are captured ONCE at write
+    time, stored in the log, and every future reader prunes files
+    from metadata alone. Bands are fixed price ranges so the file
+    layout correlates with the predicate column (skipping is a
+    LAYOUT property — stats on a randomly-scattered column prune
+    nothing, which is why real tables Z-ORDER/sort before relying on
+    it)."""
+    import json
+
+    base = _scratch("commit_log_skip")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    banded = o.withColumn(
+        "band",
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(4)).cast(
+            "int"
+        ),
+    )
+    # ONE pass stages all bands (repartition by band → one file per
+    # band dir), ONE grouped agg collects the write-time stats — in a
+    # real writer the committer gets these free from the row-group
+    # footers it just wrote. 5 scans + 5 per-band aggs would be the
+    # anti-pattern at 100 TB.
+    banded.repartition("band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(os.path.join(base, "staged"))
+    stats = (
+        banded.groupBy("band")
+        .agg(
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        .collect()
+    )
+    actions = [
+        {
+            "action": "add",
+            "file": f"staged/band={r.band}",
+            "stats": {
+                "col": "o_totalprice",
+                "min": float(r.mn),
+                "max": float(r.mx),
+            },
+        }
+        for r in sorted(stats, key=lambda r: r.band)
+    ]
+    with open(_occ_commit_path(base, 1), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return base
+
+
+@register(
+    "source_commit_log_data_skipping",
+    oracle="""
+    WITH per_file AS (
+        SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 4) AS band,
+               max(o_totalprice) AS mx
+        FROM orders GROUP BY band
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM per_file) AS files_total,
+           (SELECT CAST(count(*) AS BIGINT) FROM per_file
+             WHERE mx >= 160000) AS files_scanned,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price_r
+    FROM orders WHERE o_totalprice >= 160000
+    """,
+    defer=True,
+)
+def source_commit_log_data_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-file min/max DATA SKIPPING from commit-log metadata — the
+    file-level half of the pruning story whose in-file analog is
+    `source_zone_map_pruning` (row-group zone maps), and the feature
+    that makes a 100 TB commit-log table READABLE: the planner
+    intersects the predicate with each add-action's stored [min,max]
+    and hands Spark only the files that can contain matches, so scan
+    I/O scales with the MATCHING data, not the table.
+
+    The predicate `o_totalprice >= 160000` deliberately cuts INSIDE
+    band 3's [150k, 200k) range: pruning keeps any file whose actual
+    max reaches the bound (files_scanned = 2 of 5 here), and the
+    residual predicate is still applied to the scanned rows — stats
+    admit a superset, they never substitute for the filter. The value
+    edge carries files_total/files_scanned (proving the metadata
+    decision) AND the row count + money sum of the surviving rows
+    (proving no matching row lived in a pruned file — a wrong prune
+    breaks the oracle, not just a counter). In-query drill: pruning
+    must strictly reduce the file list.
+
+    100 TB posture: the skip decision is O(files) driver-side
+    metadata — at 1M files that is one in-memory pass over the
+    manifest, zero data I/O; the scan then opens only surviving
+    files (multi-path parquet scan, fully parallel). Reference
+    parity: this is the read-path complement of the OCC writer
+    (`source_commit_log_optimistic_concurrency`)."""
+    import json
+
+    base = _write_commit_log_with_stats(spark, sf_dir)
+    lo_bound = 160000.0
+    adds = _occ_actions(base, 1)
+    # one-sided predicate x >= lo: a file can match iff its max >= lo
+    scanned = [
+        a["file"] for a in adds if a["stats"]["max"] >= lo_bound
+    ]
+    if not scanned or len(scanned) >= len(adds):
+        raise ValueError(
+            f"data skipping degenerate: {len(scanned)}/{len(adds)} "
+            "files survive pruning"
+        )
+    snap = spark.read.parquet(
+        *[os.path.join(base, f) for f in sorted(scanned)]
+    )
+    return (
+        snap.filter(F.col("o_totalprice") >= lo_bound)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price_r"),
+        )
+        .select(
+            F.lit(len(adds)).cast("long").alias("files_total"),
+            F.lit(len(scanned)).cast("long").alias("files_scanned"),
+            "n_rows",
+            "sum_price_r",
+        )
+    )
+
+
+def occ_vacuum(base: str, retain_from: int) -> list[str]:
+    """VACUUM the commit-log table: delete every staged data file that
+    no snapshot at version >= retain_from references. Reachability is
+    the union of the live sets of all retained versions — a file
+    removed before the horizon AND an aborted writer's never-committed
+    orphan both become garbage; a file any retained time-travel read
+    could still open is untouchable. Returns the deleted names.
+
+    Real Delta/Iceberg express the horizon as a retention DURATION
+    (deletedFileRetentionDuration / expire_snapshots older_than) and
+    additionally refuse to collect files younger than the window so
+    in-flight writers' staged files survive; the version horizon here
+    is the same contract with the clock abstracted away (the OCC
+    drill's staged-but-uncommitted file stands in for the in-flight
+    case). Cost at 100 TB: O(log × files-per-commit) driver-side
+    metadata to compute reachability + one delete per garbage file —
+    never a data read."""
+    reachable: set[str] = set()
+    for v in _occ_versions(base):
+        if v >= retain_from:
+            reachable.update(_occ_live_files(base, as_of=v))
+    deleted = []
+    for entry in sorted(os.listdir(base)):
+        p = os.path.join(base, entry)
+        if entry.startswith("_") or not os.path.isdir(p):
+            continue  # commit files / tmp markers are not data
+        if entry not in reachable:
+            shutil.rmtree(p)
+            deleted.append(entry)
+    return deleted
+
+
+@register(
+    "source_commit_log_vacuum",
+    oracle="""
+    SELECT CAST(p AS BIGINT) AS phase,
+           CAST(d AS BIGINT) AS n_on_disk,
+           CAST(r AS BIGINT) AS n_reachable,
+           CAST(n AS BIGINT) AS latest_n_rows
+    FROM (VALUES
+        (0, 4, 3, (SELECT count(*) FROM nation)),
+        (1, 3, 3, (SELECT count(*) FROM nation)),
+        (2, 2, 2, (SELECT count(*) FROM nation)))
+        AS t(p, d, r, n)
+    """,
+    defer=True,
+)
+def source_commit_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention VACUUM / orphan GC over the commit-log table — the
+    cleanup half of the OCC story: optimistic concurrency (r15)
+    guarantees a losing writer aborts WITHOUT corrupting the log, but
+    its staged files stay on disk as unreferenced orphans, and every
+    compaction's removed file lingers for time travel. Without GC a
+    100 TB table's storage grows without bound; with it, storage is
+    live data + retained history, by construction.
+
+    Scenario: v1 adds A+B; v2 compacts B away (remove B, add B_c); an
+    aborted writer leaves orphan O staged but never committed. Three
+    audited phases: (0) before vacuum — 4 data files on disk, 3
+    reachable from the full history; (1) vacuum retaining v1+ —
+    deletes exactly the orphan (B is still reachable by AS-OF-v1
+    reads, so it SURVIVES); (2) vacuum retaining v2+ — now B goes.
+    In-query drills: each phase's deleted set is asserted exactly;
+    the latest snapshot's row count is re-read after every vacuum
+    (GC must never touch live data); after phase 2 the AS-OF-v1 read
+    must FAIL (its file is genuinely gone — the documented price of
+    shortening retention, same as Delta's
+    versionAsOf-beyond-retention error).
+
+    The value edge is the per-phase audit (files on disk, reachable
+    files, live row count); the oracle states all three phases from
+    the nation table directly."""
+    base = _scratch("commit_log_vacuum")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    staged = {
+        "file_A": n.filter(F.col("n_nationkey") < 10),
+        "file_B": n.filter(F.col("n_nationkey") >= 10),
+        "file_B_c": n.filter(F.col("n_nationkey") >= 10),
+        "file_orphan": n.filter(F.col("n_nationkey") >= 10),
+    }
+    for name, df in staged.items():
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, name)
+        )
+    occ_commit(
+        base,
+        0,
+        [
+            {"action": "add", "file": "file_A"},
+            {"action": "add", "file": "file_B"},
+        ],
+    )
+    occ_commit(
+        base,
+        1,
+        [
+            {"action": "remove", "file": "file_B"},
+            {"action": "add", "file": "file_B_c"},
+        ],
+    )
+    # file_orphan: staged by a writer that lost its race and aborted —
+    # on disk, referenced by no commit
+
+    def _on_disk() -> int:
+        return sum(
+            1
+            for e in os.listdir(base)
+            if not e.startswith("_") and os.path.isdir(os.path.join(base, e))
+        )
+
+    def _reachable(retain_from: int) -> int:
+        seen: set[str] = set()
+        for v in _occ_versions(base):
+            if v >= retain_from:
+                seen.update(_occ_live_files(base, as_of=v))
+        return len(seen)
+
+    def _latest_rows() -> int:
+        files = _occ_live_files(base)
+        return (
+            spark.read.parquet(*[os.path.join(base, f) for f in files])
+            .count()
+        )
+
+    audit = [(0, _on_disk(), _reachable(1), _latest_rows())]
+    gone = occ_vacuum(base, retain_from=1)
+    if gone != ["file_orphan"]:
+        raise ValueError(f"retain-v1 vacuum deleted {gone}, not the orphan")
+    audit.append((1, _on_disk(), _reachable(1), _latest_rows()))
+    gone = occ_vacuum(base, retain_from=2)
+    if gone != ["file_B"]:
+        raise ValueError(f"retain-v2 vacuum deleted {gone}, not file_B")
+    audit.append((2, _on_disk(), _reachable(2), _latest_rows()))
+    try:
+        spark.read.parquet(
+            *[
+                os.path.join(base, f)
+                for f in _occ_live_files(base, as_of=1)
+            ]
+        ).count()
+    except Exception:
+        pass  # required: AS-OF-v1 is beyond retention, its file is gone
+    else:
+        raise ValueError(
+            "AS-OF-v1 read succeeded after its file was vacuumed"
+        )
+    return spark.createDataFrame(
+        audit, "phase long, n_on_disk long, n_reachable long, latest_n_rows long"
+    )

@@ -2398,3 +2398,126 @@ def stream_statestore_time_travel(
     return spark.createDataFrame(
         per_batch, "batch_id long, n_keys long, n_events long"
     )
+
+
+@register(
+    "stream_statestore_join_state_reader",
+    oracle="""
+    SELECT side,
+           CAST(n_state_rows AS BIGINT) AS n_state_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(sum_event_id AS BIGINT) AS sum_event_id
+    FROM (
+        SELECT 'left' AS side, count(*) AS n_state_rows,
+               count(DISTINCT user_id) AS n_keys,
+               sum(event_id) AS sum_event_id
+        FROM events WHERE event_type = 'view' AND event_id % 10 = 0
+        UNION ALL
+        SELECT 'right', count(*), count(DISTINCT user_id), sum(event_id)
+        FROM events WHERE event_type = 'purchase'
+    ) t
+    """,
+    defer=True,
+)
+def stream_statestore_join_state_reader(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """State-store reader over STREAM-STREAM JOIN state (`joinSide`
+    option) — the join operator keeps four internal stores per side
+    (keyToNumValues / keyWithIndexToValue × left/right) and the reader
+    merges each side into one buffered-rows table, completing the
+    state-debugging surface the aggregate/dedup readers
+    (`stream_statestore_inspect`, `stream_statestore_time_travel`)
+    already cover. This is how a 100 TB pipeline answers 'what is the
+    join HOLDING right now' — e.g. which unmatched views are pinning
+    state — offline, with plain DataFrame queries against the
+    production checkpoint.
+
+    The join is a pure equi-join (user_id) with a far watermark, so
+    NOTHING is evicted and each side's state is exactly its input:
+    left = every 10th view event, right = all purchases — both
+    directly oracle-expressible. The value edge is per-side state
+    cardinality, key count, and an exact content checksum
+    (sum of buffered event_ids — proving the reader returns the rows
+    themselves, not just counts). Two in-query drills cross-check the
+    three surfaces against each other: (a) the join OUTPUT's row count
+    must equal the sum over common keys of left×right state-row
+    products, and (b) its distinct-user count must equal the state key
+    intersection — state tables, sink contents, and the join operator
+    must tell one consistent story."""
+    name = "stream_join_state_reader_run"
+    left = (
+        _events_stream(spark, sf_dir)
+        .filter(
+            (F.col("event_type") == "view") & (F.col("event_id") % 10 == 0)
+        )
+        .select("user_id", "event_id", F.col("ts").alias("ts_l"))
+        .withWatermark("ts_l", "3650 days")
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_r"),
+            F.col("event_id").alias("event_r"),
+            F.col("ts").alias("ts_r"),
+        )
+        .withWatermark("ts_r", "3650 days")
+    )
+    j = left.join(right, F.col("user_id") == F.col("user_r")).select(
+        "user_id", "event_id", "event_r"
+    )
+    out = _run_to_table(spark, j, name, "append")
+    cp = _scratch_join(f"cp_{name}")
+
+    def _state(side: str) -> DataFrame:
+        st = (
+            spark.read.format("statestore")
+            .option("joinSide", side)
+            .load(cp)
+        )
+        kf = st.schema["key"].dataType.names[0]
+        eid = (
+            "event_id"
+            if "event_id" in st.schema["value"].dataType.names
+            else "event_r"
+        )
+        return st.select(
+            F.col(f"key.{kf}").alias("u"),
+            F.col(f"value.{eid}").alias("eid"),
+        )
+    lstate, rstate = _state("left"), _state("right")
+    # drill: output rows == sum over common keys of left*right buffered
+    # products; output users == state key intersection
+    per_key = (
+        lstate.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .join(
+            rstate.groupBy("u").agg(F.count(F.lit(1)).alias("nr")), "u"
+        )
+    )
+    agg = per_key.agg(
+        F.sum(F.col("nl") * F.col("nr")).alias("n_pairs"),
+        F.count(F.lit(1)).alias("n_common"),
+    ).collect()[0]
+    n_out = out.count()
+    n_out_users = out.select("user_id").distinct().count()
+    if n_out != int(agg.n_pairs or 0) or n_out_users != int(agg.n_common):
+        raise ValueError(
+            f"join state disagrees with join output: {n_out} output rows "
+            f"vs {agg.n_pairs} state pair-products, {n_out_users} output "
+            f"users vs {agg.n_common} common state keys"
+        )
+
+    def _edge(side: str, st: DataFrame) -> DataFrame:
+        return st.agg(
+            F.count(F.lit(1)).cast("long").alias("n_state_rows"),
+            F.countDistinct("u").cast("long").alias("n_keys"),
+            F.sum("eid").cast("long").alias("sum_event_id"),
+        ).select(
+            F.lit(side).alias("side"),
+            "n_state_rows",
+            "n_keys",
+            "sum_event_id",
+        )
+    return _edge("left", lstate).unionByName(_edge("right", rstate))

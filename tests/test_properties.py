@@ -3197,3 +3197,113 @@ def test_file_metadata_engine_specific_columns_sane(spark, sf_dir):
     assert row["min_size"] > 0
     assert row["n_pq"] == row["n"]
     assert row["n_null_mtime"] == 0
+
+
+def test_occ_commit_unlinks_tmp_on_write_failure(tmp_path):
+    """A transaction whose action list cannot even be serialized must
+    leave the log directory byte-untouched — including no leaked
+    `.tmp` staging file (the r15 ADVICE finding: the tmp write now
+    lives inside the try so the finally's unlink covers write-time
+    failures, not just link-time ones)."""
+    import os
+
+    import pytest
+
+    from hive_task_spark.sources.readers import occ_commit
+
+    base = str(tmp_path)
+    with pytest.raises(TypeError):
+        occ_commit(base, 0, [{"action": "add", "file": object()}])
+    assert os.listdir(base) == []
+
+
+def test_occ_vacuum_retention_model(tmp_path):
+    """Vacuum reachability model: a data file survives IFF some
+    retained version's live set references it. Orphans (staged,
+    never committed) die at any horizon; a removed file survives
+    exactly as long as a retained version can still time-travel to
+    it; vacuum is idempotent and never touches commit files."""
+    import os
+
+    from hive_task_spark.sources.readers import (
+        _occ_versions,
+        occ_commit,
+        occ_vacuum,
+    )
+
+    base = str(tmp_path)
+    for d in ("a", "b", "b_c", "orphan"):
+        os.makedirs(os.path.join(base, d))
+    occ_commit(
+        base,
+        0,
+        [{"action": "add", "file": "a"}, {"action": "add", "file": "b"}],
+    )
+    occ_commit(
+        base,
+        1,
+        [
+            {"action": "remove", "file": "b"},
+            {"action": "add", "file": "b_c"},
+        ],
+    )
+    # horizon at v1: every committed version retained → only the
+    # orphan is garbage; b stays reachable via AS-OF-v1
+    assert occ_vacuum(base, retain_from=1) == ["orphan"]
+    assert sorted(
+        e for e in os.listdir(base) if os.path.isdir(os.path.join(base, e))
+    ) == ["a", "b", "b_c"]
+    assert occ_vacuum(base, retain_from=1) == []  # idempotent
+    # horizon at v2: v1 ages out, b becomes unreferenced
+    assert occ_vacuum(base, retain_from=2) == ["b"]
+    assert occ_vacuum(base, retain_from=2) == []
+    assert sorted(
+        e for e in os.listdir(base) if os.path.isdir(os.path.join(base, e))
+    ) == ["a", "b_c"]
+    # the log itself is never vacuum's to touch
+    assert _occ_versions(base) == [1, 2]
+
+
+def test_commit_log_data_skipping_scans_only_surviving_files(spark, sf_dir):
+    """The data-skipping read must open ONLY the band files whose
+    stored [min,max] intersects the predicate — checked through
+    Spark's own inputFiles() on the returned plan, not the operator's
+    self-reported counter. Bands 0-2 top out below 150k, the bound is
+    160k, so every scanned file sits in band 3 or 4."""
+    from hive_task_spark.registry import QUERIES
+
+    df = QUERIES["source_commit_log_data_skipping"](spark, sf_dir)
+    files = df.inputFiles()
+    assert files, "scan resolved no input files"
+    assert all("band=3" in f or "band=4" in f for f in files), files
+
+
+def test_join_state_reader_matches_batch_inputs(spark, sf_dir, oracle_con):
+    """The joinSide state reader must return each side's buffered
+    input EXACTLY (pure equi-join + far watermark = zero eviction):
+    row counts, key counts, and the event-id checksum all equal the
+    batch-side aggregates of the two filtered streams. The in-query
+    drills additionally cross-check state vs join output; this test
+    pins the reader-vs-batch contract at the test SF."""
+    from hive_task_spark.registry import QUERIES
+
+    got = {
+        r["side"]: r
+        for r in QUERIES["stream_statestore_join_state_reader"](
+            spark, sf_dir
+        ).collect()
+    }
+    exp = oracle_con.execute(
+        """
+        SELECT 'left' AS side, count(*) AS n, count(DISTINCT user_id) AS k,
+               sum(event_id) AS s
+        FROM events WHERE event_type = 'view' AND event_id % 10 = 0
+        UNION ALL
+        SELECT 'right', count(*), count(DISTINCT user_id), sum(event_id)
+        FROM events WHERE event_type = 'purchase'
+        """
+    ).fetchall()
+    for side, n, k, s in exp:
+        assert got[side]["n_state_rows"] == n, side
+        assert got[side]["n_keys"] == k, side
+        assert got[side]["sum_event_id"] == int(s), side
