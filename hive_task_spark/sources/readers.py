@@ -2122,6 +2122,29 @@ def _write_commit_log_with_stats(spark: SparkSession, sf_dir: str) -> str:
     return base
 
 
+def stats_prune(
+    actions: list[dict], lo: float | None = None, hi: float | None = None
+) -> list[str]:
+    """File-skipping decision for a range predicate lo <= col <= hi
+    (either bound may be open): keep an add-action's file iff its
+    stored [min, max] INTERSECTS the predicate interval. An action
+    with no stats is always kept — missing metadata must degrade to
+    scanning, never to silently dropping data (the same conservative
+    default as Delta's stats-less files). Pure metadata: O(actions),
+    no I/O; the caller still applies the residual predicate to the
+    scanned rows, because intersection admits a superset."""
+    keep = []
+    for a in actions:
+        st = a.get("stats")
+        if st is not None:
+            if lo is not None and st["max"] < lo:
+                continue
+            if hi is not None and st["min"] > hi:
+                continue
+        keep.append(a["file"])
+    return keep
+
+
 @register(
     "source_commit_log_data_skipping",
     oracle="""
@@ -2172,10 +2195,7 @@ def source_commit_log_data_skipping(
     base = _write_commit_log_with_stats(spark, sf_dir)
     lo_bound = 160000.0
     adds = _occ_actions(base, 1)
-    # one-sided predicate x >= lo: a file can match iff its max >= lo
-    scanned = [
-        a["file"] for a in adds if a["stats"]["max"] >= lo_bound
-    ]
+    scanned = stats_prune(adds, lo=lo_bound)
     if not scanned or len(scanned) >= len(adds):
         raise ValueError(
             f"data skipping degenerate: {len(scanned)}/{len(adds)} "
@@ -2207,6 +2227,13 @@ def occ_vacuum(base: str, retain_from: int) -> list[str]:
     orphan both become garbage; a file any retained time-travel read
     could still open is untouchable. Returns the deleted names.
 
+    Two safety clamps, both load-bearing: a horizon beyond the latest
+    version is clamped to it (the CURRENT snapshot is always retained
+    — a fat-fingered retention setting must never delete the live
+    table, same as Delta always protecting the current version), and
+    an empty log vacuums NOTHING (no committed version means every
+    staged file might belong to the table's first in-flight writer).
+
     Real Delta/Iceberg express the horizon as a retention DURATION
     (deletedFileRetentionDuration / expire_snapshots older_than) and
     additionally refuse to collect files younger than the window so
@@ -2216,8 +2243,12 @@ def occ_vacuum(base: str, retain_from: int) -> list[str]:
     case). Cost at 100 TB: O(log × files-per-commit) driver-side
     metadata to compute reachability + one delete per garbage file —
     never a data read."""
+    versions = _occ_versions(base)
+    if not versions:
+        return []
+    retain_from = min(retain_from, versions[-1])
     reachable: set[str] = set()
-    for v in _occ_versions(base):
+    for v in versions:
         if v >= retain_from:
             reachable.update(_occ_live_files(base, as_of=v))
     deleted = []

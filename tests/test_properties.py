@@ -3307,3 +3307,116 @@ def test_join_state_reader_matches_batch_inputs(spark, sf_dir, oracle_con):
         assert got[side]["n_state_rows"] == n, side
         assert got[side]["n_keys"] == k, side
         assert got[side]["sum_event_id"] == int(s), side
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    commits=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["add", "remove"]),
+                st.sampled_from(["f0", "f1", "f2", "f3", "f4"]),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    n_orphans=st.integers(min_value=0, max_value=2),
+    horizon=st.integers(min_value=1, max_value=9),
+)
+def test_occ_vacuum_matches_reachability_model(
+    tmp_path_factory, commits, n_orphans, horizon
+):
+    """Model-based vacuum drill: for ANY committed history, orphan
+    set, and horizon (including horizons beyond the latest version),
+    occ_vacuum must delete exactly the model's garbage — every data
+    dir not in the union of live sets over retained versions, with
+    the horizon clamped so the CURRENT snapshot always survives —
+    and be idempotent. An empty log must vacuum nothing."""
+    import os
+
+    from hive_task_spark.sources.readers import (
+        _occ_versions,
+        occ_commit,
+        occ_vacuum,
+    )
+
+    base = str(tmp_path_factory.mktemp("vacuum_model"))
+    # stage a data dir for every name that could ever be referenced
+    all_files = {f for acts in commits for _a, f in acts}
+    orphans = {f"orphan{i}" for i in range(n_orphans)}
+    for f in sorted(all_files | orphans):
+        os.makedirs(os.path.join(base, f))
+    for i, acts in enumerate(commits):
+        occ_commit(
+            base, i, [{"action": a, "file": f} for a, f in acts]
+        )
+    versions = _occ_versions(base)
+    if not versions:
+        assert occ_vacuum(base, horizon) == []
+        assert sorted(os.listdir(base)) == sorted(all_files | orphans)
+        return
+    eff = min(horizon, versions[-1])  # the clamp under test
+    reachable: set[str] = set()
+    live: set[str] = set()
+    for v, acts in enumerate(commits, start=1):
+        for a, f in acts:
+            live.add(f) if a == "add" else live.discard(f)
+        if v >= eff:
+            reachable |= live
+    expected_garbage = sorted((all_files | orphans) - reachable)
+    assert occ_vacuum(base, horizon) == expected_garbage
+    assert occ_vacuum(base, horizon) == []  # idempotent
+    on_disk = {
+        e for e in os.listdir(base) if os.path.isdir(os.path.join(base, e))
+    }
+    assert on_disk == ((all_files | orphans) & reachable)
+    # the log itself is untouched either way
+    assert _occ_versions(base) == versions
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    files=st.lists(
+        st.lists(
+            st.integers(min_value=-50, max_value=50),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    lo=st.one_of(st.none(), st.integers(min_value=-60, max_value=60)),
+    hi=st.one_of(st.none(), st.integers(min_value=-60, max_value=60)),
+)
+def test_stats_prune_never_drops_a_matching_file(files, lo, hi):
+    """Pruning soundness: for ANY file contents and ANY (possibly
+    one-sided, possibly empty) range predicate, every file holding at
+    least one matching value must survive stats_prune — skipping may
+    over-scan, never under-scan. Stats-less actions must always be
+    kept (missing metadata degrades to scanning)."""
+    from hive_task_spark.sources.readers import stats_prune
+
+    actions = [
+        {
+            "action": "add",
+            "file": f"f{i}",
+            "stats": {"col": "x", "min": min(vals), "max": max(vals)},
+        }
+        for i, vals in enumerate(files)
+    ]
+    kept = set(stats_prune(actions, lo=lo, hi=hi))
+    for i, vals in enumerate(files):
+        matches = [
+            v
+            for v in vals
+            if (lo is None or v >= lo) and (hi is None or v <= hi)
+        ]
+        if matches:
+            assert f"f{i}" in kept, (vals, lo, hi)
+    # and the no-stats conservative default
+    assert stats_prune([{"action": "add", "file": "nostats"}], lo=lo, hi=hi) == [
+        "nostats"
+    ]
