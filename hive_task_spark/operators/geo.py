@@ -49,7 +49,9 @@ _HAV = (
     )
     SELECT cell_lat, cell_lon,
            CAST(count(*) AS BIGINT) AS n_points,
-           round(avg(c_acctbal), 4) AS avg_balance_r
+           floor(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                      * 100 AS DOUBLE)
+                 / count(*) + 0.5) / 1e4 AS avg_balance_r
     FROM pts GROUP BY cell_lat, cell_lon
     """,
 )
@@ -60,7 +62,17 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure map expression, so the whole query is one hash aggregate
     on the cell key (map-side combinable); this is the zoom-level
     tile aggregation a geo dashboard runs, and it scales like any
-    groupBy. avg of money → 4dp stats grain."""
+    groupBy.
+
+    Determinism (r16): the 4dp average is computed as an exact
+    integer CENTS sum per cell (2dp money decodes to BIGINT cents
+    loss-free) followed by one identical FP division —
+    floor(sum_cents*100/n + 0.5)/1e4. A double avg + round(4) lost a
+    cell at sf0.1 whose true average sat exactly on the .00005
+    boundary (avg of 2dp values is a small-denominator rational, so
+    boundary hits are common, and the engines' round algorithms
+    disagree there); an integer sum has no summation order and the
+    single division is bit-equal across engines."""
     c = load(spark, sf_dir, "customer")
     lat = F.expr(_CUST_LAT.replace("c_custkey", "c_custkey"))
     lon = F.expr(_CUST_LON)
@@ -73,7 +85,21 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell_lat", "cell_lon")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_points"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_balance_r"),
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.floor(
+                                F.col("c_acctbal") * 100 + F.lit(0.5)
+                            ).cast("long")
+                        )
+                        * F.lit(100)
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("avg_balance_r"),
         )
     )
 

@@ -2411,25 +2411,32 @@ def quality_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH lines AS (
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
-                     2) AS line_total,
+               CAST(floor(sum(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax)) * 1e6 + 0.5) AS BIGINT)
+                   AS line_micro,
                CAST(count(*) AS BIGINT) AS n_lines
         FROM lineitem GROUP BY l_orderkey
     ),
     j AS (
-        SELECT o.o_orderkey, o.o_totalprice, l.line_total, l.n_lines,
+        SELECT o.o_orderkey, l.line_micro, l.n_lines,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS book_cents,
                CASE WHEN l.l_orderkey IS NULL THEN 'NO_LINES'
-                    WHEN abs(l.line_total - o.o_totalprice)
-                         <= 0.01 * o.o_totalprice THEN 'OK'
+                    WHEN abs(l.line_micro
+                             - CAST(floor(o.o_totalprice * 100 + 0.5)
+                                    AS BIGINT) * 10000)
+                         <= CAST(floor(o.o_totalprice * 100 + 0.5)
+                                 AS BIGINT) * 100 THEN 'OK'
                     ELSE 'MISMATCH' END AS status
         FROM orders o LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey
     )
     SELECT status,
-           CAST(count(*) AS BIGINT)                   AS n_orders,
-           round(sum(o_totalprice), 2)                AS book_total,
-           round(sum(COALESCE(line_total, 0)), 2)     AS line_total,
-           round(sum(COALESCE(line_total, 0) - o_totalprice), 2)
-                                                      AS drift_total
+           CAST(count(*) AS BIGINT)                       AS n_orders,
+           CAST(sum(book_cents) AS DOUBLE) / 100.0        AS book_total,
+           floor(CAST(sum(COALESCE(line_micro, 0)) AS DOUBLE) / 1e4
+                 + 0.5) / 100.0                           AS line_total,
+           floor(CAST(sum(COALESCE(line_micro, 0) - book_cents * 10000)
+                      AS DOUBLE) / 1e4 + 0.5) / 100.0     AS drift_total
     FROM j
     GROUP BY status
     ORDER BY status
@@ -2442,10 +2449,21 @@ def quality_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> Data
     finance data team builds, and the canary for partial loads
     (orders without lines) and double-applied discounts.
 
-    Determinism: per-order line sums are money — rounded to the exact
-    2dp decimal grain (CLAUDE.md money rule) BEFORE the tolerance
-    comparison, so the OK/MISMATCH classification compares identical
-    doubles; all rollup sums are 2dp-rounded at the edge.
+    Determinism (reworked r16 after an sf0.1 boundary loss): all money
+    moves through exact INTEGER units — the per-order line sum decodes
+    to BIGINT micro-dollars (its true grain: 2dp price × 2dp discount
+    × 2dp tax = 1e-6; the old round(...,2) sat BELOW grain, the
+    CLAUDE.md forbidden case), the book total to BIGINT cents, the
+    OK/MISMATCH tolerance compare is pure BIGINT
+    (|line_micro − book_cents·1e4| ≤ book_cents·100 ⇔ within 1%), and
+    every status rollup is an order-independent integer SUM with one
+    identical FP division at the 2dp edge. The previous double-sum +
+    round(2) edge lost drift_total at sf0.1 to ~1e-2 summation-order
+    noise on a ±5e9 cancellation — no rounding grain survives noise
+    bigger than the grain; integer sums have no order. (Exactness
+    bound: |Σ micro-units| < 2^53 per status group holds through
+    sf≈30; beyond that the edge stays cross-engine-equal — same
+    BIGINT → same double — just not decimal-exact.)
 
     Scale shape: one orderkey-grain aggregate of lineitem (map-side
     combinable), one co-keyed LEFT join (both sides shuffle on the
@@ -2453,25 +2471,31 @@ def quality_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> Data
     needed and none hinted: both sides are data-sized."""
     li = load(spark, sf_dir, "lineitem")
     lines = li.groupBy("l_orderkey").agg(
-        F.round(
+        F.floor(
             F.sum(
                 F.col("l_extendedprice")
                 * (1 - F.col("l_discount"))
                 * (1 + F.col("l_tax"))
-            ),
-            2,
-        ).alias("line_total"),
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("line_micro"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
     )
     o = load(spark, sf_dir, "orders")
+    book_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
     j = o.join(lines, o["o_orderkey"] == lines["l_orderkey"], "left").select(
         "o_orderkey",
-        "o_totalprice",
-        "line_total",
+        "line_micro",
+        book_cents.alias("book_cents"),
         F.when(F.col("l_orderkey").isNull(), "NO_LINES")
         .when(
-            F.abs(F.col("line_total") - F.col("o_totalprice"))
-            <= 0.01 * F.col("o_totalprice"),
+            F.abs(F.col("line_micro") - book_cents * 10000)
+            <= book_cents * 100,
             "OK",
         )
         .otherwise("MISMATCH")
@@ -2481,16 +2505,29 @@ def quality_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> Data
         j.groupBy("status")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("book_total"),
-            F.round(F.sum(F.coalesce(F.col("line_total"), F.lit(0))), 2).alias(
-                "line_total"
+            (F.sum("book_cents").cast("double") / F.lit(100.0)).alias(
+                "book_total"
             ),
-            F.round(
-                F.sum(
-                    F.coalesce(F.col("line_total"), F.lit(0))
-                    - F.col("o_totalprice")
-                ),
-                2,
+            (
+                F.floor(
+                    F.sum(F.coalesce(F.col("line_micro"), F.lit(0))).cast(
+                        "double"
+                    )
+                    / F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("line_total"),
+            (
+                F.floor(
+                    F.sum(
+                        F.coalesce(F.col("line_micro"), F.lit(0))
+                        - F.col("book_cents") * 10000
+                    ).cast("double")
+                    / F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
             ).alias("drift_total"),
         )
         .orderBy("status")

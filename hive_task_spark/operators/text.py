@@ -60,12 +60,12 @@ def _duck_list(words: list[str]) -> str:
         CAST(len(list_filter(w, x -> list_contains({_duck_list(_STOPWORDS)}, x)))
              AS DOUBLE) / greatest(len(w), 1)                     AS stopword_ratio,
         CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1) AS type_token_ratio,
-        round(
+        floor((
           0.4 * least(len(w) / 100.0, 1.0)
         + 0.3 * (CAST(len(list_filter(w, x -> list_contains({_duck_list(_STOPWORDS)}, x)))
                  AS DOUBLE) / greatest(len(w), 1))
-        + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1)),
-          6)                                                      AS quality_score
+        + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1))
+        ) * 1e6 + 0.5) / 1e6                                      AS quality_score
     FROM t
     """,
 )
@@ -91,11 +91,23 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / n_words).alias("avg_word_len"),
         stop_ratio.alias("stopword_ratio"),
         ttr.alias("type_token_ratio"),
-        F.round(
-            F.lit(0.4) * F.least(F.size("w") / F.lit(100.0), F.lit(1.0))
-            + F.lit(0.3) * stop_ratio
-            + F.lit(0.3) * ttr,
-            6,
+        # floor(x*1e6+0.5), not round(x,6): the score is a rational of
+        # small integers that can sit EXACTLY on a .5e-6 boundary,
+        # where Spark's and DuckDB's round algorithms disagree (seen
+        # at sf0.1, r16); floor is the same IEEE computation in both
+        # engines on bit-identical inputs.
+        (
+            F.floor(
+                (
+                    F.lit(0.4)
+                    * F.least(F.size("w") / F.lit(100.0), F.lit(1.0))
+                    + F.lit(0.3) * stop_ratio
+                    + F.lit(0.3) * ttr
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
         ).alias("quality_score"),
     )
 
@@ -2409,7 +2421,9 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(count(*) AS BIGINT)        AS n_bigrams,
            CAST(sum(backed_off) AS BIGINT) AS n_backoff,
-           floor(avg(floor(ln(p) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) / 1e6
+           floor(CAST(sum(CAST(floor(ln(p) * 1e9 + 0.5) AS BIGINT))
+                      AS DOUBLE)
+                 / (count(*) * 1000.0) + 0.5) / 1e6
                AS avg_logprob_r
     FROM heldout
     GROUP BY doc_id
@@ -2426,9 +2440,15 @@ def text_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     The leave-one-out discount makes the score honest for bigrams
     seen exactly once (they back off instead of scoring 1.0).
 
-    Determinism: counts exact; each bigram's ln(p) canonicalized at
-    1e-9 before the per-doc average, edge canon 1e-6 — the same
-    cell-then-edge discipline as the Markov entropy rate.
+    Determinism: counts exact; each bigram's ln(p) is canonicalized to
+    an INTEGER nano-unit cell (floor(ln(p)*1e9+0.5) AS BIGINT), the
+    per-doc aggregate is the exact integer SUM of cells (order-
+    independent in both engines, unlike a double avg), and the 1e-6
+    edge is one identical FP division of identical integers:
+    floor(sum/(n*1000)+0.5)/1e6. The earlier avg-of-cells form lost a
+    doc at sf0.1 (r16) whose cell average sat EXACTLY on a .5e-6
+    boundary — summation order alone picked the side; an integer sum
+    has no order to disagree on.
 
     Scale shape: identical geometry to `text_bigram_lm_score` /
     `text_kneser_ney_bigram` — vocab^2-bounded count models broadcast
@@ -2466,14 +2486,19 @@ def text_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("doc_id", p.alias("p"), backed.alias("backed_off"))
     )
-    lp = F.floor(F.log("p") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    lp_cell = F.floor(F.log("p") * F.lit(1e9) + F.lit(0.5)).cast("long")
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.sum("backed_off").cast("long").alias("n_backoff"),
             (
-                F.floor(F.avg(lp) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+                F.floor(
+                    F.sum(lp_cell).cast("double")
+                    / (F.count(F.lit(1)) * F.lit(1000.0))
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
             ).alias("avg_logprob_r"),
         )
         .orderBy("doc_id")
