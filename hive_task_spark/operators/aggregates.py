@@ -550,7 +550,8 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(floor(o_totalprice / 5000.0) * 5000.0, 2)       AS bin_lo,
            round((floor(o_totalprice / 5000.0) + 1) * 5000.0, 2) AS bin_hi,
            CAST(count(*) AS BIGINT)                              AS n_orders,
-           round(avg(o_totalprice), 2)                           AS avg_price_r
+           floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / count(*) + 0.5) / 100.0       AS avg_price_r
     FROM orders
     GROUP BY floor(o_totalprice / 5000.0)
     """,
@@ -565,11 +566,22 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(bins), independent of fact size."""
     o = load(spark, sf_dir, "orders")
     bin_id = F.floor(F.col("o_totalprice") / 5000.0)
+    # avg of 2dp money: exact BIGINT cents sum + one identical FP
+    # division (a double avg + round lands on exact .005 boundaries
+    # where engine round algorithms and summation order disagree —
+    # the r16 grid-avg rule, CLAUDE.md)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         o.groupBy(bin_id.alias("bin_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price_r"),
+            (
+                F.floor(
+                    F.sum(cents).cast("double") / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("avg_price_r"),
         )
         .select(
             F.col("bin_id").cast("long").alias("bin_id"),

@@ -4409,16 +4409,21 @@ def analytics_qq_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
         SELECT event_type,
-               count(*) AS n_cells,
-               avg(n) AS mu,
-               var_pop(n) AS v
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(n) AS BIGINT) AS s1,
+               CAST(sum(n * n) AS BIGINT) AS s2
         FROM daily GROUP BY event_type
     )
     SELECT event_type,
-           CAST(n_cells AS BIGINT) AS n_cells,
-           round(mu, 6) AS mean_r,
-           round(v, 6) AS var_r,
-           round(v / mu, 6) AS dispersion_r
+           n_cells,
+           floor(CAST(s1 AS DOUBLE) * 1e6 / n_cells + 0.5) / 1e6
+               AS mean_r,
+           floor(CAST(n_cells * s2 - s1 * s1 AS DOUBLE) * 1e6
+                 / (CAST(n_cells AS DOUBLE) * CAST(n_cells AS DOUBLE))
+                 + 0.5) / 1e6 AS var_r,
+           floor(CAST(n_cells * s2 - s1 * s1 AS DOUBLE) * 1e6
+                 / (CAST(n_cells AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 + 0.5) / 1e6 AS dispersion_r
     FROM stats
     """,
 )
@@ -4432,18 +4437,46 @@ def analytics_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     under-dispersion (throttled/metered behavior). The cheapest
     model-assumption check in the stats family, and the quantitative
     bridge between the statistical rows and the skew-diagnosis row.
-    One (type, user, day) census then a 5-row moment aggregate."""
+    One (type, user, day) census then a 5-row moment aggregate.
+
+    Determinism (r16 grid-avg rule): the inputs are INTEGER counts,
+    so mean/var/dispersion are small-denominator rationals that can
+    sit exactly on .5e-6 edge boundaries — all three edges are
+    computed from the exact integer moments (n, Σx, Σx²):
+    var_pop = (nΣx² − (Σx)²)/n², D = (nΣx² − (Σx)²)/(nΣx), each one
+    identical FP division of identical integers (decimal(38,0) sums
+    in Spark / HUGEINT in DuckDB keep the moments exact past the
+    BIGINT range at large SF)."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type",
         "user_id",
         F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    return daily.groupBy("event_type").agg(
+    moments = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.round(F.avg("n"), 6).alias("mean_r"),
-        F.round(F.var_pop("n"), 6).alias("var_r"),
-        F.round(F.var_pop("n") / F.avg("n"), 6).alias("dispersion_r"),
+        F.sum(F.col("n").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)")).alias("s2"),
+    )
+    num = (
+        (F.col("n_cells").cast("decimal(38,0)") * F.col("s2"))
+        - F.col("s1") * F.col("s1")
+    ).cast("double")
+    nd = F.col("n_cells").cast("double")
+    s1d = F.col("s1").cast("double")
+    return moments.select(
+        "event_type",
+        "n_cells",
+        (
+            F.floor(s1d * F.lit(1e6) / F.col("n_cells") + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("mean_r"),
+        (F.floor(num * F.lit(1e6) / (nd * nd) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "var_r"
+        ),
+        (
+            F.floor(num * F.lit(1e6) / (nd * s1d) + F.lit(0.5)) / F.lit(1e6)
+        ).alias("dispersion_r"),
     )
 
 
@@ -5176,7 +5209,8 @@ def analytics_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
-               round(avg(value), 6) AS y
+               floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS DOUBLE) * 1e4 / count(*) + 0.5) / 1e6 AS y
         FROM events
         GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
     ),
@@ -5205,9 +5239,25 @@ def analytics_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     wreck the OLS row (analytics_ols_normal_equations): up to 29%
     contamination leaves the estimate unmoved."""
     e = load(spark, sf_dir, "events")
+    # y is an exact-cents integer sum + one identical division, not a
+    # double avg + round: value is 2dp grid data, so the daily mean is
+    # a small-denominator rational that can sit exactly on a .5e-6
+    # boundary (r16 grid-avg rule)
     daily = e.groupBy(
         F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("x")
-    ).agg(F.round(F.avg("value"), 6).alias("y"))
+    ).agg(
+        (
+            F.floor(
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).cast("double")
+                * F.lit(1e4)
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("y")
+    )
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
         ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("m")

@@ -678,8 +678,11 @@ def pipeline_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT)      AS n_orders,
-           round(sum(o_totalprice), 2)   AS total_r,
-           round(avg(o_totalprice), 6)   AS avg_r,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0       AS total_r,
+           floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                           AS BIGINT)) AS DOUBLE) * 1e4 / count(*)
+                 + 0.5) / 1e6            AS avg_r,
            CAST(count(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
                                     THEN 0 ELSE 1 END) AS BIGINT) AS n_partials
     FROM orders
@@ -694,16 +697,20 @@ def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives at the end. This is the micro-batch/MV-refresh contract:
     at 100 TB the state side is a tiny summary table and each refresh
     scans only the delta partition. The oracle is the full recompute
-    — the merged result must be indistinguishable (sums of exact-2dp
-    money are order-insensitive in doubles, so even the float edge
-    is exact). n_partials proves both branches contributed."""
+    — the merged result must be indistinguishable. The partial states
+    carry exact BIGINT cents (2dp money decodes loss-free), so the
+    merge and BOTH float edges are order-independent integer sums
+    with one identical FP division each — the r16 grid-avg rule;
+    round(sum(double)) at this ~2e10 magnitude is summation-order
+    noise territory. n_partials proves both branches contributed."""
     o = load(spark, sf_dir, "orders")
     cutoff = F.to_timestamp(F.lit("1996-01-01"))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
 
     def partial(df: DataFrame, tag: int) -> DataFrame:
         return df.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("pn"),
-            F.sum("o_totalprice").alias("ptotal"),
+            F.sum(cents).alias("pcents"),
             F.lit(tag).alias("ptag"),
         )
 
@@ -714,8 +721,18 @@ def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.sum("pn").cast("long").alias("n_orders"),
-            F.round(F.sum("ptotal"), 2).alias("total_r"),
-            F.round(F.sum("ptotal") / F.sum("pn"), 6).alias("avg_r"),
+            (F.sum("pcents").cast("double") / F.lit(100.0)).alias(
+                "total_r"
+            ),
+            (
+                F.floor(
+                    F.sum("pcents").cast("double")
+                    * F.lit(1e4)
+                    / F.sum("pn")
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("avg_r"),
             F.count_distinct(F.col("ptag")).cast("long").alias("n_partials"),
         )
     )

@@ -560,7 +560,7 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_native_unpivot",
     oracle="""
     UNPIVOT (SELECT c_mktsegment,
-                    round(avg(c_acctbal), 6) AS avg_bal,
+                    floor(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) * 1e4 / count(*) + 0.5) / 1e6 AS avg_bal,
                     round(min(c_acctbal), 2) AS min_bal,
                     round(max(c_acctbal), 2) AS max_bal
              FROM customer GROUP BY c_mktsegment)
@@ -581,7 +581,7 @@ def sql_native_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment, metric, val
         FROM (SELECT c_mktsegment,
-                     round(avg(c_acctbal), 6) AS avg_bal,
+                     floor(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) * 1e4 / count(*) + 0.5) / 1e6 AS avg_bal,
                      round(min(c_acctbal), 2) AS min_bal,
                      round(max(c_acctbal), 2) AS max_bal
               FROM ht_customer_upv GROUP BY c_mktsegment)
@@ -1134,7 +1134,7 @@ def sql_values_inline_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(avg(o_totalprice), 4) AS avg_price_r
+           floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) * 100 / count(*) + 0.5) / 1e4 AS avg_price_r
     FROM orders
     GROUP BY ALL
     ORDER BY ALL
@@ -1152,7 +1152,7 @@ def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round(avg(o_totalprice), 4) AS avg_price_r
+               floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) * 100 / count(*) + 0.5) / 1e4 AS avg_price_r
         FROM ht_ord_oba
         GROUP BY ALL
         ORDER BY ALL
