@@ -21,6 +21,13 @@ steady-state step 3) is: `window hostiletz` once, plus one `full
 vanilla` and one `full hostileconf`, at least one of them concurrent
 with the full pytest suite. Concurrency is safe: all scratch paths are
 PID-keyed (hive_task_spark/scratch.py).
+
+SPARK_GRAFT_SWEEP_SF overrides the dataset (default sf0.01). Run
+`SPARK_GRAFT_SWEEP_SF=/root/testdata/sf0.1 python tools/sweep.py full
+vanilla` once per round: it samples a 10x bigger float-boundary
+lottery than the driver's sf0.01 and is the only gate that catches
+the grid-average class (r16 found 4 such edges green at sf0.01 —
+CLAUDE.md float rules).
 """
 
 from __future__ import annotations
