@@ -2311,8 +2311,10 @@ def quality_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (
         SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
                CAST(count(*) AS BIGINT)                    AS n_b,
-               floor(avg(score) * 1e6 + 0.5) / 1e6         AS conf_r,
-               floor(avg(label) * 1e6 + 0.5) / 1e6         AS acc_r
+               floor(CAST(sum(CAST(floor(score * 1e6 + 0.5) AS BIGINT))
+                          AS DOUBLE) / count(*) + 0.5) / 1e6 AS conf_r,
+               floor(CAST(sum(CAST(label AS BIGINT)) AS DOUBLE) * 1e6
+                     / count(*) + 0.5) / 1e6                 AS acc_r
         FROM p GROUP BY 1
     )
     SELECT bin, n_b, conf_r, acc_r,
@@ -2379,12 +2381,29 @@ def quality_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_b"),
-        (F.floor(F.avg("score") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
-            "conf_r"
-        ),
-        (F.floor(F.avg("label") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
-            "acc_r"
-        ),
+        # integer score-units / label sums + one identical division
+        # (r16 grid-avg rule: both are grid-cell averages)
+        (
+            F.floor(
+                F.sum(
+                    F.floor(
+                        F.col("score") * F.lit(1e6) + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("conf_r"),
+        (
+            F.floor(
+                F.sum(F.col("label").cast("long")).cast("double")
+                * F.lit(1e6)
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("acc_r"),
     )
     wall = Window.partitionBy()
     gap = F.abs(F.col("acc_r") - F.col("conf_r"))

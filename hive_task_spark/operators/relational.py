@@ -501,8 +501,11 @@ def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name                              AS nation,
            CAST(count(*) AS BIGINT)              AS customers,
-           round(sum(c.c_acctbal), 2)            AS total_acctbal,
-           floor(avg(c.c_acctbal) * 1e6 + 0.5) / 1e6 AS avg_acctbal_r
+           CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0                AS total_acctbal,
+           floor(CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) * 1e4 / count(*) + 0.5) / 1e6
+                                                  AS avg_acctbal_r
     FROM customer c
     JOIN nation n ON n.n_nationkey = c.c_nationkey
     WHERE c.c_acctbal > 0
@@ -524,10 +527,11 @@ def relational_pandas_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
     of reaching PushedFilters — column pruning and IsNotNull still
     push, but a pipeline that needs row-group skipping on the value
     predicate should filter in the DataFrame API before entering
-    pandas_api. Money sum
-    rounds at its exact 2dp grain; the mean (not exactly decimal)
-    goes through the floor(x*1e6+0.5)/1e6 form that is bit-identical
-    in both engines."""
+    pandas_api. Money moves as exact BIGINT cents (np.floor on the
+    pandas-on-Spark series compiles to F.floor, no UDF), so the sum
+    edge is exact and the mean edge is one identical FP division of
+    identical integers — the r16 grid-avg rule (a double mean of 2dp
+    money is boundary-prone at any fixed rounding grain)."""
     import pyspark.pandas as ps  # noqa: F401  (registers the API)
 
     c = load(spark, sf_dir, "customer")
@@ -540,17 +544,30 @@ def relational_pandas_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
         pn.reset_index(), left_on="c_nationkey", right_on="n_nationkey"
     )
     m = m[m.c_acctbal > 0]
+    # money → exact BIGINT cents while STILL in the pandas API (numpy
+    # ufuncs like np.floor compile to F.floor on pandas-on-Spark
+    # series — no UDF): grid-avg rule, r16
+    import numpy as np
+
+    m["acct_cents"] = np.floor(m.c_acctbal * 100 + 0.5).astype("int64")
     g = m.groupby("n_name").agg(
         customers=("c_nationkey", "count"),
-        total=("c_acctbal", "sum"),
-        avg_bal=("c_acctbal", "mean"),
+        cents=("acct_cents", "sum"),
     )
     out = g.to_spark(index_col="n_name")
     return out.select(
         F.col("n_name").alias("nation"),
         F.col("customers").cast("long").alias("customers"),
-        F.round("total", 2).alias("total_acctbal"),
-        (F.floor(F.col("avg_bal") * 1e6 + F.lit(0.5)) / 1e6).alias(
-            "avg_acctbal_r"
+        (F.col("cents").cast("double") / F.lit(100.0)).alias(
+            "total_acctbal"
         ),
+        (
+            F.floor(
+                F.col("cents").cast("double")
+                * F.lit(1e4)
+                / F.col("customers")
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("avg_acctbal_r"),
     )

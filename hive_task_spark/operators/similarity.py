@@ -2605,8 +2605,9 @@ _ORACLE_NPROBE_SWEEP = f"""
     )
     SELECT CAST(h.nprobe AS BIGINT)      AS nprobe,
            CAST(count(*) AS BIGINT)      AS n_truth_pairs,
-           round(avg(h.hit), 6)          AS recall_at_5_r,
-           round(any_value(s.avg_scanned), 6) AS avg_scanned_r
+           floor(CAST(sum(h.hit) AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6
+                                         AS recall_at_5_r,
+           floor(any_value(s.avg_scanned) * 1e6 + 0.5) / 1e6 AS avg_scanned_r
     FROM hits h JOIN scans s ON h.nprobe = s.nprobe
     GROUP BY h.nprobe
 """.replace("__CB__", _CODEBOOK_SQL)
@@ -2720,14 +2721,27 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.groupBy("nprobe")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_truth_pairs"),
-            F.round(F.avg("hit"), 6).alias("recall_at_5_r"),
+            # binary hits: exact integer sum + one identical division
+            # (r16 grid-avg rule — avg(0/1) is k/n, boundary-prone)
+            (
+                F.floor(
+                    F.sum("hit").cast("double")
+                    * F.lit(1e6)
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("recall_at_5_r"),
         )
         .join(scans, "nprobe")
         .select(
             F.col("nprobe").cast("long").alias("nprobe"),
             "n_truth_pairs",
             "recall_at_5_r",
-            F.round("avg_scanned", 6).alias("avg_scanned_r"),
+            (
+                F.floor(F.col("avg_scanned") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("avg_scanned_r"),
         )
     )
 

@@ -95,33 +95,45 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         o_custkey,
         o_orderkey,
-        round(sum(o_totalprice) OVER (
+        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ), 2) AS running_spend,
-        round(avg(o_totalprice) OVER (
+        ) AS DOUBLE) / 100.0 AS running_spend,
+        floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-        ), 4) AS moving_avg_3
+        ) AS DOUBLE) * 100 / count(*) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        ) + 0.5) / 1e4 AS moving_avg_3
     FROM orders
     """,
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame aggregates: running total + 3-row moving average."""
+    """Frame aggregates: running total + 3-row moving average. Money
+    moves through exact BIGINT cents inside the frames (r16 grid-avg
+    rule: a 1- or 2-row frame's average of 2dp money is a terminating
+    rational that can sit exactly on the .00005 round boundary)."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w3 = w.rowsBetween(-2, 0)
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(
-            F.sum("o_totalprice").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-            2,
-        ).alias("running_spend"),
-        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias(
-            "moving_avg_3"
+        (F.sum(cents).over(w_run).cast("double") / F.lit(100.0)).alias(
+            "running_spend"
         ),
+        (
+            F.floor(
+                F.sum(cents).over(w3).cast("double")
+                * F.lit(100)
+                / F.count(F.lit(1)).over(w3)
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("moving_avg_3"),
     )
 
 
@@ -348,9 +360,13 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(row_number() OVER w AS BIGINT)             AS event_idx,
-           round(avg(value) OVER (
+           floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll5_avg_r,
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) * 1e4
+                 / count(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                 + 0.5) / 1e6 AS roll5_avg_r,
            CAST(coalesce(floor(epoch(ts) - epoch(lag(ts) OVER w)), -1)
                 AS BIGINT)                                  AS secs_since_prev
     FROM events
@@ -376,7 +392,21 @@ def window_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.row_number().over(w).cast("long").alias("event_idx"),
-        F.round(F.avg("value").over(w5), 6).alias("roll5_avg_r"),
+        # exact cents inside the frame (r16 grid-avg rule): short
+        # frames over 2dp values average to terminating rationals
+        (
+            F.floor(
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                )
+                .over(w5)
+                .cast("double")
+                * F.lit(1e4)
+                / F.count(F.lit(1)).over(w5)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("roll5_avg_r"),
         F.coalesce(secs, F.lit(-1)).cast("long").alias("secs_since_prev"),
     )
 
