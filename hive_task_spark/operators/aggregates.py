@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_task_spark.registry import register
+from hive_task_spark.functions.exact import cents as _cents
 from hive_task_spark.tables import load
 
 
@@ -570,7 +571,7 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division (a double avg + round lands on exact .005 boundaries
     # where engine round algorithms and summation order disagree —
     # the r16 grid-avg rule, CLAUDE.md)
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents = _cents(F.col("o_totalprice"))
     return (
         o.groupBy(bin_id.alias("bin_id"))
         .agg(

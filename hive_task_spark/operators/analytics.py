@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_task_spark.registry import register
+from hive_task_spark.functions.exact import cents as _cents
 from hive_task_spark.tables import load
 
 
@@ -4410,8 +4411,8 @@ def analytics_qq_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_cells,
-               CAST(sum(n) AS BIGINT) AS s1,
-               CAST(sum(n * n) AS BIGINT) AS s2
+               sum(n) AS s1,
+               sum(n * n) AS s2
         FROM daily GROUP BY event_type
     )
     SELECT event_type,
@@ -5249,7 +5250,7 @@ def analytics_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor(
                 F.sum(
-                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                    _cents(F.col("value"))
                 ).cast("double")
                 * F.lit(1e4)
                 / F.count(F.lit(1))

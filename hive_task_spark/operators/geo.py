@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_task_spark.registry import register
+from hive_task_spark.functions.exact import cents as _cents
 from hive_task_spark.tables import load
 
 # Affine point synthesis (shared by every geo query; SQL twins inline).
@@ -89,9 +90,7 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(
                     (
                         F.sum(
-                            F.floor(
-                                F.col("c_acctbal") * 100 + F.lit(0.5)
-                            ).cast("long")
+                            _cents(F.col("c_acctbal"))
                         )
                         * F.lit(100)
                     ).cast("double")

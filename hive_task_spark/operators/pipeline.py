@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_task_spark.registry import register
+from hive_task_spark.functions.exact import cents as _cents
 from hive_task_spark.tables import load
 
 
@@ -705,7 +706,7 @@ def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise territory. n_partials proves both branches contributed."""
     o = load(spark, sf_dir, "orders")
     cutoff = F.to_timestamp(F.lit("1996-01-01"))
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents = _cents(F.col("o_totalprice"))
 
     def partial(df: DataFrame, tag: int) -> DataFrame:
         return df.groupBy("o_orderstatus").agg(
@@ -765,7 +766,8 @@ def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.lang,
            CAST(count(*) AS BIGINT)                     AS n_docs,
            CAST(sum(t.n_tokens) AS BIGINT)              AS n_tokens,
-           round(avg(t.ttr), 6)                         AS avg_ttr_r,
+           floor(CAST(sum(CAST(floor(t.ttr * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_ttr_r,
            CAST(count(*) FILTER (WHERE d.cnt > 1) AS BIGINT) AS n_exact_dup,
            any_value(ts.top_source)                     AS top_source
     FROM t
@@ -816,7 +818,22 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.round(F.avg("ttr"), 6).alias("avg_ttr_r"),
+            # per-doc ttr → integer micro cell (bit-identical scalar
+            # in both engines), exact cell sum + one identical
+            # division (r16 grid-avg rule: avg of small-denominator
+            # rationals is boundary-prone)
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("ttr") * F.lit(1e6) + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("avg_ttr_r"),
             F.count_if(F.col("cnt") > 1).cast("long").alias("n_exact_dup"),
             F.any_value(F.col("top_source")).alias("top_source"),
         )

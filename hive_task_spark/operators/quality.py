@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_task_spark.registry import register
+from hive_task_spark.functions.exact import cents as _cents
 from hive_task_spark.tables import load
 
 _STOP = ["the", "a", "of", "and", "to", "in", "is"]
@@ -2504,9 +2505,7 @@ def quality_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> Data
         F.count(F.lit(1)).cast("long").alias("n_lines"),
     )
     o = load(spark, sf_dir, "orders")
-    book_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
-        "long"
-    )
+    book_cents = _cents(F.col("o_totalprice"))
     j = o.join(lines, o["o_orderkey"] == lines["l_orderkey"], "left").select(
         "o_orderkey",
         "line_micro",

@@ -323,7 +323,9 @@ def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         bg.doc_id,
         CAST(count(*) AS BIGINT)              AS n_bigrams,
-        round(avg(ln(c2.n2 / c1.n1)), 6)      AS avg_logprob_r
+        floor(CAST(sum(CAST(floor(ln(c2.n2 / c1.n1) * 1e9 + 0.5)
+                            AS BIGINT)) AS DOUBLE)
+              / (count(*) * 1000.0) + 0.5) / 1e6 AS avg_logprob_r
     FROM bg
     JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
     JOIN c1 ON bg.w1 = c1.w1
@@ -357,9 +359,22 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log(F.col("n2") / F.col("n1"))), 6).alias(
-                "avg_logprob_r"
-            ),
+            # integer nano-unit ln cells + exact sum + one identical
+            # division — same shape as text_stupid_backoff, whose
+            # avg-of-cells form lost a doc at sf0.1 (r16)
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.log(F.col("n2") / F.col("n1")) * F.lit(1e9)
+                            + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / (F.count(F.lit(1)) * F.lit(1000.0))
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("avg_logprob_r"),
         )
     )
 

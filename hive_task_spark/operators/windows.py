@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_task_spark.registry import register
+from hive_task_spark.functions.exact import cents as _cents
 from hive_task_spark.tables import load
 
 
@@ -116,7 +117,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational that can sit exactly on the .00005 round boundary)."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents = _cents(F.col("o_totalprice"))
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w3 = w.rowsBetween(-2, 0)
     return o.select(
@@ -397,7 +398,7 @@ def window_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor(
                 F.sum(
-                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                    _cents(F.col("value"))
                 )
                 .over(w5)
                 .cast("double")

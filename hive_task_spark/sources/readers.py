@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hive_task_spark.registry import register
+from hive_task_spark.functions.exact import cents as _cents
 from hive_task_spark.tables import load
 
 from hive_task_spark.scratch import scratch_path as _scratch  # noqa: E402
@@ -2135,12 +2136,14 @@ def stats_prune(
     scanned rows, because intersection admits a superset."""
     keep = []
     for a in actions:
-        st = a.get("stats")
-        if st is not None:
-            if lo is not None and st["max"] < lo:
-                continue
-            if hi is not None and st["min"] > hi:
-                continue
+        st = a.get("stats") or {}
+        # .get, not [..]: PARTIAL stats (only one bound recorded) must
+        # also degrade to scanning on the missing side, per the
+        # contract above — a KeyError here would fail the read instead
+        if lo is not None and st.get("max") is not None and st["max"] < lo:
+            continue
+        if hi is not None and st.get("min") is not None and st["min"] > hi:
+            continue
         keep.append(a["file"])
     return keep
 
@@ -2157,7 +2160,8 @@ def stats_prune(
            (SELECT CAST(count(*) AS BIGINT) FROM per_file
              WHERE mx >= 160000) AS files_scanned,
            CAST(count(*) AS BIGINT) AS n_rows,
-           round(sum(o_totalprice), 2) AS sum_price_r
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price_r
     FROM orders WHERE o_totalprice >= 160000
     """,
     defer=True,
@@ -2190,8 +2194,6 @@ def source_commit_log_data_skipping(
     files (multi-path parquet scan, fully parallel). Reference
     parity: this is the read-path complement of the OCC writer
     (`source_commit_log_optimistic_concurrency`)."""
-    import json
-
     base = _write_commit_log_with_stats(spark, sf_dir)
     lo_bound = 160000.0
     adds = _occ_actions(base, 1)
@@ -2208,7 +2210,15 @@ def source_commit_log_data_skipping(
         snap.filter(F.col("o_totalprice") >= lo_bound)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price_r"),
+            # exact BIGINT cents sum (r16 grid rule): a double money
+            # sum at this magnitude carries summation-order noise
+            # bigger than the 2dp grain
+            (
+                F.sum(
+                    _cents(F.col("o_totalprice"))
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_price_r"),
         )
         .select(
             F.lit(len(adds)).cast("long").alias("files_total"),
@@ -2247,10 +2257,20 @@ def occ_vacuum(base: str, retain_from: int) -> list[str]:
     if not versions:
         return []
     retain_from = min(retain_from, versions[-1])
+    # one forward replay of the log, maintaining the live set and
+    # unioning it into `reachable` at every retained version — O(V)
+    # action parses, not O(V^2) (an _occ_live_files call per retained
+    # version would re-replay the whole prefix each time)
     reachable: set[str] = set()
+    live: set[str] = set()
     for v in versions:
+        for a in _occ_actions(base, v):
+            if a["action"] == "add":
+                live.add(a["file"])
+            else:
+                live.discard(a["file"])
         if v >= retain_from:
-            reachable.update(_occ_live_files(base, as_of=v))
+            reachable |= live
     deleted = []
     for entry in sorted(os.listdir(base)):
         p = os.path.join(base, entry)

@@ -3416,7 +3416,21 @@ def test_stats_prune_never_drops_a_matching_file(files, lo, hi):
         ]
         if matches:
             assert f"f{i}" in kept, (vals, lo, hi)
-    # and the no-stats conservative default
-    assert stats_prune([{"action": "add", "file": "nostats"}], lo=lo, hi=hi) == [
-        "nostats"
+    # and the conservative defaults: absent stats AND partial stats
+    # (one bound missing) must both degrade to scanning, never crash
+    partials = [
+        {"action": "add", "file": "nostats"},
+        {"action": "add", "file": "onlymax", "stats": {"col": "x", "max": 0}},
+        {"action": "add", "file": "onlymin", "stats": {"col": "x", "min": 0}},
     ]
+    kept2 = stats_prune(partials, lo=lo, hi=hi)
+    assert "nostats" in kept2
+    # a sole bound still prunes on ITS side, scans on the missing side
+    if lo is not None and lo > 0:
+        assert "onlymax" not in kept2  # max=0 < lo proves no match
+    else:
+        assert "onlymax" in kept2
+    if hi is not None and hi < 0:
+        assert "onlymin" not in kept2  # min=0 > hi proves no match
+    else:
+        assert "onlymin" in kept2
