@@ -52,68 +52,68 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 16's row, exactly
+# schedule lives in CLAUDE.md; this is round 17's row, exactly
 # SAMPLED_ROUNDS.json's next_reconfirm_window_50: the 3 never-sampled
-# r15 additions in slots 1–3 (new-op rule) + the 47 stalest-signal
+# r16 additions in slots 1–3 (new-op rule) + the 47 stalest-signal
 # reconfirm names (max sampled round ascending, registration-order
-# tie-break — all last sampled r4/r5: json/math/str/date suites, UDF
-# family, window frames, text analysis depth, quality audits).
-# Round 15's window came back 50/50 green; a green CORRECTNESS_r16
-# makes every registered query driver-confirmed at least once
-# (575/575 cumulative).
+# tie-break — all last sampled r5/r6: quality audits, multimodal,
+# dedup depth, geo, and the graph/sequence analytics cohort).
+# Round 16's window came back 49/50 oracle-green + 1 rows-only by
+# design (hash_engine_specific, no oracle); every name registered
+# through r16 is driver-confirmed at least once (578/578 cumulative).
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- r16 window: 3 never-sampled r15 additions first (new-op rule) --
-    "source_commit_log_optimistic_concurrency",
-    "stream_rocksdb_changelog_checkpoint",
-    "stream_statestore_time_travel",
+    # -- r17 window: 3 never-sampled r16 additions first (new-op rule) --
+    "source_commit_log_data_skipping",
+    "source_commit_log_vacuum",
+    "stream_statestore_join_state_reader",
     # -- 47 stalest reconfirm per SAMPLED_ROUNDS.json (max-round asc, reg order) --
-    "json_variant_extract",
-    "math_decimal_exact_money",
-    "str_extract_all_map",
-    "str_collation_suite",
-    "date_calendar_arithmetic",
-    "date_order_gaps",
-    "date_timezone_suite",
-    "date_business_days",
-    "date_multiformat_parse_dispatch",
-    "hash_engine_specific",
-    "udf_mapinarrow",
-    "udf_pandas_iterator",
-    "udtf_polymorphic",
-    "udf_cogrouped_map",
-    "udf_grouped_arrow",
-    "window_running_distinct",
-    "window_time_range_frame",
-    "window_rolling_regression",
-    "agg_percentile_cont_disc",
-    "agg_crosstab_contingency",
-    "agg_melt_unpivot_api",
-    "math_try_arithmetic_suite",
-    "text_fingerprint",
-    "text_stats_by_lang_source",
-    "text_redact_patterns",
-    "text_bigram_lm_score",
-    "text_boilerplate_ngrams",
-    "text_zipf_slope",
-    "text_bpe_apply",
-    "text_bm25_scoring",
-    "text_ndcg_eval",
-    "text_langid_confusion",
-    "text_bpe_train_step",
-    "text_pmi_collocations",
-    "text_inverted_index",
-    "text_kwic_concordance",
-    "text_blocklist_leet_filter",
-    "text_log_template_mining",
-    "text_tokenizer_fertility",
-    "text_vocab_coverage_curve",
-    "quality_percentile_filter",
-    "quality_expectations_audit",
-    "quality_drift_report",
-    "quality_referential_integrity",
-    "quality_snapshot_diff",
-    "quality_entity_resolution",
-    "quality_sorted_neighborhood_er",
+    "quality_k_anonymity_audit",
+    "quality_retry_storm_census",
+    "quality_column_size_profile",
+    "quality_partition_fingerprint",
+    "quality_fellegi_sunter_scoring",
+    "quality_encoding_advisor",
+    "quality_cdc_column_attribution",
+    "multimodal_metadata_profile",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "multimodal_audio_windows",
+    "multimodal_shard_manifest",
+    "multimodal_phash_neardup",
+    "multimodal_crossmodal_integrity",
+    "dedup_prefix_hash",
+    "dedup_asymmetric_containment",
+    "dedup_health_dashboard",
+    "dedup_minhash_portable_eval",
+    "dedup_incremental_ingest",
+    "geo_grid_density",
+    "geo_radius_join",
+    "geo_trajectory_stats",
+    "geo_nearest_supplier",
+    "geo_trajectory_similarity",
+    "analytics_retention_cohorts",
+    "analytics_copurchase_pairs",
+    "analytics_pagerank_lite",
+    "analytics_skyline_2d",
+    "analytics_outlier_zscore",
+    "analytics_markov_transitions",
+    "analytics_triangle_count",
+    "analytics_sequence_pattern",
+    "analytics_ab_welch_ttest",
+    "analytics_hypertable_rollup",
+    "analytics_rfm_segmentation",
+    "analytics_attribution_models",
+    "analytics_dau_mau",
+    "analytics_anomaly_mad",
+    "analytics_label_propagation",
+    "analytics_association_rules",
+    "analytics_chi_square",
+    "analytics_mann_whitney",
+    "analytics_ks_test",
+    "analytics_gini_pareto",
+    "analytics_ewma_horizon",
+    "analytics_shortest_path_bfs",
 )
 
 
