@@ -17,6 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hive_task_spark.plans.checkpoints import (
+    checkpoint_conservative as _checkpoint_conservative,
+)
 from hive_task_spark.registry import register
 from hive_task_spark.functions.exact import cents as _cents
 from hive_task_spark.tables import load
@@ -38,61 +41,57 @@ def _copurchase_edges(
     ``items`` is an (l_orderkey, l_partkey) projection of lineitem
     (optionally pre-filtered / pre-distinct'd by the caller).
 
-    Kernel choice — the orderkey self-join, deliberately NOT the
-    basket-explode kernel `analytics_triangle_count` uses.  Measured
-    at sf0.1 (best-of-3, identical 1,196,000-edge output): the explode
-    kernel builds 2.5x faster in isolation (1.9 s vs 4.7 s — one fact
-    shuffle instead of three), BUT its checkpointed plan advertises
-    ~1.5 MB stats for the 1.2M-row edge list (the groupBy halves the
-    row estimate and the explosion is never re-inflated), so every
-    downstream AQE join flips to broadcasting the edge list: kcore
-    regressed 3.6 s -> 16.3 s and louvain / link-prediction /
-    assortativity broadcast-OOMed a default driver.  The self-join's
-    pessimistic multi-TB estimate keeps AQE honest — downstream joins
-    stay shuffles, which is also the only plan that survives 100 TB.
-    (Triangle count is unaffected: its support>=2 filter makes the
-    edge set genuinely dimension-scale before anything consumes it.)
+    Kernel choice (r17 optimization round): the basket-explode kernel —
+    ONE fact shuffle (groupBy orderkey + collect_set) instead of the
+    r7-r16 orderkey self-join's three.  Measured r17 at sf0.1
+    (best-of-3, identical 1,196,000-edge output, checkpoint included):
+    explode 1.31 s vs self-join 2.15 s.  The r7 trap that kept the
+    self-join alive — the explode plan advertises ~1.25 B/row
+    (Generate never re-inflates the Aggregate's shrunken row estimate;
+    1.49 MB for the 1.2M edges), flipping every downstream AQE join to
+    broadcasting the edge list (kcore 3.6 s -> 16.3 s, three graph-op
+    OOMs) — is closed structurally by
+    ``plans.checkpoints.checkpoint_conservative``: the checkpointed RDD
+    is re-wrapped in a LogicalRDD with NO origin stats, so downstream
+    planning sees the unknown-stats default (Long.MaxValue) and every
+    consumer join stays a shuffle — the same pessimistic posture the
+    self-join's multi-TB estimate produced, the only plan that
+    survives 100 TB.  Guards: tests/test_plans.py broadcast-bait
+    invariant (now asserts the conservative stats directly) +
+    test_memory_envelope.  The r8 persist(MEMORY_AND_DISK)+count()
+    alternative (accurate 16 B/row stats) stays rejected: the
+    CacheManager would serve plan-identical rebuilds from cache across
+    bench best-of-3 iterations — measuring cache hits, not builds.
 
-    Round-8 measured alternative, deliberately NOT shipped: explode
-    kernel + persist(MEMORY_AND_DISK) + count() yields ACCURATE stats
-    (19.1 MB = 16.0 B/row for the 1.2M edges — above the broadcast
-    threshold at sf0.1, so AQE decides correctly at every scale) and
-    builds 2.3x faster (3.6 s vs 8.3 s, loaded box). Not adopted in
-    round 8 because: persist+localCheckpoint double-materializes
-    (7.5 s — gain erased); pure persist changes cache lifecycle
-    (cacheManager holds references across the 555-query sweep, and
-    bench best-of-3 would measure cache hits, not builds) and needs a
-    full round of soak across the six consumers. Candidate for a
-    dedicated early-round evaluation with the r8 class guards
-    (tests/test_plans.py broadcast-bait invariant, memory envelope,
-    bench_diff) as the safety net.
-
-    Degree-bound rationale — why this self-join is safe at 100 TB:
+    Degree-bound rationale — why the pair explosion is safe at 100 TB:
     TPC-H orders carry <= 7 lineitems (the co-purchase graph's avg
-    degree ~120 is SF-invariant), so the orderkey self-join emits
-    <= C(7,2) = 21 pairs per order — the blowup is capped by DATA
-    SHAPE, not scale factor.  The ``l_partkey < l_partkey`` predicate
-    halves the pair count and collapses the (u,v)/(v,u) twins so each
-    undirected edge appears exactly once.
+    degree ~120 is SF-invariant), so each basket emits <= C(7,2) = 21
+    pairs — the blowup is capped by DATA SHAPE, not scale factor.  The
+    ``u < v`` filter halves the pair count and collapses the
+    (u,v)/(v,u) twins so each undirected edge appears exactly once;
+    collect_set dedupes within-order part repeats exactly like the
+    self-join over a distinct (orderkey, partkey) projection.
 
     ``distinct=True`` (default) collapses multi-order repeats so
     downstream degree counts are simple edge counts — dropping it is
     only correct when the caller dedupes later itself (label
     propagation unions reversed stubs + self-loops before its own
-    ``.distinct()``).  ``checkpoint=True`` materializes the join via
-    localCheckpoint for operators that reference the edge list
-    repeatedly (BSP unrolls): without it the unroll multiplies the
-    lineitem self-join once per downstream reference.
+    ``.distinct()``).  ``checkpoint=True`` materializes the kernel for
+    operators that reference the edge list repeatedly (BSP unrolls):
+    without it the unroll multiplies the basket build once per
+    downstream reference.
     """
-    a, b = items.alias("a"), items.alias("b")
-    e = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias(u), F.col("b.l_partkey").alias(v))
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    e = (
+        baskets.select(F.explode("ps").alias(u), "ps")
+        .select(u, F.explode("ps").alias(v))
+        .filter(F.col(u) < F.col(v))
+    )
     if distinct:
         e = e.distinct()
-    return e.localCheckpoint() if checkpoint else e
+    return _checkpoint_conservative(e) if checkpoint else e
 
 
 @register(
@@ -5689,13 +5688,17 @@ def analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is two semi-joins of the edge list against the shrinking
     keep-set — join strategy left to AQE, since the keep-set scales
     with the node universe and must not be force-broadcast — and the
-    edge list itself comes from the one orderkey self-join). All-integer edges, adaptive k makes the
+    edge list itself comes from the one basket-explode pass). All-integer edges, adaptive k makes the
     peel meaningful at every SF. The edge lists materialize via
     localCheckpoint between rounds (the minhash/triangle discipline):
     each round's plan reads the PREVIOUS round's result, not the
     whole re-derived lineage — without it the unroll multiplies the
-    lineitem self-join once per downstream reference (~200 exchanges
-    at depth 2)."""
+    edge build once per downstream reference (~200 exchanges at
+    depth 2). deg0 materializes too (r17, guide §2.4): the kk scalar
+    and the round-1 keep-set reference it 4x across the unroll, and
+    without the checkpoint every reference re-aggregated the 2.4M-row
+    endpoint union from scratch (the before-plan carried 48 Exchanges
+    — four full degree recomputations where one suffices)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges0 = _copurchase_edges(li)
 
@@ -5707,7 +5710,10 @@ def analytics_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
-    deg0 = degrees(edges0)
+    # Conservative checkpoint (plans.checkpoints): the node universe
+    # scales with the part dimension, so downstream keep-set joins must
+    # never be invited to broadcast it (VERDICT r5).
+    deg0 = _checkpoint_conservative(degrees(edges0))
     kk = deg0.agg(F.ceil(0.6 * F.avg("d")).cast("long").alias("k"))
 
     def peel(edges, deg):
@@ -6795,20 +6801,46 @@ def analytics_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score you compute AFTER label propagation / k-core to
     decide whether the communities are real.
 
-    Scale shape: modularity needs NO iteration — one edge-list pass
-    labels endpoints (two joins against the part dim), then two
-    aggregates (degree mass per community, within-edges per
-    community) and a 1-row broadcast of m.  Contributions are ratios
-    of exact integers (identical IEEE division on both engines),
-    floor-canonicalized at 1e-6.  The part joins stay shuffle joins
-    on purpose: part scales with SF (the kcore keep-set lesson), and
-    AQE broadcasts them at toy SF anyway."""
+    Scale shape: modularity needs NO iteration, and (r17, guide §2.3/
+    §2.4) the heavy statistics never touch the raw edge list twice:
+    degree mass AND node count per community come from the NODE-grain
+    degree table (|V| rows) joined once against part — not from a
+    2|E|-row endpoint union with a countDistinct Expand, which the
+    pre-r17 form shuffled (measured 3.0 s -> 1.6 s). Only e_within
+    labels edges (two part joins); m is a count of the checkpointed
+    edge list (no shuffle). Contributions are ratios of exact
+    integers (identical IEEE division on both engines),
+    floor-canonicalized at 1e-6. The part joins are left to AQE on
+    purpose: part scales with SF (the kcore keep-set lesson), and AQE
+    broadcasts the part side at toy SF anyway — the conservative
+    checkpoint stats (plans.checkpoints) mean the EDGE side is never
+    the broadcast candidate."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # checkpoint=False: the edge list feeds a single linear pass here
-    # (label joins + two aggregates), nothing re-references it.
-    edges = _copurchase_edges(li, checkpoint=False)
+    # Checkpointed: three linear passes reference the edge list (the
+    # degree aggregate, the e_within labeling, and the m count).
+    edges = _copurchase_edges(li)
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    lab = (
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        deg.join(
+            part.select(
+                F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
+            ),
+            "node",
+        )
+        .groupBy("brand")
+        .agg(
+            F.sum("d").alias("deg_sum"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+    )
+    ec = (
         edges.join(
             part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("bu")),
             "u",
@@ -6817,18 +6849,7 @@ def analytics_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bv")),
             "v",
         )
-        .localCheckpoint()
-    )
-    m = lab.agg(F.count(F.lit(1)).alias("m"))
-    ends = lab.select(F.col("u").alias("node"), F.col("bu").alias("brand")).unionAll(
-        lab.select(F.col("v").alias("node"), F.col("bv").alias("brand"))
-    )
-    dc = ends.groupBy("brand").agg(
-        F.count(F.lit(1)).alias("deg_sum"),
-        F.countDistinct("node").alias("n_nodes"),
-    )
-    ec = (
-        lab.filter(F.col("bu") == F.col("bv"))
+        .filter(F.col("bu") == F.col("bv"))
         .groupBy(F.col("bu").alias("brand"))
         .agg(F.count(F.lit(1)).alias("e_within"))
     )
@@ -6932,17 +6953,36 @@ def analytics_louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is one window on i, relabeling is two joins against the
     (node, com) map, then the same two aggregates as the modularity
     scorer. Nothing iterates on the driver; repeated rounds would
-    localCheckpoint between sweeps like kcore."""
+    localCheckpoint between sweeps like kcore. r17 (guide §2.4): the
+    degree table materializes via the conservative checkpoint — three
+    plan references (ki join, kj join, relabel) each re-aggregated the
+    2.4M-row endpoint union before; and the gains joins run kj-first
+    so the i-join's output partitioning is REUSED by the argmax window
+    (one 2.4M-row exchange removed). Degree sides carry the kcore
+    shuffle_hash hint — node-universe scaled, never broadcast
+    (VERDICT r5)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = _copurchase_edges(li)
     und = edges.select(F.col("u").alias("i"), F.col("v").alias("j")).unionAll(
         edges.select(F.col("v").alias("i"), F.col("u").alias("j"))
     )
-    deg = und.groupBy(F.col("i").alias("node")).agg(F.count(F.lit(1)).alias("k"))
+    deg = _checkpoint_conservative(
+        und.groupBy(F.col("i").alias("node")).agg(F.count(F.lit(1)).alias("k"))
+    )
     m = edges.agg(F.count(F.lit(1)).alias("m"))
     gains = (
-        und.join(deg.select(F.col("node").alias("i"), F.col("k").alias("ki")), "i")
-        .join(deg.select(F.col("node").alias("j"), F.col("k").alias("kj")), "j")
+        und.join(
+            deg.select(F.col("node").alias("j"), F.col("k").alias("kj")).hint(
+                "shuffle_hash"
+            ),
+            "j",
+        )
+        .join(
+            deg.select(F.col("node").alias("i"), F.col("k").alias("ki")).hint(
+                "shuffle_hash"
+            ),
+            "i",
+        )
         .crossJoin(F.broadcast(m))
         .select(
             "i",

@@ -242,13 +242,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
+    # r17: plain `%` instead of pmod — the operand a*h+b is always
+    # positive (a,b > 0, h in the 28-bit universe, product < 2^59), so
+    # the results are IDENTICAL (verified cell-for-cell at sf0.1) and
+    # the per-shingle cost drops from two long-mods to one across the
+    # 64 permutations (guide §1.2 per-task work; mins stage 0.63 s ->
+    # 0.56 s at sf0.1).
     mins = hashed.groupBy("doc_id").agg(
         *[
             F.min(
-                F.pmod(
-                    F.lit(_A[i]).cast("long") * F.col("h") + F.lit(_B[i]),
-                    F.lit(_MERSENNE_P),
-                )
+                (F.lit(_A[i]).cast("long") * F.col("h") + F.lit(_B[i]))
+                % F.lit(_MERSENNE_P)
             ).alias(f"m{i}")
             for i in range(_N_HASHES)
         ]

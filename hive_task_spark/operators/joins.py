@@ -433,15 +433,21 @@ def join_temporal_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same change-detection algebra as `pipeline_scd2_dimension`."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     orders = load(spark, sf_dir, "orders")
-    src = orders.select(
+    # r17 (guide §2.4/§7.2): odate materializes BEFORE the windows and
+    # both windows order by that one attribute, so they share one Sort
+    # as well as one Exchange (the before-plan carried a second full
+    # Sort only because the lag ordered by the raw timestamp and the
+    # lead by its date cast — identical total order on this date-grain
+    # column + orderkey tie-break, so the lag values are unchanged).
+    base = orders.select(
         "o_custkey",
         "o_orderpriority",
         F.to_date("o_orderdate").alias("odate"),
         "o_orderkey",
-        F.lag("o_orderpriority").over(w).alias("prev_p"),
     )
+    w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    src = base.withColumn("prev_p", F.lag("o_orderpriority").over(w))
     w2 = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
     dim = (
         src.filter(

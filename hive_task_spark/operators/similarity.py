@@ -800,54 +800,73 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     run once. The label-majority window runs over ≤ K×|labels| rows."""
     from pyspark.sql import Window
 
-    cb_lit = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{x}D" for x in c) + ")" for c in _IVF_CODEBOOK
-        )
-        + ")"
-    )
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", "label", _vec_d().alias("vec")).withColumn(
-        "nrm", _norm(F.col("vec"))
+    # Scoring is a pure map stage (NO shuffle, NO window, NO per-row
+    # candidate set). r17 (guide §4.2): the per-row kernel moves from
+    # 16 interpreted zip_with/aggregate HOF folds to ONE mapInArrow
+    # batch kernel — NumPy accumulating dimension-by-dimension with a
+    # 0.0 seed, which is BIT-IDENTICAL to the HOF fold per row
+    # (((0.0 + u0*c0) + u1*c1) + ... — same IEEE op sequence,
+    # vectorized across rows instead of interpreted per element) and
+    # to the DuckDB oracle's list_sum; argmax keeps the exact
+    # greatest()/first-equal tie-break (dot DESC, cid ASC; NaN
+    # propagates identically through np.maximum and F.greatest).
+    # Measured 1.46 s -> (see OPTIMIZATION_r17.md) at sf0.1; two
+    # rejected JVM forms for the record: 16 fully-unrolled 64-term
+    # codegen chains spent 7 s in analysis/codegen of the ~2k-node
+    # tree, and crossJoin+rank ships a 16x-expanded row stream
+    # through an exchange. Only the three needed columns cross the
+    # Python boundary (guide §4.1).
+    import numpy as np
+
+    dim = len(_IVF_CODEBOOK[0])
+    n_cent = len(_IVF_CODEBOOK)
+    cb_rows = [list(map(float, c)) for c in _IVF_CODEBOOK]
+
+    def _score_batches(batches):
+        import pyarrow as pa
+
+        cb = np.array(cb_rows, dtype=np.float64)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            emb = b.column(b.schema.get_field_index("embedding"))
+            x32 = np.asarray(emb.flatten(), dtype=np.float32)
+            x = x32.astype(np.float64).reshape(n, dim)
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(dim):  # sequential in i == the HOF fold order
+                acc += x[:, i] * x[:, i]
+            nrm = np.sqrt(acc)
+            u = x / nrm[:, None]
+            dots = np.empty((n_cent, n), dtype=np.float64)
+            for c in range(n_cent):
+                a = np.zeros(n, dtype=np.float64)
+                for i in range(dim):
+                    a += u[:, i] * cb[c, i]
+                dots[c] = a
+            best = dots[0].copy()
+            for c in range(1, n_cent):
+                best = np.maximum(best, dots[c])
+            cid = np.full(n, -1, dtype=np.int32)
+            for c in range(n_cent - 1, -1, -1):  # low index wins ties
+                cid = np.where(dots[c] == best, np.int32(c), cid)
+            yield pa.record_batch(
+                [
+                    b.column(b.schema.get_field_index("vec_id")),
+                    b.column(b.schema.get_field_index("label")),
+                    pa.array(cid, type=pa.int32()),
+                    pa.array(best, type=pa.float64()),
+                ],
+                names=["vec_id", "label", "cid", "dot"],
+            )
+
+    scored = e.select("vec_id", "label", "embedding").mapInArrow(
+        _score_batches, "vec_id long, label int, cid int, dot double"
     )
-    unit = vecs.select(
-        "vec_id", "label", F.expr("transform(vec, x -> x / nrm)").alias("uvec")
-    )
-    # In-row argmax over the literal codebook: one dot expression PER
-    # CENTROID (16 independent zip_with/aggregate exprs, the same
-    # per-row kernel similarity_dim_reduction uses), best = greatest(),
-    # cid = first column equal to the best — identical tie-break to
-    # (dot DESC, cid ASC). NO shuffle, NO window, NO per-row candidate
-    # set: scoring is a pure map stage. (Two rejected formulations:
-    # crossJoin+rank ships a 16x-expanded row stream through an
-    # exchange; a single transform() over the 16x64 literal array
-    # rebuilds the literal per row in the interpreted evaluator and
-    # benched 4x worse.) dots materialize in their own projection so
-    # each runs once (CollapseProject keeps multi-referenced exprs).
-    cent_lits = [
-        F.expr("array(" + ",".join(f"{x}D" for x in c) + ")")
-        for c in _IVF_CODEBOOK
-    ]
-    dotted = unit.select(
-        "vec_id",
-        "label",
-        *[
-            _dot(F.col("uvec"), cl).alias(f"d{i}")
-            for i, cl in enumerate(cent_lits)
-        ],
-    )
-    best = dotted.withColumn(
-        "dot", F.greatest(*[F.col(f"d{i}") for i in range(len(cent_lits))])
-    )
-    cid = F.lit(None).cast("int")
-    for i in range(len(cent_lits) - 1, -1, -1):
-        cid = F.when(F.col(f"d{i}") == F.col("dot"), i).otherwise(cid)
-    assigned = best.select(
-        "vec_id", "label", cid.alias("cid"), "dot"
-    ).localCheckpoint()  # feeds both the stats and the majority-label aggs
+    assigned = scored.localCheckpoint()  # feeds stats + majority-label aggs
     stats = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.round(F.avg("dot"), 6).alias("avg_cos_r"),
@@ -1137,38 +1156,73 @@ def similarity_product_quantization(spark: SparkSession, sf_dir: str) -> DataFra
     fold, so codes match exactly and the summed error is bit-stable
     before its 6dp rounding."""
     e = load(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", _vec_d().alias("vec"))
-    dist_exprs = []
-    for s in range(_PQ_M):
-        sub = F.slice(F.col("vec"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-        for c in range(_PQ_K):
-            lit = F.expr(
-                "array(" + ",".join(f"{x}D" for x in _PQ_CB[s][c]) + ")"
+    # r17 (guide §4.2, the kmeans_assign pattern): the 64 interpreted
+    # zip_with/aggregate subspace-distance folds move into ONE
+    # mapInArrow NumPy kernel. Bit-exact by construction: distances
+    # accumulate dimension-by-dimension from a 0.0 seed (the HOF fold's
+    # IEEE op sequence, vectorized across rows), the argmin replays the
+    # exact <=-chain tie-break, and the reconstruction error sums the
+    # per-subspace minima in ascending-s order from a 0.0 seed. The 6dp
+    # rounding and the code-string assembly stay in Spark, so the edge
+    # is unchanged. Only (vec_id, embedding) cross the Python boundary.
+    import numpy as np
+
+    cb_rows = [
+        [list(map(float, _PQ_CB[s][c])) for c in range(_PQ_K)]
+        for s in range(_PQ_M)
+    ]
+    m, k, subdim = _PQ_M, _PQ_K, _PQ_SUBDIM
+    dim = m * subdim
+
+    def _pq_batches(batches):
+        import pyarrow as pa
+
+        cb = np.array(cb_rows, dtype=np.float64)  # (m, k, subdim)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            emb = b.column(b.schema.get_field_index("embedding"))
+            x = (
+                np.asarray(emb.flatten(), dtype=np.float32)
+                .astype(np.float64)
+                .reshape(n, dim)
             )
-            dist_exprs.append(
-                F.aggregate(
-                    F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ).alias(f"d{s}_{c}")
+            err = np.zeros(n, dtype=np.float64)
+            code_cols = []
+            for s in range(m):
+                d = np.empty((k, n), dtype=np.float64)
+                for c in range(k):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for i in range(subdim):  # ascending-dimension fold
+                        diff = x[:, s * subdim + i] - cb[s, c, i]
+                        acc += diff * diff
+                    d[c] = acc
+                c0 = (d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3])
+                c1 = ~c0 & (d[1] <= d[2]) & (d[1] <= d[3])
+                c2 = ~c0 & ~c1 & (d[2] <= d[3])
+                code = np.where(c0, 0, np.where(c1, 1, np.where(c2, 2, 3)))
+                code_cols.append(pa.array(code.astype(np.int32)))
+                least = np.minimum(np.minimum(d[0], d[1]), np.minimum(d[2], d[3]))
+                err += least  # ascending-s fold from the 0.0 seed
+            yield pa.record_batch(
+                [b.column(b.schema.get_field_index("vec_id"))]
+                + code_cols
+                + [pa.array(err, type=pa.float64())],
+                names=["vec_id"] + [f"c{s}" for s in range(m)] + ["err"],
             )
-    d = v.select("vec_id", *dist_exprs)
-    codes = []
-    for s in range(_PQ_M):
-        ds = [F.col(f"d{s}_{c}") for c in range(_PQ_K)]
-        codes.append(
-            F.when((ds[0] <= ds[1]) & (ds[0] <= ds[2]) & (ds[0] <= ds[3]), 0)
-            .when((ds[1] <= ds[2]) & (ds[1] <= ds[3]), 1)
-            .when(ds[2] <= ds[3], 2)
-            .otherwise(3)
-        )
-    err = sum(
-        (F.least(*[F.col(f"d{s}_{c}") for c in range(_PQ_K)]) for s in range(_PQ_M)),
-        start=F.lit(0.0),
+
+    schema = (
+        "vec_id long, "
+        + ", ".join(f"c{s} int" for s in range(m))
+        + ", err double"
     )
-    pq_code = F.concat_ws("|", *[c.cast("string") for c in codes])
+    d = e.select("vec_id", "embedding").mapInArrow(_pq_batches, schema)
+    pq_code = F.concat_ws(
+        "|", *[F.col(f"c{s}").cast("string") for s in range(m)]
+    )
     return d.select(
-        "vec_id", pq_code.alias("pq_code"), F.round(err, 6).alias("err_r")
+        "vec_id", pq_code.alias("pq_code"), F.round("err", 6).alias("err_r")
     )
 
 

@@ -655,6 +655,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup to (order, supplier) grain first (carrying an any-late
     # flag), then plain count/sum — avoids the Expand that doubles
     # the shuffled rows for multi-distinct aggregates (−14% at sf0.1).
+    #
+    # r17 examined, deliberately left in this shape: two rewrites both
+    # MEASURED SLOWER at sf0.1 — (a) per-order stats as a WINDOW over
+    # the deduped grain (removes the stats join's fact re-reference)
+    # inserts a full Sort under WindowExec: 1.39 s vs 1.00 s; (b) an
+    # explicit repartition(l_orderkey) reused by dedup+window defeats
+    # map-side partial aggregation (guide §2.3), shipping raw lines:
+    # 1.38 s. The original join-back touches the fact twice but both
+    # passes are combine-first hash aggregates with a cheap late-row
+    # exchange.
     per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.col("is_late").cast("int")).alias("any_late")
     )

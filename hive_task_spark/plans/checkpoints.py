@@ -71,9 +71,63 @@ class CheckpointRecord:
         }
 
 
+# Captured at import so checkpoint_conservative's INTERNAL localCheckpoint
+# bypasses the record_checkpoints patching below (the audit must record the
+# rewrapped DataFrame — the one downstream planning actually sees — not the
+# intermediate whose understated origin stats the rewrap exists to discard).
+_ORIG_LOCAL_CHECKPOINT = _DF.localCheckpoint
+
+# Active audit sink (set by record_checkpoints). checkpoint_conservative
+# appends its FINAL rewrapped record here so the class-wide stats guards in
+# tests/test_plans.py see exactly what AQE sees.
+_ACTIVE_RECORDS: list["CheckpointRecord"] | None = None
+
+
+def checkpoint_conservative(df):
+    """``localCheckpoint`` that DISCARDS the build plan's size estimate.
+
+    ``Dataset.localCheckpoint`` copies the pre-checkpoint optimized plan's
+    ``sizeInBytes`` estimate into the resulting ``LogicalRDD``
+    (``originStats``) — which is exactly the r7 broadcast-bait mechanism
+    when the build plan understates (the basket-explode edge kernel
+    advertises ~1.25 B/row because Generate/explode does not re-inflate an
+    Aggregate's shrunken row estimate; measured 1.49 MB for 1.2M edges at
+    sf0.1). This helper checkpoints, then re-wraps the SAME materialized
+    RDD in a fresh ``LogicalRDD`` with no origin stats, so downstream
+    planning sees the unknown-stats default (``spark.sql.defaultSizeInBytes``
+    = Long.MaxValue — conservative: never invites a broadcast). Use it for
+    corpus-scaled intermediates whose consumers must stay shuffle joins at
+    100 TB; genuinely small intermediates should keep plain
+    ``localCheckpoint`` so an honest small estimate can still broadcast.
+
+    The rewrap is plan-level only: no second materialization, no extra
+    job; the returned DataFrame reads the checkpointed partitions exactly
+    like the direct handle (verified in tests/test_plans.py)."""
+    try:
+        src = (
+            df._jdf.queryExecution().optimizedPlan().toString()
+            if _ACTIVE_RECORDS is not None
+            else ""
+        )
+    except Exception:  # never let instrumentation break the query
+        src = ""
+    cp = _ORIG_LOCAL_CHECKPOINT(df)
+    jdf = cp._jdf
+    spark = df.sparkSession
+    new_jdf = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    out = _DF(new_jdf, spark)
+    if _ACTIVE_RECORDS is not None:
+        _ACTIVE_RECORDS.append(CheckpointRecord(source_plan=src, checkpointed=out))
+    return out
+
+
 @contextmanager
 def record_checkpoints() -> Iterator[list[CheckpointRecord]]:
-    """Intercept every DataFrame.localCheckpoint in the block."""
+    """Intercept every DataFrame.localCheckpoint in the block (and every
+    checkpoint_conservative, via the module-level sink)."""
+    global _ACTIVE_RECORDS
     records: list[CheckpointRecord] = []
     orig = _DF.localCheckpoint
 
@@ -87,10 +141,13 @@ def record_checkpoints() -> Iterator[list[CheckpointRecord]]:
         return out
 
     _DF.localCheckpoint = patched
+    prev_sink = _ACTIVE_RECORDS
+    _ACTIVE_RECORDS = records
     try:
         yield records
     finally:
         _DF.localCheckpoint = orig
+        _ACTIVE_RECORDS = prev_sink
 
 
 def understated_records(

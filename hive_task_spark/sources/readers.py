@@ -2386,14 +2386,36 @@ def source_commit_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(f"retain-v2 vacuum deleted {gone}, not file_B")
     audit.append((2, _on_disk(), _reachable(2), _latest_rows()))
     try:
-        spark.read.parquet(
+        stale = spark.read.parquet(
             *[
                 os.path.join(base, f)
                 for f in _occ_live_files(base, as_of=1)
             ]
-        ).count()
-    except Exception:
-        pass  # required: AS-OF-v1 is beyond retention, its file is gone
+        )
+        # Force ANALYSIS first so the missing-path error surfaces
+        # before any job is scheduled; count() only runs if analysis
+        # unexpectedly succeeds, feeding the else branch below.
+        #
+        # Known benign noise (VERDICT r16 cosmetic #2, pinned by
+        # tests/test_plans.py::test_observation_listener_survives_
+        # intended_failure_drills): once ANY query has used the
+        # Observation API in the session, Spark 4.1's session-global
+        # ObservationManager$Listener receives every subsequent failed
+        # analysis and logs one ERROR stack (its tryComplete touches
+        # qe.observedMetrics, which rethrows). It cannot be
+        # unregistered — doing so permanently breaks later
+        # observations (Observation.get hangs; measured r17) — and the
+        # listener stays functional, so the stack is log spray, not a
+        # failure.
+        stale.schema
+        stale.count()
+    except Exception as exc:
+        # ADVICE r16: only a missing-path analysis error proves the
+        # vacuumed file is gone — an unrelated failure (session error,
+        # permissions) must not satisfy the drill.
+        cond = getattr(exc, "getCondition", lambda: None)() or ""
+        if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(exc):
+            raise
     else:
         raise ValueError(
             "AS-OF-v1 read succeeded after its file was vacuumed"

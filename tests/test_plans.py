@@ -659,3 +659,45 @@ def test_analyzed_catalog_stats_drive_planning(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_observation_listener_survives_intended_failure_drills(spark, sf_dir):
+    """Pin for the VERDICT r16 cosmetic finding: once any query uses the
+    Observation API, Spark 4.1's session-global ObservationManager
+    listener receives every later FAILED analysis and logs one benign
+    ERROR stack (its tryComplete touches qe.observedMetrics, which
+    rethrows). This pins what matters underneath the noise: (1) the
+    intended-failure drill still raises the precise missing-path error,
+    (2) the Observation machinery keeps working for subsequent queries,
+    and (3) a query with an intended-failure drill inside
+    (source_commit_log_vacuum) still returns correct rows. If this test
+    starts failing, a REAL listener regression is hiding in what was
+    log spray. (Unregistering the listener is NOT a fix: a later
+    Observation.get then blocks forever — measured r17.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+
+    obs = Observation("pin_health")
+    spark.range(10).observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    assert obs.get["n"] == 10
+
+    # intended failure with the listener registered: precise error, no hang
+    with pytest.raises(Exception) as ei:
+        df = spark.read.parquet("/nonexistent_r17_pin")
+        df.schema
+        df.count()
+    cond = getattr(ei.value, "getCondition", lambda: None)() or ""
+    assert "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(ei.value)
+
+    # observation machinery still alive after the failure
+    obs2 = Observation("pin_health_2")
+    spark.range(5).observe(obs2, F.count(F.lit(1)).alias("n")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    assert obs2.get["n"] == 5
+
+    # the registered query whose drill rides this path stays correct
+    rows = registry.QUERIES["source_commit_log_vacuum"](spark, sf_dir).collect()
+    assert len(rows) == 3

@@ -81,7 +81,16 @@ def main() -> int:
         )
 
     qs, osql = entry.queries(), entry.oracle_sql()
-    names = list(qs)[:50] if mode == "window" else sorted(qs)
+    if mode == "window":
+        names = list(qs)[:50]
+    elif mode.startswith("names:"):
+        # Targeted re-check (r17): `names:a,b,c` sweeps just those.
+        names = [n for n in mode[len("names:"):].split(",") if n]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown query names: {unknown}")
+    else:
+        names = sorted(qs)
     fails: list[tuple[str, str]] = []
     for i, name in enumerate(names):
         try:
