@@ -333,24 +333,49 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cogroup_reconcile(orders_pdf, events_pdf):
-    """Cogrouped-map kernel: both sides of one key arrive as pandas
-    frames; emit a per-key reconciliation row. Key columns are present
-    in each (possibly empty) frame."""
+    """Cogrouped-map kernel over one key BUCKET (r17): both sides of a
+    64-way customer bucket arrive as pandas frames; a vectorized
+    per-key groupby emits every key's reconciliation row in one call.
+    One cogroup per raw key meant ~10k Python invocations (12.6 s at
+    sf0.1); bucketing amortizes the Arrow/pandas machinery (guide
+    §4.5) at identical output: counts are exact integers and both
+    money sums are 2dp-exact values whose FP noise (~1e-9) sits far
+    inside the round(…, 2) grain, so summation-order differences
+    between the per-key and grouped paths cannot move the edge."""
     import pandas as pd
 
     if len(orders_pdf):
-        key = int(orders_pdf["o_custkey"].iloc[0])
+        o = orders_pdf.groupby("o_custkey")["o_totalprice"].agg(
+            n_orders="count", spend="sum"
+        )
     else:
-        key = int(events_pdf["user_id"].iloc[0])
-    spend = float(orders_pdf["o_totalprice"].sum()) if len(orders_pdf) else 0.0
-    val = float(events_pdf["value"].sum()) if len(events_pdf) else 0.0
+        o = pd.DataFrame(
+            {
+                "n_orders": pd.Series(dtype="int64"),
+                "spend": pd.Series(dtype="float64"),
+            },
+            index=pd.Index([], dtype="int64"),
+        )
+    if len(events_pdf):
+        e = events_pdf.groupby("user_id")["value"].agg(
+            n_events="count", val="sum"
+        )
+    else:
+        e = pd.DataFrame(
+            {
+                "n_events": pd.Series(dtype="int64"),
+                "val": pd.Series(dtype="float64"),
+            },
+            index=pd.Index([], dtype="int64"),
+        )
+    m = o.join(e, how="outer")
     return pd.DataFrame(
         {
-            "key_id": [key],
-            "n_orders": [len(orders_pdf)],
-            "n_events": [len(events_pdf)],
-            "total_spend_r": [round(spend, 2)],
-            "total_value_r": [round(val, 2)],
+            "key_id": m.index.astype("int64"),
+            "n_orders": m["n_orders"].fillna(0).astype("int64"),
+            "n_events": m["n_events"].fillna(0).astype("int64"),
+            "total_spend_r": m["spend"].fillna(0.0).round(2),
+            "total_value_r": m["val"].fillna(0.0).round(2),
         }
     )
 
@@ -384,9 +409,13 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-side aggregates full-outer-joined on the key."""
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     events = load(spark, sf_dir, "events").select("user_id", "value")
+    # r17: cogroup on a 64-way key BUCKET (guide §4.5) — the kernel
+    # does the per-key reconciliation vectorized inside each bucket;
+    # see _cogroup_reconcile for the exactness argument. Same
+    # co-shuffle, 64 Python calls instead of ~10k.
     out = (
-        orders.groupby("o_custkey")
-        .cogroup(events.groupby("user_id"))
+        orders.groupby(F.pmod(F.col("o_custkey"), F.lit(64)))
+        .cogroup(events.groupby(F.pmod(F.col("user_id"), F.lit(64))))
         .applyInPandas(
             _cogroup_reconcile,
             schema="key_id long, n_orders long, n_events long, "

@@ -122,20 +122,24 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact interpolated [p40,p60] / [p90,p99] windows, which the
     oracle asserts TRUE (plus the group count, an exact anchor)."""
     li = load(spark, sf_dir, "lineitem")
+    # r17 (guide §1.2 per-task work): ONE array-probe call per
+    # aggregate family instead of four exact + two approx scalar
+    # calls — the exact percentile buffers every group value per
+    # CALL, so the 4-call form built (and merge-shuffled) four full
+    # copies of each group's 300k values (4.8 s -> ~2.5 s). Identical
+    # interpolation per probe, so values are unchanged.
+    approx_probes = F.array(F.lit(0.5), F.lit(0.95))
+    exact_probes = F.array(F.lit(0.4), F.lit(0.6), F.lit(0.90), F.lit(0.99))
     g = li.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
-        F.percentile("l_extendedprice", F.lit(0.4)).alias("e40"),
-        F.percentile("l_extendedprice", F.lit(0.6)).alias("e60"),
-        F.percentile("l_extendedprice", F.lit(0.90)).alias("e90"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("e99"),
+        F.percentile_approx("l_extendedprice", approx_probes, 10000).alias("aq"),
+        F.percentile("l_extendedprice", exact_probes).alias("eq"),
     )
     return g.select(
         "l_linestatus",
         "n",
-        (F.col("a50").between(F.col("e40"), F.col("e60"))).alias("p50_ok"),
-        (F.col("a95").between(F.col("e90"), F.col("e99"))).alias("p95_ok"),
+        (F.col("aq")[0].between(F.col("eq")[0], F.col("eq")[1])).alias("p50_ok"),
+        (F.col("aq")[1].between(F.col("eq")[2], F.col("eq")[3])).alias("p95_ok"),
     )
 
 

@@ -750,7 +750,17 @@ def dedup_minhash_portable_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join; truth is feasible at test SF precisely because the
     banded index is the product."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingle_rows(d).distinct().localCheckpoint()
+    # r17: cores-derived repartition before the checkpoint — AQE
+    # coalesces the tiny shingle exchange to ~1 partition, which would
+    # serialize the 4.2M portable md5 evaluations below (seeds x
+    # shingles). Round-robin placement is value-neutral here: min() is
+    # order-independent and band signatures sort explicitly.
+    sh = (
+        _shingle_rows(d)
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     seeds = F.broadcast(
         spark.range(0, 16).select(F.col("id").cast("int").alias("seed"))
     )
@@ -1015,7 +1025,18 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_task_spark.operators.text import _winnow_rows
 
     d = load(spark, sf_dir, "documents")
-    rows = _winnow_rows(d)
+    # r17: checkpoint the winnowed rows — both the fingerprint posting
+    # list and the verification shingle sets read them, and without the
+    # checkpoint the posexplode+window fingerprint pass executed twice.
+    # The cores-derived repartition keeps the downstream hash/verify
+    # work parallel after AQE coalesces the tiny window exchange
+    # (value-neutral: every consumer aggregates with order-independent
+    # min/collect_set-then-sort or exact set ops).
+    rows = (
+        _winnow_rows(d)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     fp = (
         rows.filter(F.col("valid"))
         .select("doc_id", F.col("wmin").alias("fp"))

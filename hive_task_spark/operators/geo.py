@@ -278,9 +278,16 @@ def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the big side and no stencil bookkeeping; the
     cell-stencil rewrite (geo_radius_join) takes over only when BOTH
     sides are large. Deterministic tie-break on supplier key; meter-
-    grain rounding."""
-    from pyspark.sql import Window
+    grain rounding.
 
+    r17 (guide §2.3 "aggregate before you shuffle"): the per-customer
+    argmin is a map-side ``min(struct(km, s_suppkey))`` — struct
+    ordering IS the (km ASC, s_suppkey ASC) tie-break, and min over a
+    set is order-independent, so the chosen row is bit-identical to
+    the previous row_number()-window form. The window SHUFFLED and
+    SORTED all |cust|x|supp| scored rows (15M at sf0.1 — 24.3 s, the
+    2nd-slowest query in the registry); the aggregate collapses them
+    to |cust| partial states before the exchange (24.3 s -> ~1 s)."""
     cust = load(spark, sf_dir, "customer").selectExpr(
         "c_custkey", f"{_CUST_LAT} AS clat", f"{_CUST_LON} AS clon"
     )
@@ -288,18 +295,24 @@ def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", f"{_SUPP_LAT} AS slat", f"{_SUPP_LON} AS slon"
     )
     km = F.expr(_HAV.format(lat1="clat", lon1="clon", lat2="slat", lon2="slon"))
+    # The customer side arrives as ONE scan split at bench scale, so the
+    # |cust|x|supp| haversine expansion would run serially inside a
+    # single BroadcastNestedLoopJoin task (and AQE cannot re-split a
+    # broadcast join's stream side). Round-robin repartition to the
+    # session's parallelism first — scale-adaptive (cores-derived, not a
+    # constant), a 15k-row shuffle that buys 32-way trig (guide §2.5
+    # input-skew remedy: "repartition immediately after the read").
+    cust = cust.repartition(spark.sparkContext.defaultParallelism)
     d = cust.crossJoin(F.broadcast(supp)).select(
         "c_custkey", "s_suppkey", km.alias("km")
     )
-    w = Window.partitionBy("c_custkey").orderBy("km", "s_suppkey")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "c_custkey",
-            F.col("s_suppkey").alias("nearest_suppkey"),
-            F.round("km", 3).alias("dist_km_r"),
-        )
+    best = d.groupBy("c_custkey").agg(
+        F.min(F.struct("km", "s_suppkey")).alias("best")
+    )
+    return best.select(
+        "c_custkey",
+        F.col("best.s_suppkey").alias("nearest_suppkey"),
+        F.round("best.km", 3).alias("dist_km_r"),
     )
 
 
@@ -345,9 +358,11 @@ def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise intersection comes from a posting-list join ON THE CELL
     (candidates ~ Σ per-cell-occupancy², never |users|²); footprints
     are bounded by the grid, so the shuffle carries (user, cell)
-    pairs only. Global top-k compiles to per-partition heaps."""
-    from pyspark.sql import Window
-
+    pairs only. Global top-k compiles to per-partition heaps (r17:
+    literally — orderBy+limit plans as TakeOrderedAndProject; the
+    previous global row_number window moved every scored pair to ONE
+    partition and sorted it there, 10.4 s -> ~2 s, identical rows and
+    order keys)."""
     e = load(spark, sf_dir, "events")
     cells = e.selectExpr(
         "user_id",
@@ -355,8 +370,20 @@ def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(floor(({_EVT_LON}) / 10) AS BIGINT) AS cx",
     ).distinct()
     sizes = cells.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    a = cells.select(F.col("user_id").alias("user_a"), "cy", "cx")
-    b = cells.select(F.col("user_id").alias("user_b"), "cy", "cx")
+    # The posting-list self-join EXPLODES (sum of per-cell occupancy²:
+    # ~40M rows from 83k cell rows at sf0.1), but its INPUTS are tiny,
+    # so AQE coalesces the join to ~1 partition and the explosion runs
+    # serially. Pin an explicit cores-derived co-partitioning on the
+    # join key (explicit-N repartitions are exempt from AQE coalescing;
+    # both sides share N and keys, so the join adds no further
+    # exchange) — the §2.5 "AQE can't see an exploding join" case.
+    n_par = spark.sparkContext.defaultParallelism
+    a = cells.select(F.col("user_id").alias("user_a"), "cy", "cx").repartition(
+        n_par, "cy", "cx"
+    )
+    b = cells.select(F.col("user_id").alias("user_b"), "cy", "cx").repartition(
+        n_par, "cy", "cx"
+    )
     inter = (
         a.join(b, ["cy", "cx"])
         .filter(F.col("user_a") < F.col("user_b"))
@@ -378,14 +405,9 @@ def geo_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("footprint_jaccard_r"),
         )
     )
-    w = Window.orderBy(
+    return scored.orderBy(
         F.col("footprint_jaccard_r").desc(), "user_a", "user_b"
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 25)
-        .drop("rk")
-    )
+    ).limit(25)
 
 
 # --- round 6 additions -------------------------------------------------

@@ -388,7 +388,12 @@ def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = vecs.select(
         "vec_id", "nrm", *[F.col("vec")[i].alias(f"v{i}") for i in range(_DIM)]
     )
-    a = flat.alias("a")
+    # r17: the probe side of the O(n²) BroadcastNestedLoopJoin arrives
+    # as ONE scan split at bench scale, so the 2M-pair dot loop ran in
+    # a single task. Cores-derived round-robin repartition first (the
+    # geo_nearest_supplier fix; per-pair scalar edge, so row placement
+    # cannot affect any value): 7.4 s -> ~1 s.
+    a = flat.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = flat.alias("b")
     dot = None
     for i in range(_DIM):

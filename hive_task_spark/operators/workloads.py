@@ -477,13 +477,52 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 WITH RECURSIVE): walk each customer's
     order chain from the first order, accumulating depth and running
     spend — the linked-list traversal shape (org charts, BOM
-    explosions) that plain joins can't express. The chain edges are a
-    one-pass window CTE; each recursion step is a keyed equi-join, so
-    the iteration count is the longest chain, not the row count.
-    Identical SQL text is the DuckDB oracle; per-step round keeps the
-    running sum exact-decimal on both engines."""
+    explosions) that plain joins can't express. Each recursion step is
+    a keyed equi-join, so the iteration count is the longest chain,
+    not the row count. The DuckDB oracle keeps the original
+    single-statement form; per-step round keeps the running sum
+    exact-decimal on both engines.
+
+    r17 (guide §5 "localCheckpoint to cut lineage" + §2.4): the chain
+    `edges` CTE (a window over orders) MATERIALIZES once before the
+    recursion — Spark's UnionLoop re-evaluated the whole window CTE on
+    every one of the ~40 recursion steps (9.5 s at sf0.1 -> ~1.5 s).
+    Conservative checkpoint: edges scales with orders, so the per-step
+    join must never be invited to broadcast it. The edge content is a
+    deterministic window (full (date, orderkey) tie-break), so the
+    materialized view is row-identical to the oracle's inline CTE."""
+    from hive_task_spark.plans.checkpoints import checkpoint_conservative
+
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_SQL_RECURSIVE_CHAIN)
+    edges = spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               lead(o_orderkey)   OVER w AS next_key,
+               lead(o_totalprice) OVER w AS next_price,
+               row_number()       OVER w AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """
+    )
+    checkpoint_conservative(edges).createOrReplaceTempView("htspark_rec_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT o_custkey AS ck, o_orderkey AS ok, CAST(1 AS BIGINT) AS depth,
+                   round(o_totalprice, 2) AS cum
+            FROM htspark_rec_edges WHERE rn = 1
+            UNION ALL
+            SELECT c.ck, e.next_key, c.depth + 1, round(c.cum + e.next_price, 2)
+            FROM chain c JOIN htspark_rec_edges e ON e.o_orderkey = c.ok
+            WHERE e.next_key IS NOT NULL
+        )
+        SELECT ck AS c_custkey,
+               CAST(max(depth) AS BIGINT) AS n_orders,
+               round(max(cum), 2)         AS total_spend
+        FROM chain
+        GROUP BY ck
+        """
+    )
 
 
 @register(
