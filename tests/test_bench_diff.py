@@ -447,11 +447,18 @@ class TestTruncatedTailRecovery:
 
     def test_real_driver_artifact_end_to_end(self, capsys):
         # the documented invocation that crashed pre-r14:
-        # python bench_diff.py BENCH_r13.json (run from the repo root)
+        # python bench_diff.py BENCH_r13.json (run from the repo root).
+        # Diffed against a FROZEN r13-era baseline snapshot
+        # (tests/fixtures/), not the live BASELINE_TABLE.json: the live
+        # table moves whenever a row is legitimately re-recorded after a
+        # real code change (r17 re-recorded six rows), so a historical
+        # artifact can only be mover-free against the baseline of its
+        # own era (VERDICT r17 item 1).
         import os
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         bench = os.path.join(repo, "BENCH_r13.json")
-        base = os.path.join(repo, "BASELINE_TABLE.json")
+        base = os.path.join(
+            repo, "tests", "fixtures", "BASELINE_TABLE_r13_frozen.json")
         if not os.path.exists(bench):
             pytest.skip("BENCH_r13.json not present")
         rc = bench_diff.main([bench, "--baseline", base])
