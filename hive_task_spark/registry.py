@@ -52,68 +52,66 @@ _DEFERRED: list[tuple[str, QueryFn, str | None]] = []
 # the 50th name), the window is an explicit curated list: load_all
 # reorders QUERIES so these names come first, in this order, and
 # everything else follows in plain registration order.  The rotation
-# schedule lives in CLAUDE.md; this is round 17's row, exactly
-# SAMPLED_ROUNDS.json's next_reconfirm_window_50: the 3 never-sampled
-# r16 additions in slots 1–3 (new-op rule) + the 47 stalest-signal
-# reconfirm names (max sampled round ascending, registration-order
-# tie-break — all last sampled r5/r6: quality audits, multimodal,
-# dedup depth, geo, and the graph/sequence analytics cohort).
-# Round 16's window came back 49/50 oracle-green + 1 rows-only by
-# design (hash_engine_specific, no oracle); every name registered
-# through r16 is driver-confirmed at least once (578/578 cumulative).
+# schedule lives in CLAUDE.md; this is round 18's row: the r16 red
+# name hash_engine_specific leads slot 1 (red-name rule — its
+# rows-only edge was reworked to a literal-boolean property oracle
+# this round, VERDICT r17 item 2), followed by the 49 stalest-signal
+# reconfirm names per SAMPLED_ROUNDS.json (max sampled round
+# ascending, registration-order tie-break — the r6/r7 analytics
+# cohort). Round 17's window came back 50/50 oracle-green
+# (CORRECTNESS_r17); every name registered through r17 is
+# driver-confirmed at least once (578/578 cumulative).
 AUDIT_WINDOW: tuple[str, ...] = (
-    # -- r17 window: 3 never-sampled r16 additions first (new-op rule) --
-    "source_commit_log_data_skipping",
-    "source_commit_log_vacuum",
-    "stream_statestore_join_state_reader",
-    # -- 47 stalest reconfirm per SAMPLED_ROUNDS.json (max-round asc, reg order) --
-    "quality_k_anonymity_audit",
-    "quality_retry_storm_census",
-    "quality_column_size_profile",
-    "quality_partition_fingerprint",
-    "quality_fellegi_sunter_scoring",
-    "quality_encoding_advisor",
-    "quality_cdc_column_attribution",
-    "multimodal_metadata_profile",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "multimodal_audio_windows",
-    "multimodal_shard_manifest",
-    "multimodal_phash_neardup",
-    "multimodal_crossmodal_integrity",
-    "dedup_prefix_hash",
-    "dedup_asymmetric_containment",
-    "dedup_health_dashboard",
-    "dedup_minhash_portable_eval",
-    "dedup_incremental_ingest",
-    "geo_grid_density",
-    "geo_radius_join",
-    "geo_trajectory_stats",
-    "geo_nearest_supplier",
-    "geo_trajectory_similarity",
-    "analytics_retention_cohorts",
-    "analytics_copurchase_pairs",
-    "analytics_pagerank_lite",
-    "analytics_skyline_2d",
-    "analytics_outlier_zscore",
-    "analytics_markov_transitions",
-    "analytics_triangle_count",
-    "analytics_sequence_pattern",
-    "analytics_ab_welch_ttest",
-    "analytics_hypertable_rollup",
-    "analytics_rfm_segmentation",
-    "analytics_attribution_models",
-    "analytics_dau_mau",
-    "analytics_anomaly_mad",
-    "analytics_label_propagation",
-    "analytics_association_rules",
-    "analytics_chi_square",
-    "analytics_mann_whitney",
-    "analytics_ks_test",
-    "analytics_gini_pareto",
-    "analytics_ewma_horizon",
-    "analytics_shortest_path_bfs",
+    "hash_engine_specific",
+    "analytics_anova_f",
+    "analytics_benford",
+    "analytics_period_over_period",
+    "analytics_cohort_ltv",
+    "analytics_survival_km",
+    "analytics_path_flows",
+    "analytics_streak_longest",
+    "analytics_bootstrap_ci",
+    "analytics_ols_normal_equations",
+    "analytics_changepoint_cusum",
+    "analytics_proration_largest_remainder",
+    "analytics_fifo_inventory_matching",
+    "analytics_lift_gains_table",
+    "analytics_peak_concurrency",
+    "analytics_bom_explosion",
+    "analytics_interval_day_split",
+    "analytics_forecast_backtest",
+    "analytics_ohlc_candles",
+    "analytics_time_weighted_avg",
+    "analytics_woe_iv_bins",
+    "analytics_markov_absorption",
+    "analytics_diff_in_diff",
+    "analytics_seasonal_index",
+    "analytics_rle_event_runs",
+    "analytics_hhi_concentration",
+    "analytics_clock_repair",
+    "analytics_first_per_hour_throttle",
+    "math_suite",
+    "analytics_wau_overlap",
+    "analytics_degree_powerlaw_fit",
+    "analytics_information_gain",
+    "analytics_dwell_time_matrix",
+    "analytics_customer_timeline",
+    "analytics_psi_drift",
+    "analytics_rank_stability_spearman",
+    "analytics_time_to_convert",
+    "analytics_qq_decile_table",
+    "analytics_dispersion_index",
+    "analytics_neyman_allocation",
+    "analytics_ab_power_analysis",
+    "analytics_cuped_adjustment",
+    "analytics_progressive_brackets",
+    "analytics_auto_binning_fd",
+    "analytics_margin_waterfall",
+    "analytics_holt_trend_forecast",
+    "analytics_retention_half_life",
+    "analytics_kendall_tau",
+    "analytics_theil_sen",
+    "analytics_acf_daily",
 )
 
 

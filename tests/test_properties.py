@@ -353,11 +353,10 @@ def test_audit_window_composition():
     assert len(registry.AUDIT_WINDOW) == 50
     assert len(set(registry.AUDIT_WINDOW)) == 50  # no duplicate slots
     assert names == list(registry.AUDIT_WINDOW)
-    # every window name must stay oracle-backed except the single
-    # by-design rows-only entry (engine-specific xxhash64)
-    missing = [
-        n for n in names if n not in registry.ORACLES and n != "hash_engine_specific"
-    ]
+    # every window name must be oracle-backed (r18 closed the last
+    # rows-only gap: hash_engine_specific now carries a literal-boolean
+    # property oracle)
+    missing = [n for n in names if n not in registry.ORACLES]
     assert not missing, missing
 
 
