@@ -45,3 +45,16 @@ def cents(col: Column) -> Column:
 def cents_sql(expr: str) -> str:
     """The DuckDB twin of `cents`."""
     return units_sql(expr, 100)
+
+
+def disc_price_u4(price: Column, discount: Column) -> Column:
+    """price*(1-discount) for 2dp price × 2dp discount — a TRUE 4dp
+    value — as exact BIGINT 1e-4 units: cents(price)·(100−pct(disc)).
+    Summing these integers is order-independent; the edge is ONE
+    division by 1e4 (r18 float-edge unlock, VERDICT r17 item 3)."""
+    return cents(price) * (F.lit(100) - units(discount, 100))
+
+
+def disc_price_u4_sql(price: str, discount: str) -> str:
+    """The DuckDB twin of `disc_price_u4`."""
+    return f"{cents_sql(price)} * (100 - {units_sql(discount, 100)})"

@@ -15,17 +15,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hive_task_spark.functions import exact
 from hive_task_spark.registry import register
 from hive_task_spark.tables import load
 
 
 @register(
     "join_inner_star",
-    oracle="""
+    oracle=f"""
     SELECT
         n.n_name                                     AS nation,
         CAST(year(o.o_orderdate) AS BIGINT)          AS order_year,
-        sum(l.l_extendedprice * (1 - l.l_discount))  AS revenue
+        CAST(sum({exact.disc_price_u4_sql("l.l_extendedprice", "l.l_discount")})
+             AS DOUBLE) / 10000                      AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey  = c.c_custkey
@@ -39,11 +41,16 @@ def join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer/nation are broadcast (no shuffle of the fact side for
     them); lineitem⋈orders shuffles on the orderkey — the only
     unavoidable shuffle, AQE-managed.
+
+    revenue moves as exact BIGINT 1e-4 units with ONE final division
+    (both engines): order-independent, so the edge no longer pins
+    single-split scan order or the join's row order (r18 unlock).
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
+    rev_u4 = exact.disc_price_u4(F.col("l_extendedprice"), F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -52,9 +59,7 @@ def join_inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.n_name.alias("nation"),
             F.year(o.o_orderdate).cast("long").alias("order_year"),
         )
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
-        )
+        .agg((F.sum(rev_u4).cast("double") / 10000).alias("revenue"))
     )
 
 

@@ -13,23 +13,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hive_task_spark.functions import exact
 from hive_task_spark.registry import register
 from hive_task_spark.tables import load
 
 
+_Q1_EP_C = exact.cents_sql("l_extendedprice")
+_Q1_DISC_P = exact.units_sql("l_discount", 100)
+_Q1_TAX_P = exact.units_sql("l_tax", 100)
+
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT
         l_returnflag,
         l_linestatus,
         sum(l_quantity)                                          AS sum_qty,
-        sum(l_extendedprice)                                     AS sum_base_price,
-        sum(l_extendedprice * (1 - l_discount))                  AS sum_disc_price,
-        sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))    AS sum_charge,
+        CAST(sum({_Q1_EP_C}) AS DOUBLE) / 100                    AS sum_base_price,
+        CAST(sum({_Q1_EP_C} * (100 - {_Q1_DISC_P})) AS DOUBLE)
+            / 10000                                              AS sum_disc_price,
+        CAST(sum({_Q1_EP_C} * (100 - {_Q1_DISC_P})
+                           * (100 + {_Q1_TAX_P})) AS DOUBLE)
+            / 1000000                                            AS sum_charge,
         avg(l_quantity)                                          AS avg_qty,
-        avg(l_extendedprice)                                     AS avg_price,
-        avg(l_discount)                                          AS avg_disc,
+        CAST(sum({_Q1_EP_C}) AS DOUBLE) / (count(*) * 100)       AS avg_price,
+        CAST(sum({_Q1_DISC_P}) AS DOUBLE) / (count(*) * 100)     AS avg_disc,
         count(*)                                                 AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -42,21 +50,34 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises the whole batch spine. The filter and the 3-column read
     schema reach the parquet scan (verify: PushedFilters/ReadSchema in
     .explain); aggregation is hash-based with map-side combine.
+
+    Money edges move through exact BIGINT units (cents / 1e-4 / 1e-6 —
+    2dp price × 2dp discount × 2dp tax grains) with ONE final division
+    per edge, identical in both engines (exact.py idiom): the sums are
+    summation-order-independent, so the hash no longer depends on
+    single-split scan order — scan parallelism, repartitioning and
+    partial-agg boundaries are free (VERDICT r17 item 3; the quantity
+    edges were always exact: integer-valued doubles below 2^53).
     """
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ep_c = exact.cents(F.col("l_extendedprice"))
+    disc_p = exact.units(F.col("l_discount"), 100)
+    tax_p = exact.units(F.col("l_tax"), 100)
+    u4 = ep_c * (F.lit(100) - disc_p)
+    u6 = u4 * (F.lit(100) + tax_p)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            (F.sum(ep_c).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(u4).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum(u6).cast("double") / 1000000).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(ep_c).cast("double") / (n * 100)).alias("avg_price"),
+            (F.sum(disc_p).cast("double") / (n * 100)).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -154,7 +175,7 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "case_when_bucketing",
-    oracle="""
+    oracle=f"""
     SELECT
         CASE
             WHEN o_totalprice < 50000  THEN 'small'
@@ -163,13 +184,17 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         END                                     AS price_band,
         o_orderpriority,
         count(*)                                AS n_orders,
-        sum(o_totalprice)                       AS total_value
+        CAST(sum({exact.cents_sql("o_totalprice")}) AS DOUBLE) / 100
+                                                AS total_value
     FROM orders
     GROUP BY 1, 2
     """,
 )
 def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE WHEN → F.when chains feeding a grouped aggregate."""
+    """CASE WHEN → F.when chains feeding a grouped aggregate.
+
+    total_value moves through exact BIGINT cents + one division
+    (order-independent sum; r18 float-edge unlock)."""
     o = load(spark, sf_dir, "orders")
     band = (
         F.when(F.col("o_totalprice") < 50000, "small")
@@ -180,7 +205,9 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(band.alias("price_band"), F.col("o_orderpriority"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("total_value"),
+            (F.sum(exact.cents(F.col("o_totalprice"))).cast("double") / 100).alias(
+                "total_value"
+            ),
         )
     )
 

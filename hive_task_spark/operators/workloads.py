@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hive_task_spark.functions import exact
 from hive_task_spark.registry import register
 from hive_task_spark.tables import load
 
@@ -24,12 +25,24 @@ def _revenue():
     return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
 
 
+def _revenue_u4():
+    """Revenue in exact BIGINT 1e-4 units (2dp price × 2dp discount —
+    the value's true grain): summation-order-independent, so revenue
+    edges no longer pin single-split scan order (r18 float-edge
+    unlock). The edge is CAST(sum AS DOUBLE)/10000, identical in the
+    DuckDB twin _REV_U4_SQL."""
+    return exact.disc_price_u4(F.col("l_extendedprice"), F.col("l_discount"))
+
+
+_REV_U4_SQL = exact.disc_price_u4_sql("l.l_extendedprice", "l.l_discount")
+
+
 @register(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT
         l.l_orderkey,
-        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        CAST(sum({_REV_U4_SQL}) AS DOUBLE) / 10000   AS revenue,
         CAST(epoch(o.o_orderdate) AS BIGINT)         AS orderdate_s,
         o.o_orderpriority
     FROM customer c
@@ -56,7 +69,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+        .agg((F.sum(_revenue_u4()).cast("double") / 10000).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -70,10 +83,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT
         n.n_name                                    AS nation,
-        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        CAST(sum({_REV_U4_SQL}) AS DOUBLE) / 10000  AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -110,17 +123,17 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+        .agg((F.sum(_revenue_u4()).cast("double") / 10000).alias("revenue"))
     )
 
 
 @register(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT
         c.c_custkey,
         c.c_name,
-        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        CAST(sum({_REV_U4_SQL}) AS DOUBLE) / 10000  AS revenue,
         c.c_acctbal,
         n.n_name                                    AS nation
     FROM customer c
@@ -149,7 +162,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+        .agg((F.sum(_revenue_u4()).cast("double") / 10000).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -271,13 +284,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_profit",
-    oracle="""
-    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    oracle=f"""
+    SELECT nation, o_year,
+           CAST(sum(amount_u4) AS DOUBLE) / 10000 AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
                CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-               l.l_extendedprice * (1 - l.l_discount)
-                 - 0.6 * p.p_retailprice * l.l_quantity AS amount
+               {_REV_U4_SQL}
+                 - {exact.cents_sql("p.p_retailprice")} * 60
+                   * {exact.units_sql("l.l_quantity", 1)} AS amount_u4
         FROM lineitem l
         JOIN part p     ON p.p_partkey = l.l_partkey
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -293,15 +308,21 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     year (adapted: the fixture has no partsupp, so supply cost is
     proxied as 0.6 * p_retailprice per unit). The p_name LIKE filter
     prunes the broadcast part side before the fact join; profit is
-    computed per line then partial-aggregated map-side."""
+    computed per line then partial-aggregated map-side.
+
+    amount is a TRUE 4dp value (4dp revenue − 2dp·0.6·integer qty, a
+    3dp×int value): it moves as exact BIGINT 1e-4 units — revenue_u4 −
+    cents(retail)·60·qty — so the profit sum is order-independent and
+    the edge is ONE division (r18 float-edge unlock)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
     n = load(spark, sf_dir, "nation")
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    amount_u4 = _revenue_u4() - (
+        exact.cents(F.col("p_retailprice"))
+        * F.lit(60)
+        * exact.units(F.col("l_quantity"), 1)
     )
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
@@ -311,10 +332,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
-            amount.alias("amount"),
+            amount_u4.alias("amount_u4"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+        .agg((F.sum("amount_u4").cast("double") / 10000).alias("sum_profit"))
     )
 
 

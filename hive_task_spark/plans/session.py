@@ -102,4 +102,20 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on some builds — keep going
+    # Scale knob, OFF by default (r18): the bench SFs put every base
+    # table in ONE parquet split (maxPartitionBytes default 128 MB ≫
+    # file size), so scans never parallelize locally — at 100 TB the
+    # same default yields full parallelism, i.e. the local bench was
+    # structurally serial at the scan. With every money edge now an
+    # exact integer sum (order-independent), a smaller split size is
+    # value-neutral; it stays an explicit env opt-in so the driver's
+    # default bench remains comparable round-over-round (the r18
+    # scaling demonstration sets it; see OPTIMIZATION_r18.md).
+    split = os.environ.get("SPARK_GRAFT_MAX_SPLIT_BYTES", "")
+    if split:
+        try:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+            spark.conf.set("spark.sql.files.openCostInBytes", "65536")
+        except Exception:
+            pass
     return spark

@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from hive_task_spark.functions import exact
 from hive_task_spark.plans.session import apply_runtime_conf
 from hive_task_spark.registry import register
 from hive_task_spark.tables import normalize_events_ts
@@ -102,7 +103,7 @@ def _run_to_table(
     SELECT
         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
         CAST(count(*) AS BIGINT)                      AS n_events,
-        sum(value)                                    AS total_value
+        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM events
     GROUP BY 1
     """,
@@ -111,7 +112,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows (complete mode ≡ batch)."""
     s = _events_stream(spark, sf_dir)
     agg = s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+        F.count(F.lit(1)).alias("n_events"), (F.sum(exact.cents(F.col("value"))).cast("double") / 100).alias("total_value")
     )
     out = agg.select(
         F.unix_timestamp("w.start").cast("long").alias("window_start_s"),
@@ -127,7 +128,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
         CAST(count(*) AS BIGINT)                      AS n_events,
-        sum(value)                                    AS total_value
+        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM events
     GROUP BY 1
     HAVING window_start_s + 3600
@@ -141,7 +142,7 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay in state. The oracle encodes exactly that late-data rule."""
     s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+        F.count(F.lit(1)).alias("n_events"), (F.sum(exact.cents(F.col("value"))).cast("double") / 100).alias("total_value")
     )
     out = agg.select(
         F.unix_timestamp("w.start").cast("long").alias("window_start_s"),
@@ -158,7 +159,7 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(epoch(date_trunc('hour', ts) - k * INTERVAL 1 HOUR) AS BIGINT)
                                                       AS window_start_s,
         CAST(count(*) AS BIGINT)                      AS n_events,
-        sum(value)                                    AS total_value
+        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM events, unnest([0, 1]) AS t(k)
     GROUP BY 1
     """,
@@ -169,7 +170,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership explicitly)."""
     s = _events_stream(spark, sf_dir)
     agg = s.groupBy(F.window("ts", "2 hours", "1 hour").alias("w")).agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+        F.count(F.lit(1)).alias("n_events"), (F.sum(exact.cents(F.col("value"))).cast("double") / 100).alias("total_value")
     )
     out = agg.select(
         F.unix_timestamp("w.start").cast("long").alias("window_start_s"),
@@ -200,7 +201,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(epoch_us(min(ts)) AS BIGINT)                  AS session_start_us,
         CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT)     AS session_end_us,
         CAST(count(*) AS BIGINT)                           AS n_events,
-        sum(value)                                         AS total_value
+        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM y
     GROUP BY user_id, sess
     """,
@@ -212,7 +213,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _events_stream(spark, sf_dir)
     agg = s.groupBy(
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
-    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    ).agg(F.count(F.lit(1)).alias("n_events"), (F.sum(exact.cents(F.col("value"))).cast("double") / 100).alias("total_value"))
     out = agg.select(
         "user_id",
         F.unix_micros("w.start").alias("session_start_us"),
@@ -242,7 +243,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         c.c_mktsegment           AS mktsegment,
         CAST(count(*) AS BIGINT) AS n_events,
-        sum(e.value)             AS total_value
+        CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
     """,
@@ -256,7 +257,7 @@ def stream_static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = s.join(F.broadcast(c), s["user_id"] == c["c_custkey"])
     agg = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+        F.count(F.lit(1)).alias("n_events"), (F.sum(exact.cents(F.col("value"))).cast("double") / 100).alias("total_value")
     )
     return _run_to_table(spark, agg, "stream_static_join_agg", "complete")
 
@@ -323,7 +324,7 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         event_type,
         CAST(count(*) AS BIGINT) AS n_events,
-        sum(value)               AS total_value
+        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -353,7 +354,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     back = spark.read.parquet(out_dir)
     return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+        F.count(F.lit(1)).alias("n_events"), (F.sum(exact.cents(F.col("value"))).cast("double") / 100).alias("total_value")
     )
 
 
@@ -704,7 +705,7 @@ def stream_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(cp, ignore_errors=True)
     s = _events_stream(spark, sf_dir)
     agg = s.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+        F.count(F.lit(1)).alias("n_events"), (F.sum(exact.cents(F.col("value"))).cast("double") / 100).alias("total_value")
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -722,13 +723,17 @@ def stream_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     state = spark.read.format("statestore").load(cp)
     # key = (user_id); value = the agg buffer (count, sum) in
-    # declaration order — flatten positionally, then re-alias.
+    # declaration order — flatten positionally, then re-alias. The
+    # sum buffer holds exact BIGINT cents since r18 (order-independent
+    # state); decode with one division at the edge.
     kf = state.schema["key"].dataType.names[0]
     vf = state.schema["value"].dataType.names
     return state.select(
         F.col(f"key.{kf}").alias("user_id"),
         F.col(f"value.{vf[0]}").cast("long").alias("n_events"),
-        F.round(F.col(f"value.{vf[1]}"), 2).alias("total_value_r"),
+        F.round(F.col(f"value.{vf[1]}").cast("double") / 100, 2).alias(
+            "total_value_r"
+        ),
     )
 
 
@@ -762,7 +767,7 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     state evicts on the same watermark."""
     s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     hourly = s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+        F.count(F.lit(1)).alias("n_events"), (F.sum(exact.cents(F.col("value"))).cast("double") / 100).alias("total_value")
     )
     daily = hourly.groupBy(F.window(F.col("w"), "1 day").alias("d")).agg(
         F.sum("n_events").cast("long").alias("n_events"),
@@ -1117,7 +1122,7 @@ def stream_observe_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = _events_stream(spark, sf_dir).observe(
         "health",
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total_value"),
+        (F.sum(exact.cents(F.col("value"))).cast("double") / 100).alias("total_value"),
         F.min("user_id").alias("min_user"),
         F.max("user_id").alias("max_user"),
     )
@@ -2214,7 +2219,7 @@ def _run_cohort_batches(
     )
     agg = sdf.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total_value"),
+        (F.sum(exact.cents(F.col("value"))).cast("double") / 100).alias("total_value"),
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2307,10 +2312,13 @@ def stream_rocksdb_changelog_checkpoint(
     state = spark.read.format("statestore").load(cp)
     kf = state.schema["key"].dataType.names[0]
     vf = state.schema["value"].dataType.names
+    # sum buffer = exact BIGINT cents since r18; decode at the edge.
     return state.select(
         F.col(f"key.{kf}").alias("user_id"),
         F.col(f"value.{vf[0]}").cast("long").alias("n_events"),
-        F.round(F.col(f"value.{vf[1]}"), 2).alias("total_value_r"),
+        F.round(F.col(f"value.{vf[1]}").cast("double") / 100, 2).alias(
+            "total_value_r"
+        ),
     )
 
 

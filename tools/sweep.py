@@ -68,6 +68,18 @@ def main() -> int:
             .config("spark.sql.shuffle.partitions", "7")
             .config("spark.sql.adaptive.enabled", "false")
         )
+    elif conf == "hostilesplit":
+        # Multi-split scans (r18): 256 KB splits shatter every base
+        # table into dozens of scan partitions while DuckDB still sums
+        # in file order — the probe that catches any remaining
+        # summation-order-dependent float edge (the class the exact
+        # integer-units rewrite eliminates). openCostInBytes lowered so
+        # the tiny files actually split.
+        b = (
+            b.master("local[8]")
+            .config("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+            .config("spark.sql.files.openCostInBytes", str(64 * 1024))
+        )
     else:
         raise SystemExit(f"unknown conf profile: {conf}")
     spark = b.getOrCreate()
