@@ -344,8 +344,13 @@ def _cogroup_reconcile(orders_pdf, events_pdf):
     between the per-key and grouped paths cannot move the edge."""
     import pandas as pd
 
+    # dropna=False (ADVICE r17 #2): pandas groupby silently DROPS
+    # NaN/NULL keys by default — a NULL o_custkey/user_id row would
+    # vanish from the edge where the pre-r17 per-key form failed
+    # loudly. Keys are non-null in the data today, but the r15 cohort
+    # work shows NULL/negative user_ids are a live concern.
     if len(orders_pdf):
-        o = orders_pdf.groupby("o_custkey")["o_totalprice"].agg(
+        o = orders_pdf.groupby("o_custkey", dropna=False)["o_totalprice"].agg(
             n_orders="count", spend="sum"
         )
     else:
@@ -357,7 +362,7 @@ def _cogroup_reconcile(orders_pdf, events_pdf):
             index=pd.Index([], dtype="int64"),
         )
     if len(events_pdf):
-        e = events_pdf.groupby("user_id")["value"].agg(
+        e = events_pdf.groupby("user_id", dropna=False)["value"].agg(
             n_events="count", val="sum"
         )
     else:

@@ -76,7 +76,14 @@ def _copurchase_edges(
     downstream degree counts are simple edge counts — dropping it is
     only correct when the caller dedupes later itself (label
     propagation unions reversed stubs + self-loops before its own
-    ``.distinct()``).  ``checkpoint=True`` materializes the kernel for
+    ``.distinct()``).  NOTE (ADVICE r17 #3): regardless of the flag,
+    ``items`` is consumed at (orderkey, partkey)-DISTINCT grain —
+    collect_set dedupes within-order part repeats, so
+    ``distinct=False`` means "one row per pair per ORDER", never "per
+    row combination of repeated items".  The sole distinct=False
+    caller (label propagation) pre-distincts its items, so both
+    readings coincide today; a future caller wanting within-order
+    multiplicity needs a different kernel, not this flag.  ``checkpoint=True`` materializes the kernel for
     operators that reference the edge list repeatedly (BSP unrolls):
     without it the unroll multiplies the basket build once per
     downstream reference.

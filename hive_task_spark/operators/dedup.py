@@ -1024,6 +1024,8 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs approximation argument."""
     from hive_task_spark.operators.text import _winnow_rows
 
+    from hive_task_spark.plans.checkpoints import checkpoint_conservative
+
     d = load(spark, sf_dir, "documents")
     # r17: checkpoint the winnowed rows — both the fingerprint posting
     # list and the verification shingle sets read them, and without the
@@ -1032,10 +1034,13 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work parallel after AQE coalesces the tiny window exchange
     # (value-neutral: every consumer aggregates with order-independent
     # min/collect_set-then-sort or exact set ops).
-    rows = (
-        _winnow_rows(d)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
+    # r18 (ADVICE r17 #4): conservative checkpoint — the plain form
+    # advertised 0.96 B/row (26939 rows, 25969 B — the r7 understated
+    # class, caught by the extended _CHECKPOINT_AUDITED guard).
+    # Winnowed rows scale with the corpus, so no-broadcast is the only
+    # plan that survives 100 TB.
+    rows = checkpoint_conservative(
+        _winnow_rows(d).repartition(spark.sparkContext.defaultParallelism)
     )
     fp = (
         rows.filter(F.col("valid"))

@@ -816,8 +816,10 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (((0.0 + u0*c0) + u1*c1) + ... — same IEEE op sequence,
     # vectorized across rows instead of interpreted per element) and
     # to the DuckDB oracle's list_sum; argmax keeps the exact
-    # greatest()/first-equal tie-break (dot DESC, cid ASC; NaN
-    # propagates identically through np.maximum and F.greatest).
+    # greatest()/first-equal tie-break (dot DESC, cid ASC). NaN (only
+    # possible from a zero-norm embedding, none in the data) is pinned
+    # to the pre-r17 Spark semantics by an explicit isnan guard below —
+    # NumPy equality alone would diverge there (ADVICE r17 #1).
     # Measured 1.46 s -> (see OPTIMIZATION_r17.md) at sf0.1; two
     # rejected JVM forms for the record: 16 fully-unrolled 64-term
     # codegen chains spent 7 s in analysis/codegen of the ~2k-node
@@ -858,6 +860,13 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             cid = np.full(n, -1, dtype=np.int32)
             for c in range(n_cent - 1, -1, -1):  # low index wins ties
                 cid = np.where(dots[c] == best, np.int32(c), cid)
+            # Zero-norm guard (ADVICE r17 #1): 0/0 normalization makes
+            # every dot NaN, and NumPy's NaN != NaN would leave cid=-1
+            # where the pre-r17 Spark when-chain (NaN = NaN is true in
+            # Spark SQL equality) assigned centroid 0. No zero-norm
+            # vector exists in the data; the guard pins the old
+            # semantics instead of claiming identical NaN propagation.
+            cid = np.where(np.isnan(best), np.int32(0), cid)
             yield pa.record_batch(
                 [
                     b.column(b.schema.get_field_index("vec_id")),
@@ -1170,6 +1179,12 @@ def similarity_product_quantization(spark: SparkSession, sf_dir: str) -> DataFra
     # per-subspace minima in ascending-s order from a 0.0 seed. The 6dp
     # rounding and the code-string assembly stay in Spark, so the edge
     # is unchanged. Only (vec_id, embedding) cross the Python boundary.
+    # NaN note (ADVICE r17 #1): a NaN embedding component poisons ALL
+    # four codeword distances of its subspace equally, so the <=-chain
+    # (all comparisons false -> code 3) and np.minimum (NaN err) match
+    # the pre-r17 when-chain/F.least behavior exactly; the partial-NaN
+    # case where F.least skips NaN cannot arise (codebook is literal,
+    # finite). No guard needed, unlike the kmeans cid path.
     import numpy as np
 
     cb_rows = [

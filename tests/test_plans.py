@@ -461,6 +461,15 @@ _CHECKPOINT_AUDITED = [
     "analytics_kcore",
     "similarity_kmeans_assign",
     "analytics_louvain_one_level",
+    # r17 additions (ADVICE r17 #4): the round's new checkpointed
+    # intermediates join the class-wide audit — winnowing's PLAIN
+    # localCheckpoint is the one path still exposed to the r7
+    # understatement class, the other three use conservative
+    # checkpoints (waived from the overstatement bound below).
+    "dedup_winnowing_pairs",
+    "analytics_pagerank_lite",
+    "analytics_graph_modularity",
+    "sql_recursive_cte",
 ]
 
 # Checkpointed intermediates that are dimension-scale BY DESIGN, so a
@@ -496,6 +505,18 @@ _OVERSTATED_WAIVED = {
     # explicit F.broadcast.
     "analytics_kcore",
     "analytics_louvain_one_level",
+    # r17/r18 conservative checkpoints (checkpoint_conservative
+    # rewraps with NO origin stats -> Long.MaxValue by design): the
+    # no-broadcast posture is the point — edges/nodes/degree tables,
+    # the recursive chain-edge relation and the winnowed fingerprint
+    # rows all scale with the data, and every intended broadcast in
+    # these queries is an explicit F.broadcast hint (ADVICE r17 #4;
+    # winnowing's plain checkpoint read 0.96 B/row — the r7 class —
+    # and moved to the conservative form in r18).
+    "analytics_pagerank_lite",
+    "analytics_graph_modularity",
+    "sql_recursive_cte",
+    "dedup_winnowing_pairs",
 }
 
 
