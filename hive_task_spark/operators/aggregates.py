@@ -87,20 +87,29 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count plus a deterministic error-bound check (approx within
     5% of exact at rsd=0.01 — generous), which the oracle asserts TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-            F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
-        )
-        .select(
-            "l_returnflag",
-            "exact_parts",
-            (
-                F.abs(F.col("approx_parts") - F.col("exact_parts"))
-                <= 0.05 * F.col("exact_parts")
-            ).alias("approx_ok"),
-        )
+    # r18 (guide §1.2): computing the exact and approx counts in ONE
+    # aggregate triggers the mixed-distinct Expand rewrite, whose first
+    # aggregation runs at (flag, partkey) grain — buffering a 16 KiB
+    # rsd=0.01 HLL sketch per distinct PAIR (~2e5 sketches) instead of
+    # per flag. Two single-aggregate passes + a 3-row join plan each
+    # aggregate at its natural grain: 3.19 s -> ~1.3 s isolated.
+    # Values identical — countDistinct is exact either way, and HLL++
+    # register maxes are merge-order-independent, so the same rsd over
+    # the same rows yields the same estimate (the explicit 0.01 knob —
+    # the r11 accuracy policy — is untouched).
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("approx_ok"),
     )
 
 

@@ -360,13 +360,27 @@ def analytics_pagerank_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't collide."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    # r17 (guide §2.4, the kcore lesson): edges / nodes / deg each feed
-    # BOTH unrolled iterations (plus nn), so without checkpoints the
-    # fact join + distinct re-executed once per reference (~6 full
-    # rebuilds, 5.5 s at sf0.1 -> ~2 s). Conservative checkpoints: all
-    # three scale with the graph and must never be invited to
-    # broadcast (VERDICT r5); the rank vector itself stays lazy — each
-    # iteration's plan reads the previous round's aggregates.
+    # r17 (guide §2.4, the kcore lesson): edges/nodes each feed both
+    # unrolled iterations, so without checkpoints the fact join +
+    # distinct re-executed once per reference (~6 full rebuilds, 5.5 s
+    # at sf0.1 -> ~2 s). r18 (guide §2.3/§2.4, measured 3.07 -> 2.71 s
+    # per full invocation incl. checkpoint builds; the lazy iteration
+    # subtree alone 3x faster): (a) contributions pre-aggregate by dst
+    # BEFORE the nodes join (|E| rows shuffle once into |V| partials
+    # instead of shuffling the joined relation for a post-join
+    # groupBy); (b) iteration 1's rank is the uniform 1/n constant, so
+    # its rank join is algebra, not a join. A third variant — hoisting
+    # edges⋈deg into its own checkpointed `wedges` — measured SLOWER
+    # per invocation (3.20 s: the extra materialization job costs more
+    # than the per-iteration deg join it saves) and was not shipped.
+    # Value-identical: the
+    # original's LEFT rank join was inner in effect (every src IS a
+    # node and every node has a rank), per-edge w = rank/d is the same
+    # two operands, and regrouping the Σ only permutes summation order
+    # of identical doubles — noise ≤1e-18 against the 8dp edge grain
+    # (verified row-identical on all 15999 nodes at sf0.1).
+    # Conservative checkpoints throughout: every materialized relation
+    # scales with the graph and must never be invited to broadcast.
     edges = _checkpoint_conservative(
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
@@ -385,30 +399,37 @@ def analytics_pagerank_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
     )
 
-    def iterate(rank_df):
-        """One PR step: rank(v) = 0.15/n + 0.85 * Σ rank(u)/deg(u)."""
-        contrib = (
-            edges.join(rank_df, edges["src"] == rank_df["node"], "left")
-            .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("d")).alias("w"))
-        )
+    def finish(contrib_agg):
+        """rank(v) = 0.15/n + 0.85 * Σ rank(u)/deg(u) from dst-grouped
+        partial sums (nodes with no in-edges coalesce to 0)."""
         return (
             nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, nodes["node"] == contrib["dst"], "left")
-            .groupBy("node", "n")
-            .agg(
+            .join(contrib_agg, nodes["node"] == contrib_agg["dst"], "left")
+            .select(
+                "node",
                 (
-                    0.15 / F.first("n")
-                    + 0.85 * F.coalesce(F.sum("w"), F.lit(0.0))
-                ).alias("rank")
+                    0.15 / F.col("n")
+                    + 0.85 * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
             )
-            .select("node", "rank")
         )
 
-    r0 = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    c1 = (
+        edges.join(deg, "src")
+        .crossJoin(F.broadcast(nn))
+        .select("dst", ((F.lit(1.0) / F.col("n")) / F.col("d")).alias("w"))
+        .groupBy("dst")
+        .agg(F.sum("w").alias("s"))
     )
-    r2 = iterate(iterate(r0))
+    r1 = finish(c1)
+    c2 = (
+        edges.join(deg, "src")
+        .join(r1, F.col("src") == r1["node"])
+        .select("dst", (F.col("rank") / F.col("d")).alias("w"))
+        .groupBy("dst")
+        .agg(F.sum("w").alias("s"))
+    )
+    r2 = finish(c2)
     return r2.select("node", F.round("rank", 8).alias("rank_r"))
 
 
@@ -2285,7 +2306,9 @@ def analytics_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics_bootstrap_ci",
     oracle="""
     WITH reps AS (
-        SELECT b.b AS b, avg(e.value) AS mu
+        SELECT b.b AS b,
+               CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 100) AS mu
         FROM events e
         CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
         WHERE CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
@@ -2313,16 +2336,37 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic. Content-keyed draws make the whole resampling
     rerun-stable — the determinism discipline of every sampling
     operator here."""
+    from hive_task_spark.functions import exact
+
     e = load(spark, sf_dir, "events")
     b = spark.range(0, 32).select(F.col("id").alias("b"))
-    keyed = e.crossJoin(F.broadcast(b)).filter(
-        F.expr(
-            "CAST(conv(substr(md5(concat(CAST(event_id AS STRING), '-',"
-            " CAST(b AS STRING))), 1, 2), 16, 10) AS BIGINT)"
+    # r18: (a) the 32x replicate explosion evaluated 3.2M md5s in the
+    # single-split events scan's ONE task — a cores-derived repartition
+    # before the exploding crossJoin restores parallelism (the r17
+    # Class-B recipe; guide §2.5); (b) that is only value-neutral
+    # because mu now moves through exact BIGINT cents + one division on
+    # BOTH engines (events.value is a 2dp grid; avg of grid cells is
+    # the r16 grid-average class, whose double-sum order the old form
+    # pinned to file order). The outer CI aggregates see 32
+    # bit-identical mu inputs, unchanged.
+    keyed = (
+        e.select("event_id", "value")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(b))
+        .filter(
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(event_id AS STRING), '-',"
+                " CAST(b AS STRING))), 1, 2), 16, 10) AS BIGINT)"
+            )
+            < 128
         )
-        < 128
     )
-    reps = keyed.groupBy("b").agg(F.avg("value").alias("mu"))
+    reps = keyed.groupBy("b").agg(
+        (
+            F.sum(exact.cents(F.col("value"))).cast("double")
+            / (F.count(F.lit(1)) * 100)
+        ).alias("mu")
+    )
     return reps.agg(
         F.count(F.lit(1)).cast("long").alias("n_replicates"),
         F.round(F.avg("mu"), 6).alias("boot_mean_r"),
@@ -7145,7 +7189,11 @@ def analytics_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataF
     und = edges.select(F.col("u").alias("i"), F.col("v").alias("j")).unionAll(
         edges.select(F.col("v").alias("i"), F.col("u").alias("j"))
     )
-    deg = und.groupBy(F.col("i").alias("node")).agg(F.count(F.lit(1)).alias("k"))
+    # r18: deg feeds both the ku and kv joins — conservative checkpoint
+    # computes the 2|E|-row degree aggregation once instead of twice.
+    deg = _checkpoint_conservative(
+        und.groupBy(F.col("i").alias("node")).agg(F.count(F.lit(1)).alias("k"))
+    )
     wa = und.filter(F.col("i") % 199 == 0).alias("wa")
     wb = und.alias("wb")
     common = (
@@ -7685,19 +7733,40 @@ def analytics_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFram
     und = edges.select(F.col("u").alias("i"), F.col("v").alias("j")).unionAll(
         edges.select(F.col("v").alias("i"), F.col("u").alias("j"))
     )
-    deg = und.groupBy(F.col("i").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    # r18 (guide §2.3, measured 2.77 -> 2.22 s full invocation): deg is
+    # referenced three times (two joins + count) — conservative
+    # checkpoint computes the 2|E|-row aggregation once; and the
+    # degree joins run at EDGE grain (|E|) with the directed stubs
+    # exploded AFTER the joins, halving both join shuffles vs joining
+    # the 2|E| stub list. The corr input multiset is identical (each
+    # undirected edge still contributes both (du,dv) and (dv,du));
+    # partial-agg order noise stays ~1e-12 under the 1e-6 canon.
+    deg = _checkpoint_conservative(
+        und.groupBy(F.col("i").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    )
     n_edges = edges.count()
     n_nodes = deg.count()
-    return (
-        und.join(deg.select(F.col("node").alias("i"), F.col("d").alias("di")), "i")
-        .join(deg.select(F.col("node").alias("j"), F.col("d").alias("dj")), "j")
-        .agg(
-            F.lit(n_edges).cast("long").alias("n_edges"),
-            F.lit(n_nodes).cast("long").alias("n_nodes"),
-            _canon6(
-                F.corr(F.col("di").cast("double"), F.col("dj").cast("double"))
-            ).alias("assortativity_r"),
+    paired = (
+        edges.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
         )
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("du").alias("di"), F.col("dv").alias("dj")),
+                    F.struct(F.col("dv").alias("di"), F.col("du").alias("dj")),
+                )
+            ).alias("s")
+        )
+        .select("s.di", "s.dj")
+    )
+    return paired.agg(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        _canon6(
+            F.corr(F.col("di").cast("double"), F.col("dj").cast("double"))
+        ).alias("assortativity_r"),
     )
 
 

@@ -3112,64 +3112,104 @@ def similarity_reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     (identical doubles both engines); argmax ties break on centroid /
     neighbor id; only the displayed cosine is rounded."""
     e = load(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
-        "nrm", _norm(F.col("vec"))
-    )
-    unit = vecs.select(
-        "vec_id",
-        F.transform(F.col("vec"), lambda x: x / F.col("nrm")).alias("uvec"),
-    )
-    cb_lit = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{x}D" for x in c) + ")"
-            for c in _IVF_CODEBOOK
-        )
-        + ")"
-    )
-    centroids = F.broadcast(
-        spark.range(1).select(
-            F.posexplode(F.expr(cb_lit)).alias("cid", "cvec")
-        )
-    )
-    from pyspark.sql import Window
+    # r18 (guide §4.2 — the kmeans/PQ Arrow recipe extended to PAIR
+    # scoring, measured 2.73 -> see OPTIMIZATION_r18.md): both the
+    # centroid assignment (16 interpreted HOF dot folds per row) and
+    # the within-cell pair scoring (one interpreted 64-step fold per
+    # PAIR, ~250k pairs) move into NumPy kernels that accumulate
+    # DIMENSION-BY-DIMENSION from a 0.0 seed — the HOF fold's exact
+    # IEEE op sequence, vectorized across rows/pairs, so every dot is
+    # bit-identical to the previous plan and to the DuckDB oracle's
+    # list_sum. Tie-breaks replay exactly: assignment argmax keeps the
+    # lowest cid among equal dots (NaN pinned to cid 0, the Spark
+    # window's NaN-first order — same guard as kmeans_assign); the
+    # per-src top-1 sorts candidates by dst ascending and takes the
+    # FIRST maximum (cosine DESC, dst ASC). The reciprocity self-join
+    # and the 6dp edge stay in Spark, unchanged.
+    import numpy as np
+
+    dim = len(_IVF_CODEBOOK[0])
+    n_cent = len(_IVF_CODEBOOK)
+    cb_rows = [list(map(float, c)) for c in _IVF_CODEBOOK]
+
+    def _assign_batches(batches):
+        import pyarrow as pa
+
+        cb = np.array(cb_rows, dtype=np.float64)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            emb = b.column(b.schema.get_field_index("embedding"))
+            x32 = np.asarray(emb.flatten(), dtype=np.float32)
+            x = x32.astype(np.float64).reshape(n, dim)
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(dim):  # sequential in i == the HOF fold
+                acc += x[:, i] * x[:, i]
+            nrm = np.sqrt(acc)
+            u = x / nrm[:, None]
+            dots = np.empty((n_cent, n), dtype=np.float64)
+            for c in range(n_cent):
+                a = np.zeros(n, dtype=np.float64)
+                for i in range(dim):
+                    a += u[:, i] * cb[c, i]
+                dots[c] = a
+            best = dots[0].copy()
+            for c in range(1, n_cent):
+                best = np.maximum(best, dots[c])
+            cid = np.full(n, -1, dtype=np.int32)
+            for c in range(n_cent - 1, -1, -1):  # low cid wins ties
+                cid = np.where(dots[c] == best, np.int32(c), cid)
+            cid = np.where(np.isnan(best), np.int32(0), cid)
+            yield pa.record_batch(
+                [
+                    b.column(b.schema.get_field_index("vec_id")),
+                    pa.array(cid, type=pa.int32()),
+                    pa.array(u.tolist(), type=pa.list_(pa.float64())),
+                ],
+                names=["vec_id", "cid", "uvec"],
+            )
 
     inv = (
-        unit.crossJoin(centroids)
-        .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("dot").desc(), F.col("cid")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "uvec", "cid")
+        e.select("vec_id", "embedding")
+        .mapInArrow(_assign_batches, "vec_id long, cid int, uvec array<double>")
         .localCheckpoint()
     )
-    a = inv.select(
-        F.col("cid"), F.col("vec_id").alias("src"), F.col("uvec").alias("avec")
-    )
-    b = inv.select(
-        F.col("cid"), F.col("vec_id").alias("dst"), F.col("uvec").alias("bvec")
-    )
-    scored = (
-        a.join(b, ["cid"])
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "cid",
-            "src",
-            "dst",
-            _dot(F.col("avec"), F.col("bvec")).alias("cosine"),
+
+    def _cell_top1(key, pdf):
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:  # a singleton cell has no pairs (src != dst)
+            return pd.DataFrame(
+                {
+                    "cid": pd.Series(dtype="int32"),
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        u = np.stack(pdf["uvec"].to_numpy())
+        cos = np.zeros((m, m), dtype=np.float64)
+        for i in range(u.shape[1]):  # per-pair fold, sequential in i
+            col = u[:, i]
+            cos += col[:, None] * col[None, :]
+        np.fill_diagonal(cos, -np.inf)  # src != dst
+        j = np.argmax(cos, axis=1)  # first max == lowest dst on ties
+        return pd.DataFrame(
+            {
+                "cid": pdf["cid"].to_numpy(),
+                "src": ids,
+                "dst": ids[j],
+                "cosine": cos[np.arange(m), j],
+            }
         )
-    )
-    win = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+
     nn = (
-        scored.withColumn("rnk", F.row_number().over(win))
-        .filter(F.col("rnk") == 1)
-        .select("cid", "src", "dst", "cosine")
+        inv.groupBy("cid")
+        .applyInPandas(_cell_top1, "cid int, src long, dst long, cosine double")
         .localCheckpoint()
     )
     rev = nn.select(F.col("src").alias("dst"), F.col("dst").alias("src2"))
