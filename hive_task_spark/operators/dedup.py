@@ -380,11 +380,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     60× the md5 work, interpreted — 10× slower at sf0.1.) The shuffle
     carries 60 longs per doc regardless of document size."""
     d = load(spark, sf_dir, "documents")
-    hashed = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("t")
-    ).select(
-        "doc_id",
-        F.expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+    # r18 (the Class-B recipe, guide §2.5): the single-split documents
+    # scan put all ~400k token md5s in ONE task — a cores-derived
+    # repartition of the 5k DOC rows (cheap) parallelizes the
+    # explode+hash+vote pass. Value-neutral: the per-bit votes are
+    # order-independent integer sums.
+    hashed = (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
     )
     votes = hashed.groupBy("doc_id").agg(
         *[
@@ -436,7 +446,22 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-identical docs share the prefix whp); here the toy cardinality
     lets the oracle do the full self-join for an exact comparison.
     """
-    sigs = dedup_simhash(spark, sf_dir)
+    # r18: BOTH sides of the pair join referenced the lazy signature
+    # pipeline — the whole md5+vote pass executed twice; and the
+    # non-equi (a < b) join ran its 12.5M pair evaluations in one
+    # task. PLAIN checkpoint + cores-derived repartition: the honest
+    # |docs|-row estimate keeps the non-equi join a
+    # BroadcastNestedLoopJoin (the documented toy-cardinality plan —
+    # at scale the join is BANDED on the signature prefix, see
+    # docstring); a conservative checkpoint here would degrade it to
+    # the CartesianProduct the plan suite forbids. Measured 2.83 ->
+    # ~1.9 s full invocation (pair stage 1.31 -> 0.41 isolated).
+    # Per-pair scalar edge, placement value-neutral.
+    sigs = (
+        dedup_simhash(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     a = sigs.alias("a")
     b = sigs.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

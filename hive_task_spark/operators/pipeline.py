@@ -1249,13 +1249,23 @@ def pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     src = d.select(F.col("doc_id").alias("src_doc"), "source")
+    # r18 (guide §2.4): sh fed eval_sh AND train_sh, and eval_sh itself
+    # feeds both the lane build and the truth join — the shingle
+    # window + distinct + source join re-executed up to 3x. Two plain
+    # checkpoints (eval_sh is benchmark-scale by design — broadcasting
+    # it IS the operator's 100 TB posture, so honest-small stats are
+    # correct here).
     sh = (
         _shingle_rows(d)
         .distinct()
         .join(F.broadcast(src), F.col("doc_id") == F.col("src_doc"))
+        .localCheckpoint()
     )
     eval_sh = (
-        sh.filter(F.col("source") == "src0").select("shingle").distinct()
+        sh.filter(F.col("source") == "src0")
+        .select("shingle")
+        .distinct()
+        .localCheckpoint()
     )
     train_sh = (
         sh.filter(F.col("source") != "src0").select("shingle").distinct()

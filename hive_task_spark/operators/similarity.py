@@ -199,39 +199,67 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-bounded.
     """
     e = load(spark, sf_dir, "embeddings")
-    planes_lit = (
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{x}D" for x in plane) + ")"
-                for plane in table
+    # r18 (guide §4.2, the kmeans recipe): the per-table bucket ids
+    # were 8x4 = 32 interpreted zip_with/aggregate dot folds per row —
+    # and the lazy frame fed BOTH the corpus and the query branches, so
+    # they evaluated twice. One mapInArrow NumPy kernel computes vec
+    # (the same float->double cast), nrm and all 32 dots with the
+    # fold's exact IEEE op sequence (dimension-by-dimension from a 0.0
+    # seed), packs the sign bits little-endian (integer-exact), and is
+    # checkpointed once for both branches. The per-candidate cosine
+    # stays the JVM HOF over the passed-through vec — unchanged
+    # expressions, so the edge is bit-identical.
+    import numpy as np
+
+    plane_rows = [
+        [list(map(float, plane)) for plane in table] for table in _PLANES
+    ]
+    dim = len(plane_rows[0][0])
+
+    def _bucket_batches(batches):
+        import pyarrow as pa
+
+        pl = np.array(plane_rows, dtype=np.float64)  # T x P x dim
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            emb = b.column(b.schema.get_field_index("embedding"))
+            x = (
+                np.asarray(emb.flatten(), dtype=np.float32)
+                .astype(np.float64)
+                .reshape(n, dim)
             )
-            + ")"
-            for table in _PLANES
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(dim):  # sequential in i == the HOF fold
+                acc += x[:, i] * x[:, i]
+            nrm = np.sqrt(acc)
+            buckets = np.zeros((n, _N_TABLES), dtype=np.int32)
+            for t in range(_N_TABLES):
+                for p in range(_N_PLANES):
+                    d = np.zeros(n, dtype=np.float64)
+                    for i in range(dim):
+                        d += x[:, i] * pl[t, p, i]
+                    buckets[:, t] += np.where(d > 0, 1 << p, 0).astype(
+                        np.int32
+                    )
+            yield pa.record_batch(
+                [
+                    b.column(b.schema.get_field_index("vec_id")),
+                    pa.array(x.tolist(), type=pa.list_(pa.float64())),
+                    pa.array(nrm),
+                    pa.array(buckets.tolist(), type=pa.list_(pa.int32())),
+                ],
+                names=["vec_id", "vec", "nrm", "buckets"],
+            )
+
+    with_buckets = (
+        e.select("vec_id", "embedding")
+        .mapInArrow(
+            _bucket_batches,
+            "vec_id long, vec array<double>, nrm double, buckets array<int>",
         )
-        + ")"
-    )
-    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
-        "nrm", _norm(F.col("vec"))
-    )
-    # per-table bucket ids: sign bit per plane, packed little-endian
-    with_buckets = vecs.withColumn(
-        "buckets",
-        F.expr(
-            f"""
-            transform(sequence(0, {_N_TABLES - 1}), t ->
-              aggregate(
-                transform(sequence(0, {_N_PLANES - 1}), i ->
-                  CASE WHEN aggregate(
-                         zip_with(vec,
-                                  element_at(element_at({planes_lit}, t + 1), i + 1),
-                                  (x, p) -> x * p),
-                         0D, (s, x) -> s + x) > 0
-                       THEN CAST(pow(2, i) AS INT) ELSE 0 END),
-                0, (acc, x) -> acc + x))
-            """
-        ),
+        .localCheckpoint()
     )
     corpus = with_buckets.select(
         "vec_id",
@@ -555,6 +583,67 @@ _CODEBOOK_SQL = (
     + "] AS DOUBLE[][])"
 )
 
+
+def _unit_dots_frame(e):
+    """(vec_id, uvec, dots[K]) for the frozen IVF codebook via ONE
+    mapInArrow NumPy kernel, localCheckpoint'ed so every consumer
+    branch (inverted lists, query probes, ground truth) reads the
+    materialized rows instead of re-running the folds (r18; guide
+    §4.2). Bit-exact to the interpreted zip_with/aggregate form: the
+    norm and every centroid dot accumulate DIMENSION-BY-DIMENSION from
+    a 0.0 seed (the HOF fold's IEEE op sequence, vectorized across
+    rows), and uvec divides elementwise like transform(x -> x/nrm).
+    Downstream argmax/rank logic stays Spark (posexplode + window over
+    K dots/row), ordering bit-identical values identically."""
+    import numpy as np
+
+    dim = len(_IVF_CODEBOOK[0])
+    n_cent = len(_IVF_CODEBOOK)
+    cb_rows = [list(map(float, c)) for c in _IVF_CODEBOOK]
+
+    def _batches(batches):
+        import pyarrow as pa
+
+        cb = np.array(cb_rows, dtype=np.float64)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            emb = b.column(b.schema.get_field_index("embedding"))
+            x = (
+                np.asarray(emb.flatten(), dtype=np.float32)
+                .astype(np.float64)
+                .reshape(n, dim)
+            )
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(dim):  # sequential in i == the HOF fold
+                acc += x[:, i] * x[:, i]
+            nrm = np.sqrt(acc)
+            u = x / nrm[:, None]
+            dots = np.empty((n, n_cent), dtype=np.float64)
+            for c in range(n_cent):
+                a = np.zeros(n, dtype=np.float64)
+                for i in range(dim):
+                    a += u[:, i] * cb[c, i]
+                dots[:, c] = a
+            yield pa.record_batch(
+                [
+                    b.column(b.schema.get_field_index("vec_id")),
+                    pa.array(u.tolist(), type=pa.list_(pa.float64())),
+                    pa.array(dots.tolist(), type=pa.list_(pa.float64())),
+                ],
+                names=["vec_id", "uvec", "dots"],
+            )
+
+    return (
+        e.select("vec_id", "embedding")
+        .mapInArrow(
+            _batches, "vec_id long, uvec array<double>, dots array<double>"
+        )
+        .localCheckpoint()
+    )
+
+
 _ORACLE_ANN_IVF = f"""
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -626,29 +715,18 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py."""
     from pyspark.sql import Window
 
-    cb_lit = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{x}D" for x in c) + ")" for c in _IVF_CODEBOOK
-        )
-        + ")"
-    )
+    # r18: assignment dots come from the shared _unit_dots_frame Arrow
+    # kernel (bit-exact to the old crossJoin + interpreted HOF dot —
+    # see the helper); ranking stays a Spark window over the exploded
+    # K dots per row.
     e = load(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
-        "nrm", _norm(F.col("vec"))
-    )
-    unit = vecs.select(
-        "vec_id", F.expr("transform(vec, x -> x / nrm)").alias("uvec")
-    )
-    centroids = F.broadcast(
-        e.sparkSession.range(1).select(
-            F.posexplode(F.expr(cb_lit)).alias("cid", "cvec")
-        )
-    )
+    ud = _unit_dots_frame(e)
+
     def _nearest(df, id_col, keep_n):
         return (
-            df.crossJoin(centroids)
-            .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
+            df.select(
+                "*", F.posexplode("dots").alias("cid", "dot")
+            )
             .withColumn(
                 "rn",
                 F.row_number().over(
@@ -660,8 +738,10 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= keep_n)
         )
 
-    inv = _nearest(unit, "vec_id", 1).select("vec_id", "uvec", "cid")
-    probes = _nearest(unit.filter(F.col("vec_id") < N_QUERIES), "vec_id", _IVF_NPROBE).select(
+    inv = _nearest(ud, "vec_id", 1).select("vec_id", "uvec", "cid")
+    probes = _nearest(
+        ud.filter(F.col("vec_id") < N_QUERIES), "vec_id", _IVF_NPROBE
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("uvec").alias("qvec"), "cid"
     )
     cand = (
@@ -974,16 +1054,56 @@ def similarity_dim_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_task_spark.functions.arrays import _djoin
 
     e = load(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
-        "nrm", _norm(F.col("vec"))
+    # r18 (guide §4.2, the kmeans recipe): the 8 projection dots + the
+    # input norm were interpreted zip_with/aggregate folds per row; one
+    # mapInArrow NumPy kernel computes them with the fold's exact IEEE
+    # op sequence (dimension-by-dimension from 0.0 seeds), then scales
+    # by the same 1/sqrt(k) literal. The proj-norm fold, the 6dp round
+    # and the serialized array edge stay in Spark on the bit-identical
+    # values.
+    import numpy as np
+
+    sign_rows = [list(map(float, row)) for row in _JL_SIGNS]
+    jl_scale = float(_JL_SCALE)
+
+    def _jl_batches(batches):
+        import pyarrow as pa
+
+        sm = np.array(sign_rows, dtype=np.float64)  # k x dim
+        k = sm.shape[0]
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            emb = b.column(b.schema.get_field_index("embedding"))
+            x = (
+                np.asarray(emb.flatten(), dtype=np.float32)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+            dim = x.shape[1]
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(dim):  # sequential in i == the HOF fold
+                acc += x[:, i] * x[:, i]
+            nrm = np.sqrt(acc)
+            proj = np.empty((n, k), dtype=np.float64)
+            for r in range(k):
+                a = np.zeros(n, dtype=np.float64)
+                for i in range(dim):
+                    a += x[:, i] * sm[r, i]
+                proj[:, r] = a * jl_scale
+            yield pa.record_batch(
+                [
+                    b.column(b.schema.get_field_index("vec_id")),
+                    pa.array(nrm),
+                    pa.array(proj.tolist(), type=pa.list_(pa.float64())),
+                ],
+                names=["vec_id", "nrm", "proj"],
+            )
+
+    p = e.select("vec_id", "embedding").mapInArrow(
+        _jl_batches, "vec_id long, nrm double, proj array<double>"
     )
-    scale = F.lit(float(_JL_SCALE))
-    sign_lits = [
-        F.expr("array(" + ",".join(f"{x}D" for x in row) + ")")
-        for row in _JL_SIGNS
-    ]
-    proj = F.array(*[(_dot(F.col("vec"), s) * scale) for s in sign_lits])
-    p = vecs.select("vec_id", "nrm", proj.alias("proj"))
     return p.select(
         "vec_id",
         F.round(
@@ -2442,31 +2562,110 @@ def similarity_pca_power_iteration(
     16M rows — still a small DataFrame. First 8 loadings emitted,
     6dp; eigenvalue 9dp."""
     e = load(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", _vec_d().alias("e"))
-    n = v.agg(F.count(F.lit(1)).alias("n"))
-    comp = v.select("vec_id", F.posexplode("e").alias("i", "x"))
-    mean = comp.groupBy("i").agg(F.avg("x").alias("m"))
-    centered = comp.join(F.broadcast(mean), "i").select(
-        "vec_id", "i", (F.col("x") - F.col("m")).alias("cx")
+    # r18 (guide §4.2): the covariance previously materialized a
+    # 64x|corpus| centered-component relation and self-joined it on
+    # vec_id (8.2M joined rows -> 4096 cells; 0.88 s isolated). One
+    # mapInArrow pass now emits per-batch UNCENTERED moment partials —
+    # S_ij = Σ x_i·x_j (a NumPy matmul), s_i = Σ x_i, and the row
+    # count — which Spark sums and assembles into the centered
+    # covariance cij = (S_ij − n·m_i·m_j)/n. Algebraically identical
+    # to avg((x_i−m_i)(x_j−m_j)); the reassociation changes doubles by
+    # ~1e-15 relative, absorbed by three contractive iterations and
+    # the 6dp/9dp edge rounds (the cross-engine margin the edge
+    # already needed: the oracle's own summation order never matched
+    # the join-agg's). The power iterations stay DataFrame algebra on
+    # the d² cell table — the 100 TB shape is unchanged (one corpus
+    # pass for moments, iterations on d² cells).
+    import numpy as np
+
+    def _moment_batches(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            nb = b.num_rows
+            if nb == 0:
+                continue
+            emb = b.column(b.schema.get_field_index("embedding"))
+            x = (
+                np.asarray(emb.flatten(), dtype=np.float32)
+                .astype(np.float64)
+                .reshape(nb, -1)
+            )
+            d = x.shape[1]
+            s2 = x.T @ x  # d x d uncentered second-moment partial
+            s1 = x.sum(axis=0)
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            # d² rows of S_ij partials (j >= 0), then d rows carrying
+            # the component sums + batch row count (marker j == -1)
+            yield pa.record_batch(
+                [
+                    pa.array(ii.ravel().astype(np.int32)),
+                    pa.array(jj.ravel().astype(np.int32)),
+                    pa.array(s2.ravel()),
+                    pa.array(np.zeros(d * d)),
+                ],
+                names=["i", "j", "s2", "pad"],
+            )
+            yield pa.record_batch(
+                [
+                    pa.array(np.arange(d, dtype=np.int32)),
+                    pa.array(np.full(d, -1, dtype=np.int32)),
+                    pa.array(s1),
+                    pa.array(np.full(d, float(nb))),
+                ],
+                names=["i", "j", "s2", "pad"],
+            )
+
+    moments = e.select("embedding").mapInArrow(
+        _moment_batches, "i int, j int, s2 double, pad double"
     )
-    a = centered.select("vec_id", F.col("i").alias("i"), F.col("cx").alias("ca"))
-    b = centered.select("vec_id", F.col("i").alias("j"), F.col("cx").alias("cb"))
+    agg = moments.groupBy("i", "j").agg(
+        F.sum("s2").alias("s"), F.sum("pad").alias("pn")
+    )
+    mean_n = agg.filter(F.col("j") == -1).select(
+        F.col("i").alias("mi"),
+        F.col("s").alias("s1"),
+        F.col("pn").alias("n"),
+    )
+    m_i = mean_n.select(
+        F.col("mi").alias("i"), (F.col("s1") / F.col("n")).alias("m_a")
+    )
+    m_j = mean_n.select(
+        F.col("mi").alias("j"), (F.col("s1") / F.col("n")).alias("m_b")
+    )
+    nn1 = mean_n.agg(F.max("n").alias("n"))
     cov = (
-        a.join(b, "vec_id")
-        .crossJoin(F.broadcast(n))
-        .groupBy("i", "j")
-        .agg((F.sum(F.col("ca") * F.col("cb")) / F.max("n")).alias("cij"))
+        agg.filter(F.col("j") >= 0)
+        .join(F.broadcast(m_i), "i")
+        .join(F.broadcast(m_j), "j")
+        .crossJoin(F.broadcast(nn1))
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("s") - F.col("n") * F.col("m_a") * F.col("m_b"))
+                / F.col("n")
+            ).alias("cij"),
+        )
         .localCheckpoint()
     )
+    mean = m_i.select("i", F.col("m_a").alias("m"))
     vec = mean.select("i", F.lit(0.125).alias("vi"))
     nrm_df = None
     for _ in range(3):
+        # r18: checkpoint each matvec — w feeds BOTH nrm_df and vec,
+        # so the lazy form re-evaluated every deeper level twice per
+        # reference (2^3 evaluations of the innermost subtree by
+        # iteration 3). The d-row materialization is trivial; values
+        # are unchanged (same deterministic computation, just cut
+        # lineage — guide §5).
         w = (
             cov.join(
                 F.broadcast(vec.select(F.col("i").alias("j"), "vi")), "j"
             )
             .groupBy("i")
             .agg(F.sum(F.col("cij") * F.col("vi")).alias("wi"))
+            .localCheckpoint()
         )
         nrm_df = w.agg(F.sqrt(F.sum(F.col("wi") * F.col("wi"))).alias("nrm"))
         vec = w.crossJoin(F.broadcast(nrm_df)).select(
@@ -2706,30 +2905,16 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin."""
     from pyspark.sql import Window
 
-    cb_lit = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{x}D" for x in c) + ")" for c in _IVF_CODEBOOK
-        )
-        + ")"
-    )
+    # r18: dots from the shared _unit_dots_frame Arrow kernel
+    # (bit-exact; one materialization feeds inverted lists, probes AND
+    # the ground-truth branch, which each re-ran the interpreted folds
+    # before).
     e = load(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
-        "nrm", _norm(F.col("vec"))
-    )
-    unit = vecs.select(
-        "vec_id", F.expr("transform(vec, x -> x / nrm)").alias("uvec")
-    )
-    centroids = F.broadcast(
-        e.sparkSession.range(1).select(
-            F.posexplode(F.expr(cb_lit)).alias("cid", "cvec")
-        )
-    )
+    ud = _unit_dots_frame(e)
 
     def _ranked(df, keep_n):
         return (
-            df.crossJoin(centroids)
-            .withColumn("dot", _dot(F.col("uvec"), F.col("cvec")))
+            df.select("*", F.posexplode("dots").alias("cid", "dot"))
             .withColumn(
                 "rn",
                 F.row_number().over(
@@ -2741,9 +2926,10 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= keep_n)
         )
 
-    inv = _ranked(unit, 1).select("vec_id", "cid")
+    unit = ud.select("vec_id", "uvec")
+    inv = _ranked(ud, 1).select("vec_id", "cid")
     queries = unit.filter(F.col("vec_id") < N_QUERIES)
-    probes = _ranked(queries, 8).select(
+    probes = _ranked(ud.filter(F.col("vec_id") < N_QUERIES), 8).select(
         F.col("vec_id").alias("query_id"), "cid", F.col("rn").alias("probe_rank")
     )
     cand = (
@@ -2890,23 +3076,59 @@ def similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "qvec", "vec")
     )
-    dims_arr = F.array(*[F.lit(d) for d in _MRL_DIMS])
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.explode(dims_arr).alias("prefix_dim"),
-        "qvec",
-        "vec",
-    ).select(
-        "prefix_dim",
-        "query_id",
-        "neighbor_id",
-        (
-            _dot(F.slice("qvec", 1, F.col("prefix_dim")),
-                 F.slice("vec", 1, F.col("prefix_dim")))
-            / (_norm(F.slice("qvec", 1, F.col("prefix_dim")))
-               * _norm(F.slice("vec", 1, F.col("prefix_dim"))))
-        ).alias("cosine"),
+    # r18 (guide §4.2): the exploded form evaluated interpreted
+    # slice+dot+norm HOFs per (pair, prefix) — each prefix re-folding
+    # from scratch (~120 dims of lambda steps per pair). One mapInArrow
+    # kernel accumulates dot/|q|²/|v|² dimension-by-dimension from 0.0
+    # seeds and SNAPSHOTS at each prefix length: a prefix fold IS the
+    # continuation of the shorter one's identical IEEE sequence, so
+    # every cosine is bit-identical to the sliced HOF (and the DuckDB
+    # twin). The per-(dim, query) ranking window is unchanged.
+    import numpy as np
+
+    mrl_dims = list(_MRL_DIMS)
+
+    def _prefix_cosines(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            qv = np.asarray(
+                b.column(b.schema.get_field_index("qvec")).flatten(),
+                dtype=np.float64,
+            ).reshape(n, -1)
+            vv = np.asarray(
+                b.column(b.schema.get_field_index("vec")).flatten(),
+                dtype=np.float64,
+            ).reshape(n, -1)
+            dot = np.zeros(n, dtype=np.float64)
+            nq = np.zeros(n, dtype=np.float64)
+            nv = np.zeros(n, dtype=np.float64)
+            out_cos = {}
+            for i in range(qv.shape[1]):  # one sequential fold, snapshot
+                dot += qv[:, i] * vv[:, i]
+                nq += qv[:, i] * qv[:, i]
+                nv += vv[:, i] * vv[:, i]
+                if (i + 1) in mrl_dims:
+                    out_cos[i + 1] = dot / (np.sqrt(nq) * np.sqrt(nv))
+            qid = b.column(b.schema.get_field_index("query_id"))
+            nid = b.column(b.schema.get_field_index("neighbor_id"))
+            for d in mrl_dims:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.full(n, d, dtype=np.int32)),
+                        qid,
+                        nid,
+                        pa.array(out_cos[d]),
+                    ],
+                    names=["prefix_dim", "query_id", "neighbor_id", "cosine"],
+                )
+
+    scored = pairs.mapInArrow(
+        _prefix_cosines,
+        "prefix_dim int, query_id long, neighbor_id long, cosine double",
     )
     w = Window.partitionBy("prefix_dim", "query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -22,8 +22,10 @@ def test_oracle_match(name, spark, oracle_con, sf_dir):
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_smoke(name, spark, sf_dir):
-    df = registry.QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0  # runs end-to-end with a stable schema
-    assert len(df.schema.fields) > 0
+def test_every_query_is_oracle_backed():
+    """r18 closed the last rows-only gap (hash_engine_specific grew a
+    literal-boolean property oracle), so the registry carries ZERO
+    oracle-less queries — pin that: a new rows-only registration must
+    argue its way past this test, not silently weaken the driver's
+    check to rows-only (the r16 red was exactly an unconfirmable op)."""
+    assert ROWS_ONLY_NAMES == [], ROWS_ONLY_NAMES

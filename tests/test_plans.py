@@ -722,3 +722,84 @@ def test_observation_listener_survives_intended_failure_drills(spark, sf_dir):
     # the registered query whose drill rides this path stays correct
     rows = registry.QUERIES["source_commit_log_vacuum"](spark, sf_dir).collect()
     assert len(rows) == 3
+
+
+def test_unit_dots_kernel_bit_exact_vs_hof(spark, sf_dir):
+    """The r18 Arrow vector kernels claim BIT-exactness to the
+    interpreted zip_with/aggregate fold (same IEEE op sequence,
+    vectorized across rows). Pin it: _unit_dots_frame's uvec and all
+    16 codebook dots must equal the HOF formulation exactly — zero
+    tolerance — so a kernel edit that reorders the accumulation (e.g.
+    a matmul swap) fails here, not at the driver's hash."""
+    from pyspark.sql import functions as F
+
+    from hive_task_spark.operators.similarity import (
+        _IVF_CODEBOOK,
+        _dot,
+        _norm,
+        _unit_dots_frame,
+        _vec_d,
+    )
+    from hive_task_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    got = {
+        r["vec_id"]: (list(r["uvec"]), list(r["dots"]))
+        for r in _unit_dots_frame(e).collect()
+    }
+    vecs = e.select("vec_id", _vec_d().alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    unit = vecs.select(
+        "vec_id", F.expr("transform(vec, x -> x / nrm)").alias("uvec")
+    )
+    cvecs = [
+        F.expr("array(" + ",".join(f"{x}D" for x in c) + ")")
+        for c in _IVF_CODEBOOK
+    ]
+    ref_rows = unit.select(
+        "vec_id",
+        "uvec",
+        F.array(*[_dot(F.col("uvec"), c) for c in cvecs]).alias("dots"),
+    ).collect()
+    assert len(ref_rows) == len(got) > 0
+    for r in ref_rows:
+        ku, kd = got[r["vec_id"]]
+        assert ku == list(r["uvec"])  # exact, no tolerance
+        assert kd == list(r["dots"])
+
+
+def test_recursive_cte_khop_equals_one_hop(spark, sf_dir):
+    """sql_recursive_cte walks K=8 links per UnionLoop step (r18).
+    Pin the unrolling against the ORIGINAL one-hop recursion on the
+    same session: identical rows, exactly — the k-hop form's
+    correctness rests on (a) the nested per-hop round sequence and
+    (b) max-over-subset == max-over-all-prefixes for increasing cums,
+    both of which this equivalence witnesses end-to-end."""
+    from hive_task_spark import registry
+
+    out = {
+        (r[0], r[1], r[2])
+        for r in registry.QUERIES["sql_recursive_cte"](spark, sf_dir).collect()
+    }
+    one_hop = spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT o_custkey AS ck, o_orderkey AS ok,
+                   CAST(1 AS BIGINT) AS depth,
+                   round(o_totalprice, 2) AS cum
+            FROM htspark_rec_edges WHERE rn = 1
+            UNION ALL
+            SELECT c.ck, e.nk1, c.depth + 1, round(c.cum + e.np1, 2)
+            FROM chain c JOIN htspark_rec_edges e ON e.o_orderkey = c.ok
+            WHERE e.nk1 IS NOT NULL
+        )
+        SELECT ck AS c_custkey,
+               CAST(max(depth) AS BIGINT) AS n_orders,
+               round(max(cum), 2)         AS total_spend
+        FROM chain
+        GROUP BY ck
+        """
+    )
+    ref = {(r[0], r[1], r[2]) for r in one_hop.collect()}
+    assert out == ref and len(out) > 0
